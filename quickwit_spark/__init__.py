@@ -1,0 +1,23 @@
+"""quickwit_spark — a PySpark-native full-text indexing + BM25 search engine.
+
+A brand-new engine with the query/data-processing capabilities of
+Quickwit (studied read-only at /root/reference), re-expressed
+Spark-first: web pages are tokenized with tantivy-parity analyzers
+inside vectorized pandas/Arrow UDFs, turned into immutable per-partition
+segments (sorted term dictionaries, delta-gap varint posting lists with
+term frequencies, block-max metadata, quantized fieldnorms), and merged
+hierarchically; BM25 top-k queries run with block-max WAND pruning and
+reproduce the reference's ranking semantics (per-segment statistics,
+desc-docid tie-break, missing-last sorting).
+
+Layout:
+    analysis/   tokenizers (tantivy `default` parity, whitespace, raw, ...)
+    codec/      numpy varint/delta posting codec + fieldnorm quantization
+    index/      segment builder (applyInPandas), manifest, merge policy
+    query/      QueryAst dataclasses + query-string mini parser
+    search/     BM25 scorer, block-max WAND kernel, searcher, aggregations
+    ops/        training-data pipeline ops (dedup, ANN, text stats, multimodal)
+    sources/    corpus derivation + (optional) Iceberg/streaming plumbing
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,73 @@
+"""Tokenizer parity goldens (FIXTURES.md §4).
+
+Expected values follow tantivy's `default` analyzer semantics
+(SimpleTokenizer + RemoveLong(255) + LowerCaser, reference registration
+at `quickwit-query/src/tokenizers/mod.rs:56-60`) and the reference's own
+raw-tokenizer test shapes (`tokenizers/mod.rs:140-159`).
+"""
+
+import pandas as pd
+import pytest
+
+from quickwit_spark.analysis import get_tokenizer, tokenize_series
+
+default = get_tokenizer("default")
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("Hello, happy tax payer!", ["hello", "happy", "tax", "payer"]),
+        # default tokenizer does NOT split camelCase or fold accents
+        ("PigCaféFactory2", ["pigcaféfactory2"]),
+        ("snake_case splits_on_underscore", ["snake", "case", "splits", "on", "underscore"]),
+        ("a-b--c", ["a", "b", "c"]),
+        ("123 45.6 7e8", ["123", "45", "6", "7e8"]),
+        ("", []),
+        ("!!!", []),
+        ("ALLCAPS", ["allcaps"]),
+        ("naïve Grüße", ["naïve", "grüße"]),  # lowercase, no ascii folding
+        ("日本語 text", ["日本語", "text"]),
+        ("x" + "·" + "y", ["x", "y"]),  # U+00B7 middle dot is not alphanumeric
+    ],
+)
+def test_default_tokenizer_goldens(text, expected):
+    assert default(text) == expected
+
+
+def test_remove_long_before_lowercase():
+    # 255-byte token kept, 256-byte token dropped (measured pre-lowercase)
+    keep = "A" * 255
+    drop = "B" * 256
+    assert default(f"{keep} {drop} ok") == ["a" * 255, "ok"]
+    # multi-byte chars: 128 × 'É' (2 bytes) = 256 bytes → dropped
+    assert default("É" * 128 + " ok") == ["ok"]
+
+
+def test_whitespace_and_raw():
+    ws = get_tokenizer("whitespace")
+    assert ws("Foo  Bar\tbaz") == ["Foo", "Bar", "baz"]  # no lowercase
+    raw = get_tokenizer("raw")
+    haiku = "white sandy beach\na strong wind is coming\nsand in my face"
+    assert raw(haiku) == [haiku]  # single token
+    assert raw("x" * 256) == []  # dropped
+    rl = get_tokenizer("raw_lowercase")
+    assert rl("MiXeD Case") == ["mixed case"]
+
+
+def test_ascii_space_fast_path_matches_default_on_corpus_charset():
+    fast = get_tokenizer("ascii_space")
+    texts = ["the fast key order", "a  b   c", "spark group query row"]
+    for t in texts:
+        assert fast(t) == default(t)
+
+
+def test_tokenize_series_shape():
+    s = pd.Series(["one two", None, "three"])
+    out = tokenize_series(s)
+    assert list(out) == [["one", "two"], [], ["three"]]
+
+
+def test_unknown_tokenizer_raises():
+    with pytest.raises(NotImplementedError):
+        get_tokenizer("en_stem_v99")
