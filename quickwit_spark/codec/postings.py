@@ -50,6 +50,80 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def _varint_byte_lengths(v: np.ndarray) -> np.ndarray:
+    nbytes = np.ones(len(v), dtype=np.int64)
+    x = v >> np.uint64(7)
+    while x.any():
+        nbytes += (x > 0)
+        x >>= np.uint64(7)
+    return nbytes
+
+
+def varint_encode_grouped(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
+    """Encode `values` once, return per-group byte slices.
+
+    ``group_starts`` are the start indices of each group in ``values``
+    (first must be 0). This is the vectorized fast path for encoding an
+    entire segment's posting lists in one pass instead of one
+    varint_encode call per term.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return []
+    nbytes = _varint_byte_lengths(v)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    total = int(starts[-1] + nbytes[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    for k in range(int(nbytes.max())):
+        mask = nbytes > k
+        byte = ((v[mask] >> _SHIFTS[k]) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nbytes[mask] > k + 1).astype(np.uint8)) << 7
+        out[starts[mask] + k] = byte | cont
+    blob = out.tobytes()
+    gs = np.asarray(group_starts, dtype=np.int64)
+    byte_bounds = np.append(starts[gs], total)
+    return [blob[byte_bounds[i] : byte_bounds[i + 1]] for i in range(len(gs))]
+
+
+def block_metadata_grouped(
+    doc_ids: np.ndarray,
+    tf_component: np.ndarray,
+    group_starts: np.ndarray,
+) -> tuple[list[bytes], list[bytes]]:
+    """Per-group 128-doc block (last docid, max tf-component) blobs.
+
+    Vectorized across every term of a segment: one reduceat over the
+    concatenated postings computes all blocks of all terms.
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return [], []
+    gs = np.asarray(group_starts, dtype=np.int64)
+    gends = np.append(gs[1:], n)
+    glens = gends - gs
+    nblocks = (glens + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nblocks.sum())
+    block_term = np.repeat(np.arange(len(gs), dtype=np.int64), nblocks)
+    excl = np.zeros(len(gs), dtype=np.int64)
+    np.cumsum(nblocks[:-1], out=excl[1:])
+    within = np.arange(total_blocks, dtype=np.int64) - excl[block_term]
+    bstart = gs[block_term] + within * BLOCK_SIZE
+    bend = np.minimum(bstart + BLOCK_SIZE, gends[block_term])
+    last = np.asarray(doc_ids, dtype=np.uint32)[bend - 1].astype("<u4")
+    maxes = np.maximum.reduceat(
+        np.asarray(tf_component, dtype=np.float32), bstart
+    ).astype("<f4")
+    last_b = last.tobytes()
+    max_b = maxes.tobytes()
+    bounds = np.append(excl, total_blocks)
+    return (
+        [last_b[bounds[i] * 4 : bounds[i + 1] * 4] for i in range(len(gs))],
+        [max_b[bounds[i] * 4 : bounds[i + 1] * 4] for i in range(len(gs))],
+    )
+
+
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     """Decode a LEB128 byte blob back to a uint64 array (vectorized)."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -1,0 +1,127 @@
+"""Segment manifest — the engine's metastore.
+
+Mirrors the role of the reference's metastore `SplitMetadata`
+(`quickwit-metastore/src/split_metadata.rs:61-130`: split_id,
+partition_id, num_docs, time_range, maturity, num_merge_ops,
+delete_opstamp) and its checkpoint mechanism
+(`quickwit-metastore/src/checkpoint.rs`: PartitionId → Position map
+committed atomically with split publish — the per-partition lineage /
+exactly-once resume contract).
+
+Implementation: an append-only log of JSON commit files under
+`<index_dir>/_manifest/`. Each commit carries a monotonically increasing
+sequence number and a list of segment records; the reconciled view takes
+the latest record per segment_id (so a merge commit both publishes the
+merged segment and marks its inputs `replaced`). Writes are atomic via
+tmp-file + rename. On a real deployment the same records would live in
+an Iceberg/Delta table; a JSON log keeps the sandbox dependency-free
+while preserving identical commit semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass, field
+
+MANIFEST_DIR = "_manifest"
+
+STAGED = "staged"
+PUBLISHED = "published"
+REPLACED = "replaced"
+
+
+@dataclass
+class SegmentRecord:
+    segment_id: str
+    state: str = PUBLISHED
+    partition_id: int = 0
+    num_docs: int = 0
+    # per-field stats for BM25: {field: {"total_tokens": int, "doc_count": int}}
+    field_stats: dict = field(default_factory=dict)
+    # lineage: which input batch/partitions produced this segment
+    lineage: dict = field(default_factory=dict)
+    # [min_ts_micros, max_ts_micros] or None
+    time_range: list | None = None
+    merge_gen: int = 0
+    metrics: dict = field(default_factory=dict)
+
+
+def _manifest_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, MANIFEST_DIR)
+
+
+def _commit_files(index_dir: str) -> list[str]:
+    d = _manifest_dir(index_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f for f in os.listdir(d) if f.startswith("commit-") and f.endswith(".json"))
+
+
+def next_seq(index_dir: str) -> int:
+    files = _commit_files(index_dir)
+    if not files:
+        return 0
+    return max(int(f.split("-")[1]) for f in files) + 1
+
+
+def commit(
+    index_dir: str,
+    records: list[SegmentRecord],
+    checkpoint: dict | None = None,
+    kind: str = "build",
+) -> str:
+    """Atomically append a commit (segment records + source checkpoint)."""
+    d = _manifest_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    seq = next_seq(index_dir)
+    payload = {
+        "seq": seq,
+        "kind": kind,
+        "checkpoint": checkpoint or {},
+        "segments": [asdict(r) for r in records],
+    }
+    name = f"commit-{seq:08d}-{uuid.uuid4().hex[:8]}.json"
+    tmp = os.path.join(d, f".tmp-{name}")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(d, name))
+    return name
+
+
+def read_commits(index_dir: str) -> list[dict]:
+    out = []
+    d = _manifest_dir(index_dir)
+    for fname in _commit_files(index_dir):
+        with open(os.path.join(d, fname)) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda c: c["seq"])
+
+
+def reconcile(index_dir: str) -> dict[str, SegmentRecord]:
+    """Latest record per segment_id across all commits (in seq order)."""
+    segs: dict[str, SegmentRecord] = {}
+    for c in read_commits(index_dir):
+        for rec in c["segments"]:
+            segs[rec["segment_id"]] = SegmentRecord(**rec)
+    return segs
+
+
+def live_segments(index_dir: str) -> list[SegmentRecord]:
+    """Published (searchable) segments, stable order."""
+    return sorted(
+        (r for r in reconcile(index_dir).values() if r.state == PUBLISHED),
+        key=lambda r: r.segment_id,
+    )
+
+
+def committed_checkpoints(index_dir: str, kind: str = "build") -> dict:
+    """Union of checkpoints from commits of `kind` (batch_id → lineage)."""
+    cp: dict = {}
+    for c in read_commits(index_dir):
+        if c["kind"] == kind:
+            cp.update(c.get("checkpoint") or {})
+    return cp

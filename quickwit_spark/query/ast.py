@@ -1,0 +1,137 @@
+"""QueryAst — the engine's logical query model.
+
+Mirrors the reference's QueryAst variants
+(`quickwit-query/src/query_ast/mod.rs:50-70`): Term, TermSet, FullText
+(Bool AND/OR of tokenized terms), Range, Bool (must/must_not/should/
+filter + minimum_should_match), Boost, MatchAll/MatchNone, FieldPresence
+(`exists`), Wildcard, Regex. Phrase/PhrasePrefix require positional
+indexes (record: position) and are deliberately out of scope, matching
+the reference's own default of record=freq (SURVEY.md §7.5).
+
+Scoring semantics (reference `query_ast/bool_query.rs` +
+`tantivy_query_ast.rs`): must and should clauses contribute score,
+filter and must_not never do; Boost multiplies the subtree's score.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class QueryAst:
+    """Marker base class."""
+
+
+@dataclass(frozen=True)
+class Term(QueryAst):
+    field: str
+    value: str  # pre-normalized (not re-tokenized), like the reference
+
+
+@dataclass(frozen=True)
+class TermSet(QueryAst):
+    field: str
+    values: tuple
+
+    def __init__(self, field: str, values):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "values", tuple(values))
+
+
+@dataclass(frozen=True)
+class FullText(QueryAst):
+    """Query text is tokenized with the field's tokenizer, then combined
+    with `operator` ('and' | 'or'). Zero tokens → MatchAll semantics when
+    zero_terms_match_all else MatchNone (reference
+    `query_ast/full_text_query.rs:36-44,108-110`)."""
+
+    field: str
+    text: str
+    operator: str = "or"
+    zero_terms_match_all: bool = False
+
+
+@dataclass(frozen=True)
+class Range(QueryAst):
+    """Range over a fast (docmap) column; bounds are python values."""
+
+    field: str
+    gte: object = None
+    lte: object = None
+    gt: object = None
+    lt: object = None
+
+
+@dataclass(frozen=True)
+class Exists(QueryAst):
+    field: str
+
+
+@dataclass(frozen=True)
+class Wildcard(QueryAst):
+    """`wil?car*d` — expanded against the term dictionary."""
+
+    field: str
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Regex(QueryAst):
+    field: str
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Bool(QueryAst):
+    must: tuple = ()
+    must_not: tuple = ()
+    should: tuple = ()
+    filter: tuple = ()
+    minimum_should_match: int | None = None
+
+    def __init__(self, must=(), must_not=(), should=(), filter=(), minimum_should_match=None):
+        object.__setattr__(self, "must", tuple(must))
+        object.__setattr__(self, "must_not", tuple(must_not))
+        object.__setattr__(self, "should", tuple(should))
+        object.__setattr__(self, "filter", tuple(filter))
+        object.__setattr__(self, "minimum_should_match", minimum_should_match)
+
+
+@dataclass(frozen=True)
+class Boost(QueryAst):
+    query: QueryAst
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAll(QueryAst):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNone(QueryAst):
+    pass
+
+
+def collect_fulltext_terms(ast: QueryAst, tokenizer_for_field) -> list[tuple[str, str]]:
+    """All (field, term) pairs whose postings the query needs (warmup
+    analog of the reference's `query_builder.rs:90-141`)."""
+    out: list[tuple[str, str]] = []
+
+    def walk(node: QueryAst):
+        if isinstance(node, Term):
+            out.append((node.field, node.value))
+        elif isinstance(node, TermSet):
+            out.extend((node.field, v) for v in node.values)
+        elif isinstance(node, FullText):
+            fn = tokenizer_for_field(node.field)
+            out.extend((node.field, t) for t in fn(node.text))
+        elif isinstance(node, Bool):
+            for cl in (*node.must, *node.must_not, *node.should, *node.filter):
+                walk(cl)
+        elif isinstance(node, Boost):
+            walk(node.query)
+        # Range/Exists → fast columns; Wildcard/Regex expanded separately
+
+    walk(ast)
+    return out

@@ -1,0 +1,185 @@
+"""Query-string mini-DSL parser (subset of the reference's language).
+
+Grammar subset of `docs/reference/query-language.md` /
+`query_ast/user_input_query.rs:61-128`:
+
+    clause   := '-'/'NOT' clause | '(' expr ')' | leaf
+    expr     := clause ((AND|OR)? clause)*      (default operator AND)
+    leaf     := '*'                             MatchAll
+              | field ':' 'IN' '[' v+ ']'       TermSet
+              | field ':' '[' a 'TO' b ']'      Range (inclusive; '{' '}' excl.)
+              | field ':' value                 FullText on that field
+              | value                           FullText on default fields
+
+A value containing '*' or '?' becomes a Wildcard. Unfielded clauses
+resolve against `default_search_fields` (reference resolution at
+`quickwit-config/src/index_config/mod.rs:166-169`) — multiple defaults
+become a should-Bool.
+"""
+
+from __future__ import annotations
+
+import re
+
+from quickwit_spark.query.ast import (
+    Bool,
+    FullText,
+    MatchAll,
+    QueryAst,
+    Range,
+    TermSet,
+    Wildcard,
+)
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<lpar>\()|(?P<rpar>\))|(?P<lbrk>\[)|(?P<rbrk>\])|(?P<lbrc>\{)|(?P<rbrc>\})
+    |(?P<quoted>"[^"]*")
+    |(?P<word>[^\s()\[\]{}:"]+)
+    |(?P<colon>:)
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(q: str) -> list[str]:
+    return [m.group(0) for m in _TOKEN_RE.finditer(q)]
+
+
+class _Parser:
+    def __init__(self, tokens: list[str], default_fields: list[str], default_operator: str):
+        self.toks = tokens
+        self.i = 0
+        self.default_fields = default_fields
+        self.default_operator = default_operator
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse_expr(self) -> QueryAst:
+        clauses: list[tuple[str, QueryAst]] = []  # (connector-before, clause)
+        conn = None
+        while True:
+            t = self.peek()
+            if t is None or t == ")":
+                break
+            if t in ("AND", "OR"):
+                self.next()
+                conn = t.lower()
+                continue
+            clause = self.parse_clause()
+            clauses.append((conn or self.default_operator, clause))
+            conn = None
+        if not clauses:
+            return MatchAll()
+        if len(clauses) == 1:
+            return clauses[0][1]
+        # group: OR binds looser than AND — split into OR groups of AND runs
+        or_groups: list[list[QueryAst]] = [[clauses[0][1]]]
+        for connector, clause in clauses[1:]:
+            if connector == "or":
+                or_groups.append([clause])
+            else:
+                or_groups[-1].append(clause)
+        ands = [
+            g[0] if len(g) == 1 else _make_and(g)
+            for g in or_groups
+        ]
+        if len(ands) == 1:
+            return ands[0]
+        return Bool(should=ands)
+
+    def parse_clause(self) -> QueryAst:
+        t = self.peek()
+        if t in ("-", "NOT") or (t and t.startswith("-") and len(t) > 1):
+            if t in ("-", "NOT"):
+                self.next()
+            else:
+                self.toks[self.i] = t[1:]
+            inner = self.parse_clause()
+            return Bool(must_not=[inner], must=[MatchAll()])
+        if t == "(":
+            self.next()
+            inner = self.parse_expr()
+            if self.peek() == ")":
+                self.next()
+            return inner
+        return self.parse_leaf()
+
+    def parse_leaf(self) -> QueryAst:
+        t = self.next()
+        if t == "*":
+            return MatchAll()
+        field = None
+        if self.peek() == ":":
+            self.next()
+            field = t
+            t = self.next()
+            if t is None:
+                raise ValueError(f"dangling field {field!r}")
+        # range: [a TO b] / {a TO b}
+        if t in ("[", "{"):
+            lo = self.next()
+            to = self.next()
+            hi = self.next()
+            close = self.next()
+            if to != "TO" or close not in ("]", "}"):
+                raise ValueError("malformed range")
+            kw: dict = {}
+            if lo != "*":
+                kw["gte" if t == "[" else "gt"] = lo
+            if hi != "*":
+                kw["lte" if close == "]" else "lt"] = hi
+            return Range(field=field or self.default_fields[0], **kw)
+        # term set: IN [a b c]
+        if t == "IN" and self.peek() == "[":
+            self.next()
+            vals = []
+            while self.peek() not in ("]", None):
+                vals.append(self.next())
+            if self.peek() == "]":
+                self.next()
+            return TermSet(field=field or self.default_fields[0], values=vals)
+        if t.startswith('"') and t.endswith('"'):
+            # phrase syntax: positions are not indexed (record=freq default,
+            # like the reference) → treat as conjunction of terms
+            text = t[1:-1]
+            return self._fulltext(field, text, operator="and")
+        if "*" in t or "?" in t:
+            if field is None:
+                return _multi_field(
+                    [Wildcard(field=f, pattern=t) for f in self.default_fields]
+                )
+            return Wildcard(field=field, pattern=t)
+        return self._fulltext(field, t, operator="and")
+
+    def _fulltext(self, field: str | None, text: str, operator: str) -> QueryAst:
+        if field is not None:
+            return FullText(field=field, text=text, operator=operator)
+        return _multi_field(
+            [FullText(field=f, text=text, operator=operator) for f in self.default_fields]
+        )
+
+
+def _make_and(clauses: list[QueryAst]) -> QueryAst:
+    return Bool(must=clauses)
+
+
+def _multi_field(clauses: list[QueryAst]) -> QueryAst:
+    return clauses[0] if len(clauses) == 1 else Bool(should=clauses)
+
+
+def parse_query(
+    q: str,
+    default_fields: list[str] | None = None,
+    default_operator: str = "and",
+) -> QueryAst:
+    q = q.strip()
+    if not q or q == "*":
+        return MatchAll()
+    return _Parser(_lex(q), default_fields or ["text"], default_operator).parse_expr()

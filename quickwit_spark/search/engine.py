@@ -1,0 +1,425 @@
+"""IndexSearcher — root planning + distributed leaf search.
+
+The Spark re-expression of the reference's query lifecycle
+(`quickwit-search/src/root.rs:1155-1240` root planning,
+`leaf.rs:1328-1430` leaf search, `collector.rs` merge):
+
+  1. driver: resolve the QueryAst, expand wildcard/regex against the
+     term dictionary, prune segments via the manifest (time range —
+     reference `refine_and_list_matches`),
+  2. executors: scan ONLY the needed posting rows (Parquet predicate
+     pushdown on (kind, term) — the warmup/prefetch analog), group by
+     segment, run the numpy kernel (BM25 + block-max WAND) per segment
+     → per-segment top-k,
+  3. driver plan tail: global orderBy(score desc, segment desc, docid
+     desc).limit(k) — the incremental merge_fruits analog — then a
+     broadcast join of the k winners against the docmap for hit
+     materialization (fetch_docs analog).
+
+Two scoring modes:
+  parity  f32 + quantized fieldnorms + per-segment stats — reference
+          rank-identity semantics.
+  oracle  f64 + exact lengths + global stats, scores rounded to 9
+          decimals — deterministic vs an independent SQL implementation.
+"""
+
+from __future__ import annotations
+
+import json
+import re as _re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quickwit_spark.analysis import get_tokenizer
+from quickwit_spark.index import manifest as mf
+from quickwit_spark.index.builder import (
+    KIND_NORMS,
+    KIND_POSTINGS,
+    KIND_STATS,
+    IndexConfig,
+)
+from quickwit_spark.query.ast import (
+    Bool,
+    Boost,
+    FullText,
+    MatchAll,
+    QueryAst,
+    Range,
+    Regex,
+    Term,
+    TermSet,
+    Wildcard,
+    collect_fulltext_terms,
+)
+from quickwit_spark.query.parser import parse_query
+from quickwit_spark.search.kernel import SegmentData, evaluate_segment
+
+MATCH_SCHEMA = "segment_id string, doc_id long, score double"
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(f"{index_dir}/_manifest/index_config.json") as f:
+            self.config = IndexConfig.from_json(f.read())
+        self.refresh()
+
+    def refresh(self):
+        self.segments = mf.live_segments(self.index_dir)
+        self.live_ids = [s.segment_id for s in self.segments]
+
+    # ---------- catalogs ----------
+
+    def inv(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/inv")
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docs")
+
+    def _tokenizer_for_field(self):
+        fields = {f.name: f.tokenizer for f in self.config.fields}
+
+        def get(field):
+            return get_tokenizer(fields.get(field, "default"))
+
+        return get
+
+    # ---------- planning ----------
+
+    def _prune_segments(self, time_range) -> list[str]:
+        """Manifest-level pruning (reference: time-range + tag pruning)."""
+        if time_range is None:
+            return self.live_ids
+        lo, hi = time_range  # micros, inclusive/exclusive like the reference
+        keep = []
+        for s in self.segments:
+            if s.time_range is None:
+                keep.append(s.segment_id)
+                continue
+            smin, smax = s.time_range
+            if (lo is None or smax >= lo) and (hi is None or smin < hi):
+                keep.append(s.segment_id)
+        return keep
+
+    def _expand_patterns(self, ast: QueryAst, seg_ids: list[str]) -> QueryAst:
+        """Replace Wildcard/Regex by TermSet via a term-dictionary scan
+        (the reference streams `dict.range()` with an automaton,
+        `quickwit-search/src/list_terms.rs:266-276`)."""
+
+        patterns: list[tuple[str, str]] = []
+
+        def collect(node):
+            if isinstance(node, Wildcard):
+                patterns.append((node.field, _wildcard_to_regex(node.pattern.lower())))
+            elif isinstance(node, Regex):
+                patterns.append((node.field, node.pattern))
+            elif isinstance(node, Bool):
+                for cl in (*node.must, *node.must_not, *node.should, *node.filter):
+                    collect(cl)
+            elif isinstance(node, Boost):
+                collect(node.query)
+
+        collect(ast)
+        if not patterns:
+            return ast
+        expansions: dict[tuple[str, str], tuple] = {}
+        for fld, rx in patterns:
+            terms = [
+                r["term"]
+                for r in (
+                    self.inv()
+                    .filter(
+                        (F.col("kind") == KIND_POSTINGS)
+                        & (F.col("field") == fld)
+                        & F.col("segment_id").isin(seg_ids)
+                        & F.col("term").rlike(f"^(?:{rx})$")
+                    )
+                    .select("term")
+                    .distinct()
+                    .collect()
+                )
+            ]
+            expansions[(fld, rx)] = tuple(sorted(terms))
+
+        def rewrite(node):
+            if isinstance(node, Wildcard):
+                return TermSet(
+                    node.field,
+                    expansions[(node.field, _wildcard_to_regex(node.pattern.lower()))],
+                )
+            if isinstance(node, Regex):
+                return TermSet(node.field, expansions[(node.field, node.pattern)])
+            if isinstance(node, Bool):
+                return Bool(
+                    must=[rewrite(c) for c in node.must],
+                    must_not=[rewrite(c) for c in node.must_not],
+                    should=[rewrite(c) for c in node.should],
+                    filter=[rewrite(c) for c in node.filter],
+                    minimum_should_match=node.minimum_should_match,
+                )
+            if isinstance(node, Boost):
+                return Boost(rewrite(node.query), node.boost)
+            return node
+
+        return rewrite(ast)
+
+    def _split_fast_predicates(self, ast: QueryAst):
+        """Pull Range nodes on docmap columns out of top-level conjunctions
+        → (text_ast, spark_filter_column | None)."""
+        text_fields = {f.name for f in self.config.fields}
+
+        def to_filter(node: Range):
+            c = F.col(node.field)
+            conds = []
+            if node.gte is not None:
+                conds.append(c >= node.gte)
+            if node.gt is not None:
+                conds.append(c > node.gt)
+            if node.lte is not None:
+                conds.append(c <= node.lte)
+            if node.lt is not None:
+                conds.append(c < node.lt)
+            out = conds[0]
+            for x in conds[1:]:
+                out = out & x
+            return out
+
+        if isinstance(ast, Range) and ast.field not in text_fields:
+            return MatchAll(), to_filter(ast)
+        if isinstance(ast, Bool):
+            fast = []
+            must = []
+            flt = []
+            for dst, src in ((must, ast.must), (flt, ast.filter)):
+                for cl in src:
+                    if isinstance(cl, Range) and cl.field not in text_fields:
+                        fast.append(to_filter(cl))
+                    else:
+                        dst.append(cl)
+            if fast:
+                cond = fast[0]
+                for x in fast[1:]:
+                    cond = cond & x
+                new_ast = Bool(
+                    must=must,
+                    must_not=ast.must_not,
+                    should=ast.should,
+                    filter=flt,
+                    minimum_should_match=ast.minimum_should_match,
+                )
+                if not (must or flt or ast.should or ast.must_not):
+                    new_ast = MatchAll()
+                return new_ast, cond
+        return ast, None
+
+    def _global_stats(self, terms: list[tuple[str, str]]) -> dict:
+        """Global (N, total_tokens) per field from the manifest + global
+        doc_freq per term via one tiny aggregation."""
+        fields: dict[str, dict] = {}
+        for s in self.segments:
+            for fld, st in s.field_stats.items():
+                agg = fields.setdefault(fld, {"doc_count": 0, "total_tokens": 0})
+                agg["doc_count"] += st["doc_count"]
+                agg["total_tokens"] += st["total_tokens"]
+        term_df: dict[tuple[str, str], int] = {}
+        if terms:
+            tvals = sorted({t for _, t in terms})
+            rows = (
+                self.inv()
+                .filter(
+                    (F.col("kind") == KIND_POSTINGS)
+                    & F.col("term").isin(tvals)
+                    & F.col("segment_id").isin(self.live_ids)
+                )
+                .groupBy("field", "term")
+                .agg(F.sum("doc_freq").alias("df"))
+                .collect()
+            )
+            term_df = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+        return {"fields": fields, "terms": term_df}
+
+    # ---------- execution ----------
+
+    def _matches(
+        self,
+        ast: QueryAst,
+        seg_ids: list[str],
+        k: int | None,
+        mode: str,
+        fast_filter=None,
+        use_wand: bool = True,
+    ) -> DataFrame:
+        """Per-segment kernel execution → (segment_id, doc_id, score)."""
+        tok = self._tokenizer_for_field()
+        terms = collect_fulltext_terms(ast, tok)
+        gstats = self._global_stats(terms) if mode == "oracle" else None
+        tvals = sorted({t for _, t in terms})
+        if not tvals and fast_filter is None and isinstance(ast, MatchAll):
+            # match-all without filters: answer straight from the docmap
+            return self.docs().filter(F.col("segment_id").isin(seg_ids)).select(
+                "segment_id", "doc_id", F.lit(0.0).alias("score")
+            )
+        inv = self.inv().filter(
+            F.col("segment_id").isin(seg_ids)
+            & (
+                F.col("kind").isin([KIND_NORMS, KIND_STATS])
+                | ((F.col("kind") == KIND_POSTINGS) & F.col("term").isin(tvals))
+            )
+        )
+        cfg_fields = {f.name: f.tokenizer for f in self.config.fields}
+        k1, b = self.config.k1, self.config.b
+
+        def make_eval(with_allowed: bool):
+            def run(seg_pdf: pd.DataFrame, allowed_pdf: pd.DataFrame | None):
+                if len(seg_pdf) == 0:
+                    return pd.DataFrame({"segment_id": [], "doc_id": [], "score": []})
+                segment_id = seg_pdf["segment_id"].iloc[0]
+                seg = SegmentData.from_rows(segment_id, seg_pdf.to_dict("records"))
+                allowed = None
+                if with_allowed:
+                    if allowed_pdf is None or len(allowed_pdf) == 0:
+                        return pd.DataFrame(
+                            {"segment_id": [], "doc_id": [], "score": []}
+                        )
+                    allowed = allowed_pdf["doc_id"].to_numpy(np.int64)
+                docids, scores = evaluate_segment(
+                    seg,
+                    ast,
+                    lambda f: get_tokenizer(cfg_fields.get(f, "default")),
+                    k=k,
+                    mode=mode,
+                    global_stats=gstats,
+                    allowed=allowed,
+                    k1=k1,
+                    b=b,
+                    use_wand=use_wand,
+                )
+                return pd.DataFrame(
+                    {
+                        "segment_id": segment_id,
+                        "doc_id": docids.astype(np.int64),
+                        "score": scores.astype(np.float64),
+                    }
+                )
+
+            return run
+
+        if fast_filter is not None:
+            allowed_df = (
+                self.docs()
+                .filter(F.col("segment_id").isin(seg_ids))
+                .filter(fast_filter)
+                .select("segment_id", "doc_id")
+            )
+            fn = make_eval(True)
+            return (
+                inv.groupBy("segment_id")
+                .cogroup(allowed_df.groupBy("segment_id"))
+                .applyInPandas(lambda l, r: fn(l, r), MATCH_SCHEMA)
+            )
+        fn = make_eval(False)
+        return inv.groupBy("segment_id").applyInPandas(
+            lambda pdf: fn(pdf, None), MATCH_SCHEMA
+        )
+
+    def _resolve(self, query, time_range):
+        ast = parse_query(query, [f.name for f in self.config.fields]) if isinstance(query, str) else query
+        seg_ids = self._prune_segments(time_range)
+        ast = self._expand_patterns(ast, seg_ids)
+        ast, fast_filter = self._split_fast_predicates(ast)
+        return ast, fast_filter, seg_ids
+
+    def match_docs(self, query, time_range=None, mode: str = "parity") -> DataFrame:
+        """All matching docs (no top-k): (segment_id, doc_id, score)."""
+        ast, fast_filter, seg_ids = self._resolve(query, time_range)
+        return self._matches(ast, seg_ids, None, mode, fast_filter)
+
+    def count(self, query, time_range=None) -> int:
+        """Hit count; match-all answers straight from the manifest
+        (reference fast path `leaf.rs:466-468`)."""
+        ast, fast_filter, seg_ids = self._resolve(query, time_range)
+        if isinstance(ast, MatchAll) and fast_filter is None:
+            keep = set(seg_ids)
+            return sum(s.num_docs for s in self.segments if s.segment_id in keep)
+        return self._matches(ast, seg_ids, None, "parity", fast_filter).count()
+
+    def search(
+        self,
+        query,
+        k: int = 10,
+        mode: str = "parity",
+        time_range=None,
+        search_after: tuple | None = None,
+        fetch: list[str] | None = None,
+        use_wand: bool = True,
+    ) -> DataFrame:
+        """Top-k by BM25 desc → (doc_key, score, rank [, fetch cols]).
+
+        `search_after=(score, doc_key)` returns hits strictly after the
+        cursor in rank order (reference pagination,
+        `search.proto:240-243`).
+        """
+        ast, fast_filter, seg_ids = self._resolve(query, time_range)
+        # with a cursor we cannot truncate per segment (the cursor may sit
+        # below the per-segment top-k) — emit all matches instead
+        fetch_k = None if search_after is not None else k
+        matches = self._matches(ast, seg_ids, fetch_k, mode, fast_filter, use_wand)
+        if mode == "oracle":
+            matches = matches.withColumn("score", F.round(F.col("score"), 9))
+        docs = self.docs().select("segment_id", "doc_id", "doc_key", *(fetch or []))
+        # winners are ≤ k×segments rows — broadcast them into the docmap scan
+        hits = docs.join(F.broadcast(matches), ["segment_id", "doc_id"], "inner")
+        if search_after is not None:
+            sa_score, sa_key = search_after
+            hits = hits.filter(
+                (F.col("score") < sa_score)
+                | ((F.col("score") == sa_score) & (F.col("doc_key") < sa_key))
+            )
+        order = [F.col("score").desc(), F.col("doc_key").desc()]
+        hits = hits.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        return hits.select(
+            "doc_key",
+            "score",
+            F.row_number().over(w).alias("rank"),
+            *(fetch or []),
+        )
+
+    def list_terms(
+        self, field: str, start: str | None = None, end: str | None = None, limit: int = 100
+    ) -> DataFrame:
+        """Stream the term dictionary (reference `list_terms.rs:47-276`)."""
+        df = self.inv().filter(
+            (F.col("kind") == KIND_POSTINGS)
+            & (F.col("field") == field)
+            & F.col("segment_id").isin(self.live_ids)
+        )
+        if start is not None:
+            df = df.filter(F.col("term") >= start)
+        if end is not None:
+            df = df.filter(F.col("term") < end)
+        return df.select("term").distinct().orderBy("term").limit(limit)
+
+    def search_stream(self, query, columns: list[str], time_range=None) -> DataFrame:
+        """Export fast-field columns of ALL matching docs (reference
+        search_stream, `search_stream/leaf.rs:51-290`)."""
+        m = self.match_docs(query, time_range)
+        return m.join(self.docs(), ["segment_id", "doc_id"], "inner").select(
+            "doc_key", *columns
+        )

@@ -1,0 +1,342 @@
+"""Per-segment query evaluation kernel (pure numpy).
+
+This is the leaf-search analog of the reference
+(`quickwit-search/src/leaf.rs:437-560`): one segment's posting lists +
+fieldnorms + stats in memory, one QueryAst, out come the matching
+docids and BM25 scores (already top-k-truncated when k is given).
+
+Boolean algebra runs on dense masks over the segment's docid space
+(segments are bounded — the reference targets 10M docs/split — so a
+bool/float array per segment task is the vectorized equivalent of
+tantivy's per-segment DocSet iteration).
+
+Top-k with scores uses two-pass block-max pruning, the vectorized
+re-expression of block-max WAND (reference runs tantivy's block_wand
+when sorting by _score; SURVEY.md §4 #5):
+  pass 1  per-doc score UPPER BOUND from per-128-doc-block maxima
+          (scatter-add of idf*(k1+1)*block_max — no divisions)
+  pass 2  exact-score the k best docs by bound → threshold θ;
+          prune every doc whose bound < θ; exact-score survivors.
+Docs pruned have score ≤ bound < θ ≤ final k-th score, so the result is
+identical to exhaustive scoring (property-tested in tests/test_kernel.py).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+
+from quickwit_spark.codec.norms import id_to_fieldnorm
+from quickwit_spark.codec.postings import BLOCK_SIZE, decode_postings, varint_decode
+from quickwit_spark.query.ast import (
+    Bool,
+    Boost,
+    Exists,
+    FullText,
+    MatchAll,
+    MatchNone,
+    QueryAst,
+    Term,
+    TermSet,
+)
+from quickwit_spark.search.bm25 import bm25_weight, tf_component
+
+
+@dataclass
+class SegmentData:
+    segment_id: str
+    num_docs: int
+    # (field, term) -> (docids u32, tfs u32, block_last u32[], block_max f32[])
+    postings: dict = dc_field(default_factory=dict)
+    # field -> (norm_ids u8[num_docs], exact_lens u64[num_docs])
+    norms: dict = dc_field(default_factory=dict)
+    # field -> {"doc_count": int, "total_tokens": int}
+    stats: dict = dc_field(default_factory=dict)
+
+    @staticmethod
+    def from_rows(segment_id: str, rows) -> "SegmentData":
+        """rows: iterable of dict-like with the builder's INV_SCHEMA columns."""
+        seg = SegmentData(segment_id=segment_id, num_docs=0)
+        for r in rows:
+            kind = r["kind"]
+            if kind == "postings":
+                seg.postings[(r["field"], r["term"])] = (
+                    *decode_postings(r["payload1"], r["payload2"], r["doc_freq"]),
+                    np.frombuffer(r["block_last"], dtype="<u4"),
+                    np.frombuffer(r["block_max"], dtype="<f4"),
+                )
+            elif kind == "norms":
+                seg.norms[r["field"]] = (
+                    np.frombuffer(r["payload1"], dtype=np.uint8),
+                    varint_decode(r["payload2"], r["doc_freq"]),
+                )
+            elif kind == "stats":
+                seg.stats[r["field"]] = json.loads(r["meta"])
+        if seg.stats:
+            seg.num_docs = max(s["doc_count"] for s in seg.stats.values())
+        elif seg.norms:
+            seg.num_docs = max(len(v[0]) for v in seg.norms.values())
+        return seg
+
+
+class _Ctx:
+    def __init__(self, seg: SegmentData, mode, global_stats, k1, b, tokenizer_for_field):
+        self.seg = seg
+        self.mode = mode  # "parity" (f32/quantized/segment-stats) | "oracle"
+        self.global_stats = global_stats or {}
+        self.k1 = k1
+        self.b = b
+        self.dtype = np.float32 if mode == "parity" else np.float64
+        self.tokenizer_for_field = tokenizer_for_field
+        self._dl_cache: dict = {}
+
+    def field_stats(self, field: str) -> tuple[int, float]:
+        """(N, avgdl) per the stats scope."""
+        if self.mode == "oracle" and field in self.global_stats.get("fields", {}):
+            fs = self.global_stats["fields"][field]
+        else:
+            fs = self.seg.stats.get(field, {"doc_count": self.seg.num_docs, "total_tokens": 0})
+        n = fs["doc_count"]
+        avgdl = self.dtype(fs["total_tokens"]) / self.dtype(max(n, 1))
+        return n, avgdl
+
+    def doc_freq(self, field: str, term: str, local_df: int) -> int:
+        if self.mode == "oracle":
+            g = self.global_stats.get("terms", {})
+            if (field, term) in g:
+                return g[(field, term)]
+        return local_df
+
+    def doc_lens(self, field: str) -> np.ndarray:
+        key = (field, self.mode)
+        if key not in self._dl_cache:
+            norm_ids, exact = self.seg.norms.get(
+                field, (np.zeros(self.seg.num_docs, np.uint8), np.zeros(self.seg.num_docs, np.uint64))
+            )
+            if self.mode == "parity":
+                self._dl_cache[key] = id_to_fieldnorm(norm_ids).astype(np.float32)
+            else:
+                self._dl_cache[key] = exact.astype(np.float64)
+        return self._dl_cache[key]
+
+
+def _term_scores(ctx: _Ctx, field: str, term: str, boost: float):
+    """(docids, scores) of one term, or (empty, empty)."""
+    entry = ctx.seg.postings.get((field, term))
+    if entry is None:
+        e = np.zeros(0, np.uint32)
+        return e, np.zeros(0, ctx.dtype)
+    docids, tfs, _, _ = entry
+    n, avgdl = ctx.field_stats(field)
+    df = ctx.doc_freq(field, term, len(docids))
+    w = bm25_weight(df, n, boost, ctx.dtype)
+    dl = ctx.doc_lens(field)[docids]
+    tc = tf_component(tfs, dl, avgdl, ctx.dtype)
+    # override k1/b if non-default
+    if (ctx.k1, ctx.b) != (1.2, 0.75):
+        tf = tfs.astype(ctx.dtype)
+        norm = ctx.dtype(ctx.k1) * (
+            ctx.dtype(1.0 - ctx.b) + ctx.dtype(ctx.b) * dl.astype(ctx.dtype) / avgdl
+        )
+        tc = tf / (tf + norm)
+    return docids, (w * tc).astype(ctx.dtype)
+
+
+def _leaf_terms(ctx: _Ctx, node: QueryAst) -> tuple[list[tuple[str, str]], str, float]:
+    """(terms, operator) for term-bearing leaves."""
+    if isinstance(node, Term):
+        return [(node.field, node.value)], "or", 1.0
+    if isinstance(node, TermSet):
+        return [(node.field, v) for v in node.values], "or", 1.0
+    if isinstance(node, FullText):
+        toks = ctx.tokenizer_for_field(node.field)(node.text)
+        return [(node.field, t) for t in toks], node.operator, 1.0
+    raise TypeError(node)
+
+
+def _eval(ctx: _Ctx, node: QueryAst, boost: float):
+    """→ (mask bool[N], scores dtype[N]) — scores only valid where mask."""
+    N = ctx.seg.num_docs
+    if isinstance(node, MatchAll):
+        return np.ones(N, bool), np.zeros(N, ctx.dtype)
+    if isinstance(node, MatchNone):
+        return np.zeros(N, bool), np.zeros(N, ctx.dtype)
+    if isinstance(node, Boost):
+        return _eval(ctx, node.query, boost * node.boost)
+    if isinstance(node, (Term, TermSet, FullText)):
+        terms, op, _ = _leaf_terms(ctx, node)
+        if not terms:
+            if isinstance(node, FullText) and node.zero_terms_match_all:
+                return np.ones(N, bool), np.zeros(N, ctx.dtype)
+            return np.zeros(N, bool), np.zeros(N, ctx.dtype)
+        scores = np.zeros(N, ctx.dtype)
+        counts = np.zeros(N, np.int32)
+        for f, t in terms:
+            docids, s = _term_scores(ctx, f, t, boost)
+            np.add.at(scores, docids, s)
+            counts[docids] += 1
+        mask = counts >= (len(terms) if op == "and" else 1)
+        return mask, scores
+    if isinstance(node, Exists):
+        # fixed schema: text fields always present → docs with norms row
+        mask = np.ones(N, bool)
+        return mask, np.zeros(N, ctx.dtype)
+    if isinstance(node, Bool):
+        mask = None
+        scores = np.zeros(N, ctx.dtype)
+        for cl in node.must:
+            m, s = _eval(ctx, cl, boost)
+            scores += s
+            mask = m if mask is None else (mask & m)
+        for cl in node.filter:
+            m, _ = _eval(ctx, cl, boost)
+            mask = m if mask is None else (mask & m)
+        if node.should:
+            smask = np.zeros(N, bool)
+            scount = np.zeros(N, np.int32)
+            for cl in node.should:
+                m, s = _eval(ctx, cl, boost)
+                scores += np.where(m, s, 0)
+                smask |= m
+                scount += m
+            msm = node.minimum_should_match
+            if mask is None:  # pure disjunction
+                mask = (scount >= msm) if msm else smask
+            elif msm:
+                mask &= scount >= msm
+        if mask is None:
+            mask = np.zeros(N, bool)
+        for cl in node.must_not:
+            m, _ = _eval(ctx, cl, 0.0)
+            mask = mask & ~m
+        return mask, scores
+    raise NotImplementedError(f"unsupported node {type(node).__name__}")
+
+
+def _wand_candidates(ctx: _Ctx, terms, k: int):
+    """Two-pass block-max pruning for a pure disjunction (parity mode).
+
+    Returns (docids, exact_scores) for a SUPERSET of the true top-k.
+    """
+    N = ctx.seg.num_docs
+    ub = np.zeros(N, np.float32)
+    per_term = []
+    for f, t in terms:
+        entry = ctx.seg.postings.get((f, t))
+        if entry is None:
+            continue
+        docids, tfs, block_last, block_max = entry
+        n, _ = ctx.field_stats(f)
+        w = bm25_weight(len(docids), n, 1.0, np.float32)
+        per_term.append((f, t, docids, w))
+        # block bound per posting: expand block_max to posting granularity
+        nb = len(block_max)
+        reps = np.full(nb, BLOCK_SIZE, np.int64)
+        if nb:
+            reps[-1] = len(docids) - BLOCK_SIZE * (nb - 1)
+        bounds = np.repeat(block_max * w, reps)
+        np.add.at(ub, docids, bounds)
+    cand = np.flatnonzero(ub > 0)
+    if len(cand) == 0:
+        return np.zeros(0, np.uint32), np.zeros(0, np.float32)
+
+    def exact(doc_subset_mask):
+        scores = np.zeros(N, np.float32)
+        for f, t, docids, _ in per_term:
+            sel = doc_subset_mask[docids]
+            if not sel.any():
+                continue
+            d, s = _term_scores(ctx, f, t, 1.0)
+            np.add.at(scores, d[sel], s[sel])
+        return scores
+
+    if len(cand) <= max(4 * k, 64):
+        m = np.zeros(N, bool)
+        m[cand] = True
+        sc = exact(m)
+        return cand.astype(np.uint32), sc[cand]
+    # pass 1: seed = top-k docs by upper bound
+    seed = cand[np.argpartition(-ub[cand], k - 1)[:k]]
+    seed_mask = np.zeros(N, bool)
+    seed_mask[seed] = True
+    seed_scores = exact(seed_mask)[seed]
+    theta = np.partition(seed_scores, len(seed_scores) - k)[len(seed_scores) - k] if len(seed_scores) >= k else np.float32(0)
+    # pass 2: survivors = bound >= θ (ties kept)
+    surv = cand[ub[cand] >= theta]
+    m = np.zeros(N, bool)
+    m[surv] = True
+    sc = exact(m)
+    return surv.astype(np.uint32), sc[surv]
+
+
+def _is_pure_disjunction(ctx: _Ctx, node: QueryAst):
+    """terms list if node is a scoring pure-OR over terms, else None."""
+    try:
+        if isinstance(node, (Term, TermSet)):
+            terms, _, _ = _leaf_terms(ctx, node)
+            return terms
+        if isinstance(node, FullText) and node.operator == "or":
+            terms, _, _ = _leaf_terms(ctx, node)
+            return terms or None
+        if isinstance(node, Bool) and node.should and not (
+            node.must or node.must_not or node.filter or node.minimum_should_match
+        ):
+            out = []
+            for cl in node.should:
+                sub = _is_pure_disjunction(ctx, cl)
+                if sub is None:
+                    return None
+                out.extend(sub)
+            return out
+    except (TypeError, NotImplementedError):
+        return None
+    return None
+
+
+def topk_tiebreak(docids: np.ndarray, scores: np.ndarray, k: int | None):
+    """Sort by (score desc, docid desc) and truncate — the reference's
+    tie-break (`docs/internals/sorting.md:15-25`)."""
+    if len(docids) == 0:
+        return docids, scores
+    order = np.lexsort((docids, scores))[::-1]
+    if k is not None:
+        order = order[:k]
+    return docids[order], scores[order]
+
+
+def evaluate_segment(
+    seg: SegmentData,
+    ast: QueryAst,
+    tokenizer_for_field,
+    k: int | None = None,
+    mode: str = "parity",
+    global_stats: dict | None = None,
+    allowed: np.ndarray | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    use_wand: bool = True,
+):
+    """→ (docids, scores) for this segment (top-k-truncated when k given)."""
+    ctx = _Ctx(seg, mode, global_stats, k1, b, tokenizer_for_field)
+    if seg.num_docs == 0:
+        return np.zeros(0, np.uint32), np.zeros(0, ctx.dtype)
+    if (
+        use_wand
+        and k is not None
+        and mode == "parity"
+        and allowed is None
+        and (k1, b) == (1.2, 0.75)
+    ):
+        terms = _is_pure_disjunction(ctx, ast)
+        if terms:
+            docids, scores = _wand_candidates(ctx, terms, k)
+            return topk_tiebreak(docids, scores, k)
+    mask, scores = _eval(ctx, ast, 1.0)
+    if allowed is not None:
+        amask = np.zeros(seg.num_docs, bool)
+        amask[allowed[allowed < seg.num_docs]] = True
+        mask &= amask
+    docids = np.flatnonzero(mask).astype(np.uint32)
+    return topk_tiebreak(docids, scores[mask], k)
