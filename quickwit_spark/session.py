@@ -9,8 +9,40 @@ pick physical parallelism per deployment.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship quickwit_spark to executors (the `spark-submit --py-files`
+    mechanism, done programmatically so any entry point works).
+
+    Python workers unpickle our pandas-UDF closures, which reference
+    this package — without this, a driver launched outside the repo
+    root fails with ModuleNotFoundError in the worker.
+    """
+    import quickwit_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(quickwit_spark.__file__))
+    fd, tmp = tempfile.mkstemp(suffix=".zip", prefix="quickwit_spark_")
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "quickwit_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    dest = os.path.join(tempfile.gettempdir(), "quickwit_spark_pkg.zip")
+    shutil.move(tmp, dest)
+    spark.sparkContext.addPyFile(dest)
 
 
 def get_spark(
@@ -38,4 +70,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark

@@ -1,0 +1,175 @@
+"""Spark end-to-end: build an index over the sf0.001 corpus and search it.
+
+Mirrors the reference's single-node end-to-end suite
+(`quickwit-search/src/tests.rs`) with a pandas recomputation as oracle.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.index import manifest as mf
+from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+from quickwit_spark.query.ast import Bool, FullText, Range, Term
+from quickwit_spark.search.engine import IndexSearcher
+from quickwit_spark.sources.corpus import web_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf(spark, sf_dir):
+    return web_corpus(spark, sf_dir).toPandas()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=4,
+        stored_columns=("url", "lang"),
+        time_column="warc_ts",
+    )
+    df = web_corpus(spark, sf_dir)
+    recs = build_index(spark, df, d, cfg, job_id="e2e")
+    assert len(recs) == 4
+    return d
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return IndexSearcher(spark, index_dir)
+
+
+def brute_matches(corpus_pdf: pd.DataFrame, pred) -> set[int]:
+    toks = corpus_pdf["text"].str.split()
+    return {
+        int(k)
+        for k, t in zip(corpus_pdf["doc_id"], toks)
+        if pred(t)
+    }
+
+
+def test_manifest_state(index_dir):
+    segs = mf.live_segments(index_dir)
+    assert len(segs) == 4
+    assert sum(s.num_docs for s in segs) == 500
+    for s in segs:
+        assert s.field_stats["text"]["doc_count"] == s.num_docs
+        assert s.time_range is not None
+
+
+def test_term_query_matches(searcher, corpus_pdf):
+    got = {
+        r["doc_key"]
+        for r in searcher.search_stream(Term("text", "spark"), ["lang"]).collect()
+    }
+    assert got == brute_matches(corpus_pdf, lambda t: "spark" in t)
+
+
+def test_fulltext_and_or(searcher, corpus_pdf):
+    q_and = FullText("text", "spark query", "and")
+    got = {r["doc_key"] for r in searcher.search_stream(q_and, []).collect()}
+    assert got == brute_matches(corpus_pdf, lambda t: "spark" in t and "query" in t)
+    q_or = FullText("text", "spark query", "or")
+    got = {r["doc_key"] for r in searcher.search_stream(q_or, []).collect()}
+    assert got == brute_matches(corpus_pdf, lambda t: "spark" in t or "query" in t)
+
+
+def test_count_and_matchall(searcher, corpus_pdf):
+    assert searcher.count("*") == len(corpus_pdf)
+    assert searcher.count(Term("text", "spark")) == len(
+        brute_matches(corpus_pdf, lambda t: "spark" in t)
+    )
+
+
+def test_time_range_pruning_and_filter(searcher, corpus_pdf, spark):
+    # warc_ts = 2024-01-01 + doc_id*97s → doc_id < 1000 ⇒ first ~1.1 days
+    import datetime as dt
+
+    hi = dt.datetime(2024, 1, 1, 2, 0, 0)
+    ast = Bool(
+        must=[Term("text", "spark")],
+        filter=[Range("warc_ts", lt=hi)],
+    )
+    got = {r["doc_key"] for r in searcher.search_stream(ast, []).collect()}
+    expected = {
+        k
+        for k in brute_matches(corpus_pdf, lambda t: "spark" in t)
+        if k * 97 < 2 * 3600
+    }
+    assert got == expected
+
+
+def test_bm25_topk_vs_pandas_oracle(searcher, corpus_pdf):
+    """oracle mode (global stats, exact lens, f64) vs independent pandas
+    recomputation — rank-identical including docid-desc tie-break."""
+    q = FullText("text", "spark join", "or")
+    hits = searcher.search(q, k=10, mode="oracle").collect()
+    got = [(r["doc_key"], r["rank"]) for r in hits]
+
+    toks = corpus_pdf["text"].str.split()
+    N = len(corpus_pdf)
+    dls = toks.map(len).to_numpy(np.float64)
+    avgdl = dls.sum() / N
+    scores = {}
+    for term in ("spark", "join"):
+        tf = toks.map(lambda t: t.count(term)).to_numpy(np.float64)
+        df_t = int((tf > 0).sum())
+        idf = np.log(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        comp = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls / avgdl))
+        for k_, s, t_ in zip(corpus_pdf["doc_id"], comp, tf):
+            if t_ > 0:
+                scores[int(k_)] = scores.get(int(k_), 0.0) + idf * s
+    expected = sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), -kv[0]))[:10]
+    assert got == [(k, i + 1) for i, (k, _) in enumerate(expected)]
+
+
+def test_oracle_mode_partition_invariant(spark, sf_dir, tmp_path_factory, searcher):
+    """global-stats scoring must not depend on the partition layout."""
+    d1 = str(tmp_path_factory.mktemp("idx1"))
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=1)
+    build_index(spark, web_corpus(spark, sf_dir), d1, cfg, job_id="one")
+    s1 = IndexSearcher(spark, d1)
+    q = FullText("text", "merge stream", "or")
+    a = [(r["doc_key"], r["score"]) for r in s1.search(q, k=20, mode="oracle").collect()]
+    b = [(r["doc_key"], r["score"]) for r in searcher.search(q, k=20, mode="oracle").collect()]
+    assert a == b
+
+
+def test_wildcard_and_list_terms(searcher, corpus_pdf):
+    got = {r["doc_key"] for r in searcher.search_stream("text:spar*", []).collect()}
+    assert got >= brute_matches(corpus_pdf, lambda t: "spark" in t)
+    terms = [r["term"] for r in searcher.list_terms("text", limit=5).collect()]
+    assert terms == sorted(terms)
+    assert len(terms) == 5
+
+
+def test_search_after_pagination(searcher):
+    q = FullText("text", "spark", "or")
+    top = searcher.search(q, k=6, mode="oracle").collect()
+    first3, rest = top[:3], top[3:]
+    cursor = (first3[-1]["score"], first3[-1]["doc_key"])
+    page2 = searcher.search(q, k=3, mode="oracle", search_after=cursor).collect()
+    assert [r["doc_key"] for r in page2] == [r["doc_key"] for r in rest]
+
+
+def test_resume_mid_build(spark, sf_dir, tmp_path_factory):
+    """kill after batch 0 of 2 → resume → identical manifest + results
+    (FIXTURES.md §5 kill/resume contract)."""
+    d = str(tmp_path_factory.mktemp("idxr"))
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=4)
+    df = web_corpus(spark, sf_dir)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, df, d, cfg, job_id="r", num_batches=2, fail_after_batch=0)
+    assert len(mf.live_segments(d)) == 2  # only batch 0 published
+    # resume: batch 0 skipped (checkpoint), batch 1 built
+    build_index(spark, df, d, cfg, job_id="r", num_batches=2)
+    segs = mf.live_segments(d)
+    assert len(segs) == 4
+    assert sum(s.num_docs for s in segs) == 500
+    s = IndexSearcher(spark, d)
+    assert s.count(Term("text", "spark")) > 0
+    # re-running again is a no-op (all checkpoints present)
+    assert build_index(spark, df, d, cfg, job_id="r", num_batches=2) == []
