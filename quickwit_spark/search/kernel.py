@@ -29,7 +29,18 @@ from dataclasses import dataclass, field as dc_field
 import numpy as np
 
 from quickwit_spark.codec.norms import id_to_fieldnorm
-from quickwit_spark.codec.postings import BLOCK_SIZE, decode_postings, varint_decode
+from quickwit_spark.codec.postings import (
+    BLOCK_SIZE,
+    decode_block_metadata,
+    decode_postings,
+    varint_decode,
+)
+from quickwit_spark.codec.postings import block_metadata as _block_meta_blobs
+
+
+def _block_meta(docids: np.ndarray, comp: np.ndarray):
+    bl, bm = _block_meta_blobs(docids, comp)
+    return decode_block_metadata(bl, bm)
 from quickwit_spark.query.ast import (
     Bool,
     Boost,
@@ -57,23 +68,58 @@ class SegmentData:
 
     @staticmethod
     def from_rows(segment_id: str, rows) -> "SegmentData":
-        """rows: iterable of dict-like with the builder's INV_SCHEMA columns."""
+        """rows: iterable of dict-like with the builder's INV_SCHEMA columns.
+
+        A hot term's postings may arrive as SEVERAL chunk rows (the
+        merge executor splits giant posting lists so no single task ever
+        holds one whole — the salted-skew contract); chunks carry
+        disjoint ascending docid ranges and are concatenated here.
+        Norms may likewise arrive as per-docid-range chunk rows.
+        """
         seg = SegmentData(segment_id=segment_id, num_docs=0)
+        post_chunks: dict = {}
+        norm_chunks: dict = {}
         for r in rows:
             kind = r["kind"]
             if kind == "postings":
-                seg.postings[(r["field"], r["term"])] = (
+                chunk = (
                     *decode_postings(r["payload1"], r["payload2"], r["doc_freq"]),
                     np.frombuffer(r["block_last"], dtype="<u4"),
                     np.frombuffer(r["block_max"], dtype="<f4"),
                 )
+                post_chunks.setdefault((r["field"], r["term"]), []).append(chunk)
             elif kind == "norms":
-                seg.norms[r["field"]] = (
-                    np.frombuffer(r["payload1"], dtype=np.uint8),
-                    varint_decode(r["payload2"], r["doc_freq"]),
+                # chunked norms rows carry their docid-range start in the
+                # (otherwise unused) term column for ordering
+                norm_chunks.setdefault(r["field"], []).append(
+                    (
+                        r["term"],
+                        np.frombuffer(r["payload1"], dtype=np.uint8),
+                        varint_decode(r["payload2"], r["doc_freq"]),
+                    )
                 )
             elif kind == "stats":
                 seg.stats[r["field"]] = json.loads(r["meta"])
+        for key, chunks in post_chunks.items():
+            if len(chunks) == 1:
+                seg.postings[key] = chunks[0]
+            else:
+                chunks.sort(key=lambda c: int(c[0][0]) if len(c[0]) else -1)
+                docids = np.concatenate([c[0] for c in chunks])
+                tfs = np.concatenate([c[1] for c in chunks])
+                # chunk boundaries break the uniform 128-doc block layout
+                # the WAND kernel assumes — rebuild block metadata with the
+                # norm-free upper bound tf/(tf + k1*(1-b)) (always valid)
+                tf32 = tfs.astype(np.float32)
+                comp = tf32 / (tf32 + np.float32(1.2 * (1.0 - 0.75)))
+                bl, bm = _block_meta(docids, comp)
+                seg.postings[key] = (docids, tfs, bl, bm)
+        for fld, chunks in norm_chunks.items():
+            chunks.sort(key=lambda c: c[0])
+            seg.norms[fld] = (
+                np.concatenate([c[1] for c in chunks]),
+                np.concatenate([c[2] for c in chunks]),
+            )
         if seg.stats:
             seg.num_docs = max(s["doc_count"] for s in seg.stats.values())
         elif seg.norms:

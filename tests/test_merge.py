@@ -1,0 +1,160 @@
+"""Merge policy + executor tests.
+
+Policy properties mirror the reference's merge-policy proptests
+(`quickwit-indexing/src/merge_policy/mod.rs:222-336`); executor tests
+assert search-result invariance under merging (including the salted /
+chunked hot-term path) and mid-merge resume.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quickwit_spark.index import manifest as mf
+from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+from quickwit_spark.index.merge import MergeOp, MergePolicy, plan_merges, run_merges
+from quickwit_spark.query.ast import FullText, Term
+from quickwit_spark.search.engine import IndexSearcher
+from quickwit_spark.sources.corpus import web_corpus
+
+SMALL_POLICY = MergePolicy(
+    merge_factor=3, max_merge_factor=4, min_level_num_docs=50, split_num_docs_target=10_000
+)
+
+
+def _seg(i, docs, pid=0, gen=0):
+    return mf.SegmentRecord(
+        segment_id=f"s{i:04d}", num_docs=docs, partition_id=pid, merge_gen=gen
+    )
+
+
+def test_levels():
+    p = MergePolicy()
+    assert p.level_of(0) == 0
+    assert p.level_of(299_999) == 0
+    assert p.level_of(300_000) == 1
+    assert p.level_of(899_999) == 1
+    assert p.level_of(900_000) == 2
+
+
+def test_plan_groups_same_level_and_partition():
+    segs = [_seg(i, 100) for i in range(6)] + [_seg(10 + i, 100, pid=1) for i in range(3)]
+    ops = plan_merges(segs, SMALL_POLICY)
+    assert len(ops) == 2  # 6 in p0 → one op of 4; 3 in p1 → one op of 3
+    sizes = sorted(len(o.segment_ids) for o in ops)
+    assert sizes == [3, 4]
+    for op in ops:
+        pids = {s.partition_id for s in segs if s.segment_id in op.segment_ids}
+        assert len(pids) == 1
+
+
+def test_mature_segments_never_merged():
+    segs = [_seg(i, 20_000) for i in range(10)]
+    assert plan_merges(segs, SMALL_POLICY) == []
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=30_000), min_size=0, max_size=60)
+)
+@settings(max_examples=100, deadline=None)
+def test_plan_properties(doc_counts):
+    segs = [_seg(i, d) for i, d in enumerate(doc_counts)]
+    ops = plan_merges(segs, SMALL_POLICY)
+    seen = set()
+    for op in ops:
+        assert SMALL_POLICY.merge_factor <= len(op.segment_ids) <= SMALL_POLICY.max_merge_factor
+        # disjoint
+        assert not (seen & set(op.segment_ids))
+        seen |= set(op.segment_ids)
+        # same level, immature only
+        by_id = {s.segment_id: s for s in segs}
+        lvls = {SMALL_POLICY.level_of(by_id[sid].num_docs) for sid in op.segment_ids}
+        assert len(lvls) == 1
+        assert all(
+            by_id[sid].num_docs < SMALL_POLICY.split_num_docs_target
+            for sid in op.segment_ids
+        )
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idxm"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("url",),
+        time_column="warc_ts",
+    )
+    # 4 incremental ingest jobs into the same index → 4 young segments
+    # per routing partition (merges only group within a partition, like
+    # the reference's MergePlanner)
+    corpus = web_corpus(spark, sf_dir)
+    for j in range(4):
+        chunk = corpus.filter((corpus.doc_id % 4) == j)
+        build_index(spark, chunk, d, cfg, job_id=f"m{j}")
+    searcher_before = IndexSearcher(spark, d)
+    q = FullText("text", "spark join merge", "or")
+    before = {
+        "matches": {r["doc_key"] for r in searcher_before.search_stream(Term("text", "spark"), []).collect()},
+        "topk": [
+            (r["doc_key"], r["score"])
+            for r in searcher_before.search(q, k=15, mode="oracle").collect()
+        ],
+        "count": searcher_before.count("*"),
+    }
+    # aggressive policy (8 segments of ~60 docs each → merges down)
+    # tiny chunk target forces the multi-chunk hot-term path
+    merged = run_merges(
+        spark,
+        d,
+        MergePolicy(merge_factor=2, max_merge_factor=4, min_level_num_docs=10, split_num_docs_target=100_000),
+        num_salt_buckets=2,
+        chunk_target_docs=64,
+    )
+    assert merged  # something actually merged
+    return d, before
+
+
+def test_merge_reduces_segments(spark, merged_index):
+    d, _ = merged_index
+    segs = mf.live_segments(d)
+    assert len(segs) < 8  # 2 partitions × 4 jobs merged down
+    assert sum(s.num_docs for s in segs) == 500
+    assert any(s.merge_gen > 0 for s in segs)
+
+
+def test_search_invariant_under_merge(spark, merged_index):
+    d, before = merged_index
+    s = IndexSearcher(spark, d)
+    assert s.count("*") == before["count"]
+    got = {r["doc_key"] for r in s.search_stream(Term("text", "spark"), []).collect()}
+    assert got == before["matches"]
+    q = FullText("text", "spark join merge", "or")
+    topk = [(r["doc_key"], r["score"]) for r in s.search(q, k=15, mode="oracle").collect()]
+    assert topk == before["topk"]  # oracle mode: global stats ⇒ identical
+
+
+def test_wand_on_merged_chunked_postings(spark, merged_index):
+    d, _ = merged_index
+    s = IndexSearcher(spark, d)
+    q = FullText("text", "the spark data", "or")  # hot terms → chunked
+    with_wand = [(r["doc_key"], r["score"]) for r in s.search(q, k=10, use_wand=True).collect()]
+    without = [(r["doc_key"], r["score"]) for r in s.search(q, k=10, use_wand=False).collect()]
+    assert with_wand == without
+
+
+def test_merge_resume_idempotent(spark, merged_index):
+    d, _ = merged_index
+    # rerunning the same policy plans nothing new (checkpointed ops)
+    again = run_merges(
+        spark,
+        d,
+        MergePolicy(merge_factor=2, max_merge_factor=4, min_level_num_docs=10, split_num_docs_target=100_000),
+        num_salt_buckets=2,
+        chunk_target_docs=64,
+    )
+    assert again == [] or all(r.merge_gen > 0 for r in again)
+    segs = mf.live_segments(d)
+    assert sum(s.num_docs for s in segs) == 500
