@@ -112,3 +112,162 @@ def tokenize_series(texts: pd.Series, tokenizer: str = "default") -> pd.Series:
     """Tokenize a pandas Series of strings → Series of list[str]."""
     fn = get_tokenizer(tokenizer)
     return texts.fillna("").map(fn)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native flat tokenization (the indexing hot path)
+# ---------------------------------------------------------------------------
+#
+# The segment builder needs (flat token stream, doc index per token), not
+# per-doc lists. Doing the split/lower/length-filter in Arrow C++ kernels
+# (RE2 `[^\pL\pN]+` split == maximal `[\pL\pN]+` runs == the `default`
+# analyzer's token boundaries; utf8proc lowercase) keeps the whole
+# tokenize stage out of Python object churn — ~10× less allocator/memory
+# traffic per worker, which is what lets 32 concurrent executor threads
+# scale instead of fighting over memory bandwidth.
+#
+# Parity: equivalent to `_default_tokenize` (token = maximal L*/N* run,
+# drop tokens whose pre-lowercase UTF-8 length > 255, then lowercase) —
+# property-tested against the pure-Python reference in
+# tests/test_tokenizer.py.
+
+_ARROW_SPLIT_PATTERNS = {
+    "default": r"[^\pL\pN]+",
+    "whitespace": r"\s+",
+}
+
+
+def _luts():
+    import numpy as np
+
+    alnum = np.zeros(256, dtype=bool)
+    for lo, hi in ((0x30, 0x39), (0x41, 0x5A), (0x61, 0x7A)):
+        alnum[lo : hi + 1] = True
+    lower = np.arange(256, dtype=np.uint8)
+    lower[0x41 : 0x5A + 1] += 32
+    return alnum, lower
+
+
+_ALNUM_LUT = None
+_LOWER_LUT = None
+
+
+def _tokenize_ascii_numpy(arr):
+    """Pure-ASCII fast path for the `default` analyzer: byte-LUT run
+    detection over the Arrow string buffer — no regex, no per-token
+    Python objects. Returns (tokens pa.StringArray, doc_idx int64) or
+    None if the batch contains non-ASCII bytes (caller falls back to
+    the RE2 path, which is parity-equivalent)."""
+    import numpy as np
+    import pyarrow as pa
+
+    global _ALNUM_LUT, _LOWER_LUT
+    if _ALNUM_LUT is None:
+        _ALNUM_LUT, _LOWER_LUT = _luts()
+
+    if arr.type != pa.utf8() or len(arr) == 0 or arr.buffers()[1] is None:
+        if len(arr) == 0:
+            return pa.array([], type=pa.string()), np.zeros(0, np.int64)
+        return None
+    # int32 throughout: besides halving memory traffic, it keeps every
+    # temp under glibc's 32 MiB mmap-threshold cap so buffers come from
+    # the reusable heap — large mmap'd temps mean fresh page faults on
+    # every call, which serialize catastrophically under 32 concurrent
+    # workers on virtualized hosts.
+    buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    base = int(buf_off[0])
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[base : int(buf_off[-1])]
+    if data.size and int(data.max()) >= 0x80:
+        return None
+    offsets = buf_off - base if base else buf_off
+    is_tok = _ALNUM_LUT[data]
+    if not data.size:
+        return pa.array([], type=pa.string()), np.zeros(0, np.int64)
+    prev = np.empty_like(is_tok)
+    prev[0] = False
+    prev[1:] = is_tok[:-1]
+    inner = offsets[1:-1]
+    prev[inner[inner < data.size]] = False  # doc boundary breaks a run
+    starts = np.flatnonzero(is_tok & ~prev).astype(np.int32)
+    nxt = np.empty_like(is_tok)
+    nxt[-1] = False
+    nxt[:-1] = is_tok[1:]
+    pos = inner[inner > 0] - 1
+    nxt[pos[pos < data.size]] = False
+    ends = np.flatnonzero(is_tok & ~nxt).astype(np.int32) + 1
+    lengths = ends - starts
+    keep = lengths <= DEFAULT_REMOVE_TOKEN_LENGTH
+    if not keep.all():
+        starts, lengths = starts[keep], lengths[keep]
+    doc_idx = (np.searchsorted(offsets, starts, side="right") - 1).astype(np.int64)
+    cum = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=cum[1:])
+    total = int(cum[-1])
+    # gather indices via cumsum-scatter (one pass; a ragged np.repeat
+    # here costs 10× more than everything else combined)
+    if total:
+        g = np.ones(total, np.int32)
+        g[0] = starts[0]
+        if len(starts) > 1:
+            g[cum[1:-1]] = starts[1:] - (starts[:-1] + lengths[:-1]) + 1
+        gather = np.cumsum(g, dtype=np.int32)
+    else:
+        gather = np.zeros(0, np.int32)
+    packed = _LOWER_LUT[data[gather]]
+    tokens = pa.Array.from_buffers(
+        pa.utf8(),
+        len(lengths),
+        [None, pa.py_buffer(cum.tobytes()), pa.py_buffer(packed.tobytes())],
+    )
+    return tokens, doc_idx
+
+
+def tokenize_flat_arrow(texts, tokenizer: str = "default"):
+    """texts (pa.Array/pd.Series of str) → (tokens np.ndarray[object],
+    doc_idx np.ndarray[int64]) — the flattened token stream.
+
+    Falls back to the pure-Python tokenizer for analyzers without an
+    Arrow kernel (raw/lowercase are trivial; exotic ones keep parity).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.Array.from_pandas(texts, type=pa.string())
+    if tokenizer not in _ARROW_SPLIT_PATTERNS:
+        series = pd.Series(texts.to_pandas())
+        lists = tokenize_series(series, tokenizer)
+        lens = np.fromiter((len(t) for t in lists), dtype=np.int64, count=len(lists))
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for toks in lists:
+            flat[pos : pos + len(toks)] = toks
+            pos += len(toks)
+        return flat, np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+
+    texts = pc.fill_null(texts, "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if tokenizer == "default":
+        fast = _tokenize_ascii_numpy(texts)
+        if fast is not None:
+            return fast
+    lists = pc.split_pattern_regex(texts, _ARROW_SPLIT_PATTERNS[tokenizer])
+    flat = pc.list_flatten(lists)
+    doc_idx = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    # RemoveLong(255 bytes) measured pre-lowercase, like the reference
+    # filter order; empty strings are split artifacts at text edges.
+    blen = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    mask = blen > 0
+    if tokenizer == "default":
+        mask &= blen <= DEFAULT_REMOVE_TOKEN_LENGTH
+    if not mask.all():
+        pa_mask = pa.array(mask)
+        flat = pc.filter(flat, pa_mask)
+        doc_idx = doc_idx[mask]
+    if tokenizer == "default":
+        flat = pc.utf8_lower(flat)
+    return flat, doc_idx

@@ -42,7 +42,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from quickwit_spark.analysis import tokenize_series
+from quickwit_spark.analysis import tokenize_series  # noqa: F401 (query-side parity)
+from quickwit_spark.analysis.tokenizer import tokenize_flat_arrow
 from quickwit_spark.codec.norms import fieldnorm_to_id, id_to_fieldnorm
 from quickwit_spark.codec.postings import (
     block_metadata_grouped,
@@ -110,11 +111,16 @@ def _build_field_rows(
     k1: float,
     b: float,
 ) -> tuple[list[dict], dict]:
-    """Vectorized single-pass inverted index for one field of one segment."""
+    """Vectorized single-pass inverted index for one field of one segment.
+
+    Tokenization + lowercase + length-filter run in Arrow C++ kernels
+    (`tokenize_flat_arrow`) — no per-token Python objects except the
+    (small) term dictionary; everything after is numpy over the flat
+    (token_code, doc_idx) stream."""
     n = len(texts)
-    tok_lists = tokenize_series(texts, fld.tokenizer)
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
-    total_tokens = int(lens.sum())
+    flat, doc_idx = tokenize_flat_arrow(texts, fld.tokenizer)
+    lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    total_tokens = int(len(doc_idx))
     rows: list[dict] = []
 
     # fieldnorms: 1 byte per doc (quantized), exact lengths varint alongside
@@ -151,19 +157,24 @@ def _build_field_rows(
     if total_tokens == 0:
         return rows, stats
 
-    flat = np.empty(total_tokens, dtype=object)
-    pos = 0
-    for toks in tok_lists:
-        ln = len(toks)
-        if ln:
-            flat[pos : pos + ln] = toks
-            pos += ln
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if isinstance(flat, np.ndarray):  # python-tokenizer fallback path
+        codes, uniques = pd.factorize(flat, sort=True)
+        codes = codes.astype(np.int32, copy=False)
+    else:
+        import pyarrow.compute as pc
 
-    codes, uniques = pd.factorize(flat, sort=True)  # codes in lex term order
-    order = np.lexsort((doc_idx, codes))
+        denc = pc.dictionary_encode(flat)
+        d = denc.dictionary.to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        rank = np.empty(len(d), np.int32)
+        rank[order] = np.arange(len(d), dtype=np.int32)
+        codes = rank[denc.indices.to_numpy()]  # codes in lex term order
+        uniques = d[order]
+    # the flat token stream is in doc order already, so ONE stable sort
+    # on the term code yields (term, doc) order — no lexsort needed
+    order = np.argsort(codes, kind="stable")
     c = codes[order]
-    d = doc_idx[order]
+    d = doc_idx[order].astype(np.int32, copy=False)
     # run-length (term, doc) → tf
     new_run = np.empty(len(c), dtype=bool)
     new_run[0] = True
@@ -272,6 +283,122 @@ def _make_build_fn(config: IndexConfig, job_id: str):
     return build_segment
 
 
+_INV_COLUMNS = (
+    "segment_id", "kind", "field", "term", "doc_freq",
+    "payload1", "payload2", "block_last", "block_max", "meta",
+)
+
+
+def _rows_to_batch(rows: list[dict]):
+    import pyarrow as pa
+
+    types = {
+        "segment_id": pa.string(), "kind": pa.string(), "field": pa.string(),
+        "term": pa.string(), "doc_freq": pa.int64(), "payload1": pa.binary(),
+        "payload2": pa.binary(), "block_last": pa.binary(),
+        "block_max": pa.binary(), "meta": pa.string(),
+    }
+    return pa.RecordBatch.from_arrays(
+        [pa.array([r[c] for r in rows], type=types[c]) for c in _INV_COLUMNS],
+        names=list(_INV_COLUMNS),
+    )
+
+
+def _make_build_fn_arrow(config: IndexConfig, job_id: str):
+    """mapInArrow segment builder: one physical partition may carry
+    several routing pids (hash collisions after `repartition(n, _pid)`);
+    rows are sorted (pid, doc_key) Arrow-side and sliced per pid — text
+    NEVER becomes Python objects (the pandas round-trip both
+    materializes per-row strings and re-serializes them, which is pure
+    overhead at 32-way concurrency)."""
+    doc_key = config.doc_key
+    fields = config.fields
+    k1, b = config.k1, config.b
+    time_col = config.time_column
+
+    def build(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        if tbl.num_rows == 0:
+            return
+        pids = tbl.column("_pid").to_numpy()
+        keys = tbl.column(doc_key).to_numpy()
+        # the caller feeds repartition+sortWithinPartitions output, so
+        # this is normally a no-op check; sort only if actually needed
+        pid_ok = bool((pids[1:] >= pids[:-1]).all())
+        if not (
+            pid_ok
+            and bool(
+                ((pids[1:] != pids[:-1]) | (keys[1:] >= keys[:-1])).all()
+            )
+        ):
+            idx = pc.sort_indices(
+                tbl, sort_keys=[("_pid", "ascending"), (doc_key, "ascending")]
+            )
+            tbl = tbl.take(idx)
+            pids = tbl.column("_pid").to_numpy()
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(pids[1:] != pids[:-1]) + 1, [len(pids)])
+        )
+        for si in range(len(bounds) - 1):
+            start, end = int(bounds[si]), int(bounds[si + 1])
+            t0 = time.perf_counter()
+            pid = int(pids[start])
+            segment_id = f"{job_id}-p{pid:05d}"
+            seg = tbl.slice(start, end - start)
+            all_rows: list[dict] = []
+            field_stats = {}
+            for fld in fields:
+                rows, stats = _build_field_rows(
+                    segment_id, fld, seg.column(fld.name), k1, b
+                )
+                all_rows.extend(rows)
+                field_stats[fld.name] = stats
+            time_range = None
+            if time_col is not None:
+                tsv = (
+                    seg.column(time_col)
+                    .cast(pa.timestamp("us"))
+                    .combine_chunks()
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype(np.int64)
+                )
+                time_range = [int(tsv.min()), int(tsv.max())]
+            keys = seg.column(doc_key)
+            seg_meta = {
+                "num_docs": end - start,
+                "partition_id": pid,
+                "field_stats": field_stats,
+                "time_range": time_range,
+                "min_key": int(keys[0].as_py()),
+                "max_key": int(keys[-1].as_py()),
+                "build_secs": round(time.perf_counter() - t0, 4),
+            }
+            all_rows.append(
+                {
+                    "segment_id": segment_id,
+                    "kind": KIND_SEG,
+                    "field": "",
+                    "term": "",
+                    "doc_freq": end - start,
+                    "payload1": b"",
+                    "payload2": b"",
+                    "block_last": b"",
+                    "block_max": b"",
+                    "meta": json.dumps(seg_meta, sort_keys=True),
+                }
+            )
+            yield _rows_to_batch(all_rows)
+
+    return build
+
+
 def _batch_ranges(num_partitions: int, num_batches: int) -> list[tuple[int, int]]:
     """Contiguous pid ranges, one per batch (lineage unit)."""
     num_batches = min(num_batches, num_partitions)
@@ -307,7 +434,7 @@ def build_index(
             "int"
         ),
     )
-    build_fn = _make_build_fn(config, job_id)
+    build_fn = _make_build_fn_arrow(config, job_id)
     all_records: list[mf.SegmentRecord] = []
     for bi, (lo, hi) in enumerate(_batch_ranges(config.num_partitions, num_batches)):
         batch_id = f"{job_id}-b{bi:04d}"
@@ -316,7 +443,16 @@ def build_index(
         t0 = time.perf_counter()
         bdf = df.filter((F.col("_pid") >= lo) & (F.col("_pid") < hi))
 
-        inv = bdf.groupBy("_pid").applyInPandas(build_fn, INV_SCHEMA)
+        # ONE shuffle: hash-partition by pid + sort within partitions,
+        # persisted and shared by the inverted-index pass and the docmap
+        # pass (the window below reuses the same partitioning+order, so
+        # Catalyst plans no second exchange/sort).
+        part = (
+            bdf.repartition(hi - lo, "_pid")
+            .sortWithinPartitions("_pid", config.doc_key)
+            .persist()
+        )
+        inv = part.mapInArrow(build_fn, INV_SCHEMA)
         (
             inv.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -336,12 +472,13 @@ def build_index(
         if config.time_column and config.time_column not in config.stored_columns:
             doc_cols.append(F.col(config.time_column))
         (
-            bdf.select(*doc_cols)
+            part.select(*doc_cols)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .partitionBy("batch_id")
             .parquet(docs_dir)
         )
+        part.unpersist()
         build_secs = time.perf_counter() - t0
 
         # read back the tiny seg-meta rows → manifest records

@@ -71,3 +71,83 @@ def test_tokenize_series_shape():
 def test_unknown_tokenizer_raises():
     with pytest.raises(NotImplementedError):
         get_tokenizer("en_stem_v99")
+
+
+# ---------------------------------------------------------------------------
+# Arrow fast-path parity (indexing hot path vs pure-Python reference)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from quickwit_spark.analysis.tokenizer import tokenize_flat_arrow
+
+
+def _flatten_python(texts, tokenizer="default"):
+    toks, idx = [], []
+    fn = get_tokenizer(tokenizer)
+    for i, t in enumerate(texts):
+        for tok in fn(t or ""):
+            toks.append(tok)
+            idx.append(i)
+    return toks, idx
+
+
+@given(
+    st.lists(
+        st.text(
+            # BMP only: above it, utf8proc/RE2 (Unicode 15) and CPython
+            # 3.11 (Unicode 14) disagree on newly-assigned codepoints
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), max_codepoint=0xFFFF
+            ),
+            max_size=80,
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_arrow_default_matches_python(texts):
+    flat, doc_idx = tokenize_flat_arrow(pd.Series(texts, dtype=object), "default")
+    got = ([t.as_py() for t in flat] if not isinstance(flat, list) else flat)
+    exp_toks, exp_idx = _flatten_python(texts, "default")
+    assert list(got) == exp_toks
+    assert list(doc_idx) == exp_idx
+
+
+def test_arrow_default_long_token_and_nulls():
+    texts = pd.Series(["A" * 255 + " " + "B" * 256 + " ok", None, "É" * 128])
+    flat, doc_idx = tokenize_flat_arrow(texts, "default")
+    assert [t.as_py() for t in flat] == ["a" * 255, "ok"]
+    assert list(doc_idx) == [0, 0]
+
+
+def test_arrow_whitespace_matches_python():
+    texts = pd.Series(["Foo  Bar\tbaz", "", "x Y"])
+    flat, doc_idx = tokenize_flat_arrow(texts, "whitespace")
+    assert [t.as_py() for t in flat] == ["Foo", "Bar", "baz", "x", "Y"]
+    assert list(doc_idx) == [0, 0, 0, 2, 2]
+
+
+def test_arrow_fallback_raw():
+    texts = pd.Series(["One Two", "x" * 256])
+    flat, doc_idx = tokenize_flat_arrow(texts, "raw")
+    assert list(flat) == ["One Two"]
+    assert list(doc_idx) == [0]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x01, max_codepoint=0x7F),
+            max_size=300,
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_arrow_ascii_fast_path_matches_python(texts):
+    flat, doc_idx = tokenize_flat_arrow(pd.Series(texts, dtype=object), "default")
+    got = [t.as_py() for t in flat]
+    exp_toks, exp_idx = _flatten_python(texts, "default")
+    assert got == exp_toks
+    assert list(doc_idx) == exp_idx
