@@ -331,6 +331,238 @@ def _q_agg_cardinality(spark, sf_dir):
     return aggs.cardinality(_agg_match(spark, sf_dir, ["source"]), "source", exact=True)
 
 
+# --------------------------------------------------------------------------
+# data-pipeline operators (dedup / similarity / text analysis) — run on the
+# raw documents/embeddings tables, independent of the index
+# --------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from quickwit_spark.datapipe.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return exact_dedup(docs, "doc_id").select("doc_id", "dup_group", "is_duplicate")
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from quickwit_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.15)
+    return out.select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH candidate pairs (xxhash64-based — not SQL-expressible;
+    driver records the weaker rows-only check)."""
+    from quickwit_spark.datapipe.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", num_perm=32)
+    return minhash_lsh_pairs(sigs, "doc_id", bands=8, rows=4)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (xxhash64-based — rows-only check)."""
+    from quickwit_spark.datapipe.dedup import simhash, simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return simhash_near_pairs(simhash(docs, "doc_id"), "doc_id", max_hamming=8)
+
+
+def _q_knn_cosine(spark, sf_dir):
+    from quickwit_spark.datapipe.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, k=10, rank_round=9)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _q_knn_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (xxhash64-derived hyperplanes — rows-only check)."""
+    from quickwit_spark.datapipe.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=10, planes=4)
+
+
+def _q_text_stats(spark, sf_dir):
+    from quickwit_spark.datapipe.textstats import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = token_stats(docs)
+    return out.select(
+        "doc_id",
+        "token_count",
+        "uniq_tokens",
+        F.round("uniq_ratio", 6).alias("uniq_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    from quickwit_spark.datapipe.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return quality_score(docs).select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from quickwit_spark.datapipe.textstats import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return language_id(docs).select(
+        "doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score")
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    from quickwit_spark.datapipe.textstats import fingerprint_portable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return fingerprint_portable(docs).select("doc_id", "fingerprint")
+
+
+_TOKS_SIMPLE = """
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+)"""
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY text) AS dup_group,
+       doc_id != MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
+FROM documents
+"""
+
+_DEDUP_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+           i -> array_to_string(list_slice(string_split(lower(text),' '), i, i+2), ' ')
+         ))) AS s
+  FROM documents
+  WHERE len(string_split(lower(text),' ')) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = key_a
+JOIN sizes sb ON sb.doc_id = key_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.15
+"""
+
+_KNN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_cosine_similarity(qv, cv), 9) AS s9
+  FROM q CROSS JOIN c
+  WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, s9,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s9 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(s9, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+_TEXT_STATS_SQL = f"""
+WITH {_TOKS_SIMPLE}
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS token_count,
+       CAST(len(list_distinct(l)) AS BIGINT) AS uniq_tokens,
+       ROUND(CASE WHEN len(l) > 0
+             THEN CAST(len(list_distinct(l)) AS DOUBLE) / len(l) ELSE 0.0 END, 6)
+         AS uniq_ratio,
+       ROUND(CASE WHEN len(l) > 0
+             THEN CAST(list_sum(list_transform(l, t -> length(t))) AS DOUBLE) / len(l)
+             ELSE 0.0 END, 6) AS mean_token_len
+FROM toks
+"""
+
+_TEXT_QUALITY_SQL = f"""
+WITH {_TOKS_SIMPLE},
+base AS (
+  SELECT d.doc_id,
+         CAST(len(t.l) AS DOUBLE) AS tc,
+         CASE WHEN len(t.l) > 0
+              THEN CAST(len(list_distinct(t.l)) AS DOUBLE) / len(t.l)
+              ELSE 0.0 END AS ur,
+         CASE WHEN length(d.text) > 0
+              THEN CAST(length(regexp_replace(d.text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                   / length(d.text)
+              ELSE 0.0 END AS ar
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT doc_id,
+       ROUND(ar, 6) AS alpha_ratio,
+       ROUND(least(tc / 50.0, 1.0) * 0.4
+             + least(ur * 2, 1.0) * 0.3
+             + least(ar * 1.25, 1.0) * 0.3, 6) AS quality
+FROM base
+"""
+
+_LANG_ID_SQL = f"""
+WITH {_TOKS_SIMPLE},
+sc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(l, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+      / greatest(len(l), 1) AS s_en,
+    CAST(len(list_filter(l, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS DOUBLE)
+      / greatest(len(l), 1) AS s_de,
+    CAST(len(list_filter(l, t -> t IN ('le','la','les','de','et','un','une','est','que','pour'))) AS DOUBLE)
+      / greatest(len(l), 1) AS s_fr
+  FROM toks
+),
+pick AS (
+  SELECT doc_id, s_en, s_de, s_fr,
+         greatest(s_en, s_de, s_fr) AS best,
+         CASE WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+              WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+              ELSE 'de' END AS best_lg
+  FROM sc
+)
+SELECT doc_id,
+       CASE WHEN best > 0 AND best >= 2 * (
+              CASE best_lg WHEN 'fr' THEN greatest(s_en, s_de)
+                           WHEN 'en' THEN greatest(s_de, s_fr)
+                           ELSE greatest(s_en, s_fr) END)
+            THEN best_lg ELSE 'und' END AS lang_pred,
+       ROUND(best, 6) AS lang_score
+FROM pick
+"""
+
+_FINGERPRINT_SQL = f"""
+WITH {_TOKS_SIMPLE}
+SELECT doc_id,
+       CAST(CASE WHEN len(l) > 0 THEN list_sum(list_transform(
+         range(1, len(l) + 1),
+         i -> i * (4861 * length(l[i]) + 31 * ascii(l[i][1]) + ascii(l[i][-1]))
+       )) ELSE 0 END AS BIGINT) AS fingerprint
+FROM toks
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 disjunction over the sf0.001 corpus with
     hit materialization (url/lang fetched from the docmap)."""
@@ -364,6 +596,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_range_nchars": _q_agg_range,
         "agg_stats_nchars": _q_agg_stats,
         "agg_cardinality_source": _q_agg_cardinality,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "knn_cosine_bruteforce": _q_knn_cosine,
+        "knn_cosine_lsh": _q_knn_lsh,
+        "text_token_stats": _q_text_stats,
+        "text_quality_score": _q_text_quality,
+        "text_language_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
     }
 
 
@@ -434,4 +676,13 @@ FROM m
 WITH {_AGG_MATCH_CTE}
 SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS value FROM m
 """,
+        # minhash/simhash/lsh are xxhash64-derived → no SQL oracle
+        # (driver records rows-only checks for them)
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
+        "knn_cosine_bruteforce": _KNN_COSINE_SQL,
+        "text_token_stats": _TEXT_STATS_SQL,
+        "text_quality_score": _TEXT_QUALITY_SQL,
+        "text_language_id": _LANG_ID_SQL,
+        "text_fingerprint": _FINGERPRINT_SQL,
     }

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one broadcast of the
+query set, one pass over the corpus, per-partition top-k then global
+top-k — the same partial/final shape as the BM25 collector). The scale
+path is `lsh_topk`: random-hyperplane signatures bucket the corpus so
+each query only scores its bucket's candidates (recall traded via
+number of planes/tables).
+
+Dot products run as built-in higher-order functions (zip_with +
+aggregate) — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity of two array columns, computed in float64."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    return _dot(da, db) / (_norm(da) * _norm(db))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 10,
+    rank_round: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest corpus rows
+    (self-matches on equal keys excluded). → (query_id, neighbor_id,
+    cosine, rank), ties broken by neighbor_id asc.
+
+    Plan shape: broadcast(queries) ⨯ corpus → per-partition scoring →
+    window top-k. At 10^12 scale the window is replaced by the same
+    two-phase topk the search engine uses; at sane query-set sizes
+    (≤10k) this exact form is already shuffle-minimal."""
+    q = queries.select(
+        F.col(key).alias("query_id"), F.col(vec).alias("_qvec")
+    )
+    c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("_cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
+        )
+    )
+    if rank_round is not None:
+        # rank on decimal-rounded values so an independent engine with
+        # ±1-ulp dot products ranks identically (oracle comparability)
+        scored = scored.withColumn("cosine", F.round("cosine", rank_round))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH signature: bit i = sign(v · h_i) with h_i a
+    deterministic pseudo-random hyperplane derived from (seed, i, dim)
+    via a hash — reproducible across engines, no stored model.
+    → (key, bucket:int)."""
+    dim_col = F.size(F.col(vec))
+    bits = []
+    for i in range(planes):
+        # h_i[j] in {-1,+1} from xxhash64(seed, i, j): cheap, dense enough
+        proj = F.aggregate(
+            F.zip_with(
+                F.transform(F.col(vec), lambda x: x.cast("double")),
+                F.transform(
+                    F.sequence(F.lit(0), dim_col - 1),
+                    lambda j: (
+                        F.pmod(F.xxhash64(F.lit(seed), F.lit(i), j), F.lit(2)) * 2 - 1
+                    ).cast("double"),
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.select(F.col(key).alias(key), bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 10,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: score only candidates in the query's
+    hyperplane bucket. Same output schema as brute_force_topk; recall
+    depends on `planes` (fewer planes → bigger buckets → higher recall
+    and cost)."""
+    csig = hyperplane_signatures(corpus.select(key, vec), key, vec, planes)
+    qsig = hyperplane_signatures(queries.select(key, vec), key, vec, planes)
+    c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("_cvec")).join(
+        csig.select(F.col(key).alias("neighbor_id"), "bucket"), "neighbor_id"
+    )
+    q = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("_qvec")).join(
+        qsig.select(F.col(key).alias("query_id"), "bucket"), "query_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,186 @@
+"""Data-pipeline operators: dedup / similarity / textstats / multimodal.
+
+Oracles are independent pandas/numpy recomputations over the same
+driver-generated tables.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.datapipe import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_marks_real_duplicates(spark, docs):
+    # duplicate three docs under fresh keys → exactly those marked
+    base = docs.limit(3).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    df = docs.select("doc_id", "text").union(base)
+    out = dedup.exact_dedup(df, "doc_id").toPandas()
+    dups = out[out["is_duplicate"]]
+    assert set(dups["doc_id"]) == {100000, 100001, 100002}
+    assert set(dups["dup_group"]) == {0, 1, 2}
+
+
+def test_shingles_match_python(docs, docs_pdf):
+    got = (
+        dedup.shingles(docs.select("doc_id", "text").limit(20), "text", 3)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    for did, text in zip(docs_pdf["doc_id"].head(20), docs_pdf["text"].head(20)):
+        toks = text.split()
+        exp = len({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        assert got.get(did, 0) == exp
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    row = docs.limit(1).toPandas().iloc[0]
+    toks = row["text"].split()
+    # near-duplicate: change one middle token
+    toks[len(toks) // 2] = "zzzmutated"
+    near = spark.createDataFrame(
+        [(999991, " ".join(toks))], "doc_id long, text string"
+    )
+    df = docs.select("doc_id", "text").union(near)
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.5).toPandas()
+    hit = pairs[(pairs["key_a"] == row["doc_id"]) & (pairs["key_b"] == 999991)]
+    assert len(hit) == 1 and hit["jaccard"].iloc[0] > 0.5
+
+
+def test_minhash_lsh_recalls_planted_near_dup(spark, docs):
+    row = docs.limit(1).toPandas().iloc[0]
+    toks = row["text"].split()
+    toks[len(toks) // 2] = "zzzmutated"
+    near = spark.createDataFrame(
+        [(999991, " ".join(toks))], "doc_id long, text string"
+    )
+    df = docs.select("doc_id", "text").limit(100).union(near)
+    sigs = dedup.minhash_signatures(df, "doc_id", num_perm=64)
+    pairs = dedup.minhash_lsh_pairs(sigs, "doc_id", bands=16, rows=4).toPandas()
+    hit = pairs[(pairs["key_a"] == row["doc_id"]) & (pairs["key_b"] == 999991)]
+    assert len(hit) == 1
+    assert hit["est_jaccard"].iloc[0] > 0.5
+
+
+def test_simhash_identical_and_near(spark, docs):
+    row = docs.limit(1).toPandas().iloc[0]
+    df = docs.select("doc_id", "text").limit(50).union(
+        spark.createDataFrame([(999991, row["text"])], "doc_id long, text string")
+    )
+    sh = dedup.simhash(df, "doc_id")
+    pairs = dedup.simhash_near_pairs(sh, "doc_id", max_hamming=0).toPandas()
+    assert ((pairs["key_a"] == row["doc_id"]) & (pairs["key_b"] == 999991)).any()
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    for q in range(3):
+        qrow = got[got["query_id"] == ids[q]].sort_values("rank")
+        s = sims[q].copy()
+        order = sorted(
+            [(i, s[i]) for i in range(len(ids)) if ids[i] != ids[q]],
+            key=lambda t: (-round(t[1], 9), ids[t[0]]),
+        )[:5]
+        exp_ids = [ids[i] for i, _ in order]
+        assert list(qrow["neighbor_id"]) == exp_ids
+        np.testing.assert_allclose(
+            qrow["cosine"].to_numpy(), [s for _, s in order], rtol=1e-9
+        )
+
+
+def test_lsh_topk_subset_of_exact_scores(emb):
+    queries = emb.filter(F.col("vec_id") < 2)
+    approx = similarity.lsh_topk(emb, queries, k=5, planes=4).toPandas()
+    # every returned neighbor must carry the true cosine (rerank exact)
+    exact = similarity.brute_force_topk(emb, queries, k=2000).toPandas()
+    merged = approx.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e")
+    )
+    assert len(merged) == len(approx)
+    np.testing.assert_allclose(merged["cosine_a"], merged["cosine_e"], rtol=1e-9)
+
+
+# ------------------------------------------------------------- textstats
+
+
+def test_token_stats_and_fingerprint_match_python(docs, docs_pdf):
+    got = textstats.token_stats(docs, "text").toPandas().set_index("doc_id")
+    fp = (
+        textstats.fingerprint_portable(docs.select("doc_id", "text"))
+        .toPandas()
+        .set_index("doc_id")["fingerprint"]
+    )
+    for _, r in docs_pdf.head(30).iterrows():
+        toks = r["text"].lower().split()
+        g = got.loc[r["doc_id"]]
+        assert g["token_count"] == len(toks)
+        assert g["uniq_tokens"] == len(set(toks))
+        exp_fp = sum(
+            (i + 1) * (4861 * len(t) + 31 * ord(t[0]) + ord(t[-1]))
+            for i, t in enumerate(toks)
+        )
+        assert fp.loc[r["doc_id"]] == exp_fp
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a fine day for the cat"),
+            (2, "der hund ist nicht mit der katze und der maus zu hause"),
+            (3, "xqz 123 !!!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.language_id(textstats.quality_score(df)).toPandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[3, "lang_pred"] == "und"
+    assert out.loc[1, "quality"] > out.loc[3, "quality"]
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, 30)
+    feats = multimodal.extract_image_features(media).toPandas()
+    assert len(feats) == media.filter(F.col("kind") == "image").count()
+    assert all(len(f) == 24 for f in feats["feat"])
+    # deterministic: rerun produces identical features
+    feats2 = multimodal.extract_image_features(media).toPandas()
+    a = feats.sort_values("media_id")["feat"].map(tuple).tolist()
+    b = feats2.sort_values("media_id")["feat"].map(tuple).tolist()
+    assert a == b
+    frames = multimodal.sample_video_frames(media).toPandas()
+    assert (frames["frame_ts_ms"] % 1000 == 0).all()
+    assert len(frames) > 0
