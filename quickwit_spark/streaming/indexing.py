@@ -1,0 +1,66 @@
+"""Continuous indexing: Structured Streaming → segment builds.
+
+The reference's ingestion is an unbounded source micro-batched by a
+commit timeout (60 s default, `quickwit-config/src/index_config/
+mod.rs:126-128`) with a per-partition source checkpoint committed
+atomically with split publish (`quickwit-metastore/src/
+checkpoint.rs:368-440`). The Spark-native equivalent:
+
+    readStream (file/kafka/rate source)
+      → foreachBatch: build_index(batch_df, job_id=f"{name}-{batch_id}")
+      → manifest commit inside the same call
+
+Exactly-once: Structured Streaming replays a failed micro-batch with
+the SAME batch_id; build_index is idempotent per (job_id, batch) — a
+replay skips batches whose checkpoint is already in the manifest and
+dynamic-partition-overwrite replaces any partially written files. So
+the manifest stays consistent without two-phase commit, mirroring the
+staged→published protocol.
+
+No event-time semantics are needed (the reference has none — late data
+just lands in a new split whose time_range overlaps, and time pruning
+uses min/max ranges), so there are no watermarks here by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from quickwit_spark.index.builder import IndexConfig, build_index
+
+
+def index_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    config: IndexConfig,
+    checkpoint_dir: str,
+    name: str = "stream",
+    trigger_seconds: int | None = None,
+):
+    """Start a streaming indexing query; returns the StreamingQuery.
+
+    `stream_df` is any streaming DataFrame with the configured schema
+    (e.g. `spark.readStream.schema(s).parquet(dir)` or a Kafka source
+    after JSON projection)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_dir,
+            config,
+            job_id=f"{name}-{batch_id:06d}",
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
