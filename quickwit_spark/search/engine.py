@@ -83,14 +83,17 @@ class IndexSearcher:
     def refresh(self):
         self.segments = mf.live_segments(self.index_dir)
         self.live_ids = [s.segment_id for s in self.segments]
+        # re-list the parquet datasets once per refresh, not per query
+        self._inv = self.spark.read.parquet(f"{self.index_dir}/inv")
+        self._docs = self.spark.read.parquet(f"{self.index_dir}/docs")
 
     # ---------- catalogs ----------
 
     def inv(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/inv")
+        return self._inv
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docs")
+        return self._docs
 
     def _tokenizer_for_field(self):
         fields = {f.name: f.tokenizer for f in self.config.fields}
@@ -275,13 +278,15 @@ class IndexSearcher:
             return self.docs().filter(F.col("segment_id").isin(seg_ids)).select(
                 "segment_id", "doc_id", F.lit(0.0).alias("score")
             )
-        inv = self.inv().filter(
-            F.col("segment_id").isin(seg_ids)
-            & (
-                F.col("kind").isin([KIND_NORMS, KIND_STATS])
-                | ((F.col("kind") == KIND_POSTINGS) & F.col("term").isin(tvals))
-            )
-        )
+        # two scans unioned instead of one OR-filter: the term predicate
+        # then reaches the postings scan as a pushed parquet filter
+        # (terms are written sorted per segment → row-group min/max
+        # stats skip everything but the needed term ranges — the
+        # warmup/prefetch analog, now done by the reader for free)
+        base = self.inv().filter(F.col("segment_id").isin(seg_ids))
+        inv = base.filter(
+            (F.col("kind") == KIND_POSTINGS) & F.col("term").isin(tvals)
+        ).unionByName(base.filter(F.col("kind").isin([KIND_NORMS, KIND_STATS])))
         cfg_fields = {f.name: f.tokenizer for f in self.config.fields}
         k1, b = self.config.k1, self.config.b
 

@@ -1,0 +1,96 @@
+"""ES-compatible DSL → QueryAst conversion (reference elastic_query_dsl)."""
+
+import pytest
+
+from quickwit_spark.query.ast import (
+    Bool,
+    Boost,
+    Exists,
+    FullText,
+    MatchAll,
+    Range,
+    Regex,
+    Term,
+    TermSet,
+    Wildcard,
+)
+from quickwit_spark.query.es_dsl import from_es_body, from_es_query
+
+
+def test_leaves():
+    assert from_es_query({"match_all": {}}) == MatchAll()
+    assert from_es_query({"term": {"lang": {"value": "en"}}}) == Term("lang", "en")
+    assert from_es_query({"term": {"lang": "en"}}) == Term("lang", "en")
+    assert from_es_query({"terms": {"lang": ["en", "de"]}}) == TermSet(
+        "lang", ("en", "de")
+    )
+    assert from_es_query({"exists": {"field": "url"}}) == Exists("url")
+    assert from_es_query({"range": {"n": {"gte": 1, "lt": 5}}}) == Range(
+        "n", gte=1, lt=5
+    )
+    assert from_es_query({"wildcard": {"text": {"value": "qu*"}}}) == Wildcard(
+        "text", "qu*"
+    )
+    assert from_es_query({"regexp": {"text": {"value": "qu.*"}}}) == Regex(
+        "text", "qu.*"
+    )
+
+
+def test_match_variants():
+    assert from_es_query({"match": {"text": "spark join"}}) == FullText(
+        "text", "spark join", "or"
+    )
+    assert from_es_query(
+        {"match": {"text": {"query": "spark join", "operator": "AND"}}}
+    ) == FullText("text", "spark join", "and")
+    assert from_es_query({"match_phrase": {"text": "spark join"}}) == FullText(
+        "text", "spark join", "and"
+    )
+    mm = from_es_query({"multi_match": {"query": "spark", "fields": ["a", "b"]}})
+    assert mm == Bool(should=[FullText("a", "spark", "or"), FullText("b", "spark", "or")])
+
+
+def test_bool_boost_query_string():
+    ast = from_es_query(
+        {
+            "bool": {
+                "must": [{"term": {"text": "spark"}}],
+                "must_not": {"term": {"text": "slow"}},
+                "should": [{"term": {"text": {"value": "join", "boost": 2.0}}}],
+                "filter": [{"range": {"n": {"lt": 3}}}],
+                "minimum_should_match": 1,
+            }
+        }
+    )
+    assert ast == Bool(
+        must=[Term("text", "spark")],
+        must_not=[Term("text", "slow")],
+        should=[Boost(Term("text", "join"), 2.0)],
+        filter=[Range("n", lt=3)],
+        minimum_should_match=1,
+    )
+    qs = from_es_body(
+        {"query": {"query_string": {"query": "spark AND join", "fields": ["text"]}}}
+    )
+    assert qs == Bool(must=[FullText("text", "spark", "and"), FullText("text", "join", "and")])
+
+
+def test_unsupported_raises():
+    with pytest.raises(NotImplementedError):
+        from_es_query({"fuzzy": {"text": {"value": "spark"}}})
+
+
+def test_es_search_end_to_end(spark, sf_dir, tmp_path):
+    """An ES body drives the same search as the native AST."""
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=2)
+    build_index(spark, web_corpus(spark, sf_dir), idx, cfg)
+    s = IndexSearcher(spark, idx)
+    body = {"query": {"match": {"text": {"query": "spark join", "operator": "or"}}}}
+    es_hits = s.search(from_es_body(body), k=5).collect()
+    native = s.search(FullText("text", "spark join", "or"), k=5).collect()
+    assert [r.asDict() for r in es_hits] == [r.asDict() for r in native]
