@@ -331,6 +331,11 @@ def _q_agg_cardinality(spark, sf_dir):
     return aggs.cardinality(_agg_match(spark, sf_dir, ["source"]), "source", exact=True)
 
 
+def _q_agg_percentiles(spark, sf_dir):
+    out = aggs.percentiles(_agg_match(spark, sf_dir, ["n_chars"]), "n_chars")
+    return out.select(*[F.round(c, 6).alias(c) for c in out.columns])
+
+
 # --------------------------------------------------------------------------
 # data-pipeline operators (dedup / similarity / text analysis) — run on the
 # raw documents/embeddings tables, independent of the index
@@ -596,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_range_nchars": _q_agg_range,
         "agg_stats_nchars": _q_agg_stats,
         "agg_cardinality_source": _q_agg_cardinality,
+        "agg_percentiles_nchars": _q_agg_percentiles,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -675,6 +681,13 @@ FROM m
         "agg_cardinality_source": f"""
 WITH {_AGG_MATCH_CTE}
 SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS value FROM m
+""",
+        "agg_percentiles_nchars": f"""
+WITH {_AGG_MATCH_CTE}
+SELECT ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM m
 """,
         # minhash/simhash/lsh are xxhash64-derived → no SQL oracle
         # (driver records rows-only checks for them)

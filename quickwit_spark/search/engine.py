@@ -421,6 +421,31 @@ class IndexSearcher:
             df = df.filter(F.col("term") < end)
         return df.select("term").distinct().orderBy("term").limit(limit)
 
+    def search_plan(self, query, time_range=None, k: int = 10) -> dict:
+        """Explain analog of the reference's `search-plan` endpoint
+        (`quickwit-search/src/root.rs:1243-1330`): the resolved AST,
+        the segments kept after manifest pruning, the posting terms the
+        plan will touch (warmup set), and Spark's formatted physical
+        plan for the top-k query."""
+        ast, fast_filter, seg_ids = self._resolve(query, time_range)
+        tok = self._tokenizer_for_field()
+        terms = collect_fulltext_terms(ast, tok)
+        pruned = [s for s in self.segments if s.segment_id not in set(seg_ids)]
+        df = self.search(query, k=k, time_range=time_range)
+        return {
+            "query_ast": repr(ast),
+            "fast_filter": str(fast_filter) if fast_filter is not None else None,
+            "segments_searched": seg_ids,
+            "segments_pruned": [s.segment_id for s in pruned],
+            "num_docs_searched": sum(
+                s.num_docs for s in self.segments if s.segment_id in set(seg_ids)
+            ),
+            "warmup_terms": sorted({t for _, t in terms}),
+            "spark_plan": df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), "formatted"
+            ),
+        }
+
     def search_stream(self, query, columns: list[str], time_range=None) -> DataFrame:
         """Export fast-field columns of ALL matching docs (reference
         search_stream, `search_stream/leaf.rs:51-290`)."""

@@ -99,5 +99,8 @@ def extract_text(df: DataFrame, html_col: str = "html") -> DataFrame:
             pdf["extracted_text"] = _extract_batch(pdf[html_col])
             yield pdf
 
-    schema = df.schema.add("extracted_text", "string")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # NB: StructType.add mutates — never call it on df.schema itself
+    schema = StructType(df.schema.fields + [StructField("extracted_text", StringType())])
     return df.mapInPandas(run, schema)
