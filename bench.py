@@ -161,7 +161,7 @@ def run_query_bench(idx_dir: str, cores: int) -> dict:
     return out
 
 
-def scaling_report(replicate: int = 800, pairs=(1, 4, 8, 32)) -> dict:
+def scaling_report(replicate: int = 1600, pairs=(1, 4, 8, 32)) -> dict:
     """Same indexing job at N and 4N cores in fresh JVMs — the
     local-mode proxy for the north rule's two-cluster-size criterion.
 

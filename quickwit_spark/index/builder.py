@@ -481,10 +481,11 @@ def build_index(
         part.unpersist()
         build_secs = time.perf_counter() - t0
 
-        # read back the tiny seg-meta rows → manifest records
+        # read back the tiny seg-meta rows → manifest records (address
+        # the partition directory directly — listing the whole inv
+        # dataset costs seconds at high segment counts)
         seg_meta = (
-            spark.read.parquet(inv_dir)
-            .filter((F.col("kind") == KIND_SEG) & (F.col("batch_id") == batch_id))
+            spark.read.parquet(f"{inv_dir}/batch_id={batch_id}/kind={KIND_SEG}")
             .select("segment_id", "meta")
             .collect()
         )
