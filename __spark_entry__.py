@@ -336,6 +336,33 @@ def _q_agg_percentiles(spark, sf_dir):
     return out.select(*[F.round(c, 6).alias(c) for c in out.columns])
 
 
+def _q_agg_subagg(spark, sf_dir):
+    out = aggs.terms_with_metrics(
+        _agg_match(spark, sf_dir, ["lang", "n_chars"]),
+        "lang",
+        {"avg_nchars": ("avg", "n_chars"), "max_nchars": ("max", "n_chars")},
+        size=10,
+    )
+    return out.select(
+        "key",
+        "doc_count",
+        F.round("avg_nchars", 6).alias("avg_nchars"),
+        "max_nchars",
+    )
+
+
+def _q_sort_by_field(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    out = s.sort_by_field(
+        Term("text", "table"), "n_chars", k=10, descending=True, tie_by_key=True
+    )
+    return out.select(
+        "doc_key",
+        F.col("sort_value").cast("long").alias("sort_value"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # --------------------------------------------------------------------------
 # data-pipeline operators (dedup / similarity / text analysis) — run on the
 # raw documents/embeddings tables, independent of the index
@@ -434,6 +461,21 @@ def _q_fingerprint(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return fingerprint_portable(docs).select("doc_id", "fingerprint")
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from quickwit_spark.datapipe.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dup_pairs(emb, threshold=0.9)
+    return out.select("key_a", "key_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_bpe_token_count(spark, sf_dir):
+    from quickwit_spark.datapipe.textstats import bpe_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bpe_token_count(docs).select("doc_id", "bpe_tokens")
 
 
 _TOKS_SIMPLE = """
@@ -602,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats_nchars": _q_agg_stats,
         "agg_cardinality_source": _q_agg_cardinality,
         "agg_percentiles_nchars": _q_agg_percentiles,
+        "agg_terms_subagg": _q_agg_subagg,
+        "search_sort_by_field": _q_sort_by_field,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -612,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
+        "text_bpe_token_count": _q_bpe_token_count,
     }
 
 
@@ -688,6 +734,35 @@ SELECT ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
        ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
        ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
 FROM m
+""",
+        "agg_terms_subagg": f"""
+WITH {_AGG_MATCH_CTE}
+SELECT CAST(lang AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_nchars,
+       CAST(MAX(n_chars) AS DOUBLE) AS max_nchars
+FROM m GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
+        "search_sort_by_field": f"""
+WITH {_AGG_MATCH_CTE}
+SELECT doc_id AS doc_key,
+       CAST(n_chars AS BIGINT) AS sort_value,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id DESC) AS BIGINT) AS rank
+FROM m ORDER BY n_chars DESC, doc_id DESC LIMIT 10
+""",
+        "dedup_embedding_cosine": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+""",
+        "text_bpe_token_count": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'
+       )) AS BIGINT) AS bpe_tokens
+FROM documents
 """,
         # minhash/simhash/lsh are xxhash64-derived → no SQL oracle
         # (driver records rows-only checks for them)

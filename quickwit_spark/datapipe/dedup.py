@@ -162,6 +162,36 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (key_a, key_b, cosine)
+    with cosine ≥ threshold, key_a < key_b. planes=0 compares all pairs
+    (exact); planes>0 restricts to hyperplane-LSH bucket collisions
+    (the 10^12-scale path — cost |bucket|² not N²)."""
+    from quickwit_spark.datapipe.similarity import cosine, hyperplane_signatures
+
+    a = df.select(F.col(key).alias("key_a"), F.col(vec).alias("_va"))
+    b = df.select(F.col(key).alias("key_b"), F.col(vec).alias("_vb"))
+    if planes > 0:
+        sig = hyperplane_signatures(df.select(key, vec), key, vec, planes)
+        a = a.join(sig.select(F.col(key).alias("key_a"), "bucket"), "key_a")
+        b = b.join(sig.select(F.col(key).alias("key_b"), "bucket"), "key_b")
+        pairs = a.join(b, "bucket")
+    else:
+        pairs = a.crossJoin(b)
+    return (
+        pairs.filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("key_a", "key_b", "cosine")
+    )
+
+
 def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash over whitespace tokens (JVM-side bit arithmetic):
     bit j of the fingerprint = majority vote of bit j across token

@@ -44,6 +44,26 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenization pattern (public, from the GPT-2 BPE
+# paper/code): contractions, letter runs, digit runs, punctuation runs.
+# Counting these pieces approximates BPE token counts ~piece-for-piece
+# on English text without needing a merges table. (The original's
+# trailing-whitespace lookahead is dropped — whitespace-only pieces are
+# not counted anyway, and RE2-based engines lack lookahead.)
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", out: str = "bpe_tokens") -> DataFrame:
+    """Approximate BPE token count via the GPT-2 pre-tokenizer regex —
+    JVM-side regexp extraction, no Python. A real tokenizer's merges
+    only split these pieces further, so this is a stable lower bound
+    used for corpus token budgeting."""
+    matches = F.regexp_extract_all(
+        F.col(text_col), F.lit(f"({BPE_PRETOKEN_RE})"), 1
+    )
+    return df.withColumn(out, F.size(matches).cast("long"))
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality in [0,1] (C4/Gopher-style cheap filters):
     penalizes very short docs, low vocabulary diversity, and

@@ -79,6 +79,39 @@ class MergePolicy:
 
 
 @dataclass
+class ConstWriteAmplificationMergePolicy:
+    """The reference's alternative policy
+    (`quickwit-indexing/src/merge_policy/const_write_amplification.rs`,
+    defaults `merge_policy_config.rs:99-101`): bound write
+    amplification by capping how many times a doc is rewritten —
+    merge only segments of EQUAL merge generation, and a segment that
+    has been through `max_merge_ops` merges is final."""
+
+    max_merge_ops: int = 4
+    merge_factor: int = 10
+    max_merge_factor: int = 12
+    split_num_docs_target: int = 10_000_000
+
+    def plan(self, segments: list[mf.SegmentRecord]) -> list["MergeOp"]:
+        ops: list[MergeOp] = []
+        groups: dict[tuple[int, int], list[mf.SegmentRecord]] = {}
+        for s in segments:
+            if s.merge_gen >= self.max_merge_ops:
+                continue
+            if s.num_docs >= self.split_num_docs_target:
+                continue
+            groups.setdefault((s.partition_id, s.merge_gen), []).append(s)
+        for (pid, gen), group in sorted(groups.items()):
+            group.sort(key=lambda s: s.segment_id)
+            while len(group) >= self.merge_factor:
+                take = group[: self.max_merge_factor]
+                group = group[len(take) :]
+                op_id = f"cw{gen + 1}-p{pid:05d}-{take[0].segment_id}"
+                ops.append(MergeOp(op_id, [s.segment_id for s in take], pid, gen + 1))
+        return ops
+
+
+@dataclass
 class MergeOp:
     op_id: str
     segment_ids: list[str]

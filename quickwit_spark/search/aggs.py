@@ -118,6 +118,30 @@ def cardinality(df: DataFrame, field: str, exact: bool = False) -> DataFrame:
     return df.agg(agg.cast("long").alias("value"))
 
 
+def terms_with_metrics(
+    df: DataFrame,
+    field: str,
+    metrics: dict[str, tuple[str, str]],
+    size: int = 10,
+) -> DataFrame:
+    """ES sub-aggregation: a `terms` bucket with nested metric aggs —
+    `metrics` maps output name → (metric, column), metric ∈
+    {avg,sum,min,max,count}. One 2-phase groupBy; the reference nests
+    per-bucket aggregation states the same way (partial → final merge).
+    → (key, doc_count, <metric cols…>)."""
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+    aggs_ = [F.count(F.lit(1)).alias("doc_count")] + [
+        fns[m](F.col(c).cast("double")).cast("double").alias(name)
+        for name, (m, c) in metrics.items()
+    ]
+    return (
+        df.groupBy(F.col(field).cast("string").alias("key"))
+        .agg(*aggs_)
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
 def percentiles(df: DataFrame, field: str, qs: list[float] | None = None) -> DataFrame:
     """ES `percentiles` metric (exact, linear interpolation — matches
     SQL percentile_cont; the reference uses a t-digest sketch whose

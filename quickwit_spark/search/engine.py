@@ -364,6 +364,50 @@ class IndexSearcher:
             return sum(s.num_docs for s in self.segments if s.segment_id in keep)
         return self._matches(ast, seg_ids, None, "parity", fast_filter).count()
 
+    def sort_by_field(
+        self,
+        query,
+        sort_field: str,
+        k: int = 10,
+        descending: bool = True,
+        time_range=None,
+        fetch: list[str] | None = None,
+        tie_by_key: bool = False,
+    ) -> DataFrame:
+        """Top-k by a fast (docmap) column instead of BM25.
+
+        Reference semantics (`docs/internals/sorting.md:8-25`,
+        `collector.rs:1114-1175`): desc is the default order, missing
+        values sort LAST regardless of direction, ties break by doc
+        address (segment_id, doc_id) following the primary order
+        (`tie_by_key=True` breaks by doc_key instead — a stable
+        engine-independent order); and scoring is skipped entirely when
+        the sort key isn't `_score` (`collector.rs:821-831`).
+        → (doc_key, sort_value, rank[, fetch])."""
+        ast, fast_filter, seg_ids = self._resolve(query, time_range)
+        m = self._matches(ast, seg_ids, None, "parity", fast_filter, use_wand=False)
+        docs = self.docs().select(
+            "segment_id", "doc_id", "doc_key", F.col(sort_field).alias("sort_value"),
+            *(c for c in (fetch or []) if c != sort_field),
+        )
+        hits = docs.join(m.select("segment_id", "doc_id"), ["segment_id", "doc_id"])
+        sv = F.col("sort_value")
+        tie = (
+            [F.col("doc_key")]
+            if tie_by_key
+            else [F.col("segment_id"), F.col("doc_id")]
+        )
+        if descending:
+            order = [sv.desc_nulls_last(), *[c.desc() for c in tie]]
+        else:
+            order = [sv.asc_nulls_last(), *[c.asc() for c in tie]]
+        hits = hits.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        return hits.select(
+            "doc_key", "sort_value", F.row_number().over(w).alias("rank"),
+            *(c for c in (fetch or []) if c != sort_field),
+        )
+
     def search(
         self,
         query,
@@ -420,6 +464,39 @@ class IndexSearcher:
         if end is not None:
             df = df.filter(F.col("term") < end)
         return df.select("term").distinct().orderBy("term").limit(limit)
+
+    def list_fields(self) -> list[dict]:
+        """Field capabilities (reference `list_fields.rs`): indexed text
+        fields from the index config + fast (docmap) columns with their
+        Spark types."""
+        out = [
+            {
+                "name": f.name,
+                "type": "text",
+                "indexed": True,
+                "tokenizer": f.tokenizer,
+                "record": f.record,
+                "fieldnorms": f.fieldnorms,
+                "fast": False,
+            }
+            for f in self.config.fields
+        ]
+        indexed = {f["name"] for f in out}
+        for sf in self.docs().schema.fields:
+            if sf.name in ("segment_id", "doc_id", "batch_id") or sf.name in indexed:
+                continue
+            out.append(
+                {
+                    "name": sf.name,
+                    "type": sf.dataType.simpleString(),
+                    "indexed": False,
+                    "tokenizer": None,
+                    "record": None,
+                    "fieldnorms": None,
+                    "fast": True,
+                }
+            )
+        return out
 
     def search_plan(self, query, time_range=None, k: int = 10) -> dict:
         """Explain analog of the reference's `search-plan` endpoint

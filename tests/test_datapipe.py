@@ -184,3 +184,28 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_video_frames(media).toPandas()
     assert (frames["frame_ts_ms"] % 1000 == 0).all()
     assert len(frames) > 0
+
+
+def test_embedding_near_dup_exact_vs_lsh(emb):
+    from quickwit_spark.datapipe.dedup import embedding_near_dup_pairs
+
+    exact = embedding_near_dup_pairs(emb, threshold=0.8).toPandas()
+    lsh = embedding_near_dup_pairs(emb, threshold=0.8, planes=2).toPandas()
+    ek = set(zip(exact["key_a"], exact["key_b"]))
+    lk = set(zip(lsh["key_a"], lsh["key_b"]))
+    assert lk <= ek  # LSH candidates are a subset of exact pairs
+    assert (exact["cosine"] >= 0.8).all()
+
+
+def test_bpe_token_count(spark):
+    from quickwit_spark.datapipe.textstats import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "Hello world, it's 2024!"), (2, ""), (3, "a  b")],
+        "doc_id long, text string",
+    )
+    out = bpe_token_count(df).toPandas().set_index("doc_id")["bpe_tokens"]
+    # Hello | ' world' | ',' | ' it' | 's (contraction) | ' 2024' | '!'
+    assert out.loc[1] == 7
+    assert out.loc[2] == 0
+    assert out.loc[3] >= 2

@@ -158,3 +158,28 @@ def test_merge_resume_idempotent(spark, merged_index):
     assert again == [] or all(r.merge_gen > 0 for r in again)
     segs = mf.live_segments(d)
     assert sum(s.num_docs for s in segs) == 500
+
+
+def test_const_write_amplification_policy():
+    from quickwit_spark.index.merge import ConstWriteAmplificationMergePolicy
+
+    from quickwit_spark.index import manifest as mf
+
+    def seg(i, gen, docs=1000, pid=0):
+        return mf.SegmentRecord(
+            segment_id=f"s{i:03d}", partition_id=pid, num_docs=docs, merge_gen=gen
+        )
+
+    pol = ConstWriteAmplificationMergePolicy(merge_factor=3, max_merge_factor=3)
+    # 4 young gen-0 segments → one op of 3; gen mismatch never merged
+    ops = pol.plan([seg(i, 0) for i in range(4)] + [seg(9, 1)])
+    assert len(ops) == 1 and len(ops[0].segment_ids) == 3
+    assert ops[0].merge_gen == 1
+    # segments at max_merge_ops are final
+    ops = pol.plan([seg(i, 4) for i in range(6)])
+    assert ops == []
+    # different partitions don't merge together
+    ops = pol.plan([seg(i, 0, pid=i % 2) for i in range(6)])
+    assert all(
+        len(op.segment_ids) == 3 for op in ops
+    ) and len(ops) == 2 or len(ops) == 0  # 3 per partition
