@@ -89,6 +89,15 @@ def _raw_lowercase_tokenize(text: str) -> list[str]:
     return [t] if len(t.encode("utf-8")) <= DEFAULT_REMOVE_TOKEN_LENGTH else []
 
 
+def _en_stem_tokenize(text: str) -> list[str]:
+    """default pipeline + Snowball English (Porter2) stemming — the
+    reference's `en_stem` (`tokenizers/mod.rs:60-66`)."""
+    from quickwit_spark.analysis.stemmer import make_cached_stemmer
+
+    stem = make_cached_stemmer()
+    return [stem(t) for t in _default_tokenize(text)]
+
+
 _TOKENIZERS = {
     "default": _default_tokenize,
     "ascii_space": _ascii_space_tokenize,
@@ -96,6 +105,7 @@ _TOKENIZERS = {
     "raw": _raw_tokenize,
     "raw_lowercase": _raw_lowercase_tokenize,
     "lowercase": _raw_lowercase_tokenize,
+    "en_stem": _en_stem_tokenize,
 }
 
 

@@ -118,7 +118,11 @@ def _build_field_rows(
     (small) term dictionary; everything after is numpy over the flat
     (token_code, doc_idx) stream."""
     n = len(texts)
-    flat, doc_idx = tokenize_flat_arrow(texts, fld.tokenizer)
+    # en_stem rides the fast `default` Arrow path: tokenize unstemmed,
+    # then stem only the DICTIONARY below — Zipfian vocabularies make
+    # that V stem calls instead of one per token
+    base_tokenizer = "default" if fld.tokenizer == "en_stem" else fld.tokenizer
+    flat, doc_idx = tokenize_flat_arrow(texts, base_tokenizer)
     lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
     total_tokens = int(len(doc_idx))
     rows: list[dict] = []
@@ -165,11 +169,25 @@ def _build_field_rows(
 
         denc = pc.dictionary_encode(flat)
         d = denc.dictionary.to_numpy(zero_copy_only=False)
+        if fld.tokenizer == "en_stem":
+            from quickwit_spark.analysis.stemmer import make_cached_stemmer
+
+            stem = make_cached_stemmer()
+            d = np.array([stem(t) for t in d], dtype=object)
         order = np.argsort(d, kind="stable")
         rank = np.empty(len(d), np.int32)
         rank[order] = np.arange(len(d), dtype=np.int32)
         codes = rank[denc.indices.to_numpy()]  # codes in lex term order
         uniques = d[order]
+        if fld.tokenizer == "en_stem" and len(uniques) > 1:
+            # stems collide: merge duplicate dictionary entries
+            dup = np.empty(len(uniques), dtype=bool)
+            dup[0] = False
+            dup[1:] = uniques[1:] == uniques[:-1]
+            if dup.any():
+                remap = np.cumsum(~dup, dtype=np.int32) - 1
+                codes = remap[codes]
+                uniques = uniques[~dup]
     # the flat token stream is in doc order already, so ONE stable sort
     # on the term code yields (term, doc) order — no lexsort needed
     order = np.argsort(codes, kind="stable")
