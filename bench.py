@@ -153,6 +153,9 @@ def run_query_bench(idx_dir: str, cores: int) -> dict:
             aggs.matches(s, Term("text", "table"), columns=["lang"]), "lang"
         ).collect(),
     }
+    # untimed warmup: spins up python workers + page cache so the first
+    # timed query isn't measuring JVM/worker cold start
+    s.search(Term("text", "row"), k=10).collect()
     out = {}
     for name, fn in qset.items():
         t0 = time.perf_counter()
