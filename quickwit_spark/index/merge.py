@@ -148,28 +148,44 @@ def execute_merge(
     op: MergeOp,
     num_salt_buckets: int = 4,
     chunk_target_docs: int = 1 << 20,
+    apply_deletes: bool = True,
 ) -> mf.SegmentRecord:
-    """Run one merge op and commit it (publish merged, replace inputs)."""
+    """Run one merge op and commit it (publish merged, replace inputs).
+
+    Pending delete tombstones on the input segments are applied during
+    the rewrite (reference merge-side delete application,
+    `merge_executor.rs:351-510`): doomed docs are dropped, surviving
+    docids COMPACT down, and the published stats reflect live docs only."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     segs = {s.segment_id: s for s in mf.live_segments(index_dir)}
     inputs = [segs[sid] for sid in op.segment_ids]
     inputs.sort(key=lambda s: s.segment_id)
     new_segment_id = op.op_id
 
-    # docid offsets per input segment (re-basing), merged stats — all
-    # known from the manifest before any executor work
+    tomb: dict = {}
+    corrections: dict = {}
+    if apply_deletes:
+        from quickwit_spark.index.deletes import corrections_for, tombstones_for
+
+        tomb = tombstones_for(spark, index_dir, [s.segment_id for s in inputs])
+        corrections = corrections_for(index_dir, [s.segment_id for s in inputs])
+
+    # docid offsets per input segment (re-basing over LIVE doc counts),
+    # merged stats — all known from the manifest before any executor work
     offsets: dict[str, int] = {}
     acc = 0
     for s in inputs:
         offsets[s.segment_id] = acc
-        acc += s.num_docs
+        acc += s.num_docs - len(tomb.get(s.segment_id, ()))
     num_docs = acc
     field_stats: dict[str, dict] = {}
     for s in inputs:
+        corr = corrections.get(s.segment_id, {})
         for fld, st in s.field_stats.items():
             agg = field_stats.setdefault(fld, {"doc_count": 0, "total_tokens": 0})
-            agg["doc_count"] += st["doc_count"]
-            agg["total_tokens"] += st["total_tokens"]
+            c = corr.get(fld, {})
+            agg["doc_count"] += st["doc_count"] - c.get("deleted_docs", 0)
+            agg["total_tokens"] += st["total_tokens"] - c.get("deleted_tokens", 0)
     avgdls = {
         fld: float(np.float32(st["total_tokens"]) / np.float32(max(st["doc_count"], 1)))
         for fld, st in field_stats.items()
@@ -200,15 +216,19 @@ def execute_merge(
                 columns="segment_id kind field term doc_freq payload1 payload2 block_last block_max meta".split()
             )
         if kind == KIND_NORMS:
-            ids = np.concatenate(
-                [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload1"]]
-            )
-            lens = np.concatenate(
-                [
-                    varint_decode(p, n)
-                    for p, n in zip(pdf["payload2"], pdf["doc_freq"])
-                ]
-            )
+            id_parts, len_parts = [], []
+            for _, r in pdf.iterrows():
+                ids_r = np.frombuffer(r["payload1"], dtype=np.uint8)
+                lens_r = varint_decode(r["payload2"], r["doc_freq"])
+                dele = tomb.get(r["segment_id"])
+                if dele is not None and len(dele):
+                    keep = np.ones(len(ids_r), dtype=bool)
+                    keep[dele[dele < len(ids_r)]] = False
+                    ids_r, lens_r = ids_r[keep], lens_r[keep]
+                id_parts.append(ids_r)
+                len_parts.append(lens_r)
+            ids = np.concatenate(id_parts)
+            lens = np.concatenate(len_parts)
             start = offsets[pdf["segment_id"].iloc[0]]
             return pd.DataFrame(
                 [
@@ -231,10 +251,25 @@ def execute_merge(
         docs_parts, tf_parts = [], []
         for _, r in pdf.iterrows():
             d, t = decode_postings(r["payload1"], r["payload2"], r["doc_freq"])
-            docs_parts.append(d.astype(np.int64) + offsets[r["segment_id"]])
+            d = d.astype(np.int64)
+            dele = tomb.get(r["segment_id"])
+            if dele is not None and len(dele):
+                # drop doomed docids; shift survivors down by the number
+                # of deleted docids below them (compaction)
+                pos = np.searchsorted(dele, d)
+                is_del = (pos < len(dele)) & (
+                    dele[np.minimum(pos, len(dele) - 1)] == d
+                )
+                d, t, pos = d[~is_del], t[~is_del], pos[~is_del]
+                d = d - pos
+            docs_parts.append(d + offsets[r["segment_id"]])
             tf_parts.append(t)
         docids = np.concatenate(docs_parts)
         tfs = np.concatenate(tf_parts)
+        if len(docids) == 0:
+            return pd.DataFrame(
+                columns="segment_id kind field term doc_freq payload1 payload2 block_last block_max meta".split()
+            )
         avgdl = np.float32(avgdls.get(fld, 1.0))
         # block-max needs merged-doc lengths: recovered lazily from the
         # per-doc norm ids of the inputs is expensive here; instead use
@@ -316,16 +351,42 @@ def execute_merge(
         .parquet(f"{index_dir}/inv")
     )
 
-    # docmap rewrite: shift doc_ids, stamp the merged segment id
+    # docmap rewrite: drop doomed rows, compact + shift doc_ids, stamp
+    # the merged segment id
     docs = spark.read.parquet(f"{index_dir}/docs").filter(
         F.col("segment_id").isin(list(offsets))
     )
-    off_expr = F.create_map(
-        *[x for sid, o in offsets.items() for x in (F.lit(sid), F.lit(o))]
-    )
+    if any(len(v) for v in tomb.values()):
+
+        def remap(batches):
+            for pdf in batches:
+                parts = []
+                for sid, g in pdf.groupby("segment_id", sort=False):
+                    ids = g["doc_id"].to_numpy()
+                    dele = tomb.get(sid)
+                    if dele is not None and len(dele):
+                        pos = np.searchsorted(dele, ids)
+                        is_del = (pos < len(dele)) & (
+                            dele[np.minimum(pos, len(dele) - 1)] == ids
+                        )
+                        g = g[~is_del].copy()
+                        g["doc_id"] = ids[~is_del] - pos[~is_del] + offsets[sid]
+                    else:
+                        g = g.copy()
+                        g["doc_id"] = ids + offsets[sid]
+                    parts.append(g)
+                yield pd.concat(parts) if parts else pdf.iloc[0:0]
+
+        docs = docs.mapInPandas(remap, docs.schema)
+    else:
+        off_expr = F.create_map(
+            *[x for sid, o in offsets.items() for x in (F.lit(sid), F.lit(o))]
+        )
+        docs = docs.withColumn(
+            "doc_id", F.col("doc_id") + off_expr[F.col("segment_id")]
+        )
     (
-        docs.withColumn("doc_id", F.col("doc_id") + off_expr[F.col("segment_id")])
-        .withColumn("segment_id", F.lit(new_segment_id))
+        docs.withColumn("segment_id", F.lit(new_segment_id))
         .withColumn("batch_id", F.lit(op.op_id))
         .write.mode("overwrite")
         .partitionBy("batch_id")

@@ -1,0 +1,98 @@
+"""Delete tasks: delete-by-query recorded, applied at rewrite, stats refreshed."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.index import manifest as mf
+from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+from quickwit_spark.index.deletes import (
+    delete_by_query,
+    pending_deletes,
+    plan_delete_rewrites,
+)
+from quickwit_spark.index.merge import execute_merge
+from quickwit_spark.query.ast import Term
+from quickwit_spark.search.engine import IndexSearcher
+from quickwit_spark.sources.corpus import web_corpus
+
+
+@pytest.fixture(scope="module")
+def idx(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("delidx"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("url", "lang"),
+        time_column="warc_ts",
+    )
+    build_index(spark, web_corpus(spark, sf_dir), d, cfg, job_id="del")
+    return d
+
+
+def test_delete_lifecycle(spark, idx, sf_dir):
+    s = IndexSearcher(spark, idx)
+    n_before = s.count(Term("text", "vector"))
+    total_before = s.count(Term("text", "spark"))
+    assert n_before > 0
+
+    op = delete_by_query(s, Term("text", "vector"))
+    assert op == 1
+    rec = pending_deletes(idx)[op]
+    assert sum(rec["segments"].values()) == n_before
+    # corrections carry exact token counts of the doomed docs
+    corpus = web_corpus(spark, sf_dir).toPandas()
+    doomed_keys = {
+        int(k)
+        for k, t in zip(corpus["doc_id"], corpus["text"].str.split())
+        if "vector" in t
+    }
+    exp_tokens = sum(
+        len(t)
+        for k, t in zip(corpus["doc_id"], corpus["text"].str.split())
+        if int(k) in doomed_keys
+    )
+    got_tokens = sum(
+        c["text"]["deleted_tokens"] for c in rec["corrections"].values()
+    )
+    assert got_tokens == exp_tokens
+
+    # docs remain searchable until the rewrite (reference laziness)
+    assert s.count(Term("text", "vector")) == n_before
+
+    # apply: one rewrite op per affected segment
+    ops = plan_delete_rewrites(idx)
+    assert len(ops) == 2
+    for o in ops:
+        execute_merge(spark, idx, o)
+    s.refresh()
+
+    assert s.count(Term("text", "vector")) == 0
+    # every non-deleted doc still matches exactly as before
+    live_spark = {
+        int(k)
+        for k, t in zip(corpus["doc_id"], corpus["text"].str.split())
+        if "spark" in t and int(k) not in doomed_keys
+    }
+    got = {r["doc_key"] for r in s.search_stream(Term("text", "spark"), []).collect()}
+    assert got == live_spark
+    assert s.count(Term("text", "spark")) == len(live_spark) < total_before
+
+    # manifest stats reflect live docs only (BM25 stats refreshed)
+    segs = mf.live_segments(idx)
+    assert sum(g.num_docs for g in segs) == len(corpus) - len(doomed_keys)
+    live_tokens = sum(
+        len(t)
+        for k, t in zip(corpus["doc_id"], corpus["text"].str.split())
+        if int(k) not in doomed_keys
+    )
+    assert sum(g.field_stats["text"]["total_tokens"] for g in segs) == live_tokens
+
+    # scores equal a fresh index built over only the live docs (oracle:
+    # per-segment stats differ, so compare via the oracle mode which
+    # uses global stats)
+    hits = s.search(Term("text", "spark"), k=5, mode="oracle").collect()
+    assert len(hits) == 5
+    scores = [r["score"] for r in hits]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
