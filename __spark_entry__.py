@@ -66,7 +66,21 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ship(spark: SparkSession) -> None:
+    """The driver hands us ITS SparkSession — make sure our package
+    reaches its python workers regardless of how it was created."""
+    if not getattr(spark, "_qws_shipped", False):
+        from quickwit_spark.session import ship_package
+
+        try:
+            ship_package(spark)
+        except Exception:  # noqa: BLE001 — already-added zip etc.
+            pass
+        spark._qws_shipped = True  # noqa: SLF001
+
+
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    _ship(spark)
     key = os.path.abspath(sf_dir)
     if key in _searchers:
         return _searchers[key]
