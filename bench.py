@@ -115,6 +115,54 @@ def run_index_bench(cores: int, out_json: str | None = None) -> dict:
     return res
 
 
+def run_merge_bench(cores: int, slices: int = 12) -> dict:
+    """Hierarchical merge throughput: `slices` sequential ingest batches
+    produce `slices` segments per routing partition (merges only group
+    within a partition, like the reference), then StableLog merges them
+    (merge_factor 10) — salted postings re-merge + docmap rewrite."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.index import manifest as mf
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.index.merge import run_merges
+    from quickwit_spark.session import get_spark
+
+    spark = get_spark("qws_bench", cores=cores, shuffle_partitions=cores)
+    gen, ndocs = bench_corpus(spark, SF_DIR, REPLICATE)
+    corpus_dir = tempfile.mkdtemp(prefix=f"qws_merge_corpus_{cores}_")
+    gen.write.mode("overwrite").parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    idx_dir = tempfile.mkdtemp(prefix=f"qws_merge_idx_{cores}_")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=8
+    )
+    step = (ndocs + slices - 1) // slices
+    for i in range(slices):
+        build_index(
+            spark,
+            corpus.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            ),
+            idx_dir,
+            cfg,
+            job_id=f"ing{i:02d}",
+        )
+    t0 = time.perf_counter()
+    recs = run_merges(spark, idx_dir)
+    secs = time.perf_counter() - t0
+    merged_docs = sum(r.num_docs for r in recs)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    res = {
+        "ops": len(recs),
+        "docs_merged": merged_docs,
+        "secs": round(secs, 3),
+        "docs_per_sec": round(merged_docs / secs, 1) if secs > 0 else 0.0,
+        "segments_after": len(mf.live_segments(idx_dir)),
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return res
+
+
 def run_query_bench(idx_dir: str, cores: int) -> dict:
     import datetime as dt
 
@@ -210,7 +258,9 @@ def main():
         return
     t_all = time.perf_counter()
     idx = run_index_bench(CPUS)
-    queries = run_query_bench(idx.pop("idx_dir"), CPUS)
+    idx_dir = idx.pop("idx_dir")
+    merge = run_merge_bench(CPUS)
+    queries = run_query_bench(idx_dir, CPUS)
     total = round(time.perf_counter() - t_all, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -222,6 +272,7 @@ def main():
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "indexing": idx,
+                "merge": merge,
             }
         )
     )

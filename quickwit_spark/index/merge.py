@@ -431,11 +431,17 @@ def run_merges(
     index_dir: str,
     policy: MergePolicy | None = None,
     max_rounds: int = 10,
+    max_concurrent: int = 4,
     **exec_kwargs,
 ) -> list[mf.SegmentRecord]:
     """Plan+execute rounds until no op is emitted (driver-side loop, the
-    MergePlanner/MergeScheduler analog). Already-committed ops are
-    skipped via the manifest checkpoint (resume)."""
+    MergePlanner/MergeScheduler analog). Ops within a round touch
+    disjoint segments, so they run CONCURRENTLY on the shared
+    SparkSession (`max_concurrent` = the reference's merge permits).
+    Already-committed ops are skipped via the manifest checkpoint
+    (resume)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     policy = policy or MergePolicy()
     out: list[mf.SegmentRecord] = []
     for _ in range(max_rounds):
@@ -447,6 +453,15 @@ def run_merges(
         ]
         if not ops:
             break
-        for op in ops:
-            out.append(execute_merge(spark, index_dir, op, **exec_kwargs))
+        if len(ops) == 1 or max_concurrent <= 1:
+            for op in ops:
+                out.append(execute_merge(spark, index_dir, op, **exec_kwargs))
+        else:
+            with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+                out.extend(
+                    pool.map(
+                        lambda op: execute_merge(spark, index_dir, op, **exec_kwargs),
+                        ops,
+                    )
+                )
     return out
