@@ -89,6 +89,48 @@ def _raw_lowercase_tokenize(text: str) -> list[str]:
     return [t] if len(t.encode("utf-8")) <= DEFAULT_REMOVE_TOKEN_LENGTH else []
 
 
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF),   # CJK Unified Ideographs
+    (0x3400, 0x4DBF),   # Extension A
+    (0x20000, 0x2A6DF), # Extension B
+    (0xF900, 0xFAFF),   # Compatibility Ideographs
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def _chinese_compatible_tokenize(text: str) -> list[str]:
+    """Reference `chinese_compatible` analyzer
+    (`quickwit-query/src/tokenizers/chinese_compatible.rs`): each CJK
+    ideograph is its own token; other alphanumeric runs tokenize like
+    `default`; then RemoveLong + LowerCaser."""
+    out: list[str] = []
+    cur: list[str] = []
+
+    def flush():
+        if cur:
+            out.append("".join(cur))
+            cur.clear()
+
+    for ch in text:
+        if _is_cjk(ch):
+            flush()
+            out.append(ch)
+        elif ch.isalnum():
+            cur.append(ch)
+        else:
+            flush()
+    flush()
+    return [
+        t.lower()
+        for t in out
+        if len(t.encode("utf-8")) <= DEFAULT_REMOVE_TOKEN_LENGTH
+    ]
+
+
 def _en_stem_tokenize(text: str) -> list[str]:
     """default pipeline + Snowball English (Porter2) stemming — the
     reference's `en_stem` (`tokenizers/mod.rs:60-66`)."""
@@ -106,6 +148,7 @@ _TOKENIZERS = {
     "raw_lowercase": _raw_lowercase_tokenize,
     "lowercase": _raw_lowercase_tokenize,
     "en_stem": _en_stem_tokenize,
+    "chinese_compatible": _chinese_compatible_tokenize,
 }
 
 

@@ -151,3 +151,11 @@ def test_arrow_ascii_fast_path_matches_python(texts):
     exp_toks, exp_idx = _flatten_python(texts, "default")
     assert got == exp_toks
     assert list(doc_idx) == exp_idx
+
+
+def test_chinese_compatible():
+    tok = get_tokenizer("chinese_compatible")
+    assert tok("你好world 世界") == ["你", "好", "world", "世", "界"]
+    assert tok("Hello你好!") == ["hello", "你", "好"]
+    assert tok("abc123") == ["abc123"]
+    assert tok("") == []
