@@ -81,6 +81,7 @@ class IndexConfig:
     b: float = 0.75
     stored_columns: tuple = ()  # extra columns copied into the docmap
     time_column: str | None = None  # drives time-range pruning
+    postings_codec: str = "varint"  # "varint" | "bitpack" (docid deltas)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -92,6 +93,7 @@ class IndexConfig:
                 "b": self.b,
                 "stored_columns": list(self.stored_columns),
                 "time_column": self.time_column,
+                "postings_codec": self.postings_codec,
             },
             sort_keys=True,
         )
@@ -101,6 +103,7 @@ class IndexConfig:
         d = json.loads(s)
         d["fields"] = [FieldConfig(**f) for f in d["fields"]]
         d["stored_columns"] = tuple(d["stored_columns"])
+        d.setdefault("postings_codec", "varint")
         return IndexConfig(**d)
 
 
@@ -110,6 +113,7 @@ def _build_field_rows(
     texts: pd.Series,
     k1: float,
     b: float,
+    postings_codec: str = "varint",
 ) -> tuple[list[dict], dict]:
     """Vectorized single-pass inverted index for one field of one segment.
 
@@ -218,7 +222,14 @@ def _build_field_rows(
         np.uint64
     )
     deltas[group_starts] = p_docs[group_starts]
-    doc_blobs = varint_encode_grouped(deltas, group_starts)
+    if postings_codec == "bitpack":
+        from quickwit_spark.codec.bitpack import bitpack_encode_grouped
+
+        doc_blobs = bitpack_encode_grouped(deltas, group_starts)
+        postings_meta = "bp"
+    else:
+        doc_blobs = varint_encode_grouped(deltas, group_starts)
+        postings_meta = ""
     tf_blobs = varint_encode_grouped(tfs, group_starts)
 
     # block-max metadata from the segment's own stats (k1/b baked at build,
@@ -244,7 +255,7 @@ def _build_field_rows(
                 "payload2": tf_blobs[i],
                 "block_last": last_blobs[i],
                 "block_max": max_blobs[i],
-                "meta": "",
+                "meta": postings_meta,
             }
         )
     return rows, stats
@@ -373,7 +384,8 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
             field_stats = {}
             for fld in fields:
                 rows, stats = _build_field_rows(
-                    segment_id, fld, seg.column(fld.name), k1, b
+                    segment_id, fld, seg.column(fld.name), k1, b,
+                    postings_codec=config.postings_codec,
                 )
                 all_rows.extend(rows)
                 field_stats[fld.name] = stats

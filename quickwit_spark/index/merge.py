@@ -250,7 +250,14 @@ def execute_merge(
         # by segment_id ⇒ ascending rebased docids), re-encode in chunks
         docs_parts, tf_parts = [], []
         for _, r in pdf.iterrows():
-            d, t = decode_postings(r["payload1"], r["payload2"], r["doc_freq"])
+            if r["meta"] == "bp":  # bitpacked input row
+                from quickwit_spark.codec.bitpack import bitpack_decode
+
+                deltas = bitpack_decode(r["payload1"], r["doc_freq"])
+                d = np.cumsum(deltas, dtype=np.uint64).astype(np.uint32)
+                t = varint_decode(r["payload2"], r["doc_freq"]).astype(np.uint32)
+            else:
+                d, t = decode_postings(r["payload1"], r["payload2"], r["doc_freq"])
             d = d.astype(np.int64)
             dele = tomb.get(r["segment_id"])
             if dele is not None and len(dele):

@@ -82,8 +82,19 @@ class SegmentData:
         for r in rows:
             kind = r["kind"]
             if kind == "postings":
+                if r.get("meta") == "bp":  # bitpacked docid deltas
+                    from quickwit_spark.codec.bitpack import bitpack_decode
+
+                    deltas = bitpack_decode(r["payload1"], r["doc_freq"])
+                    docids = np.cumsum(deltas, dtype=np.uint64).astype(np.uint32)
+                    tfs = varint_decode(r["payload2"], r["doc_freq"]).astype(np.uint32)
+                    decoded = (docids, tfs)
+                else:
+                    decoded = decode_postings(
+                        r["payload1"], r["payload2"], r["doc_freq"]
+                    )
                 chunk = (
-                    *decode_postings(r["payload1"], r["payload2"], r["doc_freq"]),
+                    *decoded,
                     np.frombuffer(r["block_last"], dtype="<u4"),
                     np.frombuffer(r["block_max"], dtype="<f4"),
                 )

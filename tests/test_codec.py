@@ -104,3 +104,32 @@ def test_block_metadata_bounds():
         assert last[i] == doc_ids[sl][-1]
         assert maxes[i] == pytest.approx(comp[sl].max())
         assert np.all(comp[sl] <= maxes[i])  # upper-bound property (WAND safety)
+
+
+# ---------------------------------------------------------------------------
+# bitpacked block codec
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from quickwit_spark.codec.bitpack import bitpack_decode, bitpack_encode
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=700)
+)
+@settings(max_examples=200, deadline=None)
+def test_bitpack_roundtrip(vals):
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.uint64)
+    assert list(bitpack_decode(bitpack_encode(v), len(v))) == vals
+
+
+def test_bitpack_smaller_than_varint_on_small_deltas():
+    import numpy as np
+
+    from quickwit_spark.codec.postings import varint_encode
+
+    deltas = np.ones(1280, dtype=np.uint64)  # dense posting list
+    assert len(bitpack_encode(deltas)) < len(varint_encode(deltas))

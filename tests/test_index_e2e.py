@@ -173,3 +173,26 @@ def test_resume_mid_build(spark, sf_dir, tmp_path_factory):
     assert s.count(Term("text", "spark")) > 0
     # re-running again is a no-op (all checkpoints present)
     assert build_index(spark, df, d, cfg, job_id="r", num_batches=2) == []
+
+
+def test_bitpack_codec_search_identical(spark, sf_dir, tmp_path_factory, searcher):
+    """An index built with the bitpacked codec returns byte-identical
+    search results to the varint index."""
+    d = str(tmp_path_factory.mktemp("bpidx"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=4,
+        stored_columns=("url", "lang"),
+        time_column="warc_ts",
+        postings_codec="bitpack",
+    )
+    build_index(spark, web_corpus(spark, sf_dir), d, cfg, job_id="e2e")
+    bp = IndexSearcher(spark, d)
+    from quickwit_spark.query.ast import FullText
+
+    q = FullText("text", "spark join", "or")
+    a = [r.asDict() for r in searcher.search(q, k=20).collect()]
+    b = [r.asDict() for r in bp.search(q, k=20).collect()]
+    assert a == b
+    assert bp.count(Term("text", "spark")) == searcher.count(Term("text", "spark"))
