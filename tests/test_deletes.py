@@ -96,3 +96,50 @@ def test_delete_lifecycle(spark, idx, sf_dir):
     assert len(hits) == 5
     scores = [r["score"] for r in hits]
     assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_deletes_applied_in_multi_segment_merge(spark, sf_dir, tmp_path_factory):
+    """Tombstones apply during a NORMAL StableLog merge of several
+    segments, not just single-segment rewrites."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.index.merge import MergePolicy, run_merges
+
+    d = str(tmp_path_factory.mktemp("delmerge"))
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=1)
+    corpus = web_corpus(spark, sf_dir)
+    # 4 ingest slices → 4 segments in partition 0
+    for i in range(4):
+        build_index(
+            spark,
+            corpus.filter((F.col("doc_id") % 4) == i),
+            d,
+            cfg,
+            job_id=f"s{i}",
+        )
+    s = IndexSearcher(spark, d)
+    n_vec = s.count(Term("text", "vector"))
+    assert n_vec > 0 and len(mf.live_segments(d)) == 4
+
+    delete_by_query(s, Term("text", "vector"))
+    # merge_factor 4 so the four young segments merge in one op
+    recs = run_merges(spark, d, MergePolicy(merge_factor=4, max_merge_factor=4))
+    assert len(recs) == 1
+    s.refresh()
+    assert len(s.live_ids) == 1
+    assert s.count(Term("text", "vector")) == 0
+
+    corpus_pdf = corpus.toPandas()
+    doomed = {
+        int(k)
+        for k, t in zip(corpus_pdf["doc_id"], corpus_pdf["text"].str.split())
+        if "vector" in t
+    }
+    assert s.count("*") == len(corpus_pdf) - len(doomed)
+    live_spark = {
+        int(k)
+        for k, t in zip(corpus_pdf["doc_id"], corpus_pdf["text"].str.split())
+        if "spark" in t and int(k) not in doomed
+    }
+    got = {r["doc_key"] for r in s.search_stream(Term("text", "spark"), []).collect()}
+    assert got == live_spark
