@@ -1,0 +1,71 @@
+"""Retention + garbage collection (the reference's janitor tail).
+
+Mirrors `quickwit-janitor/src/retention_policy_execution.rs` (drop
+splits whose time range is entirely past retention) and
+`actors/garbage_collector.rs` (delete files of dead splits).
+
+Retention is a manifest-only operation: segments age out by flipping
+state to `replaced` in one commit — searches prune them immediately,
+files stay until GC. GC removes a batch directory only when EVERY
+segment ever published from it is dead (build batches hold several
+segments; merge outputs are one-segment batches), so a GC pass can
+never touch live data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from quickwit_spark.index import manifest as mf
+
+
+def apply_retention(index_dir: str, cutoff_micros: int) -> list[str]:
+    """Retire every published segment whose time range ends before
+    `cutoff_micros`. Segments without a time range never expire.
+    Returns the retired segment ids."""
+    retired = []
+    records = []
+    for s in mf.live_segments(index_dir):
+        if s.time_range is not None and s.time_range[1] < cutoff_micros:
+            s.state = mf.REPLACED
+            records.append(s)
+            retired.append(s.segment_id)
+    if records:
+        mf.commit(
+            index_dir,
+            records,
+            checkpoint={"retention": {"cutoff_micros": cutoff_micros, "retired": retired}},
+            kind="retention",
+        )
+    return retired
+
+
+def _batch_of(rec: mf.SegmentRecord) -> str:
+    return (rec.lineage or {}).get("batch_id") or rec.segment_id
+
+
+def garbage_collect(index_dir: str, dry_run: bool = False) -> list[str]:
+    """Remove batch partition dirs whose segments are ALL dead.
+    Returns the removed (or would-remove) relative paths."""
+    all_segs = mf.reconcile(index_dir)
+    live_batches = {
+        _batch_of(r) for r in all_segs.values() if r.state == mf.PUBLISHED
+    }
+    known_batches = {_batch_of(r) for r in all_segs.values()}
+    removed: list[str] = []
+    for sub in ("inv", "docs"):
+        base = os.path.join(index_dir, sub)
+        if not os.path.isdir(base):
+            continue
+        for entry in sorted(os.listdir(base)):
+            if not entry.startswith("batch_id="):
+                continue
+            batch = entry.split("=", 1)[1]
+            # only collect batches the manifest knows and proves dead —
+            # an unknown dir might belong to an in-flight build
+            if batch in known_batches and batch not in live_batches:
+                removed.append(f"{sub}/{entry}")
+                if not dry_run:
+                    shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    return removed
