@@ -209,6 +209,16 @@ def run_query_bench(idx_dir: str, cores: int) -> dict:
         t0 = time.perf_counter()
         fn()
         out[name] = round(time.perf_counter() - t0, 3)
+    # concurrent-search throughput: all queries at once on the shared
+    # session (stateless searcher, like the reference's searcher fleet)
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=len(qset)) as pool:
+        list(pool.map(lambda fn: fn(), qset.values()))
+    wall = time.perf_counter() - t0
+    out["concurrent_all"] = round(wall, 3)
+    out["concurrent_qps"] = round(len(qset) / wall, 2)
     return out
 
 
