@@ -163,6 +163,37 @@ def decode_postings(
     return doc_ids, tfs
 
 
+def encode_positions(pos_abs: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Token positions of one term, per-doc delta-gapped then varint.
+
+    `pos_abs` is the concatenated ascending positions across the
+    term's docs; `tfs` gives the per-doc span lengths (the posting
+    list's tf array). First position of each doc is stored absolute."""
+    p = np.asarray(pos_abs, dtype=np.uint64)
+    if len(p) == 0:
+        return b""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.cumsum(tfs) - tfs
+    deltas = np.empty_like(p)
+    deltas[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=deltas[1:])
+    deltas[starts] = p[starts]
+    return varint_encode(deltas)
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` → absolute positions."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    deltas = varint_decode(blob, total)
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64)
+    c = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.cumsum(tfs) - tfs
+    base = c[starts] - deltas[starts]
+    return c - np.repeat(base, tfs)
+
+
 def block_metadata(
     doc_ids: np.ndarray, tf_component: np.ndarray
 ) -> tuple[bytes, bytes]:

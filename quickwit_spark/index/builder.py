@@ -62,6 +62,7 @@ KIND_POSTINGS = "postings"
 KIND_NORMS = "norms"
 KIND_STATS = "stats"
 KIND_SEG = "seg"
+KIND_POS = "pos"  # per-term token-position streams (record: position)
 
 
 @dataclass
@@ -197,6 +198,13 @@ def _build_field_rows(
     order = np.argsort(codes, kind="stable")
     c = codes[order]
     d = doc_idx[order].astype(np.int32, copy=False)
+    sorted_pos = None
+    if fld.record == "position":
+        # token position within its doc; stable sort keeps positions
+        # ascending inside every (term, doc) run
+        doc_starts = np.cumsum(lens) - lens
+        tok_pos = np.arange(total_tokens, dtype=np.int64) - doc_starts[doc_idx]
+        sorted_pos = tok_pos[order].astype(np.uint64)
     # run-length (term, doc) → tf
     new_run = np.empty(len(c), dtype=bool)
     new_run[0] = True
@@ -232,6 +240,17 @@ def _build_field_rows(
         postings_meta = ""
     tf_blobs = varint_encode_grouped(tfs, group_starts)
 
+    pos_blobs = None
+    if sorted_pos is not None:
+        # per-doc delta-gap over the sorted position stream, sliced per
+        # term (reset at every (term, doc) run start)
+        pos_deltas = np.empty_like(sorted_pos)
+        pos_deltas[1:] = sorted_pos[1:] - sorted_pos[:-1]
+        pos_deltas[run_starts] = sorted_pos[run_starts]
+        term_token_starts = run_starts[group_starts]
+        pos_blobs = varint_encode_grouped(pos_deltas, term_token_starts)
+        term_token_counts = np.diff(np.append(term_token_starts, len(c)))
+
     # block-max metadata from the segment's own stats (k1/b baked at build,
     # like the reference's tantivy block-max structures)
     avgdl = np.float32(total_tokens) / np.float32(n)
@@ -258,6 +277,21 @@ def _build_field_rows(
                 "meta": postings_meta,
             }
         )
+        if pos_blobs is not None:
+            rows.append(
+                {
+                    "segment_id": segment_id,
+                    "kind": KIND_POS,
+                    "field": fld.name,
+                    "term": term_values[i],
+                    "doc_freq": int(term_token_counts[i]),
+                    "payload1": pos_blobs[i],
+                    "payload2": b"",
+                    "block_last": b"",
+                    "block_max": b"",
+                    "meta": "",
+                }
+            )
     return rows, stats
 
 

@@ -47,7 +47,9 @@ from pyspark.sql import functions as F
 from quickwit_spark.codec.norms import id_to_fieldnorm
 from quickwit_spark.codec.postings import (
     block_metadata,
+    decode_positions,
     decode_postings,
+    encode_positions,
     encode_postings,
     varint_decode,
     varint_encode,
@@ -56,6 +58,7 @@ from quickwit_spark.index import manifest as mf
 from quickwit_spark.index.builder import (
     INV_SCHEMA,
     KIND_NORMS,
+    KIND_POS,
     KIND_POSTINGS,
     KIND_SEG,
     KIND_STATS,
@@ -209,12 +212,9 @@ def execute_merge(
     )
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        fld, term, kind = key[0], key[1], key[2]
+        fld, term = key[0], key[1]
         pdf = pdf.sort_values("segment_id")
-        if kind == KIND_STATS or kind == KIND_SEG:
-            return pd.DataFrame(
-                columns="segment_id kind field term doc_freq payload1 payload2 block_last block_max meta".split()
-            )
+        kind = KIND_NORMS if (pdf["kind"] == KIND_NORMS).all() else KIND_POSTINGS
         if kind == KIND_NORMS:
             id_parts, len_parts = [], []
             for _, r in pdf.iterrows():
@@ -246,10 +246,16 @@ def execute_merge(
                     }
                 ]
             )
-        # postings: decode each input row, re-base, concat (inputs sorted
-        # by segment_id ⇒ ascending rebased docids), re-encode in chunks
-        docs_parts, tf_parts = [], []
-        for _, r in pdf.iterrows():
+        # postings (+ positions): decode each input row, re-base, concat
+        # (inputs sorted by segment_id ⇒ ascending rebased docids),
+        # re-encode in chunks
+        pos_by_seg = {
+            r["segment_id"]: r["payload1"]
+            for _, r in pdf[pdf["kind"] == KIND_POS].iterrows()
+        }
+        docs_parts, tf_parts, pos_parts = [], [], []
+        have_pos = bool(pos_by_seg)
+        for _, r in pdf[pdf["kind"] == KIND_POSTINGS].iterrows():
             if r["meta"] == "bp":  # bitpacked input row
                 from quickwit_spark.codec.bitpack import bitpack_decode
 
@@ -259,6 +265,9 @@ def execute_merge(
             else:
                 d, t = decode_postings(r["payload1"], r["payload2"], r["doc_freq"])
             d = d.astype(np.int64)
+            p_abs = None
+            if have_pos:
+                p_abs = decode_positions(pos_by_seg.get(r["segment_id"], b""), t)
             dele = tomb.get(r["segment_id"])
             if dele is not None and len(dele):
                 # drop doomed docids; shift survivors down by the number
@@ -267,12 +276,17 @@ def execute_merge(
                 is_del = (pos < len(dele)) & (
                     dele[np.minimum(pos, len(dele) - 1)] == d
                 )
+                if p_abs is not None:
+                    p_abs = p_abs[np.repeat(~is_del, t)]
                 d, t, pos = d[~is_del], t[~is_del], pos[~is_del]
                 d = d - pos
             docs_parts.append(d + offsets[r["segment_id"]])
             tf_parts.append(t)
-        docids = np.concatenate(docs_parts)
-        tfs = np.concatenate(tf_parts)
+            if p_abs is not None:
+                pos_parts.append(p_abs)
+        docids = np.concatenate(docs_parts) if docs_parts else np.zeros(0, np.int64)
+        tfs = np.concatenate(tf_parts) if tf_parts else np.zeros(0, np.uint32)
+        pos_all = np.concatenate(pos_parts) if have_pos and pos_parts else None
         if len(docids) == 0:
             return pd.DataFrame(
                 columns="segment_id kind field term doc_freq payload1 payload2 block_last block_max meta".split()
@@ -285,6 +299,10 @@ def execute_merge(
         tf32 = tfs.astype(np.float32)
         comp = tf32 / (tf32 + np.float32(k1) * np.float32(1.0 - b))
         rows = []
+        pcs = None
+        if pos_all is not None:
+            pcs = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=pcs[1:])
         for lo in range(0, len(docids), chunk_target_docs):
             sl = slice(lo, min(lo + chunk_target_docs, len(docids)))
             p1, p2 = encode_postings(docids[sl].astype(np.uint64), tfs[sl])
@@ -303,15 +321,34 @@ def execute_merge(
                     "meta": "",
                 }
             )
+            if pcs is not None:
+                # positions chunk aligned with this docid chunk; meta
+                # carries the chunk's first docid so readers re-order
+                # position chunks exactly like posting chunks
+                pslice = pos_all[pcs[sl.start] : pcs[sl.stop]]
+                rows.append(
+                    {
+                        "segment_id": new_segment_id,
+                        "kind": KIND_POS,
+                        "field": fld,
+                        "term": term,
+                        "doc_freq": int(len(pslice)),
+                        "payload1": encode_positions(pslice, tfs[sl]),
+                        "payload2": b"",
+                        "block_last": b"",
+                        "block_max": b"",
+                        "meta": f"{int(docids[sl.start]):020d}",
+                    }
+                )
         return pd.DataFrame(rows)
 
     salt_map = F.create_map(
         *[x for sid, bkt in bucket_of.items() for x in (F.lit(sid), F.lit(bkt))]
     )
     merged = (
-        inv.filter(F.col("kind").isin([KIND_POSTINGS, KIND_NORMS]))
+        inv.filter(F.col("kind").isin([KIND_POSTINGS, KIND_NORMS, KIND_POS]))
         .withColumn("_salt", salt_map[F.col("segment_id")])
-        .groupBy("field", "term", "kind", "_salt")
+        .groupBy("field", "term", "_salt")
         .applyInPandas(lambda key, pdf: merge_group(key, pdf), INV_SCHEMA)
     )
     stats_rows = [

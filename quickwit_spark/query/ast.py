@@ -52,6 +52,16 @@ class FullText(QueryAst):
 
 
 @dataclass(frozen=True)
+class Phrase(QueryAst):
+    """Exact-adjacency phrase over a position-indexed field
+    (reference FullTextMode::Phrase, requires `record: position` —
+    errors otherwise like `full_text_query.rs:140-147`). slop=0 only."""
+
+    field: str
+    text: str
+
+
+@dataclass(frozen=True)
 class Range(QueryAst):
     """Range over a fast (docmap) column; bounds are python values."""
 
@@ -123,7 +133,7 @@ def collect_fulltext_terms(ast: QueryAst, tokenizer_for_field) -> list[tuple[str
             out.append((node.field, node.value))
         elif isinstance(node, TermSet):
             out.extend((node.field, v) for v in node.values)
-        elif isinstance(node, FullText):
+        elif isinstance(node, (FullText, Phrase)):
             fn = tokenizer_for_field(node.field)
             out.extend((node.field, t) for t in fn(node.text))
         elif isinstance(node, Bool):

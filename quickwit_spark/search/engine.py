@@ -37,6 +37,7 @@ from quickwit_spark.analysis import get_tokenizer
 from quickwit_spark.index import manifest as mf
 from quickwit_spark.index.builder import (
     KIND_NORMS,
+    KIND_POS,
     KIND_POSTINGS,
     KIND_STATS,
     IndexConfig,
@@ -46,6 +47,7 @@ from quickwit_spark.query.ast import (
     Boost,
     FullText,
     MatchAll,
+    Phrase,
     QueryAst,
     Range,
     Regex,
@@ -70,6 +72,19 @@ def _wildcard_to_regex(pattern: str) -> str:
         else:
             out.append(_re.escape(ch))
     return "".join(out)
+
+
+def _has_phrase(node: QueryAst) -> bool:
+    if isinstance(node, Phrase):
+        return True
+    if isinstance(node, Bool):
+        return any(
+            _has_phrase(c)
+            for c in (*node.must, *node.must_not, *node.should, *node.filter)
+        )
+    if isinstance(node, Boost):
+        return _has_phrase(node.query)
+    return False
 
 
 class IndexSearcher:
@@ -287,6 +302,10 @@ class IndexSearcher:
         inv = base.filter(
             (F.col("kind") == KIND_POSTINGS) & F.col("term").isin(tvals)
         ).unionByName(base.filter(F.col("kind").isin([KIND_NORMS, KIND_STATS])))
+        if _has_phrase(ast):
+            inv = inv.unionByName(
+                base.filter((F.col("kind") == KIND_POS) & F.col("term").isin(tvals))
+            )
         cfg_fields = {f.name: f.tokenizer for f in self.config.fields}
         k1, b = self.config.k1, self.config.b
 

@@ -32,6 +32,7 @@ from quickwit_spark.codec.norms import id_to_fieldnorm
 from quickwit_spark.codec.postings import (
     BLOCK_SIZE,
     decode_block_metadata,
+    decode_positions,
     decode_postings,
     varint_decode,
 )
@@ -48,6 +49,7 @@ from quickwit_spark.query.ast import (
     FullText,
     MatchAll,
     MatchNone,
+    Phrase,
     QueryAst,
     Term,
     TermSet,
@@ -65,6 +67,9 @@ class SegmentData:
     norms: dict = dc_field(default_factory=dict)
     # field -> {"doc_count": int, "total_tokens": int}
     stats: dict = dc_field(default_factory=dict)
+    # (field, term) -> absolute token positions aligned with the
+    # postings entry's (docids, tfs) spans (record: position only)
+    positions: dict = dc_field(default_factory=dict)
 
     @staticmethod
     def from_rows(segment_id: str, rows) -> "SegmentData":
@@ -79,9 +84,16 @@ class SegmentData:
         seg = SegmentData(segment_id=segment_id, num_docs=0)
         post_chunks: dict = {}
         norm_chunks: dict = {}
+        pos_chunks: dict = {}
         for r in rows:
             kind = r["kind"]
-            if kind == "postings":
+            if kind == "pos":
+                # chunk order marker in meta (zero-padded first docid;
+                # single-row build output has meta="")
+                pos_chunks.setdefault((r["field"], r["term"]), []).append(
+                    (r.get("meta") or "", r["payload1"], r["doc_freq"])
+                )
+            elif kind == "postings":
                 if r.get("meta") == "bp":  # bitpacked docid deltas
                     from quickwit_spark.codec.bitpack import bitpack_decode
 
@@ -111,13 +123,16 @@ class SegmentData:
                 )
             elif kind == "stats":
                 seg.stats[r["field"]] = json.loads(r["meta"])
+        chunk_tfs: dict = {}
         for key, chunks in post_chunks.items():
             if len(chunks) == 1:
                 seg.postings[key] = chunks[0]
+                chunk_tfs[key] = [chunks[0][1]]
             else:
                 chunks.sort(key=lambda c: int(c[0][0]) if len(c[0]) else -1)
                 docids = np.concatenate([c[0] for c in chunks])
                 tfs = np.concatenate([c[1] for c in chunks])
+                chunk_tfs[key] = [c[1] for c in chunks]
                 # chunk boundaries break the uniform 128-doc block layout
                 # the WAND kernel assumes — rebuild block metadata with the
                 # norm-free upper bound tf/(tf + k1*(1-b)) (always valid)
@@ -125,6 +140,17 @@ class SegmentData:
                 comp = tf32 / (tf32 + np.float32(1.2 * (1.0 - 0.75)))
                 bl, bm = _block_meta(docids, comp)
                 seg.postings[key] = (docids, tfs, bl, bm)
+        for key, pchunks in pos_chunks.items():
+            tf_list = chunk_tfs.get(key)
+            if tf_list is None or len(pchunks) != len(tf_list):
+                continue  # positions without matching postings: ignore
+            pchunks.sort(key=lambda c: c[0])
+            seg.positions[key] = np.concatenate(
+                [
+                    decode_positions(blob, tfs_i)
+                    for (_, blob, _n), tfs_i in zip(pchunks, tf_list)
+                ]
+            )
         for fld, chunks in norm_chunks.items():
             chunks.sort(key=lambda c: c[0])
             seg.norms[fld] = (
@@ -236,6 +262,8 @@ def _eval(ctx: _Ctx, node: QueryAst, boost: float):
             counts[docids] += 1
         mask = counts >= (len(terms) if op == "and" else 1)
         return mask, scores
+    if isinstance(node, Phrase):
+        return _eval_phrase(ctx, node, boost)
     if isinstance(node, Exists):
         # fixed schema: text fields always present → docs with norms row
         mask = np.ones(N, bool)
@@ -270,6 +298,73 @@ def _eval(ctx: _Ctx, node: QueryAst, boost: float):
             mask = mask & ~m
         return mask, scores
     raise NotImplementedError(f"unsupported node {type(node).__name__}")
+
+
+def _eval_phrase(ctx: _Ctx, node: Phrase, boost: float):
+    """Exact-adjacency phrase match (slop=0) with phrase-frequency BM25
+    scoring: tf(doc) = #phrase occurrences, df = #docs with ≥1
+    occurrence — the reference's positional PhraseQuery semantics."""
+    N = ctx.seg.num_docs
+    toks = ctx.tokenizer_for_field(node.field)(node.text)
+    empty = (np.zeros(N, bool), np.zeros(N, ctx.dtype))
+    if not toks:
+        return empty
+    entries = []
+    for t in toks:
+        e = ctx.seg.postings.get((node.field, t))
+        if e is None:
+            return empty
+        p = ctx.seg.positions.get((node.field, t))
+        if p is None:
+            raise NotImplementedError(
+                f"phrase query on {node.field!r} requires record: position"
+            )
+        entries.append((e[0], e[1], p))
+    if len(toks) == 1:
+        docids, tfs, _ = entries[0]
+        n, avgdl = ctx.field_stats(node.field)
+        w = bm25_weight(len(docids), n, boost, ctx.dtype)
+        dl = ctx.doc_lens(node.field)[docids]
+        scores = np.zeros(N, ctx.dtype)
+        scores[docids] = w * tf_component(tfs, dl, avgdl, ctx.dtype)
+        mask = np.zeros(N, bool)
+        mask[docids] = True
+        return mask, scores
+    # candidate docs = intersection of all term posting lists
+    cand = entries[0][0]
+    for d, _, _ in entries[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+    if len(cand) == 0:
+        return empty
+    # per-term per-doc position spans for the candidates
+    spans = []
+    for d, tfs, pos in entries:
+        ends = np.cumsum(tfs)
+        idx = np.searchsorted(d, cand)
+        spans.append([(int(ends[i] - tfs[i]), int(ends[i])) for i in idx])
+    counts = np.zeros(len(cand), np.int64)
+    for ci in range(len(cand)):
+        lo, hi = spans[0][ci]
+        cur = entries[0][2][lo:hi] + np.uint64(1)
+        for ti in range(1, len(entries)):
+            lo, hi = spans[ti][ci]
+            cur = np.intersect1d(
+                cur, entries[ti][2][lo:hi], assume_unique=True
+            ) + np.uint64(1)
+            if len(cur) == 0:
+                break
+        counts[ci] = len(cur)
+    hit = counts > 0
+    docids = cand[hit].astype(np.uint32)
+    mask = np.zeros(N, bool)
+    scores = np.zeros(N, ctx.dtype)
+    if len(docids):
+        n, avgdl = ctx.field_stats(node.field)
+        w = bm25_weight(len(docids), n, boost, ctx.dtype)
+        dl = ctx.doc_lens(node.field)[docids]
+        mask[docids] = True
+        scores[docids] = w * tf_component(counts[hit], dl, avgdl, ctx.dtype)
+    return mask, scores
 
 
 def _wand_candidates(ctx: _Ctx, terms, k: int):

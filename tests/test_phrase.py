@@ -1,0 +1,125 @@
+"""Positional indexing (record: position) + phrase queries."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from quickwit_spark.codec.postings import decode_positions, encode_positions
+from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+from quickwit_spark.index.merge import MergePolicy, run_merges
+from quickwit_spark.query.ast import Bool, Phrase, Term
+from quickwit_spark.search.engine import IndexSearcher
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=20),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_positions_codec_roundtrip(doc_pos):
+    # positions ascending within each doc
+    doc_pos = [sorted(set(p)) for p in doc_pos]
+    doc_pos = [p for p in doc_pos if p]
+    flat = np.array([x for p in doc_pos for x in p], dtype=np.uint64)
+    tfs = np.array([len(p) for p in doc_pos], dtype=np.uint64)
+    got = decode_positions(encode_positions(flat, tfs), tfs)
+    assert list(got) == list(flat)
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "quick brown foxes are quick brown animals"),
+    (2, "brown quick is not quick brown"),
+    (3, "nothing relevant here at all"),
+    (4, "a quick brown quick brown quick brown repetition"),
+]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("posidx"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", record="position")],
+        doc_key="doc_id",
+        num_partitions=1,
+    )
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, df, d, cfg)
+    return d
+
+
+def _phrase_oracle(phrase: str) -> dict[int, int]:
+    toks = phrase.split()
+    out = {}
+    for did, text in DOCS:
+        words = text.split()
+        c = sum(
+            1
+            for i in range(len(words) - len(toks) + 1)
+            if words[i : i + len(toks)] == toks
+        )
+        if c:
+            out[did] = c
+    return out
+
+
+def test_phrase_matches_and_counts(spark, pos_index):
+    s = IndexSearcher(spark, pos_index)
+    for phrase in ("quick brown", "brown quick", "the lazy dog", "quick brown quick"):
+        got = {
+            r["doc_key"]
+            for r in s.search_stream(Phrase("text", phrase), []).collect()
+        }
+        assert got == set(_phrase_oracle(phrase)), phrase
+    # single-term phrase behaves like a term query
+    got = {r["doc_key"] for r in s.search_stream(Phrase("text", "fox"), []).collect()}
+    assert got == {0}
+    # no match
+    assert s.count(Phrase("text", "lazy fox")) == 0
+
+
+def test_phrase_frequency_scoring(spark, pos_index):
+    """Doc 4 has 'quick brown' 3×; higher phrase-tf ranks it first."""
+    s = IndexSearcher(spark, pos_index)
+    hits = s.search(Phrase("text", "quick brown"), k=10).collect()
+    assert hits[0]["doc_key"] == 4
+
+
+def test_phrase_in_bool_and_after_merge(spark, pos_index, tmp_path_factory):
+    s = IndexSearcher(spark, pos_index)
+    ast = Bool(must=[Phrase("text", "quick brown")], must_not=[Term("text", "fox")])
+    got = {r["doc_key"] for r in s.search_stream(ast, []).collect()}
+    assert got == set(_phrase_oracle("quick brown")) - {0}
+
+    # positions survive a merge: two slices → merge → same phrase results
+    d = str(tmp_path_factory.mktemp("posmerge"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", record="position")],
+        doc_key="doc_id",
+        num_partitions=1,
+    )
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, df.filter(F.col("doc_id") < 2), d, cfg, job_id="a")
+    build_index(spark, df.filter(F.col("doc_id") >= 2), d, cfg, job_id="b")
+    recs = run_merges(spark, d, MergePolicy(merge_factor=2, max_merge_factor=2))
+    assert len(recs) == 1
+    sm = IndexSearcher(spark, d)
+    for phrase in ("quick brown", "brown quick", "quick brown quick"):
+        got = {
+            r["doc_key"]
+            for r in sm.search_stream(Phrase("text", phrase), []).collect()
+        }
+        assert got == set(_phrase_oracle(phrase)), phrase
+
+
+def test_phrase_without_positions_errors(spark, sf_dir, tmp_path):
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=1)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, df, d, cfg)
+    s = IndexSearcher(spark, d)
+    with pytest.raises(Exception, match="position"):
+        s.count(Phrase("text", "quick brown"))
