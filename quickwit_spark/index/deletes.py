@@ -10,16 +10,25 @@ publishes a rewritten segment with refreshed BM25 statistics.
 
 Mechanics here:
 - `delete_by_query` resolves the query to concrete (segment_id, doc_id)
-  tombstones (one search job), writes them under `<index>/deletes/`,
-  and commits a `delete` manifest record carrying per-(segment, field)
+  tombstones (one search job), anti-joins them against tombstones
+  already recorded by earlier ops (so overlapping delete queries count
+  each doc EXACTLY ONCE), writes only the new ones under
+  `<index>/deletes/opstamp=<n>/` (a direct partition-directory write —
+  never a static overwrite that would truncate sibling opstamps), and
+  commits a `delete` manifest record carrying per-(segment, field)
   corrections (deleted docs + their exact token counts, decoded from
-  the norms sidecar) so the rewrite can compute exact post-delete
-  stats without re-reading anything.
+  the norms sidecar BY A SPARK JOB — only the tiny per-(segment,field)
+  totals ever reach the driver).
 - `plan_delete_rewrites` emits one single-input merge op per affected
   segment (the janitor's stale-opstamp planning).
-- `execute_merge(..., tombstones=...)` (merge.py) drops doomed docids,
+- `execute_merge(..., apply_deletes=True)` (merge.py) drops doomed docids,
   shifts the survivors down (searchsorted compaction), rewrites norms
   and the docmap with the same mapping, and publishes corrected stats.
+  The doomed-docid sets themselves never transit the driver: they are
+  COMPACTED into a per-op parquet sidecar by `compact_tombstones` (a
+  distributed job) and lazily memory-mapped by each executor via
+  `load_tombstones` (per-process cache) — the 10⁸-doc delete stays on
+  the executors.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -35,6 +45,7 @@ from quickwit_spark.codec.postings import varint_decode
 from quickwit_spark.index import manifest as mf
 
 DELETES_DIR = "deletes"
+COMPACT_DIR = "deletes_compact"
 
 
 def _next_opstamp(index_dir: str) -> int:
@@ -43,6 +54,13 @@ def _next_opstamp(index_dir: str) -> int:
         if c["kind"] == "delete":
             ops.extend(int(k) for k in (c.get("checkpoint") or {}))
     return max(ops) + 1
+
+
+def _has_tombstones(index_dir: str) -> bool:
+    d = os.path.join(index_dir, DELETES_DIR)
+    return os.path.isdir(d) and any(
+        n.startswith("opstamp=") for n in os.listdir(d)
+    )
 
 
 def delete_by_query(searcher, query, time_range=None) -> int:
@@ -57,43 +75,81 @@ def delete_by_query(searcher, query, time_range=None) -> int:
         "segment_id", "doc_id"
     )
     out_dir = os.path.join(index_dir, DELETES_DIR)
-    (
-        doomed.withColumn("opstamp", F.lit(opstamp))
-        .write.mode("overwrite")
-        .partitionBy("opstamp")
-        .parquet(out_dir)
-    )
+    if _has_tombstones(index_dir):
+        # overlapping delete queries may match docs an earlier op already
+        # doomed — record each doc once so stat corrections never
+        # double-subtract (ADVICE: corrections_for summed across opstamps)
+        prior = spark.read.parquet(out_dir).select("segment_id", "doc_id")
+        doomed = doomed.join(prior, ["segment_id", "doc_id"], "left_anti")
+    # write straight into this op's partition directory: a static
+    # `.mode('overwrite').partitionBy('opstamp')` would truncate ALL
+    # sibling opstamp partitions in a fresh session (ADVICE high)
+    doomed.write.mode("overwrite").parquet(f"{out_dir}/opstamp={opstamp}")
+
+    new_tomb = spark.read.parquet(f"{out_dir}/opstamp={opstamp}")
+    seg_counts = {
+        r["segment_id"]: r["n"]
+        for r in new_tomb.groupBy("segment_id").agg(F.count("*").alias("n")).collect()
+    }
 
     # per-(segment, field) corrections: #docs and Σ exact token lengths
-    # of the doomed docs, decoded from the norms rows
-    doomed_pdf = (
-        spark.read.parquet(f"{out_dir}/opstamp={opstamp}")
-        .groupBy("segment_id")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .toPandas()
-    )
-    by_seg = {
-        r["segment_id"]: np.sort(np.asarray(r["ids"], dtype=np.int64))
-        for _, r in doomed_pdf.iterrows()
-    }
+    # of the doomed docs, decoded from the norms rows — computed as a
+    # cogrouped Spark job (norm blobs and doomed-id sets stay on the
+    # executors; only one tiny totals row per (segment, field) returns)
     corrections: dict[str, dict] = {}
-    if by_seg:
-        norm_rows = (
+    if seg_counts:
+        norms = (
             searcher.inv()
             .filter(
                 (F.col("kind") == "norms")
-                & F.col("segment_id").isin(list(by_seg))
+                & F.col("segment_id").isin(list(seg_counts))
             )
-            .select("segment_id", "field", "doc_freq", "payload2")
+            .select("segment_id", "field", "term", "doc_freq", "payload2")
+        )
+
+        def corr_fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            sid = key[0]
+            ids = np.sort(right["doc_id"].to_numpy(dtype=np.int64))
+            out = []
+            by_field: dict[str, dict] = {}
+            for _, r in left.iterrows():
+                lens = varint_decode(r["payload2"], r["doc_freq"])
+                # chunked norms rows carry their docid-range start in the
+                # term column ("" == 0 for single-row build output)
+                start = int(r["term"]) if r["term"] else 0
+                sel = ids[(ids >= start) & (ids < start + len(lens))]
+                agg = by_field.setdefault(
+                    r["field"], {"deleted_docs": 0, "deleted_tokens": 0}
+                )
+                agg["deleted_docs"] += int(len(sel))
+                agg["deleted_tokens"] += int(lens[sel - start].sum())
+            for fld, agg in by_field.items():
+                out.append(
+                    {
+                        "segment_id": sid,
+                        "field": fld,
+                        "deleted_docs": agg["deleted_docs"],
+                        "deleted_tokens": agg["deleted_tokens"],
+                    }
+                )
+            return pd.DataFrame(
+                out,
+                columns=["segment_id", "field", "deleted_docs", "deleted_tokens"],
+            )
+
+        corr_rows = (
+            norms.groupBy("segment_id")
+            .cogroup(new_tomb.groupBy("segment_id"))
+            .applyInPandas(
+                corr_fn,
+                "segment_id string, field string, deleted_docs long, deleted_tokens long",
+            )
             .collect()
         )
-        for r in norm_rows:
-            lens = varint_decode(r["payload2"], r["doc_freq"])
-            ids = by_seg[r["segment_id"]]
-            ids = ids[ids < len(lens)]
+        for r in corr_rows:
             corrections.setdefault(r["segment_id"], {})[r["field"]] = {
-                "deleted_docs": int(len(ids)),
-                "deleted_tokens": int(lens[ids].sum()),
+                "deleted_docs": int(r["deleted_docs"]),
+                "deleted_tokens": int(r["deleted_tokens"]),
             }
     mf.commit(
         index_dir,
@@ -101,7 +157,7 @@ def delete_by_query(searcher, query, time_range=None) -> int:
         checkpoint={
             str(opstamp): {
                 "query": repr(query),
-                "segments": {s: int(len(v)) for s, v in by_seg.items()},
+                "segments": {s: int(n) for s, n in seg_counts.items()},
                 "corrections": corrections,
             }
         },
@@ -120,26 +176,85 @@ def pending_deletes(index_dir: str) -> dict[int, dict]:
     return out
 
 
-def tombstones_for(spark: SparkSession, index_dir: str, segment_ids: list[str]):
-    """{segment_id: sorted int64 doomed doc_ids} across all delete ops."""
+_TOMB_CHUNK = 1 << 20  # ids per compact row — keeps parquet cells bounded
+
+
+def compact_tombstones(
+    spark: SparkSession, index_dir: str, segment_ids: list[str], out_path: str
+) -> dict[str, int]:
+    """Distributed compaction of all pending tombstones for `segment_ids`
+    into sorted-unique int64 blobs at `out_path` (rows: segment_id,
+    start_rank, n, ids-binary). Returns {segment_id: tombstone_count} —
+    the only thing that reaches the driver. Idempotent (overwrite)."""
     d = os.path.join(index_dir, DELETES_DIR)
-    if not os.path.isdir(d):
+    if not _has_tombstones(index_dir):
         return {}
-    pdf = (
+
+    def compact(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(pdf["doc_id"].to_numpy(dtype=np.int64))
+        rows = []
+        for lo in range(0, len(ids), _TOMB_CHUNK):
+            part = ids[lo : lo + _TOMB_CHUNK]
+            rows.append(
+                {
+                    "segment_id": key[0],
+                    "start_rank": lo,
+                    "n": len(part),
+                    "ids": part.tobytes(),
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["segment_id", "start_rank", "n", "ids"]
+        )
+
+    (
         spark.read.parquet(d)
         .filter(F.col("segment_id").isin(segment_ids))
         .groupBy("segment_id")
-        .agg(F.collect_set("doc_id").alias("ids"))
-        .toPandas()
+        .applyInPandas(
+            compact, "segment_id string, start_rank long, n long, ids binary"
+        )
+        .write.mode("overwrite")
+        .parquet(out_path)
     )
     return {
-        r["segment_id"]: np.sort(np.asarray(r["ids"], dtype=np.int64))
-        for _, r in pdf.iterrows()
+        r["segment_id"]: r["total"]
+        for r in spark.read.parquet(out_path)
+        .groupBy("segment_id")
+        .agg(F.sum("n").alias("total"))
+        .collect()
     }
 
 
+_TOMB_CACHE: dict[str, dict] = {}
+
+
+def load_tombstones(path: str) -> dict[str, np.ndarray]:
+    """Executor-side lazy load of a compact tombstone sidecar:
+    {segment_id: sorted int64 doc_ids}. Cached per python worker process
+    so a sidecar is read once per executor, not once per task."""
+    cached = _TOMB_CACHE.get(path)
+    if cached is not None:
+        return cached
+    out: dict[str, np.ndarray] = {}
+    if os.path.isdir(path):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path).to_pandas()
+        for sid, g in tbl.groupby("segment_id", sort=False):
+            g = g.sort_values("start_rank")
+            out[sid] = np.concatenate(
+                [np.frombuffer(b, dtype=np.int64) for b in g["ids"]]
+            )
+    _TOMB_CACHE[path] = out
+    return out
+
+
 def corrections_for(index_dir: str, segment_ids: list[str]) -> dict[str, dict]:
-    """Merged per-(segment, field) stat corrections across delete ops."""
+    """Merged per-(segment, field) stat corrections across delete ops.
+    Safe to sum across opstamps: delete_by_query anti-joins new
+    tombstones against prior ones, so each doomed doc's stats appear in
+    exactly one op's corrections."""
     out: dict[str, dict] = {}
     for rec in pending_deletes(index_dir).values():
         for seg, fields in (rec.get("corrections") or {}).items():

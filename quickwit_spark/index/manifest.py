@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 from dataclasses import asdict, dataclass, field
 
@@ -66,13 +67,34 @@ def next_seq(index_dir: str) -> int:
     return max(int(f.split("-")[1]) for f in files) + 1
 
 
+_COMMIT_LOCK = threading.Lock()
+
+
 def commit(
     index_dir: str,
     records: list[SegmentRecord],
     checkpoint: dict | None = None,
     kind: str = "build",
 ) -> str:
-    """Atomically append a commit (segment records + source checkpoint)."""
+    """Atomically append a commit (segment records + source checkpoint).
+
+    Serialized under a process lock: concurrent merge threads
+    (merge.run_merges' ThreadPoolExecutor) would otherwise race
+    next_seq's read-then-write and emit duplicate sequence numbers.
+    Cross-process writers still get atomicity from tmp+rename and
+    uniqueness from the uuid suffix; ties on seq are resolved by
+    filename order, so same-process serialization keeps seq unique
+    where it matters."""
+    with _COMMIT_LOCK:
+        return _commit_locked(index_dir, records, checkpoint, kind)
+
+
+def _commit_locked(
+    index_dir: str,
+    records: list[SegmentRecord],
+    checkpoint: dict | None,
+    kind: str,
+) -> str:
     d = _manifest_dir(index_dir)
     os.makedirs(d, exist_ok=True)
     seq = next_seq(index_dir)

@@ -165,12 +165,26 @@ def execute_merge(
     inputs.sort(key=lambda s: s.segment_id)
     new_segment_id = op.op_id
 
-    tomb: dict = {}
+    # tombstones stay distributed: a Spark job compacts them into a
+    # per-op parquet sidecar; merge tasks lazily load it executor-side
+    # (deletes.load_tombstones, per-process cached). Only the per-segment
+    # COUNTS reach the driver (needed for docid re-basing offsets).
+    tomb_path = ""
+    tomb_counts: dict[str, int] = {}
     corrections: dict = {}
     if apply_deletes:
-        from quickwit_spark.index.deletes import corrections_for, tombstones_for
+        from quickwit_spark.index.deletes import (
+            COMPACT_DIR,
+            compact_tombstones,
+            corrections_for,
+        )
 
-        tomb = tombstones_for(spark, index_dir, [s.segment_id for s in inputs])
+        path = f"{index_dir}/{COMPACT_DIR}/{op.op_id}"
+        tomb_counts = compact_tombstones(
+            spark, index_dir, [s.segment_id for s in inputs], path
+        )
+        if tomb_counts:
+            tomb_path = path
         corrections = corrections_for(index_dir, [s.segment_id for s in inputs])
 
     # docid offsets per input segment (re-basing over LIVE doc counts),
@@ -179,7 +193,7 @@ def execute_merge(
     acc = 0
     for s in inputs:
         offsets[s.segment_id] = acc
-        acc += s.num_docs - len(tomb.get(s.segment_id, ()))
+        acc += s.num_docs - tomb_counts.get(s.segment_id, 0)
     num_docs = acc
     field_stats: dict[str, dict] = {}
     for s in inputs:
@@ -212,78 +226,108 @@ def execute_merge(
     )
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from quickwit_spark.index.deletes import load_tombstones
+
         fld, term = key[0], key[1]
         pdf = pdf.sort_values("segment_id")
+        tomb = load_tombstones(tomb_path) if tomb_path else {}
         kind = KIND_NORMS if (pdf["kind"] == KIND_NORMS).all() else KIND_POSTINGS
         if kind == KIND_NORMS:
-            id_parts, len_parts = [], []
-            for _, r in pdf.iterrows():
+            # norms rows may be CHUNKED (a prior merge's output): the term
+            # column carries the chunk's docid start within its input
+            # segment ("" == 0). Emit one rebased chunk row per input row —
+            # start marker = segment offset + old start − deletions below it
+            out_rows = []
+            for _, r in pdf.sort_values(["segment_id", "term"]).iterrows():
+                sid = r["segment_id"]
+                chunk_start = int(r["term"]) if r["term"] else 0
                 ids_r = np.frombuffer(r["payload1"], dtype=np.uint8)
                 lens_r = varint_decode(r["payload2"], r["doc_freq"])
-                dele = tomb.get(r["segment_id"])
+                dele = tomb.get(sid)
+                new_start = offsets[sid] + chunk_start
                 if dele is not None and len(dele):
-                    keep = np.ones(len(ids_r), dtype=bool)
-                    keep[dele[dele < len(ids_r)]] = False
-                    ids_r, lens_r = ids_r[keep], lens_r[keep]
-                id_parts.append(ids_r)
-                len_parts.append(lens_r)
-            ids = np.concatenate(id_parts)
-            lens = np.concatenate(len_parts)
-            start = offsets[pdf["segment_id"].iloc[0]]
-            return pd.DataFrame(
-                [
+                    abs_ids = chunk_start + np.arange(len(ids_r), dtype=np.int64)
+                    posn = np.searchsorted(dele, abs_ids)
+                    is_del = (posn < len(dele)) & (
+                        dele[np.minimum(posn, len(dele) - 1)] == abs_ids
+                    )
+                    ids_r, lens_r = ids_r[~is_del], lens_r[~is_del]
+                    new_start -= int(np.searchsorted(dele, chunk_start))
+                if len(ids_r) == 0:
+                    continue
+                out_rows.append(
                     {
                         "segment_id": new_segment_id,
                         "kind": KIND_NORMS,
                         "field": fld,
-                        "term": f"{start:020d}",
-                        "doc_freq": len(ids),
-                        "payload1": ids.tobytes(),
-                        "payload2": varint_encode(lens),
+                        "term": f"{new_start:020d}",
+                        "doc_freq": len(ids_r),
+                        "payload1": ids_r.tobytes(),
+                        "payload2": varint_encode(lens_r),
                         "block_last": b"",
                         "block_max": b"",
                         "meta": "",
                     }
-                ]
-            )
-        # postings (+ positions): decode each input row, re-base, concat
-        # (inputs sorted by segment_id ⇒ ascending rebased docids),
-        # re-encode in chunks
-        pos_by_seg = {
-            r["segment_id"]: r["payload1"]
-            for _, r in pdf[pdf["kind"] == KIND_POS].iterrows()
-        }
-        docs_parts, tf_parts, pos_parts = [], [], []
-        have_pos = bool(pos_by_seg)
-        for _, r in pdf[pdf["kind"] == KIND_POSTINGS].iterrows():
-            if r["meta"] == "bp":  # bitpacked input row
-                from quickwit_spark.codec.bitpack import bitpack_decode
-
-                deltas = bitpack_decode(r["payload1"], r["doc_freq"])
-                d = np.cumsum(deltas, dtype=np.uint64).astype(np.uint32)
-                t = varint_decode(r["payload2"], r["doc_freq"]).astype(np.uint32)
-            else:
-                d, t = decode_postings(r["payload1"], r["payload2"], r["doc_freq"])
-            d = d.astype(np.int64)
-            p_abs = None
-            if have_pos:
-                p_abs = decode_positions(pos_by_seg.get(r["segment_id"], b""), t)
-            dele = tomb.get(r["segment_id"])
-            if dele is not None and len(dele):
-                # drop doomed docids; shift survivors down by the number
-                # of deleted docids below them (compaction)
-                pos = np.searchsorted(dele, d)
-                is_del = (pos < len(dele)) & (
-                    dele[np.minimum(pos, len(dele) - 1)] == d
                 )
+            return pd.DataFrame(
+                out_rows,
+                columns="segment_id kind field term doc_freq payload1 payload2 block_last block_max meta".split(),
+            )
+        # postings (+ positions): decode each input segment's chunk rows,
+        # order chunks by first docid WITHIN the segment, pair position
+        # chunks 1:1 by the same order (mirrors SegmentData.from_rows),
+        # apply tombstones, re-base, concat (segments processed in sorted
+        # order ⇒ ascending rebased docids), re-encode in chunks
+        post_pdf = pdf[pdf["kind"] == KIND_POSTINGS]
+        pos_pdf = pdf[pdf["kind"] == KIND_POS]
+        have_pos = len(pos_pdf) > 0
+        docs_parts, tf_parts, pos_parts = [], [], []
+        for sid in sorted(post_pdf["segment_id"].unique()):
+            chunks = []
+            for _, r in post_pdf[post_pdf["segment_id"] == sid].iterrows():
+                if r["meta"] == "bp":  # bitpacked input row
+                    from quickwit_spark.codec.bitpack import bitpack_decode
+
+                    deltas = bitpack_decode(r["payload1"], r["doc_freq"])
+                    d = np.cumsum(deltas, dtype=np.uint64).astype(np.uint32)
+                    t = varint_decode(r["payload2"], r["doc_freq"]).astype(
+                        np.uint32
+                    )
+                else:
+                    d, t = decode_postings(
+                        r["payload1"], r["payload2"], r["doc_freq"]
+                    )
+                chunks.append((d.astype(np.int64), t))
+            chunks.sort(key=lambda c: int(c[0][0]) if len(c[0]) else -1)
+            pos_decoded = [None] * len(chunks)
+            if have_pos:
+                pg = pos_pdf[pos_pdf["segment_id"] == sid].sort_values("meta")
+                if len(pg) != len(chunks):
+                    raise ValueError(
+                        f"segment {sid}: {len(pg)} position chunks vs "
+                        f"{len(chunks)} posting chunks for term {term!r}"
+                    )
+                pos_decoded = [
+                    decode_positions(blob, chunks[i][1])
+                    for i, blob in enumerate(pg["payload1"])
+                ]
+            dele = tomb.get(sid)
+            for (d, t), p_abs in zip(chunks, pos_decoded):
+                if dele is not None and len(dele):
+                    # drop doomed docids; shift survivors down by the number
+                    # of deleted docids below them (compaction)
+                    posn = np.searchsorted(dele, d)
+                    is_del = (posn < len(dele)) & (
+                        dele[np.minimum(posn, len(dele) - 1)] == d
+                    )
+                    if p_abs is not None:
+                        p_abs = p_abs[np.repeat(~is_del, t)]
+                    d, t, posn = d[~is_del], t[~is_del], posn[~is_del]
+                    d = d - posn
+                docs_parts.append(d + offsets[sid])
+                tf_parts.append(t)
                 if p_abs is not None:
-                    p_abs = p_abs[np.repeat(~is_del, t)]
-                d, t, pos = d[~is_del], t[~is_del], pos[~is_del]
-                d = d - pos
-            docs_parts.append(d + offsets[r["segment_id"]])
-            tf_parts.append(t)
-            if p_abs is not None:
-                pos_parts.append(p_abs)
+                    pos_parts.append(p_abs)
         docids = np.concatenate(docs_parts) if docs_parts else np.zeros(0, np.int64)
         tfs = np.concatenate(tf_parts) if tf_parts else np.zeros(0, np.uint32)
         pos_all = np.concatenate(pos_parts) if have_pos and pos_parts else None
@@ -400,9 +444,12 @@ def execute_merge(
     docs = spark.read.parquet(f"{index_dir}/docs").filter(
         F.col("segment_id").isin(list(offsets))
     )
-    if any(len(v) for v in tomb.values()):
+    if any(tomb_counts.values()):
 
         def remap(batches):
+            from quickwit_spark.index.deletes import load_tombstones
+
+            tomb = load_tombstones(tomb_path) if tomb_path else {}
             for pdf in batches:
                 parts = []
                 for sid, g in pdf.groupby("segment_id", sort=False):

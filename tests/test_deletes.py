@@ -143,3 +143,69 @@ def test_deletes_applied_in_multi_segment_merge(spark, sf_dir, tmp_path_factory)
     }
     got = {r["doc_key"] for r in s.search_stream(Term("text", "spark"), []).collect()}
     assert got == live_spark
+
+
+def test_second_delete_survives_static_overwrite_mode(
+    spark, sf_dir, tmp_path_factory
+):
+    """Regression: delete #2 in a fresh session (static
+    partitionOverwriteMode) must not truncate delete #1's tombstones."""
+    d = str(tmp_path_factory.mktemp("delstatic"))
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=1)
+    corpus = web_corpus(spark, sf_dir)
+    build_index(spark, corpus, d, cfg, job_id="b")
+    s = IndexSearcher(spark, d)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        delete_by_query(s, Term("text", "vector"))
+        delete_by_query(s, Term("text", "tutorial"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    import os
+
+    ops_dirs = {
+        n for n in os.listdir(f"{d}/deletes") if n.startswith("opstamp=")
+    }
+    assert ops_dirs == {"opstamp=1", "opstamp=2"}
+
+    for o in plan_delete_rewrites(d):
+        execute_merge(spark, d, o)
+    s.refresh()
+    assert s.count(Term("text", "vector")) == 0
+    assert s.count(Term("text", "tutorial")) == 0
+
+
+def test_overlapping_deletes_count_each_doc_once(spark, sf_dir, tmp_path_factory):
+    """Regression: two delete queries matching the SAME docs must not
+    double-subtract their stats (corrections are per-doc exact)."""
+    d = str(tmp_path_factory.mktemp("deloverlap"))
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=1)
+    corpus = web_corpus(spark, sf_dir)
+    build_index(spark, corpus, d, cfg, job_id="b")
+    s = IndexSearcher(spark, d)
+
+    delete_by_query(s, Term("text", "vector"))
+    # overlapping: every 'vector' doc may also contain 'spark'
+    delete_by_query(s, Term("text", "spark"))
+
+    # second op's recorded tombstones exclude docs already doomed by op 1
+    recs = pending_deletes(d)
+    pdf = web_corpus(spark, sf_dir).toPandas()
+    toks = {int(k): t for k, t in zip(pdf["doc_id"], pdf["text"].str.split())}
+    doomed1 = {k for k, t in toks.items() if "vector" in t}
+    doomed2 = {k for k, t in toks.items() if "spark" in t} - doomed1
+    assert sum(recs[1]["segments"].values()) == len(doomed1)
+    assert sum(recs[2]["segments"].values()) == len(doomed2)
+
+    for o in plan_delete_rewrites(d):
+        execute_merge(spark, d, o)
+    s.refresh()
+    live = set(toks) - doomed1 - doomed2
+    assert s.count("*") == len(live)
+    segs = mf.live_segments(d)
+    live_tokens = sum(len(toks[k]) for k in live)
+    assert sum(g.field_stats["text"]["total_tokens"] for g in segs) == live_tokens
+    assert sum(g.field_stats["text"]["doc_count"] for g in segs) == len(live)

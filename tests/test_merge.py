@@ -183,3 +183,81 @@ def test_const_write_amplification_policy():
     assert all(
         len(op.segment_ids) == 3 for op in ops
     ) and len(ops) == 2 or len(ops) == 0  # 3 per partition
+
+
+def test_multi_generation_merge_chunked_positions_norms(
+    spark, sf_dir, tmp_path_factory
+):
+    """Regression: re-merging already-merged segments whose terms have
+    MULTIPLE chunk rows (postings, positions, norms) must pair position
+    chunks with their posting chunks and rebase norms chunk starts —
+    results invariant across two merge generations."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.query.ast import Phrase
+    from quickwit_spark.sources.corpus import web_corpus
+
+    d = str(tmp_path_factory.mktemp("idxgen2"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", record="position")],
+        doc_key="doc_id",
+        num_partitions=1,
+    )
+    corpus = web_corpus(spark, sf_dir)
+    for j in range(4):
+        build_index(
+            spark, corpus.filter((corpus.doc_id % 4) == j), d, cfg, job_id=f"g{j}"
+        )
+    s0 = IndexSearcher(spark, d)
+    pdf = corpus.toPandas()
+    toks = {int(k): t for k, t in zip(pdf["doc_id"], pdf["text"].str.split())}
+    # pick the corpus's most common bigram as the phrase under test
+    from collections import Counter
+
+    big = Counter()
+    for t in toks.values():
+        big.update(zip(t, t[1:]))
+    (w1, w2), _ = big.most_common(1)[0]
+    phrase = f"{w1} {w2}"
+    q = FullText("text", f"{w1} {w2} spark", "or")
+    before = {
+        "phrase": {
+            r["doc_key"] for r in s0.search_stream(Phrase("text", phrase), []).collect()
+        },
+        "topk": [
+            (r["doc_key"], r["score"])
+            for r in s0.search(q, k=15, mode="oracle").collect()
+        ],
+        "count": s0.count("*"),
+    }
+    exp_phrase = {
+        k
+        for k, t in toks.items()
+        if any(a == w1 and b == w2 for a, b in zip(t, t[1:]))
+    }
+    assert before["phrase"] == exp_phrase and exp_phrase
+
+    # round 1: 4 → 2 (factor 2, tiny chunks force the multi-chunk path);
+    # round 2 inside the same run_merges loop: 2 merged → 1 (gen 2) —
+    # its inputs' hot terms now arrive as SEVERAL chunk rows per segment
+    run_merges(
+        spark,
+        d,
+        MergePolicy(merge_factor=2, max_merge_factor=2, min_level_num_docs=10,
+                    split_num_docs_target=100_000),
+        num_salt_buckets=2,
+        chunk_target_docs=32,
+    )
+    segs = mf.live_segments(d)
+    assert len(segs) == 1 and segs[0].merge_gen >= 2
+
+    s = IndexSearcher(spark, d)
+    assert s.count("*") == before["count"]
+    got_phrase = {
+        r["doc_key"] for r in s.search_stream(Phrase("text", phrase), []).collect()
+    }
+    assert got_phrase == before["phrase"]
+    topk = [
+        (r["doc_key"], r["score"]) for r in s.search(q, k=15, mode="oracle").collect()
+    ]
+    assert topk == before["topk"]
