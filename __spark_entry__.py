@@ -29,6 +29,8 @@ from quickwit_spark.query.ast import (
     Boost,
     FullText,
     MatchAll,
+    Phrase,
+    PhrasePrefix,
     Range,
     Term,
     Wildcard,
@@ -84,9 +86,14 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     key = os.path.abspath(sf_dir)
     if key in _searchers:
         return _searchers[key]
-    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_"))
+    # _v2: record:'position' on text (phrase gate queries) — the suffix
+    # invalidates caches built under the older schema
+    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_v2")
     cfg = IndexConfig(
-        fields=[FieldConfig("text"), FieldConfig("lang", tokenizer="raw")],
+        fields=[
+            FieldConfig("text", record="position"),
+            FieldConfig("lang", tokenizer="raw"),
+        ],
         doc_key="doc_id",
         num_partitions=4,
         stored_columns=("url", "lang", "source", "n_chars"),
@@ -137,6 +144,7 @@ def _bm25_sql(
     filter_sql: str | None = None,
     term_pred: str | None = None,
     k: int = 10,
+    offset: int = 0,
 ) -> str:
     """Top-k BM25 oracle. `scoring` = [(term, boost)]; `must` terms are
     required (AND); `term_pred` overrides the term membership predicate
@@ -189,10 +197,10 @@ scored AS (
 )
 SELECT doc_id AS doc_key,
        ROUND(s9, 6) AS score,
-       CAST(ROW_NUMBER() OVER (ORDER BY s9 DESC, doc_id DESC) AS BIGINT) AS rank
+       CAST(ROW_NUMBER() OVER (ORDER BY s9 DESC, doc_id DESC) - {offset} AS BIGINT) AS rank
 FROM scored
 ORDER BY s9 DESC, doc_id DESC
-LIMIT {k}
+LIMIT {k} OFFSET {offset}
 """
 
 
@@ -375,6 +383,88 @@ def _q_sort_by_field(spark, sf_dir):
         F.col("sort_value").cast("long").alias("sort_value"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def _q_phrase_match(spark, sf_dir):
+    """Exact-adjacency phrase over the position-indexed text field: all
+    matching docs (vectorized position-chain intersection in the kernel)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_stream(Phrase("text", "order fast"), ["lang"])
+
+
+def _q_phrase_slop(spark, sf_dir):
+    """Sloppy phrase (slop=2, transposition costs 2 — Lucene/tantivy
+    convention): match set."""
+    s = _searcher(spark, sf_dir)
+    return s.search_stream(Phrase("text", "order scan", slop=2), ["lang"])
+
+
+def _q_phrase_prefix(spark, sf_dir):
+    """match_phrase_prefix: last token expanded against the term
+    dictionary (prefix-range scan, capped at max_expansions=50)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_stream(PhrasePrefix("text", "order s"), ["lang"])
+
+
+def _q_search_after(spark, sf_dir):
+    """Page 2 of the hot-term BM25 ranking via a search_after cursor —
+    the cursor score is pushed into the kernel as a cutoff, so the page
+    stays per-segment-truncated."""
+    s = _searcher(spark, sf_dir)
+    p1 = s.search(Term("text", "spark"), k=10, mode="oracle").collect()
+    cursor = (float(p1[-1]["score"]), int(p1[-1]["doc_key"]))
+    return _topk(s, Term("text", "spark"), k=10, search_after=cursor)
+
+
+def _q_sort_field_page2(spark, sf_dir):
+    """Page 2 of a fast-field sort via a (sort_value, doc_key) cursor."""
+    s = _searcher(spark, sf_dir)
+    p1 = s.sort_by_field(
+        Term("text", "table"), "n_chars", k=10, descending=True, tie_by_key=True
+    ).collect()
+    cursor = (int(p1[-1]["sort_value"]), int(p1[-1]["doc_key"]))
+    out = s.sort_by_field(
+        Term("text", "table"), "n_chars", k=10, descending=True,
+        search_after=cursor,
+    )
+    return out.select(
+        "doc_key",
+        F.col("sort_value").cast("long").alias("sort_value"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_PHRASE_MATCH_SQL = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id AS doc_key, lang
+FROM t
+WHERE len(list_filter(range(1, greatest(len(l), 1)),
+          i -> l[i] = 'order' AND l[i+1] = 'fast')) > 0
+"""
+
+# slop semantics mirrored: 1-based positions i (term 1) / j (term 2);
+# offset-adjusted distance |(j-1) - i| ≤ slop
+_PHRASE_SLOP_SQL = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+p AS (
+  SELECT doc_id, lang,
+         list_filter(range(1, len(l) + 1), i -> l[i] = 'order') AS p1,
+         list_filter(range(1, len(l) + 1), j -> l[j] = 'scan')  AS p2
+  FROM t
+)
+SELECT doc_id AS doc_key, lang
+FROM p
+WHERE len(list_filter(p2, j ->
+        len(list_filter(p1, i -> abs((j - 1) - i) <= 2)) > 0)) > 0
+"""
+
+_PHRASE_PREFIX_SQL = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id AS doc_key, lang
+FROM t
+WHERE len(list_filter(range(1, greatest(len(l), 1)),
+          i -> l[i] = 'order' AND l[i+1] LIKE 's%')) > 0
+"""
 
 
 # --------------------------------------------------------------------------
@@ -660,6 +750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles_nchars": _q_agg_percentiles,
         "agg_terms_subagg": _q_agg_subagg,
         "search_sort_by_field": _q_sort_by_field,
+        "search_phrase_match": _q_phrase_match,
+        "search_phrase_slop": _q_phrase_slop,
+        "search_phrase_prefix": _q_phrase_prefix,
+        "search_after_page2": _q_search_after,
+        "sort_field_page2": _q_sort_field_page2,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -763,6 +858,17 @@ SELECT doc_id AS doc_key,
        CAST(n_chars AS BIGINT) AS sort_value,
        CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id DESC) AS BIGINT) AS rank
 FROM m ORDER BY n_chars DESC, doc_id DESC LIMIT 10
+""",
+        "search_phrase_match": _PHRASE_MATCH_SQL,
+        "search_phrase_slop": _PHRASE_SLOP_SQL,
+        "search_phrase_prefix": _PHRASE_PREFIX_SQL,
+        "search_after_page2": _bm25_sql([("spark", 1.0)], offset=10),
+        "sort_field_page2": f"""
+WITH {_AGG_MATCH_CTE}
+SELECT doc_id AS doc_key,
+       CAST(n_chars AS BIGINT) AS sort_value,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id DESC) - 10 AS BIGINT) AS rank
+FROM m ORDER BY n_chars DESC, doc_id DESC LIMIT 10 OFFSET 10
 """,
         "dedup_embedding_cosine": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

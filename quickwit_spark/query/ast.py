@@ -2,11 +2,12 @@
 
 Mirrors the reference's QueryAst variants
 (`quickwit-query/src/query_ast/mod.rs:50-70`): Term, TermSet, FullText
-(Bool AND/OR of tokenized terms), Range, Bool (must/must_not/should/
-filter + minimum_should_match), Boost, MatchAll/MatchNone, FieldPresence
-(`exists`), Wildcard, Regex. Phrase/PhrasePrefix require positional
-indexes (record: position) and are deliberately out of scope, matching
-the reference's own default of record=freq (SURVEY.md §7.5).
+(Bool AND/OR of tokenized terms), Phrase (slop-tolerant, requires
+`record: position`), PhrasePrefix (`match_phrase_prefix` autocomplete,
+last term expanded against the dictionary capped at `max_expansions`,
+ref `query_ast/phrase_prefix_query.rs:66-93`), Range, Bool (must/
+must_not/should/filter + minimum_should_match), Boost, MatchAll/
+MatchNone, FieldPresence (`exists`), Wildcard, Regex.
 
 Scoring semantics (reference `query_ast/bool_query.rs` +
 `tantivy_query_ast.rs`): must and should clauses contribute score,
@@ -53,12 +54,30 @@ class FullText(QueryAst):
 
 @dataclass(frozen=True)
 class Phrase(QueryAst):
-    """Exact-adjacency phrase over a position-indexed field
-    (reference FullTextMode::Phrase, requires `record: position` —
-    errors otherwise like `full_text_query.rs:140-147`). slop=0 only."""
+    """Phrase over a position-indexed field (reference
+    FullTextMode::Phrase, requires `record: position` — errors otherwise
+    like `full_text_query.rs:140-147`). slop=0 is exact adjacency;
+    slop>0 tolerates up to `slop` position moves between consecutive
+    terms (a transposition costs 2, the Lucene/tantivy convention)."""
 
     field: str
     text: str
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class PhrasePrefix(QueryAst):
+    """`match_phrase_prefix`: all but the last term match as a phrase;
+    the last token is a PREFIX expanded against the term dictionary in
+    sorted order, capped at `max_expansions` (reference
+    `query_ast/phrase_prefix_query.rs:66-93`, default 50).
+    `expansions` is filled in by the engine's planning step (the
+    automaton-range analog) before kernel evaluation."""
+
+    field: str
+    text: str
+    max_expansions: int = 50
+    expansions: tuple | None = None
 
 
 @dataclass(frozen=True)
@@ -79,16 +98,20 @@ class Exists(QueryAst):
 
 @dataclass(frozen=True)
 class Wildcard(QueryAst):
-    """`wil?car*d` — expanded against the term dictionary."""
+    """`wil?car*d` — expanded against the term dictionary with a derived
+    literal-prefix range scan, truncated (in term order) at
+    `max_expansions` (None → engine default)."""
 
     field: str
     pattern: str
+    max_expansions: int | None = None
 
 
 @dataclass(frozen=True)
 class Regex(QueryAst):
     field: str
     pattern: str
+    max_expansions: int | None = None
 
 
 @dataclass(frozen=True)
@@ -136,6 +159,12 @@ def collect_fulltext_terms(ast: QueryAst, tokenizer_for_field) -> list[tuple[str
         elif isinstance(node, (FullText, Phrase)):
             fn = tokenizer_for_field(node.field)
             out.extend((node.field, t) for t in fn(node.text))
+        elif isinstance(node, PhrasePrefix):
+            fn = tokenizer_for_field(node.field)
+            toks = fn(node.text)
+            out.extend((node.field, t) for t in toks[:-1])
+            for t in node.expansions or ():
+                out.append((node.field, t))
         elif isinstance(node, Bool):
             for cl in (*node.must, *node.must_not, *node.should, *node.filter):
                 walk(cl)

@@ -3,16 +3,17 @@
 Mirrors the reference's converters (`quickwit-query/src/elastic_query_dsl/
 *.rs`, docs `docs/reference/es_compatible_api.md:369-709`): the JSON
 body of an ES `_search` `query` clause becomes the same QueryAst the
-native query string produces. Supported set (the reference's, minus
-position-dependent phrase variants — record=freq default):
+native query string produces. Supported set (the reference's):
 
     match_all / match_none / term / terms / exists / range /
-    match / multi_match / query_string / bool / boost (per-clause) /
-    regexp / wildcard
+    match / match_phrase / match_phrase_prefix / multi_match /
+    query_string / bool / boost (per-clause) / regexp / wildcard
 
-`match_phrase` converts to an AND conjunction (the engine indexes
-freqs, not positions — same degradation the reference applies when a
-field lacks positions via PhraseFallbackToIntersection).
+`match_phrase` on a field indexed with record:'position' becomes a
+true positional Phrase (slop honored); on freq-only fields it degrades
+to an AND conjunction (the reference's PhraseFallbackToIntersection).
+`match_phrase_prefix` requires positions (errors otherwise, like
+`full_text_query.rs:140-147`).
 """
 
 from __future__ import annotations
@@ -24,6 +25,8 @@ from quickwit_spark.query.ast import (
     FullText,
     MatchAll,
     MatchNone,
+    Phrase,
+    PhrasePrefix,
     QueryAst,
     Range,
     Regex,
@@ -49,9 +52,15 @@ def _boost(ast: QueryAst, spec: dict) -> QueryAst:
     return Boost(ast, float(b)) if b is not None and float(b) != 1.0 else ast
 
 
-def from_es_query(q: dict, default_fields: list[str] | None = None) -> QueryAst:
-    """Convert one ES query clause object to QueryAst."""
+def from_es_query(
+    q: dict,
+    default_fields: list[str] | None = None,
+    position_fields: set[str] | None = None,
+) -> QueryAst:
+    """Convert one ES query clause object to QueryAst. `position_fields`
+    = fields indexed with record:'position' (phrase semantics)."""
     default_fields = default_fields or ["text"]
+    position_fields = position_fields or set()
     if len(q) != 1:
         raise ValueError(f"ES query object must have one key, got {sorted(q)}")
     kind, body = next(iter(q.items()))
@@ -93,7 +102,23 @@ def from_es_query(q: dict, default_fields: list[str] | None = None) -> QueryAst:
         field, spec = _field_value(body)
         if "query" not in spec and "value" in spec:
             spec["query"] = spec.pop("value")
+        if field in position_fields:
+            slop = int(spec.get("slop", 0))
+            return _boost(Phrase(field, str(spec["query"]), slop=slop), spec)
         return _boost(FullText(field, str(spec["query"]), "and"), spec)
+
+    if kind == "match_phrase_prefix":
+        field, spec = _field_value(body)
+        if "query" not in spec and "value" in spec:
+            spec["query"] = spec.pop("value")
+        if field not in position_fields:
+            raise ValueError(
+                f"match_phrase_prefix on {field!r} requires record: position"
+            )
+        cap = int(spec.get("max_expansions", 50))
+        return _boost(
+            PhrasePrefix(field, str(spec["query"]), max_expansions=cap), spec
+        )
 
     if kind == "multi_match":
         fields = body.get("fields") or default_fields
@@ -109,6 +134,7 @@ def from_es_query(q: dict, default_fields: list[str] | None = None) -> QueryAst:
             body["query"],
             fields,
             str(body.get("default_operator", "and")).lower(),
+            position_fields=position_fields,
         )
 
     if kind == "wildcard":
@@ -123,7 +149,7 @@ def from_es_query(q: dict, default_fields: list[str] | None = None) -> QueryAst:
         def clauses(key):
             v = body.get(key, [])
             v = v if isinstance(v, list) else [v]
-            return [from_es_query(c, default_fields) for c in v]
+            return [from_es_query(c, default_fields, position_fields) for c in v]
 
         msm = body.get("minimum_should_match")
         return Bool(
@@ -137,6 +163,12 @@ def from_es_query(q: dict, default_fields: list[str] | None = None) -> QueryAst:
     raise NotImplementedError(f"unsupported ES query kind {kind!r}")
 
 
-def from_es_body(body: dict, default_fields: list[str] | None = None) -> QueryAst:
+def from_es_body(
+    body: dict,
+    default_fields: list[str] | None = None,
+    position_fields: set[str] | None = None,
+) -> QueryAst:
     """Convert a full `_search` body (uses its `query` member)."""
-    return from_es_query(body.get("query", {"match_all": {}}), default_fields)
+    return from_es_query(
+        body.get("query", {"match_all": {}}), default_fields, position_fields
+    )

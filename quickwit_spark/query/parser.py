@@ -25,6 +25,8 @@ from quickwit_spark.query.ast import (
     Bool,
     FullText,
     MatchAll,
+    Phrase,
+    PhrasePrefix,
     QueryAst,
     Range,
     TermSet,
@@ -47,11 +49,18 @@ def _lex(q: str) -> list[str]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[str], default_fields: list[str], default_operator: str):
+    def __init__(
+        self,
+        tokens: list[str],
+        default_fields: list[str],
+        default_operator: str,
+        position_fields: set[str] | None = None,
+    ):
         self.toks = tokens
         self.i = 0
         self.default_fields = default_fields
         self.default_operator = default_operator
+        self.position_fields = position_fields or set()
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -146,10 +155,21 @@ class _Parser:
                 self.next()
             return TermSet(field=field or self.default_fields[0], values=vals)
         if t.startswith('"') and t.endswith('"'):
-            # phrase syntax: positions are not indexed (record=freq default,
-            # like the reference) → treat as conjunction of terms
+            # phrase syntax — `"a b"~N` sets slop, `"a b"*` is a phrase
+            # prefix (reference query language). Fields indexed with
+            # record:'position' get true positional semantics; freq-only
+            # fields degrade to an AND conjunction of the terms.
             text = t[1:-1]
-            return self._fulltext(field, text, operator="and")
+            nxt = self.peek()
+            slop = 0
+            prefix = False
+            if nxt is not None and re.fullmatch(r"~\d+", nxt):
+                slop = int(nxt[1:])
+                self.next()
+            elif nxt == "*":
+                prefix = True
+                self.next()
+            return self._phrase(field, text, slop, prefix)
         if "*" in t or "?" in t:
             if field is None:
                 return _multi_field(
@@ -165,6 +185,18 @@ class _Parser:
             [FullText(field=f, text=text, operator=operator) for f in self.default_fields]
         )
 
+    def _phrase(self, field: str | None, text: str, slop: int, prefix: bool) -> QueryAst:
+        def one(f: str) -> QueryAst:
+            if f in self.position_fields:
+                if prefix:
+                    return PhrasePrefix(field=f, text=text)
+                return Phrase(field=f, text=text, slop=slop)
+            return FullText(field=f, text=text, operator="and")
+
+        if field is not None:
+            return one(field)
+        return _multi_field([one(f) for f in self.default_fields])
+
 
 def _make_and(clauses: list[QueryAst]) -> QueryAst:
     return Bool(must=clauses)
@@ -178,8 +210,14 @@ def parse_query(
     q: str,
     default_fields: list[str] | None = None,
     default_operator: str = "and",
+    position_fields: set[str] | None = None,
 ) -> QueryAst:
+    """`position_fields`: fields indexed with record:'position' — quoted
+    clauses on them become true Phrase/PhrasePrefix nodes; on other
+    fields they degrade to an AND of the terms."""
     q = q.strip()
     if not q or q == "*":
         return MatchAll()
-    return _Parser(_lex(q), default_fields or ["text"], default_operator).parse_expr()
+    return _Parser(
+        _lex(q), default_fields or ["text"], default_operator, position_fields
+    ).parse_expr()

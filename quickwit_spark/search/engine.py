@@ -48,6 +48,7 @@ from quickwit_spark.query.ast import (
     FullText,
     MatchAll,
     Phrase,
+    PhrasePrefix,
     QueryAst,
     Range,
     Regex,
@@ -56,6 +57,11 @@ from quickwit_spark.query.ast import (
     Wildcard,
     collect_fulltext_terms,
 )
+
+# default automaton-expansion cap for Wildcard/Regex (the reference
+# bounds multi-term expansion; PhrasePrefix carries its own cap of 50,
+# `phrase_prefix_query.rs:66-93`)
+DEFAULT_MAX_EXPANSIONS = 1024
 from quickwit_spark.query.parser import parse_query
 from quickwit_spark.search.kernel import SegmentData, evaluate_segment
 
@@ -74,8 +80,48 @@ def _wildcard_to_regex(pattern: str) -> str:
     return "".join(out)
 
 
+def _regex_literal_prefix(rx: str) -> str:
+    """Longest literal prefix of a regex (chars before the first
+    metacharacter) — the byte-range pushdown the reference gets from
+    streaming a bounded automaton range (`list_terms.rs:266-276`)."""
+    if "|" in rx:  # top-level alternation may bypass any leading literal
+        return ""
+    out = []
+    i = 0
+    while i < len(rx):
+        ch = rx[i]
+        if ch == "\\" and i + 1 < len(rx):
+            nxt = rx[i + 1]
+            if nxt.isalnum():  # escape class like \d, \w — not literal
+                break
+            # escaped literal metachar — literal, but a following
+            # quantifier would apply to it; keep it only if safe
+            if i + 2 < len(rx) and rx[i + 2] in "*+?{":
+                break
+            out.append(nxt)
+            i += 2
+            continue
+        if ch in ".*+?[](){}|^$":
+            break
+        # a quantifier after this char applies to it — stop BEFORE it
+        if i + 1 < len(rx) and rx[i + 1] in "*+?{":
+            break
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string greater than every string with `prefix`."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
+
+
 def _has_phrase(node: QueryAst) -> bool:
-    if isinstance(node, Phrase):
+    if isinstance(node, (Phrase, PhrasePrefix)):
         return True
     if isinstance(node, Bool):
         return any(
@@ -135,18 +181,68 @@ class IndexSearcher:
                 keep.append(s.segment_id)
         return keep
 
-    def _expand_patterns(self, ast: QueryAst, seg_ids: list[str]) -> QueryAst:
-        """Replace Wildcard/Regex by TermSet via a term-dictionary scan
-        (the reference streams `dict.range()` with an automaton,
-        `quickwit-search/src/list_terms.rs:266-276`)."""
+    def _expand_one(
+        self,
+        fld: str,
+        rx: str,
+        prefix: str,
+        seg_ids: list[str],
+        cap: int,
+    ) -> tuple:
+        """Term-dictionary scan for one pattern: a derived literal-prefix
+        RANGE predicate reaches the parquet scan (row-group min/max stats
+        prune everything outside [prefix, prefix′) — the analog of the
+        reference streaming a bounded automaton range,
+        `quickwit-search/src/list_terms.rs:266-276`), then the regex
+        filters the surviving rows. Expansion is truncated at `cap`
+        in term order (reference `max_expansions` behavior)."""
+        df = self.inv().filter(
+            (F.col("kind") == KIND_POSTINGS)
+            & (F.col("field") == fld)
+            & F.col("segment_id").isin(seg_ids)
+        )
+        if prefix:
+            df = df.filter(F.col("term") >= prefix)
+            upper = _prefix_upper_bound(prefix)
+            if upper is not None:
+                df = df.filter(F.col("term") < upper)
+        if rx is not None:
+            df = df.filter(F.col("term").rlike(f"^(?:{rx})$"))
+        rows = (
+            df.select("term").distinct().orderBy("term").limit(cap).collect()
+        )
+        return tuple(r["term"] for r in rows)
 
-        patterns: list[tuple[str, str]] = []
+    def _expand_patterns(self, ast: QueryAst, seg_ids: list[str]) -> QueryAst:
+        """Replace Wildcard/Regex by TermSet and resolve PhrasePrefix
+        expansions via bounded term-dictionary scans."""
+
+        jobs: dict[tuple, tuple] = {}  # (fld, rx|None, prefix, cap) -> terms
+
+        def key_for(node):
+            if isinstance(node, Wildcard):
+                pat = node.pattern.lower()
+                lit = pat.split("*")[0].split("?")[0]
+                cap = node.max_expansions or DEFAULT_MAX_EXPANSIONS
+                return (node.field, _wildcard_to_regex(pat), lit, cap)
+            if isinstance(node, Regex):
+                cap = node.max_expansions or DEFAULT_MAX_EXPANSIONS
+                return (
+                    node.field,
+                    node.pattern,
+                    _regex_literal_prefix(node.pattern),
+                    cap,
+                )
+            # PhrasePrefix: last token is a pure prefix — no regex needed
+            toks = self._tokenizer_for_field()(node.field)(node.text)
+            last = toks[-1] if toks else ""
+            return (node.field, None, last, node.max_expansions)
 
         def collect(node):
-            if isinstance(node, Wildcard):
-                patterns.append((node.field, _wildcard_to_regex(node.pattern.lower())))
-            elif isinstance(node, Regex):
-                patterns.append((node.field, node.pattern))
+            if isinstance(node, (Wildcard, Regex)):
+                jobs.setdefault(key_for(node), None)
+            elif isinstance(node, PhrasePrefix) and node.expansions is None:
+                jobs.setdefault(key_for(node), None)
             elif isinstance(node, Bool):
                 for cl in (*node.must, *node.must_not, *node.should, *node.filter):
                     collect(cl)
@@ -154,35 +250,23 @@ class IndexSearcher:
                 collect(node.query)
 
         collect(ast)
-        if not patterns:
+        if not jobs:
             return ast
-        expansions: dict[tuple[str, str], tuple] = {}
-        for fld, rx in patterns:
-            terms = [
-                r["term"]
-                for r in (
-                    self.inv()
-                    .filter(
-                        (F.col("kind") == KIND_POSTINGS)
-                        & (F.col("field") == fld)
-                        & F.col("segment_id").isin(seg_ids)
-                        & F.col("term").rlike(f"^(?:{rx})$")
-                    )
-                    .select("term")
-                    .distinct()
-                    .collect()
-                )
-            ]
-            expansions[(fld, rx)] = tuple(sorted(terms))
+        for fld, rx, prefix, cap in list(jobs):
+            jobs[(fld, rx, prefix, cap)] = self._expand_one(
+                fld, rx, prefix, seg_ids, cap
+            )
 
         def rewrite(node):
-            if isinstance(node, Wildcard):
-                return TermSet(
-                    node.field,
-                    expansions[(node.field, _wildcard_to_regex(node.pattern.lower()))],
+            if isinstance(node, (Wildcard, Regex)):
+                return TermSet(node.field, jobs[key_for(node)])
+            if isinstance(node, PhrasePrefix) and node.expansions is None:
+                return PhrasePrefix(
+                    field=node.field,
+                    text=node.text,
+                    max_expansions=node.max_expansions,
+                    expansions=jobs[key_for(node)],
                 )
-            if isinstance(node, Regex):
-                return TermSet(node.field, expansions[(node.field, node.pattern)])
             if isinstance(node, Bool):
                 return Bool(
                     must=[rewrite(c) for c in node.must],
@@ -282,6 +366,7 @@ class IndexSearcher:
         mode: str,
         fast_filter=None,
         use_wand: bool = True,
+        score_cutoff: float | None = None,
     ) -> DataFrame:
         """Per-segment kernel execution → (segment_id, doc_id, score)."""
         tok = self._tokenizer_for_field()
@@ -333,6 +418,7 @@ class IndexSearcher:
                     k1=k1,
                     b=b,
                     use_wand=use_wand,
+                    score_cutoff=score_cutoff,
                 )
                 return pd.DataFrame(
                     {
@@ -363,7 +449,17 @@ class IndexSearcher:
         )
 
     def _resolve(self, query, time_range):
-        ast = parse_query(query, [f.name for f in self.config.fields]) if isinstance(query, str) else query
+        ast = (
+            parse_query(
+                query,
+                [f.name for f in self.config.fields],
+                position_fields={
+                    f.name for f in self.config.fields if f.record == "position"
+                },
+            )
+            if isinstance(query, str)
+            else query
+        )
         seg_ids = self._prune_segments(time_range)
         ast = self._expand_patterns(ast, seg_ids)
         ast, fast_filter = self._split_fast_predicates(ast)
@@ -392,6 +488,7 @@ class IndexSearcher:
         time_range=None,
         fetch: list[str] | None = None,
         tie_by_key: bool = False,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         """Top-k by a fast (docmap) column instead of BM25.
 
@@ -402,6 +499,10 @@ class IndexSearcher:
         (`tie_by_key=True` breaks by doc_key instead — a stable
         engine-independent order); and scoring is skipped entirely when
         the sort key isn't `_score` (`collector.rs:821-831`).
+
+        `search_after=(sort_value, doc_key)` paginates: hits strictly
+        after the cursor in sort order (None sort_value = the cursor sat
+        in the missing-values tail). Implies `tie_by_key`.
         → (doc_key, sort_value, rank[, fetch])."""
         ast, fast_filter, seg_ids = self._resolve(query, time_range)
         m = self._matches(ast, seg_ids, None, "parity", fast_filter, use_wand=False)
@@ -411,6 +512,18 @@ class IndexSearcher:
         )
         hits = docs.join(m.select("segment_id", "doc_id"), ["segment_id", "doc_id"])
         sv = F.col("sort_value")
+        if search_after is not None:
+            tie_by_key = True
+            sa_v, sa_key = search_after
+            key = F.col("doc_key")
+            key_after = key < sa_key if descending else key > sa_key
+            if sa_v is None:
+                hits = hits.filter(sv.isNull() & key_after)
+            else:
+                before_cur = sv < sa_v if descending else sv > sa_v
+                hits = hits.filter(
+                    before_cur | ((sv == sa_v) & key_after) | sv.isNull()
+                )
         tie = (
             [F.col("doc_key")]
             if tie_by_key
@@ -441,17 +554,22 @@ class IndexSearcher:
 
         `search_after=(score, doc_key)` returns hits strictly after the
         cursor in rank order (reference pagination,
-        `search.proto:240-243`).
+        `search.proto:240-243`). The cursor's score is PUSHED INTO the
+        per-segment kernel as a cutoff (docs above it are pruned and
+        per-segment top-k still applies), so a paginated hot-term query
+        broadcasts ≤ (k + cutoff-ties) × segments winner rows — never
+        the full match set.
         """
         ast, fast_filter, seg_ids = self._resolve(query, time_range)
-        # with a cursor we cannot truncate per segment (the cursor may sit
-        # below the per-segment top-k) — emit all matches instead
-        fetch_k = None if search_after is not None else k
-        matches = self._matches(ast, seg_ids, fetch_k, mode, fast_filter, use_wand)
+        score_cutoff = search_after[0] if search_after is not None else None
+        matches = self._matches(
+            ast, seg_ids, k, mode, fast_filter, use_wand, score_cutoff
+        )
         if mode == "oracle":
             matches = matches.withColumn("score", F.round(F.col("score"), 9))
         docs = self.docs().select("segment_id", "doc_id", "doc_key", *(fetch or []))
-        # winners are ≤ k×segments rows — broadcast them into the docmap scan
+        # winners are ≤ k×segments (+ cutoff ties) rows — broadcast them
+        # into the docmap scan
         hits = docs.join(F.broadcast(matches), ["segment_id", "doc_id"], "inner")
         if search_after is not None:
             sa_score, sa_key = search_after

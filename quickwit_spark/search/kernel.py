@@ -50,6 +50,7 @@ from quickwit_spark.query.ast import (
     MatchAll,
     MatchNone,
     Phrase,
+    PhrasePrefix,
     QueryAst,
     Term,
     TermSet,
@@ -262,7 +263,7 @@ def _eval(ctx: _Ctx, node: QueryAst, boost: float):
             counts[docids] += 1
         mask = counts >= (len(terms) if op == "and" else 1)
         return mask, scores
-    if isinstance(node, Phrase):
+    if isinstance(node, (Phrase, PhrasePrefix)):
         return _eval_phrase(ctx, node, boost)
     if isinstance(node, Exists):
         # fixed schema: text fields always present → docs with norms row
@@ -300,28 +301,102 @@ def _eval(ctx: _Ctx, node: QueryAst, boost: float):
     raise NotImplementedError(f"unsupported node {type(node).__name__}")
 
 
-def _eval_phrase(ctx: _Ctx, node: Phrase, boost: float):
-    """Exact-adjacency phrase match (slop=0) with phrase-frequency BM25
-    scoring: tf(doc) = #phrase occurrences, df = #docs with ≥1
-    occurrence — the reference's positional PhraseQuery semantics."""
+_POS_BITS = np.uint64(32)  # doc-index << 32 | position — globally unique
+
+
+def _cand_glob_positions(entry, cand: np.ndarray) -> np.ndarray:
+    """Concatenated positions of `cand` docs as doc-globalized values
+    (cand-index << 32 | position), ascending. Candidates absent from the
+    entry's posting list (possible for PhrasePrefix expansion terms)
+    contribute nothing. Pure vector ops — the variable-length slice
+    gather is the standard repeat/cumsum trick."""
+    d, tfs, pos = entry
+    if len(d) == 0 or len(cand) == 0:
+        return np.zeros(0, np.uint64)
+    ends = np.cumsum(tfs.astype(np.int64))
+    idx = np.minimum(np.searchsorted(d, cand), len(d) - 1)
+    member = d[idx] == cand
+    lens = np.where(member, tfs[idx].astype(np.int64), 0)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.uint64)
+    out_starts = np.cumsum(lens) - lens
+    src_starts = ends[idx] - tfs[idx].astype(np.int64)
+    flat = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_starts, lens)
+        + np.repeat(src_starts, lens)
+    )
+    doc_ix = np.repeat(np.arange(len(cand), dtype=np.uint64), lens)
+    return (doc_ix << _POS_BITS) | pos[flat]
+
+
+def intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """intersect1d for sorted-unique uint64 arrays without the re-sort
+    np.intersect1d would do."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros(0, np.uint64)
+    if len(a) > len(b):
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = len(b) - 1
+    return a[b[idx] == a]
+
+
+def _merge_sorted_unique(arrays: list[np.ndarray]) -> np.ndarray:
+    arrays = [a for a in arrays if len(a)]
+    if not arrays:
+        return np.zeros(0, np.uint64)
+    if len(arrays) == 1:
+        return arrays[0]
+    out = np.concatenate(arrays)
+    out.sort()
+    return out
+
+
+def _eval_phrase(ctx: _Ctx, node, boost: float):
+    """Phrase / PhrasePrefix match with phrase-frequency BM25 scoring:
+    tf(doc) = #phrase occurrences (slop>0: #chain-surviving last-term
+    positions), df = #matching docs — the reference's positional
+    PhraseQuery semantics. PhrasePrefix replaces the last term by the
+    union of its dictionary `expansions` (resolved by the engine,
+    capped at max_expansions like `phrase_prefix_query.rs:66-93`)."""
     N = ctx.seg.num_docs
     toks = ctx.tokenizer_for_field(node.field)(node.text)
     empty = (np.zeros(N, bool), np.zeros(N, ctx.dtype))
     if not toks:
         return empty
-    entries = []
-    for t in toks:
+    is_prefix = isinstance(node, PhrasePrefix)
+    slop = 0 if is_prefix else node.slop
+    fixed = toks[:-1]
+    last_terms = tuple(node.expansions or ()) if is_prefix else toks[-1:]
+    if is_prefix and not last_terms:
+        return empty
+
+    def entry_for(t):
         e = ctx.seg.postings.get((node.field, t))
         if e is None:
-            return empty
+            return None
         p = ctx.seg.positions.get((node.field, t))
         if p is None:
             raise NotImplementedError(
                 f"phrase query on {node.field!r} requires record: position"
             )
-        entries.append((e[0], e[1], p))
-    if len(toks) == 1:
-        docids, tfs, _ = entries[0]
+        return (e[0], e[1], p)
+
+    entries = []
+    for t in fixed:
+        e = entry_for(t)
+        if e is None:
+            return empty
+        entries.append(e)
+    last_entries = [e for e in (entry_for(t) for t in last_terms) if e is not None]
+    if not last_entries:
+        return empty
+
+    if len(fixed) == 0 and len(last_entries) == 1 and not is_prefix:
+        # single-term phrase behaves like a term query
+        docids, tfs, _ = last_entries[0]
         n, avgdl = ctx.field_stats(node.field)
         w = bm25_weight(len(docids), n, boost, ctx.dtype)
         dl = ctx.doc_lens(node.field)[docids]
@@ -330,30 +405,29 @@ def _eval_phrase(ctx: _Ctx, node: Phrase, boost: float):
         mask = np.zeros(N, bool)
         mask[docids] = True
         return mask, scores
-    # candidate docs = intersection of all term posting lists
-    cand = entries[0][0]
-    for d, _, _ in entries[1:]:
-        cand = cand[np.isin(cand, d, assume_unique=True)]
-    if len(cand) == 0:
+
+    # candidate docs = docs with ALL fixed terms and ≥1 last-term variant
+    cand = None
+    for d, _, _ in entries:
+        cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+    last_docs = (
+        last_entries[0][0]
+        if len(last_entries) == 1
+        else np.unique(np.concatenate([e[0] for e in last_entries]))
+    )
+    cand = (
+        last_docs
+        if cand is None
+        else cand[np.isin(cand, last_docs, assume_unique=True)]
+    )
+    if cand is None or len(cand) == 0:
         return empty
-    # per-term per-doc position spans for the candidates
-    spans = []
-    for d, tfs, pos in entries:
-        ends = np.cumsum(tfs)
-        idx = np.searchsorted(d, cand)
-        spans.append([(int(ends[i] - tfs[i]), int(ends[i])) for i in idx])
-    counts = np.zeros(len(cand), np.int64)
-    for ci in range(len(cand)):
-        lo, hi = spans[0][ci]
-        cur = entries[0][2][lo:hi] + np.uint64(1)
-        for ti in range(1, len(entries)):
-            lo, hi = spans[ti][ci]
-            cur = np.intersect1d(
-                cur, entries[ti][2][lo:hi], assume_unique=True
-            ) + np.uint64(1)
-            if len(cur) == 0:
-                break
-        counts[ci] = len(cur)
+    # last position stream = union of the expansion terms' positions
+    last_glob = _merge_sorted_unique(
+        [_cand_glob_positions(e, cand) for e in last_entries]
+    )
+    chain = [*( _cand_glob_positions(e, cand) for e in entries ), last_glob]
+    counts = _phrase_counts_glob(chain, cand, slop)
     hit = counts > 0
     docids = cand[hit].astype(np.uint32)
     mask = np.zeros(N, bool)
@@ -365,6 +439,48 @@ def _eval_phrase(ctx: _Ctx, node: Phrase, boost: float):
         mask[docids] = True
         scores[docids] = w * tf_component(counts[hit], dl, avgdl, ctx.dtype)
     return mask, scores
+
+
+def _phrase_counts_glob(glob: list[np.ndarray], cand, slop: int) -> np.ndarray:
+    """Per-candidate-doc phrase frequency over pre-globalized position
+    streams, fully vectorized across docs.
+
+    slop=0 — exact adjacency: chain left→right by intersecting
+    (positions-so-far + 1) with the next term's positions over the
+    doc-globalized streams (doc offsets make the concatenated arrays
+    globally sorted + unique, so ONE sorted-merge intersection per
+    phrase term covers every candidate doc at once — no per-doc loop).
+
+    slop>0 — sloppy chain (the Lucene/tantivy convention: consecutive
+    terms' offset-adjusted positions may differ by ≤ slop, so a
+    transposition costs 2): forward DP keeping the set of term-i
+    positions reachable from term i-1 within the slop window, via two
+    searchsorted probes per step. Count = surviving last-term positions.
+    """
+    nterms = len(glob)
+    shift = np.uint64(slop + nterms + 1)
+    if slop == 0:
+        cur = glob[0] + np.uint64(1)
+        for i in range(1, nterms):
+            cur = intersect_sorted(cur, glob[i]) + np.uint64(1)
+            if len(cur) == 0:
+                break
+    else:
+        cur = glob[0] + shift
+        for i in range(1, nterms):
+            b = glob[i] + shift - np.uint64(i)
+            if len(cur) == 0 or len(b) == 0:
+                cur = np.zeros(0, np.uint64)
+                break
+            s = np.uint64(slop)
+            lo = np.searchsorted(cur, b - s, side="left")
+            hi = np.searchsorted(cur, b + s, side="right")
+            cur = b[hi > lo]  # ∃ prev-adjusted within [b−slop, b+slop]
+    if len(cur) == 0:
+        return np.zeros(len(cand), np.int64)
+    return np.bincount(
+        (cur >> _POS_BITS).astype(np.int64), minlength=len(cand)
+    ).astype(np.int64)
 
 
 def _wand_candidates(ctx: _Ctx, terms, k: int):
@@ -469,8 +585,16 @@ def evaluate_segment(
     k1: float = 1.2,
     b: float = 0.75,
     use_wand: bool = True,
+    score_cutoff: float | None = None,
 ):
-    """→ (docids, scores) for this segment (top-k-truncated when k given)."""
+    """→ (docids, scores) for this segment (top-k-truncated when k given).
+
+    `score_cutoff` is the search_after pushdown: only docs with
+    score ≤ cutoff are returned, and the per-segment top-k keeps ALL
+    ties at exactly the cutoff (the driver still needs them for the
+    cursor's doc-key comparison) plus the k best below it — so a
+    paginated query stays per-segment-truncated instead of emitting
+    every match."""
     ctx = _Ctx(seg, mode, global_stats, k1, b, tokenizer_for_field)
     if seg.num_docs == 0:
         return np.zeros(0, np.uint32), np.zeros(0, ctx.dtype)
@@ -479,6 +603,7 @@ def evaluate_segment(
         and k is not None
         and mode == "parity"
         and allowed is None
+        and score_cutoff is None
         and (k1, b) == (1.2, 0.75)
     ):
         terms = _is_pure_disjunction(ctx, ast)
@@ -491,4 +616,13 @@ def evaluate_segment(
         amask[allowed[allowed < seg.num_docs]] = True
         mask &= amask
     docids = np.flatnonzero(mask).astype(np.uint32)
-    return topk_tiebreak(docids, scores[mask], k)
+    sc = scores[mask]
+    if score_cutoff is not None:
+        cut = ctx.dtype(score_cutoff)
+        if mode == "oracle":
+            sc = np.round(sc, 9)
+        keep = sc <= cut
+        docids, sc = docids[keep], sc[keep]
+        if k is not None:
+            k = k + int((sc == cut).sum())
+    return topk_tiebreak(docids, sc, k)

@@ -123,3 +123,129 @@ def test_phrase_without_positions_errors(spark, sf_dir, tmp_path):
     s = IndexSearcher(spark, d)
     with pytest.raises(Exception, match="position"):
         s.count(Phrase("text", "quick brown"))
+
+
+def _slop_oracle(phrase: str, slop: int) -> dict[int, int]:
+    """Brute-force sloppy-phrase count: forward DP over offset-adjusted
+    positions, pairwise window ≤ slop (transposition costs 2)."""
+    toks = phrase.split()
+    out = {}
+    for did, text in DOCS:
+        words = text.split()
+        pos = [[i for i, w in enumerate(words) if w == t] for t in toks]
+        if any(not p for p in pos):
+            continue
+        cur = [p - 0 for p in pos[0]]
+        for ti in range(1, len(toks)):
+            cur = [
+                q - ti
+                for q in pos[ti]
+                if any(abs((q - ti) - a) <= slop for a in cur)
+            ]
+            if not cur:
+                break
+        if cur:
+            out[did] = len(cur)
+    return out
+
+
+def test_phrase_slop(spark, pos_index):
+    s = IndexSearcher(spark, pos_index)
+    cases = [
+        ("quick fox", 1),     # one word between: "quick brown fox"
+        ("quick fox", 0),     # not adjacent → no match
+        ("fox quick", 2),     # transposition costs 2
+        ("fox quick", 1),
+        ("the dog", 2),       # "the lazy dog"
+        ("quick animals", 2),
+        ("brown repetition", 1),
+    ]
+    for phrase, slop in cases:
+        got = {
+            r["doc_key"]
+            for r in s.search_stream(Phrase("text", phrase, slop=slop), []).collect()
+        }
+        assert got == set(_slop_oracle(phrase, slop)), (phrase, slop)
+    # slop=0 equals the exact-adjacency oracle
+    for phrase in ("quick brown", "quick brown quick"):
+        assert _slop_oracle(phrase, 0) == _phrase_oracle(phrase)
+
+
+def test_phrase_prefix(spark, pos_index):
+    from quickwit_spark.query.ast import PhrasePrefix
+
+    s = IndexSearcher(spark, pos_index)
+    # "quick bro" prefix → expands to {brown} → same as phrase
+    got = {
+        r["doc_key"]
+        for r in s.search_stream(PhrasePrefix("text", "quick bro"), []).collect()
+    }
+    assert got == set(_phrase_oracle("quick brown"))
+    # prefix matching multiple dictionary terms: "the la" → lazy
+    got = {
+        r["doc_key"]
+        for r in s.search_stream(PhrasePrefix("text", "the la"), []).collect()
+    }
+    assert got == {0}
+    # no dictionary term with the prefix → no hits
+    assert s.count(PhrasePrefix("text", "quick zz")) == 0
+    # max_expansions truncates in term order
+    got = {
+        r["doc_key"]
+        for r in s.search_stream(
+            PhrasePrefix("text", "quick b", max_expansions=50), []
+        ).collect()
+    }
+    assert got == set(_phrase_oracle("quick brown"))
+
+
+def test_parser_emits_phrase_for_position_fields():
+    from quickwit_spark.query.ast import FullText, Phrase as P, PhrasePrefix as PP
+    from quickwit_spark.query.parser import parse_query
+
+    pos = {"text"}
+    assert parse_query('text:"quick brown"', ["text"], position_fields=pos) == P(
+        "text", "quick brown", slop=0
+    )
+    assert parse_query('text:"quick brown"~2', ["text"], position_fields=pos) == P(
+        "text", "quick brown", slop=2
+    )
+    assert parse_query('text:"quick bro"*', ["text"], position_fields=pos) == PP(
+        "text", "quick bro"
+    )
+    # unfielded quoted clause resolves against default fields
+    assert parse_query('"quick brown"', ["text"], position_fields=pos) == P(
+        "text", "quick brown", slop=0
+    )
+    # freq-only field degrades to AND-conjunction (reference fallback)
+    assert parse_query('text:"quick brown"', ["text"]) == FullText(
+        "text", "quick brown", "and"
+    )
+
+
+def test_es_dsl_phrase_variants():
+    from quickwit_spark.query.ast import FullText, Phrase as P, PhrasePrefix as PP
+    from quickwit_spark.query.es_dsl import from_es_query
+
+    pos = {"text"}
+    q = {"match_phrase": {"text": {"query": "quick brown", "slop": 1}}}
+    assert from_es_query(q, position_fields=pos) == P("text", "quick brown", slop=1)
+    assert from_es_query(q) == FullText("text", "quick brown", "and")
+    q = {"match_phrase_prefix": {"text": {"query": "quick bro", "max_expansions": 10}}}
+    assert from_es_query(q, position_fields=pos) == PP(
+        "text", "quick bro", max_expansions=10
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="position"):
+        from_es_query(q)
+
+
+def test_query_string_phrase_end_to_end(spark, pos_index):
+    """Quoted query strings now execute true phrase semantics on
+    position-indexed fields (regression: they degraded to AND)."""
+    s = IndexSearcher(spark, pos_index)
+    got = {r["doc_key"] for r in s.search_stream('text:"brown quick"', []).collect()}
+    assert got == set(_phrase_oracle("brown quick")) == {2, 4}
+    # AND degradation would also match docs 0 and 1 (both words, not adjacent)
+    assert 1 not in got
