@@ -489,21 +489,29 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH candidate pairs (xxhash64-based — not SQL-expressible;
-    driver records the weaker rows-only check)."""
+    """MinHash-LSH candidate pairs in PORTABLE hash mode: the DuckDB
+    oracle re-runs the identical signature + banding arithmetic, so the
+    pair set and est_jaccard values hash-match exactly."""
     from quickwit_spark.datapipe.dedup import minhash_lsh_pairs, minhash_signatures
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    sigs = minhash_signatures(docs, "doc_id", num_perm=32)
-    return minhash_lsh_pairs(sigs, "doc_id", bands=8, rows=4)
+    sigs = minhash_signatures(docs, "doc_id", num_perm=32, portable=True)
+    out = minhash_lsh_pairs(sigs, "doc_id", bands=8, rows=4)
+    return out.select("key_a", "key_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (xxhash64-based — rows-only check)."""
+    """SimHash near-dup pairs, portable 62-bit fingerprint. bands=9 >
+    max_hamming=8 ⇒ banding is exhaustive (pigeonhole), so the result
+    equals the brute-force Hamming-≤8 pair set the SQL oracle computes."""
     from quickwit_spark.datapipe.dedup import simhash, simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return simhash_near_pairs(simhash(docs, "doc_id"), "doc_id", max_hamming=8)
+    fp = simhash(docs, "doc_id", portable=True)
+    out = simhash_near_pairs(fp, "doc_id", max_hamming=8, bands=9, bits=62)
+    return out.select(
+        "key_a", "key_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_knn_cosine(spark, sf_dir):
@@ -518,12 +526,17 @@ def _q_knn_cosine(spark, sf_dir):
 
 
 def _q_knn_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (xxhash64-derived hyperplanes — rows-only check)."""
+    """LSH-bucketed ANN. The hyperplanes are portable integer-parity
+    mixes and the dot product is an in-order fold, so the DuckDB oracle
+    reproduces buckets AND ranking exactly."""
     from quickwit_spark.datapipe.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, k=10, planes=4)
+    out = lsh_topk(emb, queries, k=10, planes=4, rank_round=9)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def _q_text_stats(spark, sf_dir):
@@ -568,10 +581,14 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
+    """Near-dup pairs through the hyperplane-LSH path (planes>0 — the
+    10^12-scale shape), threshold low enough that real pairs exist; the
+    oracle mirrors the bucket restriction, so this is a full hash check
+    of the scale path, not a vacuous 0==0."""
     from quickwit_spark.datapipe.dedup import embedding_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = embedding_near_dup_pairs(emb, threshold=0.9)
+    out = embedding_near_dup_pairs(emb, threshold=0.45, planes=4, rank_round=9)
     return out.select("key_a", "key_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -711,6 +728,125 @@ SELECT doc_id,
          i -> i * (4861 * length(l[i]) + 31 * ascii(l[i][1]) + ascii(l[i][-1]))
        )) ELSE 0 END AS BIGINT) AS fingerprint
 FROM toks
+"""
+
+
+# --------------------------------------------------------------------------
+# portable-hash oracles: the SQL below re-runs the EXACT arithmetic of the
+# portable modes in datapipe/portable.py (minhash permutations, simhash
+# fingerprints, hyperplane signs), so the gate hash-compares full results
+# of the LSH family rather than recording rows-only checks.
+# --------------------------------------------------------------------------
+
+
+def _minhash_lsh_sql(num_perm: int = 32, bands: int = 8, rows: int = 4) -> str:
+    from quickwit_spark.datapipe.portable import P31, perm_constants, sql_portable_hash
+
+    mins = ",\n       ".join(
+        f"MIN((p * {a} + {b}) % {P31}) AS h{i}"
+        for i, (a, b) in enumerate(perm_constants(num_perm))
+    )
+    band_joins = "\n  UNION\n".join(
+        "  SELECT a.doc_id AS key_a, b.doc_id AS key_b FROM sig a JOIN sig b\n    ON "
+        + " AND ".join(f"a.h{bd * rows + r} = b.h{bd * rows + r}" for r in range(rows))
+        + " AND a.doc_id < b.doc_id"
+        for bd in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_perm)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+           i -> array_to_string(list_slice(string_split(lower(text),' '), i, i+2), ' ')
+         ))) AS s
+  FROM documents
+  WHERE len(string_split(lower(text),' ')) >= 3
+),
+ph AS (SELECT doc_id, CAST({sql_portable_hash("s")} AS BIGINT) % {P31} AS p FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ph GROUP BY doc_id),
+pairs AS (
+{band_joins}
+)
+SELECT key_a, key_b,
+       ROUND(CAST(({agree}) AS DOUBLE) / {num_perm}, 6) AS est_jaccard
+FROM pairs JOIN sig sa ON sa.doc_id = key_a JOIN sig sb ON sb.doc_id = key_b
+"""
+
+
+def _simhash_sql(max_hamming: int = 8, bits: int = 62) -> str:
+    # bands=9 > max_hamming=8 in the Spark query ⇒ banding is exhaustive
+    # (pigeonhole), so brute-force Hamming is the exact oracle.
+    from quickwit_spark.datapipe.portable import P31, perm_constants, sql_portable_hash
+
+    (a1, b1), (a2, b2) = perm_constants(2)
+    fpsum = "\n         + ".join(
+        f"(CASE WHEN SUM(((h >> {j}) & 1) * 2 - 1) > 0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+ph AS (SELECT doc_id, CAST({sql_portable_hash("tok")} AS BIGINT) % {P31} AS p FROM toks),
+hs AS (SELECT doc_id,
+              (p * {a1} + {b1}) % {P31}
+              + ((p * {a2} + {b2}) % {P31}) * {1 << 31} AS h
+       FROM ph),
+fp AS (SELECT doc_id, {fpsum} AS f FROM hs GROUP BY doc_id)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+"""
+
+
+def _hyperplane_bucket_sql(planes: int, seed: int = 0) -> str:
+    """SQL expression (over DOUBLE[] column `v`) for the LSH bucket."""
+    from quickwit_spark.datapipe.portable import sql_plane_component
+
+    terms = []
+    for i in range(planes):
+        pc = sql_plane_component(seed * 131 + i, "(i - 1)")
+        proj = f"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * {pc}))"
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _knn_lsh_sql(planes: int = 4, k: int = 10) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, {_hyperplane_bucket_sql(planes)} AS bucket FROM e),
+q AS (SELECT e.vec_id AS query_id, v AS qv, bucket
+      FROM e JOIN sig USING (vec_id) WHERE e.vec_id < 5),
+c AS (SELECT e.vec_id AS neighbor_id, v AS cv, bucket
+      FROM e JOIN sig USING (vec_id)),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(list_cosine_similarity(qv, cv), 9) AS s9
+  FROM q JOIN c USING (bucket) WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, s9,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s9 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(s9, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _embedding_near_dup_sql(planes: int = 4, threshold: float = 0.45) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, {_hyperplane_bucket_sql(planes)} AS bucket FROM e),
+es AS (SELECT e.vec_id, v, bucket FROM e JOIN sig USING (vec_id))
+SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+       ROUND(ROUND(list_cosine_similarity(a.v, b.v), 9), 6) AS cosine
+FROM es a JOIN es b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= {threshold}
 """
 
 
@@ -870,13 +1006,7 @@ SELECT doc_id AS doc_key,
        CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id DESC) - 10 AS BIGINT) AS rank
 FROM m ORDER BY n_chars DESC, doc_id DESC LIMIT 10 OFFSET 10
 """,
-        "dedup_embedding_cosine": """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS key_a, b.vec_id AS key_b,
-       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= 0.9
-""",
+        "dedup_embedding_cosine": _embedding_near_dup_sql(planes=4, threshold=0.45),
         "text_bpe_token_count": """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text,
@@ -884,8 +1014,9 @@ SELECT doc_id,
        )) AS BIGINT) AS bpe_tokens
 FROM documents
 """,
-        # minhash/simhash/lsh are xxhash64-derived → no SQL oracle
-        # (driver records rows-only checks for them)
+        "dedup_minhash_lsh": _minhash_lsh_sql(num_perm=32, bands=8, rows=4),
+        "dedup_simhash": _simhash_sql(max_hamming=8, bits=62),
+        "knn_cosine_lsh": _knn_lsh_sql(planes=4, k=10),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "knn_cosine_bruteforce": _KNN_COSINE_SQL,

@@ -103,15 +103,35 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, key: str, text_col: str = "text", k: int = 3, num_perm: int = 64
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). → (key, sig: array<bigint>)."""
+    """MinHash signature per doc: sig[i] = min over shingles of a
+    permuted shingle hash. → (key, sig: array<bigint>).
+
+    Default hash is xxhash64(shingle, seed=i) (fast JVM path).
+    `portable=True` switches to the engine-portable arithmetic in
+    `portable.py` (sig_i = (A_i·PH(shingle) + B_i) mod 2^31−1) so an
+    independent SQL engine reproduces the signatures bit-for-bit — the
+    correctness-oracle path."""
     sh = shingles(df.select(key, text_col), text_col, k)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
+    if portable:
+        from quickwit_spark.datapipe.portable import P31, perm_constants, portable_hash
+
+        sh = sh.withColumn("_ph", portable_hash(F.col("shingle")) % F.lit(P31))
+        mins = [
+            F.min((F.col("_ph") * F.lit(a) + F.lit(b)) % F.lit(P31)).alias(f"h{i}")
+            for i, (a, b) in enumerate(perm_constants(num_perm))
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
     agg = sh.groupBy(key).agg(*mins)
     return agg.select(key, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
@@ -121,7 +141,9 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate pairs from signatures: docs agreeing on ALL `rows`
     components of any band collide. → (key_a, key_b, est_jaccard) where
-    est_jaccard = fraction of agreeing signature components."""
+    est_jaccard = fraction of agreeing signature components. The band
+    bucket is the raw joined component string (engine-portable — no
+    re-hash), so the same banding is reproducible in SQL."""
     num_perm = bands * rows
     banded = sig_df.select(
         F.col(key).alias("k"),
@@ -131,10 +153,8 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
-                            )
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -168,11 +188,14 @@ def embedding_near_dup_pairs(
     vec: str = "embedding",
     threshold: float = 0.95,
     planes: int = 0,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (key_a, key_b, cosine)
     with cosine ≥ threshold, key_a < key_b. planes=0 compares all pairs
     (exact); planes>0 restricts to hyperplane-LSH bucket collisions
-    (the 10^12-scale path — cost |bucket|² not N²)."""
+    (the 10^12-scale path — cost |bucket|² not N²). `rank_round` rounds
+    the cosine before the threshold test so a ±1-ulp independent engine
+    makes identical keep/drop decisions (oracle comparability)."""
     from quickwit_spark.datapipe.similarity import cosine, hyperplane_signatures
 
     a = df.select(F.col(key).alias("key_a"), F.col(vec).alias("_va"))
@@ -184,21 +207,48 @@ def embedding_near_dup_pairs(
         pairs = a.join(b, "bucket")
     else:
         pairs = a.crossJoin(b)
+    out = pairs.filter(F.col("key_a") < F.col("key_b")).withColumn(
+        "cosine", cosine(F.col("_va"), F.col("_vb"))
+    )
+    if rank_round is not None:
+        out = out.withColumn("cosine", F.round("cosine", rank_round))
     return (
-        pairs.filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
-        .filter(F.col("cosine") >= threshold)
+        out.filter(F.col("cosine") >= threshold)
         .select("key_a", "key_b", "cosine")
+        .dropDuplicates(["key_a", "key_b"])
     )
 
 
-def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (JVM-side bit arithmetic):
-    bit j of the fingerprint = majority vote of bit j across token
-    hashes. → (key, simhash: bigint)."""
+def simhash(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash over whitespace tokens (JVM-side bit arithmetic): bit j
+    of the fingerprint = majority vote of bit j across token hashes.
+    → (key, simhash: bigint).
+
+    `portable=True` uses the engine-portable token hash (two 31-bit
+    mixes → a 62-bit fingerprint, `bits` forced to 62) so the SQL
+    oracle reproduces the fingerprints exactly."""
     toks = df.select(
         F.col(key).alias("k"), F.explode(_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if portable:
+        from quickwit_spark.datapipe.portable import P31, perm_constants, portable_hash
+
+        bits = 62
+        (a1, b1), (a2, b2) = perm_constants(2)
+        ph = portable_hash(F.col("tok")) % F.lit(P31)
+        toks = toks.withColumn(
+            "h",
+            ((ph * F.lit(a1) + F.lit(b1)) % F.lit(P31))
+            + ((ph * F.lit(a2) + F.lit(b2)) % F.lit(P31)) * F.lit(1 << 31).cast("long"),
+        )
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
     votes = toks.groupBy("k").agg(
         *[
             F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
@@ -215,13 +265,38 @@ def simhash(df: DataFrame, key: str, text_col: str = "text", bits: int = 64) -> 
     return votes.select(F.col("k").alias(key), fp.alias("simhash"))
 
 
-def simhash_near_pairs(sim_df: DataFrame, key: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by banding the 64-bit simhash into four
-    16-bit chunks (≤3 differing bits ⇒ some chunk matches exactly),
-    then exact Hamming filter. → (key_a, key_b, hamming)."""
+def _band_ranges(bits: int, bands: int) -> list[tuple[int, int]]:
+    """Split `bits` into `bands` contiguous (shift, width) chunks."""
+    base, extra = divmod(bits, bands)
+    out, shift = [], 0
+    for c in range(bands):
+        width = base + (1 if c < extra else 0)
+        out.append((shift, width))
+        shift += width
+    return out
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame,
+    key: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup candidates by banding the simhash into `bands` bit
+    chunks, then exact Hamming filter. → (key_a, key_b, hamming).
+
+    Pigeonhole guarantee: a pair with hamming ≤ bands−1 shares at least
+    one identical band, so with bands > max_hamming the result is the
+    COMPLETE set of pairs within max_hamming (banding is a pure cost
+    optimization, not an approximation). The default 4×16-bit banding
+    guarantees recall only for hamming ≤ 3 — pass bands=max_hamming+1
+    for exact semantics at larger radii."""
     chunks = [
-        F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-        for c in range(4)
+        F.shiftrightunsigned("simhash", shift)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"c{c}")
+        for c, (shift, width) in enumerate(_band_ranges(bits, bands))
     ]
     banded = sim_df.select(F.col(key).alias("k"), "simhash", *chunks)
     banded = banded.select(
@@ -231,7 +306,7 @@ def simhash_near_pairs(sim_df: DataFrame, key: str, max_hamming: int = 3) -> Dat
             F.array(
                 *[
                     F.struct(F.lit(c).alias("band"), F.col(f"c{c}").alias("bucket"))
-                    for c in range(4)
+                    for c in range(bands)
                 ]
             )
         ).alias("bb"),

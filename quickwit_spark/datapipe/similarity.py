@@ -86,24 +86,25 @@ def hyperplane_signatures(
     key: str = "vec_id",
     vec: str = "embedding",
     planes: int = 16,
-    seed: int = 42,
+    seed: int = 0,
 ) -> DataFrame:
-    """Random-hyperplane LSH signature: bit i = sign(v · h_i) with h_i a
-    deterministic pseudo-random hyperplane derived from (seed, i, dim)
-    via a hash — reproducible across engines, no stored model.
-    → (key, bucket:int)."""
+    """Random-hyperplane LSH signature: bit i = sign(v · h_i) with
+    h_i[j] ∈ {−1,+1} a deterministic LCG-parity mix of (seed, i, j)
+    (`portable.plane_component`) — plain integer arithmetic an
+    independent SQL engine reproduces exactly (the dot product is a
+    left-fold in array order, so even the float rounding matches),
+    no stored model. → (key, bucket:int)."""
+    from quickwit_spark.datapipe.portable import plane_component
+
     dim_col = F.size(F.col(vec))
     bits = []
     for i in range(planes):
-        # h_i[j] in {-1,+1} from xxhash64(seed, i, j): cheap, dense enough
         proj = F.aggregate(
             F.zip_with(
                 F.transform(F.col(vec), lambda x: x.cast("double")),
                 F.transform(
                     F.sequence(F.lit(0), dim_col - 1),
-                    lambda j: (
-                        F.pmod(F.xxhash64(F.lit(seed), F.lit(i), j), F.lit(2)) * 2 - 1
-                    ).cast("double"),
+                    lambda j: plane_component(seed * 131 + i, j),
                 ),
                 lambda x, h: x * h,
             ),
@@ -124,11 +125,13 @@ def lsh_topk(
     vec: str = "embedding",
     k: int = 10,
     planes: int = 8,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: score only candidates in the query's
     hyperplane bucket. Same output schema as brute_force_topk; recall
     depends on `planes` (fewer planes → bigger buckets → higher recall
-    and cost)."""
+    and cost). The portable hyperplanes mean an independent SQL engine
+    reproduces the buckets (and with `rank_round` the ranking) exactly."""
     csig = hyperplane_signatures(corpus.select(key, vec), key, vec, planes)
     qsig = hyperplane_signatures(queries.select(key, vec), key, vec, planes)
     c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("_cvec")).join(
@@ -146,6 +149,8 @@ def lsh_topk(
             cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
         )
     )
+    if rank_round is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", rank_round))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
