@@ -86,9 +86,9 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     key = os.path.abspath(sf_dir)
     if key in _searchers:
         return _searchers[key]
-    # _v2: record:'position' on text (phrase gate queries) — the suffix
+    # _v3: tag_fields on lang (manifest tag pruning) — the suffix
     # invalidates caches built under the older schema
-    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_v2")
+    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_v3")
     cfg = IndexConfig(
         fields=[
             FieldConfig("text", record="position"),
@@ -98,6 +98,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         num_partitions=4,
         stored_columns=("url", "lang", "source", "n_chars"),
         time_column="warc_ts",
+        tag_fields=("lang",),
     )
     # build_index is resumable/idempotent: committed batches are skipped,
     # so a cached index is reused and a partial one is completed.

@@ -83,6 +83,18 @@ class IndexConfig:
     stored_columns: tuple = ()  # extra columns copied into the docmap
     time_column: str | None = None  # drives time-range pruning
     postings_codec: str = "varint"  # "varint" | "bitpack" (docid deltas)
+    # low-cardinality raw columns whose per-segment value sets are
+    # recorded in the manifest for tag pruning (reference: DocMapper
+    # `tag_fields`, `split_metadata.rs` tags)
+    tag_fields: tuple = ()
+    # cardinality cap per segment: beyond it the field's tags are
+    # dropped (the `field!` marker is omitted ⇒ never pruned on it)
+    max_tags_per_field: int = 1000
+    # route documents to partitions by this column instead of doc_key
+    # (reference: doc-mapping `partition_key` routing expression) — used
+    # with tag_fields it co-locates a tag value's docs so pruning can
+    # skip whole segments
+    routing_column: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -95,6 +107,9 @@ class IndexConfig:
                 "stored_columns": list(self.stored_columns),
                 "time_column": self.time_column,
                 "postings_codec": self.postings_codec,
+                "tag_fields": list(self.tag_fields),
+                "max_tags_per_field": self.max_tags_per_field,
+                "routing_column": self.routing_column,
             },
             sort_keys=True,
         )
@@ -105,6 +120,9 @@ class IndexConfig:
         d["fields"] = [FieldConfig(**f) for f in d["fields"]]
         d["stored_columns"] = tuple(d["stored_columns"])
         d.setdefault("postings_codec", "varint")
+        d["tag_fields"] = tuple(d.get("tag_fields") or ())
+        d.setdefault("max_tags_per_field", 1000)
+        d.setdefault("routing_column", None)
         return IndexConfig(**d)
 
 
@@ -434,12 +452,23 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
                     .astype(np.int64)
                 )
                 time_range = [int(tsv.min()), int(tsv.max())]
+            # per-segment tag sets (reference: SplitMetadata.tags) —
+            # `field!` marks the field recorded; dropped entirely when
+            # the value set blows the cardinality cap, which disables
+            # pruning on this field for this segment only
+            tags: list[str] = []
+            for tf in config.tag_fields:
+                vals = pc.unique(pc.drop_null(seg.column(tf))).cast(pa.string())
+                if len(vals) <= config.max_tags_per_field:
+                    tags.append(f"{tf}!")
+                    tags.extend(f"{tf}:{v}" for v in vals.to_pylist())
             keys = seg.column(doc_key)
             seg_meta = {
                 "num_docs": end - start,
                 "partition_id": pid,
                 "field_stats": field_stats,
                 "time_range": time_range,
+                "tags": sorted(tags),
                 "min_key": int(keys[0].as_py()),
                 "max_key": int(keys[-1].as_py()),
                 "build_secs": round(time.perf_counter() - t0, 4),
@@ -492,11 +521,10 @@ def build_index(
     docs_dir = f"{index_dir}/docs"
 
     done = mf.committed_checkpoints(index_dir, kind="build")
+    routing = config.routing_column or config.doc_key
     df = df.withColumn(
         "_pid",
-        F.pmod(F.xxhash64(F.col(config.doc_key)), F.lit(config.num_partitions)).cast(
-            "int"
-        ),
+        F.pmod(F.xxhash64(F.col(routing)), F.lit(config.num_partitions)).cast("int"),
     )
     build_fn = _make_build_fn_arrow(config, job_id)
     all_records: list[mf.SegmentRecord] = []
@@ -567,6 +595,7 @@ def build_index(
                     field_stats=m["field_stats"],
                     lineage={"batch_id": batch_id, "pid_range": [lo, hi]},
                     time_range=m["time_range"],
+                    tags=m.get("tags") or [],
                     merge_gen=0,
                     metrics={"build_secs": m["build_secs"]},
                 )

@@ -45,6 +45,9 @@ class SegmentRecord:
     lineage: dict = field(default_factory=dict)
     # [min_ts_micros, max_ts_micros] or None
     time_range: list | None = None
+    # tag-pruning value sets: ["{field}!", "{field}:{value}", ...]
+    # (reference: SplitMetadata.tags, `split_metadata.rs:61-130`)
+    tags: list = field(default_factory=list)
     merge_gen: int = 0
     metrics: dict = field(default_factory=dict)
 

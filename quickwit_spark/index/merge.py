@@ -37,6 +37,7 @@ directories, merge tantivy segments, re-base docids) as DataFrame jobs:
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -143,6 +144,38 @@ def plan_merges(segments: list[mf.SegmentRecord], policy: MergePolicy) -> list[M
                 op_id = f"m{gen}-p{pid:05d}-l{lvl}-{take[0].segment_id}"
                 ops.append(MergeOp(op_id, [s.segment_id for s in take], pid, gen))
     return ops
+
+
+def _merged_tags(index_dir: str, inputs: list[mf.SegmentRecord]) -> list[str]:
+    """Union of the inputs' tag sets, field by field. A field's tags
+    survive only if EVERY input declares the `field!` marker (an input
+    without it has an unknown value set — claiming completeness would
+    let pruning wrongly skip its docs) and the union stays under the
+    configured cardinality cap. Deleted docs may leave stale value tags;
+    that is conservative (less pruning), never incorrect."""
+    cap = 1000
+    cfg_path = os.path.join(index_dir, "_manifest", "index_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cap = json.load(f).get("max_tags_per_field", 1000)
+    fields = None
+    for s in inputs:
+        declared = {t[:-1] for t in (s.tags or []) if t.endswith("!")}
+        fields = declared if fields is None else (fields & declared)
+    out: list[str] = []
+    for fname in sorted(fields or ()):
+        vals = sorted(
+            {
+                t
+                for s in inputs
+                for t in (s.tags or [])
+                if t.startswith(f"{fname}:")
+            }
+        )
+        if len(vals) <= cap:
+            out.append(f"{fname}!")
+            out.extend(vals)
+    return out
 
 
 def execute_merge(
@@ -492,6 +525,7 @@ def execute_merge(
         field_stats=field_stats,
         lineage={"merge_inputs": [s.segment_id for s in inputs]},
         time_range=time_range,
+        tags=_merged_tags(index_dir, inputs),
         merge_gen=op.merge_gen,
         metrics={},
     )
@@ -504,6 +538,7 @@ def execute_merge(
             field_stats=s.field_stats,
             lineage=s.lineage,
             time_range=s.time_range,
+            tags=s.tags,
             merge_gen=s.merge_gen,
         )
         for s in inputs

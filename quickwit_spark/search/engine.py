@@ -63,6 +63,7 @@ from quickwit_spark.query.ast import (
 # `phrase_prefix_query.rs:66-93`)
 DEFAULT_MAX_EXPANSIONS = 1024
 from quickwit_spark.query.parser import parse_query
+from quickwit_spark.query.tags import extract_tag_filter
 from quickwit_spark.search.kernel import SegmentData, evaluate_segment
 
 MATCH_SCHEMA = "segment_id string, doc_id long, score double"
@@ -166,19 +167,28 @@ class IndexSearcher:
 
     # ---------- planning ----------
 
-    def _prune_segments(self, time_range) -> list[str]:
-        """Manifest-level pruning (reference: time-range + tag pruning)."""
-        if time_range is None:
-            return self.live_ids
-        lo, hi = time_range  # micros, inclusive/exclusive like the reference
+    def _prune_segments(self, time_range, ast=None) -> list[str]:
+        """Manifest-level pruning: time-range intersection plus tag
+        predicates extracted from the query (reference
+        `refine_and_list_matches` + `tag_pruning.rs:44-80`). A segment
+        whose recorded tag set falsifies the predicate provably holds no
+        matching doc and is skipped before any scan."""
+        tag_filter = None
+        if ast is not None:
+            tok = self._tokenizer_for_field()
+            tag_filter = extract_tag_filter(
+                ast, lambda field, text: tok(field)(text)
+            )
         keep = []
         for s in self.segments:
-            if s.time_range is None:
-                keep.append(s.segment_id)
+            if time_range is not None and s.time_range is not None:
+                lo, hi = time_range  # micros, incl/excl like the reference
+                smin, smax = s.time_range
+                if (lo is not None and smax < lo) or (hi is not None and smin >= hi):
+                    continue
+            if tag_filter is not None and not tag_filter.evaluate(set(s.tags or ())):
                 continue
-            smin, smax = s.time_range
-            if (lo is None or smax >= lo) and (hi is None or smin < hi):
-                keep.append(s.segment_id)
+            keep.append(s.segment_id)
         return keep
 
     def _expand_one(
@@ -460,7 +470,7 @@ class IndexSearcher:
             if isinstance(query, str)
             else query
         )
-        seg_ids = self._prune_segments(time_range)
+        seg_ids = self._prune_segments(time_range, ast)
         ast = self._expand_patterns(ast, seg_ids)
         ast, fast_filter = self._split_fast_predicates(ast)
         return ast, fast_filter, seg_ids
@@ -645,19 +655,38 @@ class IndexSearcher:
         tok = self._tokenizer_for_field()
         terms = collect_fulltext_terms(ast, tok)
         pruned = [s for s in self.segments if s.segment_id not in set(seg_ids)]
+        pre_expand = (
+            parse_query(
+                query,
+                [f.name for f in self.config.fields],
+                position_fields={
+                    f.name for f in self.config.fields if f.record == "position"
+                },
+            )
+            if isinstance(query, str)
+            else query
+        )
+        tag_filter = extract_tag_filter(
+            pre_expand, lambda field, text: tok(field)(text)
+        )
         df = self.search(query, k=k, time_range=time_range)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
         return {
             "query_ast": repr(ast),
             "fast_filter": str(fast_filter) if fast_filter is not None else None,
+            "tag_filter": repr(tag_filter) if tag_filter is not None else None,
             "segments_searched": seg_ids,
             "segments_pruned": [s.segment_id for s in pruned],
             "num_docs_searched": sum(
                 s.num_docs for s in self.segments if s.segment_id in set(seg_ids)
             ),
             "warmup_terms": sorted({t for _, t in terms}),
-            "spark_plan": df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-                df._jdf.queryExecution(), "formatted"
-            ),
+            "spark_plan": buf.getvalue(),
         }
 
     def search_stream(self, query, columns: list[str], time_range=None) -> DataFrame:
