@@ -559,8 +559,11 @@ class IndexSearcher:
         search_after: tuple | None = None,
         fetch: list[str] | None = None,
         use_wand: bool = True,
+        snippet_fields: list[str] | None = None,
+        snippet_max_chars: int = 150,
     ) -> DataFrame:
-        """Top-k by BM25 desc → (doc_key, score, rank [, fetch cols]).
+        """Top-k by BM25 desc → (doc_key, score, rank [, fetch cols]
+        [, snippet_<field> cols]).
 
         `search_after=(score, doc_key)` returns hits strictly after the
         cursor in rank order (reference pagination,
@@ -569,6 +572,10 @@ class IndexSearcher:
         per-segment top-k still applies), so a paginated hot-term query
         broadcasts ≤ (k + cutoff-ties) × segments winner rows — never
         the full match set.
+
+        `snippet_fields` adds highlighted best-fragment columns for the
+        k winners (reference `fetch_docs.rs:41-167`); each named field
+        must be in the index's stored_columns.
         """
         ast, fast_filter, seg_ids = self._resolve(query, time_range)
         score_cutoff = search_after[0] if search_after is not None else None
@@ -577,7 +584,10 @@ class IndexSearcher:
         )
         if mode == "oracle":
             matches = matches.withColumn("score", F.round(F.col("score"), 9))
-        docs = self.docs().select("segment_id", "doc_id", "doc_key", *(fetch or []))
+        snippet_fields = list(snippet_fields or [])
+        fetch_cols = list(fetch or [])
+        raw_cols = fetch_cols + [c for c in snippet_fields if c not in fetch_cols]
+        docs = self.docs().select("segment_id", "doc_id", "doc_key", *raw_cols)
         # winners are ≤ k×segments (+ cutoff ties) rows — broadcast them
         # into the docmap scan
         hits = docs.join(F.broadcast(matches), ["segment_id", "doc_id"], "inner")
@@ -590,12 +600,28 @@ class IndexSearcher:
         order = [F.col("score").desc(), F.col("doc_key").desc()]
         hits = hits.orderBy(*order).limit(k)
         w = Window.orderBy(*order)
-        return hits.select(
+        hits = hits.select(
             "doc_key",
             "score",
             F.row_number().over(w).alias("rank"),
-            *(fetch or []),
+            *raw_cols,
         )
+        if snippet_fields:
+            from quickwit_spark.search.snippets import attach_snippets
+
+            tok = self._tokenizer_for_field()
+            per_field: dict[str, set[str]] = {}
+            for fld, t in collect_fulltext_terms(ast, tok):
+                per_field.setdefault(fld, set()).add(t)
+            hits = attach_snippets(
+                hits, snippet_fields, per_field, snippet_max_chars
+            )
+            keep = [c for c in raw_cols if c in fetch_cols]
+            hits = hits.select(
+                "doc_key", "score", "rank", *keep,
+                *[f"snippet_{f}" for f in snippet_fields],
+            )
+        return hits
 
     def list_terms(
         self, field: str, start: str | None = None, end: str | None = None, limit: int = 100
