@@ -9,8 +9,12 @@ The reference registers these analyzers
     default         SimpleTokenizer (split on non-alphanumeric runs)
                     + RemoveLong(255 bytes, pre-lowercase) + LowerCaser
     whitespace      split on whitespace, no lowercase, no length filter
-    en_stem         default + English stemmer        (not implemented)
-    chinese_compatible / source_code_* / multilang   (not implemented)
+    en_stem         default + English (Porter2) stemmer
+    chinese_compatible   CJK char-per-token + default elsewhere
+    source_code_default / source_code_with_hex   camelCase/hex splitter
+                    + RemoveLong + LowerCaser + AsciiFolding
+    multilang_default    language-routed (KOR:/JPN:/CMN:/ENG: prefixes)
+    + config-defined ngram/regex analyzers via register_tokenizer()
 
 Parity notes for `default`:
 - tantivy's SimpleTokenizer keeps maximal runs of ``char::is_alphanumeric()``
@@ -140,6 +144,102 @@ def _en_stem_tokenize(text: str) -> list[str]:
     return [stem(t) for t in _default_tokenize(text)]
 
 
+def _ascii_fold(t: str) -> str:
+    """AsciiFoldingFilter analog: NFKD-decompose and strip combining
+    marks (é→e, ü→u); non-Latin scripts pass through."""
+    import unicodedata
+
+    if t.isascii():
+        return t
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", t) if not unicodedata.combining(c)
+    )
+
+
+def _make_source_code_tokenize(enable_hex: bool):
+    """Reference `source_code_default` / `source_code_with_hex`
+    (`tokenizers/mod.rs:77-96`): CodeTokenizer + RemoveLong(255)
+    + LowerCaser + AsciiFoldingFilter."""
+    from quickwit_spark.analysis.code_tokenizer import code_tokens
+
+    def tokenize(text: str) -> list[str]:
+        return [
+            _ascii_fold(t.lower())
+            for t in code_tokens(text, enable_hex)
+            if len(t.encode("utf-8")) <= DEFAULT_REMOVE_TOKEN_LENGTH
+        ]
+
+    return tokenize
+
+
+_HANGUL = ((0xAC00, 0xD7AF), (0x1100, 0x11FF), (0x3130, 0x318F))
+_KANA = ((0x3040, 0x309F), (0x30A0, 0x30FF), (0x31F0, 0x31FF))
+
+
+def _any_in(text: str, ranges) -> bool:
+    return any(any(lo <= ord(c) <= hi for lo, hi in ranges) for c in text)
+
+
+def _multilang_tokenize(text: str) -> list[str]:
+    """Reference `multilang_default` (`tokenizers/multilang.rs`):
+    language-routed analysis with the documented `KOR:`/`JPN:`/`CMN:`/
+    `ENG:` prefix override, then RemoveLong + LowerCaser.
+
+    Sandbox approximation, stated openly: the reference segments CJK
+    with lindera dictionaries (CcCedict/IPADIC/KoDic) and detects
+    language with whichlang — neither ships here. Detection falls back
+    to Unicode-script inspection, Chinese/Japanese segment per CJK/kana
+    character (the same convention as `chinese_compatible`), and Korean
+    (space-delimited Hangul) uses simple-token runs. Token STREAM shape
+    (per-doc list[str], filters, prefixes) matches the reference
+    contract; dictionary-segmentation boundaries do not."""
+    lang = None
+    for pfx in ("KOR:", "JPN:", "CMN:", "ENG:"):
+        if text.startswith(pfx):
+            lang = pfx[:3]
+            text = text[4:]
+            break
+    if not text.strip():
+        return []
+    if lang is None:
+        if _any_in(text, _HANGUL):
+            lang = "KOR"
+        elif _any_in(text, _KANA):
+            lang = "JPN"
+        elif _any_in(text, _CJK_RANGES):
+            lang = "CMN"
+        else:
+            lang = "ENG"
+    if lang in ("CMN", "JPN"):
+        out: list[str] = []
+        cur: list[str] = []
+
+        def flush():
+            if cur:
+                out.append("".join(cur))
+                cur.clear()
+
+        perchar = _CJK_RANGES + (_KANA if lang == "JPN" else ())
+        for ch in text:
+            cp = ord(ch)
+            if any(lo <= cp <= hi for lo, hi in perchar):
+                flush()
+                out.append(ch)
+            elif ch.isalnum():
+                cur.append(ch)
+            else:
+                flush()
+        flush()
+        toks = out
+    else:  # KOR and ENG: simple-token runs
+        toks = _simple_tokens(text)
+    return [
+        t.lower()
+        for t in toks
+        if len(t.encode("utf-8")) <= DEFAULT_REMOVE_TOKEN_LENGTH
+    ]
+
+
 _TOKENIZERS = {
     "default": _default_tokenize,
     "ascii_space": _ascii_space_tokenize,
@@ -149,6 +249,9 @@ _TOKENIZERS = {
     "lowercase": _raw_lowercase_tokenize,
     "en_stem": _en_stem_tokenize,
     "chinese_compatible": _chinese_compatible_tokenize,
+    "source_code_default": _make_source_code_tokenize(False),
+    "source_code_with_hex": _make_source_code_tokenize(True),
+    "multilang_default": _multilang_tokenize,
 }
 
 
@@ -161,9 +264,117 @@ def get_tokenizer(name: str):
         ) from None
 
 
-def tokenize_series(texts: pd.Series, tokenizer: str = "default") -> pd.Series:
-    """Tokenize a pandas Series of strings → Series of list[str]."""
-    fn = get_tokenizer(tokenizer)
+# ---------------------------------------------------------------------------
+# config-defined custom tokenizers (reference: doc-mapping `tokenizers`
+# entries, `doc_mapper/tokenizer_entry.rs:25-150` — ngram / regex /
+# simple types composed with remove_long / lower_caser / ascii_folding
+# filters)
+# ---------------------------------------------------------------------------
+
+
+def _apply_filters(toks: list[str], filters) -> list[str]:
+    for f in filters:
+        if f == "remove_long":
+            toks = [
+                t for t in toks if len(t.encode("utf-8")) <= DEFAULT_REMOVE_TOKEN_LENGTH
+            ]
+        elif f == "lower_caser":
+            toks = [t.lower() for t in toks]
+        elif f == "ascii_folding":
+            toks = [_ascii_fold(t) for t in toks]
+        else:
+            raise NotImplementedError(f"token filter {f!r}")
+    return toks
+
+
+def register_tokenizer(name: str, fn) -> None:
+    """Register a custom analyzer under `name` for use in FieldConfig."""
+    _TOKENIZERS[name] = fn
+
+
+def make_ngram_tokenizer(
+    min_gram: int,
+    max_gram: int,
+    prefix_only: bool = False,
+    filters=("remove_long", "lower_caser"),
+):
+    """tantivy NgramTokenizer semantics (`tokenizer_entry.rs:133-140`):
+    all character n-grams of the text with min_gram ≤ len ≤ max_gram,
+    in position order (start asc, length asc); `prefix_only` keeps only
+    the grams anchored at offset 0."""
+    if not (0 < min_gram <= max_gram):
+        raise ValueError("require 0 < min_gram <= max_gram")
+
+    def tokenize(text: str) -> list[str]:
+        out = []
+        starts = (0,) if prefix_only else range(len(text))
+        for i in starts:
+            for g in range(min_gram, max_gram + 1):
+                if i + g > len(text):
+                    break
+                out.append(text[i : i + g])
+        return _apply_filters(out, filters)
+
+    return tokenize
+
+
+def make_regex_tokenizer(pattern: str, filters=("remove_long", "lower_caser")):
+    """tantivy RegexTokenizer semantics (`tokenizer_entry.rs:142-144`):
+    every non-overlapping match of `pattern` is a token."""
+    rx = re.compile(pattern)
+
+    def tokenize(text: str) -> list[str]:
+        return _apply_filters([m.group(0) for m in rx.finditer(text)], filters)
+
+    return tokenize
+
+
+def build_tokenizer(spec: dict):
+    """Instantiate an analyzer from a config spec (the serializable form
+    that travels in IndexConfig.tokenizers so executors reconstruct the
+    SAME analyzer — reference `TokenizerConfig.text_analyzer()`,
+    `tokenizer_entry.rs:44-80`). spec = {"type": "ngram"|"regex"|
+    "simple"|"source_code"|"multilang", ...options, "filters": [...]}"""
+    t = spec.get("type")
+    filters = tuple(spec.get("filters", ("remove_long", "lower_caser")))
+    if t == "ngram":
+        return make_ngram_tokenizer(
+            spec["min_gram"], spec["max_gram"], spec.get("prefix_only", False), filters
+        )
+    if t == "regex":
+        return make_regex_tokenizer(spec["pattern"], filters)
+    if t == "simple":
+
+        def tokenize(text: str) -> list[str]:
+            return _apply_filters(_simple_tokens(text), filters)
+
+        return tokenize
+    if t == "source_code":
+        from quickwit_spark.analysis.code_tokenizer import code_tokens
+
+        enable_hex = bool(spec.get("hex", False))
+
+        def tokenize(text: str) -> list[str]:
+            return _apply_filters(code_tokens(text, enable_hex), filters)
+
+        return tokenize
+    if t == "multilang":
+        return _multilang_tokenize
+    raise NotImplementedError(f"tokenizer type {t!r}")
+
+
+def resolve_tokenizer(name: str, custom: dict | None = None):
+    """Resolve `name` against config-defined specs first, then the
+    built-in registry. `custom` is IndexConfig.tokenizers."""
+    if custom and name in custom:
+        return build_tokenizer(custom[name])
+    return get_tokenizer(name)
+
+
+def tokenize_series(texts: pd.Series, tokenizer="default") -> pd.Series:
+    """Tokenize a pandas Series of strings → Series of list[str].
+    `tokenizer` is a registry name or a callable analyzer."""
+    fn = tokenizer if callable(tokenizer) else get_tokenizer(tokenizer)
     return texts.fillna("").map(fn)
 
 
@@ -277,12 +488,13 @@ def _tokenize_ascii_numpy(arr):
     return tokens, doc_idx
 
 
-def tokenize_flat_arrow(texts, tokenizer: str = "default"):
+def tokenize_flat_arrow(texts, tokenizer="default"):
     """texts (pa.Array/pd.Series of str) → (tokens np.ndarray[object],
     doc_idx np.ndarray[int64]) — the flattened token stream.
 
     Falls back to the pure-Python tokenizer for analyzers without an
     Arrow kernel (raw/lowercase are trivial; exotic ones keep parity).
+    `tokenizer` may be a callable analyzer (config-defined custom).
     """
     import numpy as np
     import pyarrow as pa
@@ -290,7 +502,7 @@ def tokenize_flat_arrow(texts, tokenizer: str = "default"):
 
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = pa.Array.from_pandas(texts, type=pa.string())
-    if tokenizer not in _ARROW_SPLIT_PATTERNS:
+    if callable(tokenizer) or tokenizer not in _ARROW_SPLIT_PATTERNS:
         series = pd.Series(texts.to_pandas())
         lists = tokenize_series(series, tokenizer)
         lens = np.fromiter((len(t) for t in lists), dtype=np.int64, count=len(lists))

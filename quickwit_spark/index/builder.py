@@ -95,6 +95,11 @@ class IndexConfig:
     # with tag_fields it co-locates a tag value's docs so pruning can
     # skip whole segments
     routing_column: str | None = None
+    # config-defined custom analyzers: {name: spec} resolved by
+    # analysis.tokenizer.build_tokenizer (reference: doc-mapping
+    # `tokenizers` entries, `tokenizer_entry.rs:25-150`); serialized so
+    # executors and later sessions rebuild the identical analyzer
+    tokenizers: dict = dc_field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -110,6 +115,7 @@ class IndexConfig:
                 "tag_fields": list(self.tag_fields),
                 "max_tags_per_field": self.max_tags_per_field,
                 "routing_column": self.routing_column,
+                "tokenizers": self.tokenizers,
             },
             sort_keys=True,
         )
@@ -123,6 +129,7 @@ class IndexConfig:
         d["tag_fields"] = tuple(d.get("tag_fields") or ())
         d.setdefault("max_tags_per_field", 1000)
         d.setdefault("routing_column", None)
+        d.setdefault("tokenizers", {})
         return IndexConfig(**d)
 
 
@@ -133,6 +140,7 @@ def _build_field_rows(
     k1: float,
     b: float,
     postings_codec: str = "varint",
+    custom_tokenizers: dict | None = None,
 ) -> tuple[list[dict], dict]:
     """Vectorized single-pass inverted index for one field of one segment.
 
@@ -144,7 +152,12 @@ def _build_field_rows(
     # en_stem rides the fast `default` Arrow path: tokenize unstemmed,
     # then stem only the DICTIONARY below — Zipfian vocabularies make
     # that V stem calls instead of one per token
-    base_tokenizer = "default" if fld.tokenizer == "en_stem" else fld.tokenizer
+    if custom_tokenizers and fld.tokenizer in custom_tokenizers:
+        from quickwit_spark.analysis.tokenizer import build_tokenizer
+
+        base_tokenizer = build_tokenizer(custom_tokenizers[fld.tokenizer])
+    else:
+        base_tokenizer = "default" if fld.tokenizer == "en_stem" else fld.tokenizer
     flat, doc_idx = tokenize_flat_arrow(texts, base_tokenizer)
     lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
     total_tokens = int(len(doc_idx))
@@ -328,7 +341,8 @@ def _make_build_fn(config: IndexConfig, job_id: str):
         field_stats = {}
         for fld in fields:
             rows, stats = _build_field_rows(
-                segment_id, fld, pdf[fld.name], k1, b
+                segment_id, fld, pdf[fld.name], k1, b,
+                custom_tokenizers=config.tokenizers,
             )
             all_rows.extend(rows)
             field_stats[fld.name] = stats
@@ -438,6 +452,7 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
                 rows, stats = _build_field_rows(
                     segment_id, fld, seg.column(fld.name), k1, b,
                     postings_codec=config.postings_codec,
+                    custom_tokenizers=config.tokenizers,
                 )
                 all_rows.extend(rows)
                 field_stats[fld.name] = stats

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quickwit_spark.analysis import get_tokenizer
+from quickwit_spark.analysis.tokenizer import resolve_tokenizer
 from quickwit_spark.index import manifest as mf
 from quickwit_spark.index.builder import (
     KIND_NORMS,
@@ -159,9 +160,10 @@ class IndexSearcher:
 
     def _tokenizer_for_field(self):
         fields = {f.name: f.tokenizer for f in self.config.fields}
+        custom = self.config.tokenizers
 
         def get(field):
-            return get_tokenizer(fields.get(field, "default"))
+            return resolve_tokenizer(fields.get(field, "default"), custom)
 
         return get
 
@@ -402,6 +404,7 @@ class IndexSearcher:
                 base.filter((F.col("kind") == KIND_POS) & F.col("term").isin(tvals))
             )
         cfg_fields = {f.name: f.tokenizer for f in self.config.fields}
+        custom_toks = self.config.tokenizers
         k1, b = self.config.k1, self.config.b
 
         def make_eval(with_allowed: bool):
@@ -420,7 +423,9 @@ class IndexSearcher:
                 docids, scores = evaluate_segment(
                     seg,
                     ast,
-                    lambda f: get_tokenizer(cfg_fields.get(f, "default")),
+                    lambda f: resolve_tokenizer(
+                        cfg_fields.get(f, "default"), custom_toks
+                    ),
                     k=k,
                     mode=mode,
                     global_stats=gstats,
