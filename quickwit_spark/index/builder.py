@@ -71,6 +71,12 @@ class FieldConfig:
     tokenizer: str = "default"
     record: str = "freq"  # "freq" stores term frequencies; "basic" → tf=1
     fieldnorms: bool = True
+    # concatenate field (reference `field_mapping_entry.rs:355-364`,
+    # type: concatenate): tokens of every source column are indexed
+    # under this one virtual field (cross-field search). Sources are
+    # space-joined before tokenization, so the analyzer must be a
+    # token-splitting one (not `raw`).
+    sources: tuple = ()
 
 
 @dataclass
@@ -123,6 +129,8 @@ class IndexConfig:
     @staticmethod
     def from_json(s: str) -> "IndexConfig":
         d = json.loads(s)
+        for f in d["fields"]:
+            f["sources"] = tuple(f.get("sources") or ())
         d["fields"] = [FieldConfig(**f) for f in d["fields"]]
         d["stored_columns"] = tuple(d["stored_columns"])
         d.setdefault("postings_codec", "varint")
@@ -340,8 +348,12 @@ def _make_build_fn(config: IndexConfig, job_id: str):
         all_rows: list[dict] = []
         field_stats = {}
         for fld in fields:
+            if fld.sources:
+                texts = pdf[list(fld.sources)].fillna("").astype(str).agg(" ".join, axis=1)
+            else:
+                texts = pdf[fld.name]
             rows, stats = _build_field_rows(
-                segment_id, fld, pdf[fld.name], k1, b,
+                segment_id, fld, texts, k1, b,
                 custom_tokenizers=config.tokenizers,
             )
             all_rows.extend(rows)
@@ -449,8 +461,24 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
             all_rows: list[dict] = []
             field_stats = {}
             for fld in fields:
+                if fld.sources:
+                    # concatenate field: space-join the source columns
+                    # (Arrow kernel) so one tokenize pass indexes them all
+                    parts = [
+                        pc.fill_null(
+                            pc.cast(seg.column(s).combine_chunks(), pa.string()), ""
+                        )
+                        for s in fld.sources
+                    ]
+                    texts = (
+                        parts[0]
+                        if len(parts) == 1
+                        else pc.binary_join_element_wise(*parts, " ")
+                    )
+                else:
+                    texts = seg.column(fld.name)
                 rows, stats = _build_field_rows(
-                    segment_id, fld, seg.column(fld.name), k1, b,
+                    segment_id, fld, texts, k1, b,
                     postings_codec=config.postings_codec,
                     custom_tokenizers=config.tokenizers,
                 )
@@ -522,6 +550,7 @@ def build_index(
     job_id: str = "job0",
     num_batches: int = 1,
     fail_after_batch: int | None = None,
+    transform=None,
 ) -> list[mf.SegmentRecord]:
     """Build (or resume building) an index from `df`.
 
@@ -530,8 +559,12 @@ def build_index(
     checkpoint is already in the manifest (the reference's
     SourceCheckpoint/publish protocol, `checkpoint.rs:368-440`).
     `fail_after_batch` injects a crash for the resume test.
+    `transform` is an optional `sources.transform.Transform` (the VRL
+    processing hook, `vrl_processing.rs`) applied before doc mapping.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if transform is not None:
+        df = transform(df)
     inv_dir = f"{index_dir}/inv"
     docs_dir = f"{index_dir}/docs"
 

@@ -720,6 +720,41 @@ class IndexSearcher:
             "spark_plan": buf.getvalue(),
         }
 
+    def scroll(
+        self,
+        query,
+        page_size: int = 10,
+        mode: str = "parity",
+        time_range=None,
+        fetch: list[str] | None = None,
+        sort_field: str | None = None,
+        descending: bool = True,
+        batch_len: int | None = None,
+    ):
+        """Open a scroll context (reference `scroll_context.rs`): batched
+        deep pagination over BM25 or fast-field order. Returns a
+        ScrollContext; iterate with .next_page() or re-resolve by
+        .scroll_id via search.scroll.fetch_scroll."""
+        from quickwit_spark.search.scroll import (
+            SCROLL_BATCH_LEN,
+            ScrollContext,
+            create_scroll,
+        )
+
+        ctx = ScrollContext(
+            self,
+            query,
+            page_size=page_size,
+            mode=mode,
+            time_range=time_range,
+            fetch=fetch,
+            sort_field=sort_field,
+            descending=descending,
+            batch_len=batch_len or SCROLL_BATCH_LEN,
+        )
+        create_scroll(ctx)
+        return ctx
+
     def search_stream(self, query, columns: list[str], time_range=None) -> DataFrame:
         """Export fast-field columns of ALL matching docs (reference
         search_stream, `search_stream/leaf.rs:51-290`)."""

@@ -266,9 +266,17 @@ def _eval(ctx: _Ctx, node: QueryAst, boost: float):
     if isinstance(node, (Phrase, PhrasePrefix)):
         return _eval_phrase(ctx, node, boost)
     if isinstance(node, Exists):
-        # fixed schema: text fields always present → docs with norms row
-        mask = np.ones(N, bool)
-        return mask, np.zeros(N, ctx.dtype)
+        # presence derived from the fieldnorms row (reference
+        # `FieldPresence` answers from an index-side presence structure):
+        # a doc "has" the field iff it produced ≥1 token — null and
+        # empty-string collapse together, which the doc mapping also
+        # conflates. Unknown fields match nothing.
+        ent = ctx.seg.norms.get(node.field)
+        if ent is None:
+            return np.zeros(N, bool), np.zeros(N, ctx.dtype)
+        norm_ids, exact = ent
+        mask = exact > 0 if len(exact) == N else norm_ids > 0
+        return np.asarray(mask, bool), np.zeros(N, ctx.dtype)
     if isinstance(node, Bool):
         mask = None
         scores = np.zeros(N, ctx.dtype)

@@ -36,12 +36,15 @@ def index_stream(
     checkpoint_dir: str,
     name: str = "stream",
     trigger_seconds: int | None = None,
+    transform=None,
 ):
     """Start a streaming indexing query; returns the StreamingQuery.
 
     `stream_df` is any streaming DataFrame with the configured schema
     (e.g. `spark.readStream.schema(s).parquet(dir)` or a Kafka source
-    after JSON projection)."""
+    after JSON projection). `transform` is the VRL-analog ingest hook
+    (`sources.transform.Transform`), applied per micro-batch before doc
+    mapping — same position as the reference's VrlProcessing actor."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -52,6 +55,7 @@ def index_stream(
             index_dir,
             config,
             job_id=f"{name}-{batch_id:06d}",
+            transform=transform,
         )
 
     writer = (

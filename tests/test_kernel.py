@@ -163,3 +163,18 @@ def test_topk_tiebreak_order():
     dd, ss = topk_tiebreak(d, s, 3)
     assert list(dd) == [3, 1, 9]  # score desc, docid desc
     assert list(ss) == [2.0, 2.0, 1.0]
+
+
+def test_exists_from_norms():
+    from quickwit_spark.query.ast import Exists
+
+    seg = build_segment({"title": ["has text", "", "also here", ""]})
+    d, _ = evaluate_segment(seg, Exists("title"), TOK)
+    assert set(d.tolist()) == {0, 2}  # empty docs lack the field
+    d2, _ = evaluate_segment(seg, Exists("missing_field"), TOK)
+    assert len(d2) == 0
+    # bool composition: must Exists AND term
+    d3, _ = evaluate_segment(
+        seg, Bool(must=[Exists("title"), Term("title", "here")]), TOK
+    )
+    assert set(d3.tolist()) == {2}

@@ -1,0 +1,81 @@
+"""Scroll contexts: batched deep pagination (scroll_context.rs analog)."""
+
+import pytest
+
+from quickwit_spark.search.scroll import delete_scroll, fetch_scroll
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, sf_dir):
+    import tempfile
+
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
+    from pyspark.sql import functions as F
+
+    idx = tempfile.mkdtemp(prefix="qws_scroll_")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=4,
+        stored_columns=("n_chars",),
+    )
+    docs = web_corpus(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    build_index(spark, docs, idx, cfg)
+    return IndexSearcher(spark, idx)
+
+
+def test_scroll_bm25_covers_all_hits_in_order(searcher):
+    total = searcher.count("spark")
+    # one big page as ground truth
+    truth = [
+        (r["doc_key"], round(r["score"], 6))
+        for r in searcher.search("spark", k=total, mode="oracle").collect()
+    ]
+    ctx = searcher.scroll("spark", page_size=7, mode="oracle", batch_len=20)
+    got = []
+    while True:
+        page = ctx.next_page()
+        if not page:
+            break
+        assert len(page) <= 7
+        got.extend((r["doc_key"], round(r["score"], 6)) for r in page)
+    assert got == truth
+
+
+def test_scroll_uses_few_batches(searcher):
+    # pages served from the cached batch: fetches = ceil(hits/batch)
+    ctx = searcher.scroll("spark", page_size=3, batch_len=1000)
+    pages = 0
+    while ctx.next_page():
+        pages += 1
+    assert pages >= 2
+    assert ctx._exhausted  # a single 1000-batch covered everything
+
+
+def test_scroll_sort_field_order(searcher):
+    ctx = searcher.scroll(
+        "spark", page_size=5, sort_field="n_chars", batch_len=8
+    )
+    seen = []
+    while True:
+        page = ctx.next_page()
+        if not page:
+            break
+        seen.extend((r["sort_value"], r["doc_key"]) for r in page)
+    total = searcher.count("spark")
+    assert len(seen) == total
+    assert seen == sorted(seen, key=lambda t: (-t[0], -t[1]))
+
+
+def test_scroll_registry_roundtrip(searcher):
+    ctx = searcher.scroll("spark", page_size=4)
+    sid = ctx.scroll_id
+    assert fetch_scroll(sid) is ctx
+    first = fetch_scroll(sid).next_page()
+    assert len(first) == 4
+    delete_scroll(sid)
+    with pytest.raises(KeyError):
+        fetch_scroll(sid)
