@@ -61,7 +61,7 @@ def bench_corpus(spark, sf_dir: str, replicate: int):
     return big, n * replicate
 
 
-def run_index_bench(cores: int, out_json: str | None = None) -> dict:
+def run_index_bench(cores: int, out_json: str | None = None, record: str = "freq") -> dict:
     from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
     from quickwit_spark.session import get_spark
 
@@ -89,7 +89,7 @@ def run_index_bench(cores: int, out_json: str | None = None) -> dict:
     # must run identical work units at different parallelism, like the
     # same segment plan on an N- vs 4N-executor cluster.
     cfg = IndexConfig(
-        fields=[FieldConfig("text")],
+        fields=[FieldConfig("text", record=record)],
         doc_key="doc_id",
         num_partitions=64,
         stored_columns=("lang", "source", "n_chars"),
@@ -222,6 +222,37 @@ def run_query_bench(idx_dir: str, cores: int) -> dict:
     return out
 
 
+def run_phrase_bench(idx_dir: str, cores: int) -> dict:
+    """Phrase-family latencies on a `record: position` index (the same
+    replicated corpus): the vectorized sorted-merge position kernel must
+    keep q_phrase within ~2× of the positionless q_and."""
+    from quickwit_spark.query.ast import FullText, Phrase, PhrasePrefix
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.session import get_spark
+
+    spark = get_spark("qws_bench", cores=cores, shuffle_partitions=cores)
+    s = IndexSearcher(spark, idx_dir)
+    qset = {
+        "q_and_pos": lambda: s.search(
+            FullText("text", "table join", "and"), k=10
+        ).collect(),
+        "q_phrase": lambda: s.search(Phrase("text", "table join"), k=10).collect(),
+        "q_phrase_slop": lambda: s.search(
+            Phrase("text", "table join", slop=2), k=10
+        ).collect(),
+        "q_phrase_prefix": lambda: s.search(
+            PhrasePrefix("text", "table jo"), k=10
+        ).collect(),
+    }
+    s.search(Phrase("text", "row scan"), k=10).collect()  # warmup
+    out = {}
+    for name, fn in qset.items():
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def scaling_report(replicate: int = 1600, pairs=(1, 4, 8, 32)) -> dict:
     """Same indexing job at N and 4N cores in fresh JVMs — the
     local-mode proxy for the north rule's two-cluster-size criterion.
@@ -271,6 +302,10 @@ def main():
     idx_dir = idx.pop("idx_dir")
     merge = run_merge_bench(CPUS)
     queries = run_query_bench(idx_dir, CPUS)
+    idxp = run_index_bench(CPUS, record="position")
+    idxp_dir = idxp.pop("idx_dir")
+    queries.update(run_phrase_bench(idxp_dir, CPUS))
+    shutil.rmtree(idxp_dir, ignore_errors=True)
     total = round(time.perf_counter() - t_all, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -282,6 +317,7 @@ def main():
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "indexing": idx,
+                "indexing_positions": idxp,
                 "merge": merge,
             }
         )
