@@ -86,17 +86,18 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     key = os.path.abspath(sf_dir)
     if key in _searchers:
         return _searchers[key]
-    # _v3: tag_fields on lang (manifest tag pruning) — the suffix
+    # _v4: concatenate field `all` over (text, lang) — the suffix
     # invalidates caches built under the older schema
-    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_v3")
+    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_v4")
     cfg = IndexConfig(
         fields=[
             FieldConfig("text", record="position"),
             FieldConfig("lang", tokenizer="raw"),
+            FieldConfig("all", sources=("text", "lang")),
         ],
         doc_key="doc_id",
         num_partitions=4,
-        stored_columns=("url", "lang", "source", "n_chars"),
+        stored_columns=("url", "lang", "source", "n_chars", "text"),
         time_column="warc_ts",
         tag_fields=("lang",),
     )
@@ -105,6 +106,34 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     build_index(spark, _corpus(spark, sf_dir), idx_dir, cfg, job_id="entry")
     s = IndexSearcher(spark, idx_dir)
     _searchers[key] = s
+    return s
+
+
+_tagged_searchers: dict[str, IndexSearcher] = {}
+
+
+def _searcher_tagged(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Second index: routed by lang (partition_key analog) with lang
+    tag sets in the manifest, so tag predicates actually PRUNE segments
+    — the gate then proves pruned results match the full-corpus SQL."""
+    _ship(spark)
+    key = os.path.abspath(sf_dir)
+    if key in _tagged_searchers:
+        return _tagged_searchers[key]
+    idx_dir = os.path.join(
+        _IDX_ROOT, key.strip("/").replace("/", "_") + "_tags_v1"
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("text"), FieldConfig("lang", tokenizer="raw")],
+        doc_key="doc_id",
+        num_partitions=4,
+        stored_columns=("lang",),
+        tag_fields=("lang",),
+        routing_column="lang",
+    )
+    build_index(spark, _corpus(spark, sf_dir), idx_dir, cfg, job_id="entry_tags")
+    s = IndexSearcher(spark, idx_dir)
+    _tagged_searchers[key] = s
     return s
 
 
@@ -301,6 +330,42 @@ def _q_filter_lang(spark, sf_dir):
 
 def _q_wildcard(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), Wildcard("text", "qu*"))
+
+
+def _q_tag_pruned(spark, sf_dir):
+    """Same shape as search_filter_lang but on the lang-routed index
+    whose manifest tags PRUNE segments before the scan — green means
+    tag pruning is evidence-only (identical answer, fewer segments)."""
+    ast = Bool(must=[Term("text", "query")], filter=[Term("lang", "de")])
+    return _topk(_searcher_tagged(spark, sf_dir), ast)
+
+
+def _q_snippet(spark, sf_dir):
+    """Fetch-phase highlighting: with max_chars ≥ len(text) the best
+    window runs from the first matched token to the end of the doc with
+    every occurrence wrapped — exactly SQL-reproducible."""
+    s = _searcher(spark, sf_dir)
+    res = s.search(
+        Term("text", "vector"),
+        k=10,
+        mode="oracle",
+        snippet_fields=["text"],
+        snippet_max_chars=1_000_000,
+    )
+    return res.select(
+        "doc_key",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+        "snippet_text",
+    )
+
+
+def _q_concat_count(spark, sf_dir):
+    """Concatenate-field search: `all` indexes text+lang under one
+    virtual field, so all:en hits docs whose lang is 'en' OR whose text
+    contains the token."""
+    n = _searcher(spark, sf_dir).count(Term("all", "en"))
+    return spark.createDataFrame([(n,)], "num_hits long")
 
 
 def _q_match_stream(spark, sf_dir):
@@ -874,6 +939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filter_time": _q_filter_time,
         "search_filter_lang": _q_filter_lang,
         "search_wildcard": _q_wildcard,
+        "search_tag_pruned": _q_tag_pruned,
+        "search_snippet": _q_snippet,
+        "search_concat_count": _q_concat_count,
         "match_stream_term": _q_match_stream,
         "count_term": _q_count_term,
         "count_all": _q_count_all,
@@ -930,6 +998,26 @@ def oracle_sql() -> dict[str, str]:
             [("query", 1.0)], must=["query"], filter_sql="lang = 'en'"
         ),
         "search_wildcard": _bm25_sql([], term_pred="term LIKE 'qu%'"),
+        "search_tag_pruned": _bm25_sql(
+            [("query", 1.0)], must=["query"], filter_sql="lang = 'de'"
+        ),
+        "search_snippet": f"""
+WITH base AS ({_bm25_sql([("vector", 1.0)])})
+SELECT base.doc_key, base.score, base.rank,
+       regexp_replace(
+         substr(d.text,
+                CASE WHEN list_position(string_split(d.text, ' '), 'vector') = 1
+                     THEN 1
+                     ELSE length(array_to_string(
+                            string_split(d.text, ' ')[1:list_position(string_split(d.text, ' '), 'vector') - 1],
+                            ' ')) + 2 END),
+         '\\bvector\\b', '<b>vector</b>', 'g') AS snippet_text
+FROM base JOIN documents d ON d.doc_id = base.doc_key
+""",
+        "search_concat_count": """
+SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents
+WHERE lang = 'en' OR list_contains(string_split(text, ' '), 'en')
+""",
         "match_stream_term": _MATCH_TERM_SQL,
         "count_term": _COUNT_TERM_SQL,
         "count_all": "SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents",
