@@ -125,24 +125,34 @@ def lsh_topk(
     vec: str = "embedding",
     k: int = 10,
     planes: int = 8,
+    tables: int = 1,
     rank_round: int | None = None,
 ) -> DataFrame:
-    """Approximate cosine top-k: score only candidates in the query's
-    hyperplane bucket. Same output schema as brute_force_topk; recall
-    depends on `planes` (fewer planes → bigger buckets → higher recall
-    and cost). The portable hyperplanes mean an independent SQL engine
-    reproduces the buckets (and with `rank_round` the ranking) exactly."""
-    csig = hyperplane_signatures(corpus.select(key, vec), key, vec, planes)
-    qsig = hyperplane_signatures(queries.select(key, vec), key, vec, planes)
-    c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("_cvec")).join(
-        csig.select(F.col(key).alias("neighbor_id"), "bucket"), "neighbor_id"
-    )
-    q = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("_qvec")).join(
-        qsig.select(F.col(key).alias("query_id"), "bucket"), "query_id"
+    """Approximate cosine top-k: score only candidates that share a
+    hyperplane bucket with the query in ANY of `tables` independent
+    hash tables (OR-amplification — each extra table multiplies the
+    chance a true neighbor collides somewhere, curing the single-table
+    recall cliff at a linear candidate-cost increase). Same output
+    schema as brute_force_topk; recall/cost trade via (planes, tables).
+    With tables=1 the portable hyperplanes keep the buckets (and with
+    `rank_round` the ranking) exactly reproducible in SQL."""
+    c_base = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("_cvec"))
+    q_base = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("_qvec"))
+    cand = None
+    for t in range(tables):
+        csig = hyperplane_signatures(corpus.select(key, vec), key, vec, planes, seed=t)
+        qsig = hyperplane_signatures(queries.select(key, vec), key, vec, planes, seed=t)
+        pairs = csig.select(F.col(key).alias("neighbor_id"), "bucket").join(
+            F.broadcast(qsig.select(F.col(key).alias("query_id"), "bucket")),
+            "bucket",
+        ).select("query_id", "neighbor_id")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(c_base, "neighbor_id")
+        .join(F.broadcast(q_base), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -158,4 +168,100 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    rank_round: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means partitions the corpus into
+    `nlist` cells; each query scores only the cells of its `nprobe`
+    nearest centroids. The 10^12-scale shape — the clustering is a
+    one-off model fit (sampled), assignment is a narrow JVM transform,
+    and the probe join touches nprobe/nlist of the corpus. Centroids
+    are broadcast (nlist × dim floats — KBs). Not SQL-reproducible
+    (k-means), so correctness evidence is the recall-vs-brute-force
+    pytest, not a value-hash oracle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_feat = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        F.col(vec).alias("_cvec"),
+        array_to_vector(F.transform(F.col(vec), lambda x: x.cast("double"))).alias(
+            "_features"
+        ),
+    )
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="_features", predictionCol="_cell"
+    ).fit(c_feat.select("_features"))
+    c_cells = model.transform(c_feat).select("neighbor_id", "_cvec", "_cell")
+
+    # nprobe nearest centroids per query: centroids are tiny — compute
+    # the distance list per query row with a broadcast literal array
+    cents = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_col = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(x) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    dist = lambda q, c: F.aggregate(  # noqa: E731
+        F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    q_cells = (
+        queries.select(
+            F.col(key).alias("query_id"),
+            F.transform(F.col(vec), lambda x: x.cast("double")).alias("_qvec"),
+        )
+        .withColumn(
+            "_cells",
+            F.transform(
+                cent_col,
+                lambda s: F.struct(
+                    s["cell"].alias("_cell"), dist(F.col("_qvec"), s["cv"]).alias("d")
+                ),
+            ),
+        )
+        .withColumn(
+            "_probed",
+            F.slice(F.expr("array_sort(_cells, (l, r) -> int(sign(l.d - r.d)))"), 1, nprobe),
+        )
+        .withColumn("_cell", F.explode("_probed._cell"))
+        .select("query_id", "_qvec", "_cell")
+    )
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if rank_round is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", rank_round))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
     )

@@ -209,3 +209,45 @@ def test_bpe_token_count(spark):
     assert out.loc[1] == 7
     assert out.loc[2] == 0
     assert out.loc[3] >= 2
+
+
+def test_lsh_multi_table_amplifies_recall(emb):
+    from quickwit_spark.datapipe.similarity import brute_force_topk, lsh_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    def recall(tables):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(emb, q, k=5, planes=6, tables=tables).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r4 = recall(1), recall(4)
+    # table 0 is included in the 4-table union ⇒ recall is monotone
+    assert r4 >= r1
+    assert r4 > 0.1  # OR-amplification must find a real fraction
+
+
+def test_ivf_topk_recall_monotone_in_nprobe(emb):
+    from quickwit_spark.datapipe.similarity import brute_force_topk, ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    def recall(nprobe):
+        out = ivf_topk(emb, q, k=5, nlist=16, nprobe=nprobe)
+        rows = out.collect()
+        assert set(out.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        return len(got & truth) / len(truth)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2  # probing more cells can only add candidates
+    assert r8 >= 0.5  # half the cells probed ⇒ solid recall even on
+    # uniform-random vectors (the hardest case for ANN)
