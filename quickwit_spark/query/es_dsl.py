@@ -120,6 +120,26 @@ def from_es_query(
             PhrasePrefix(field, str(spec["query"]), max_expansions=cap), spec
         )
 
+    if kind == "match_bool_prefix":
+        # reference `match_bool_prefix_query.rs` / ES semantics: every
+        # token matches as a term except the LAST, which matches as a
+        # prefix; combined under `operator` (default or). The prefix
+        # leg lowers to Wildcard, whose planning expands it against the
+        # term dictionary with the standard cap.
+        field, spec = _field_value(body)
+        if "query" not in spec and "value" in spec:
+            spec["query"] = spec.pop("value")
+        op = str(spec.get("operator", "or")).lower()
+        toks = str(spec["query"]).lower().split()
+        if not toks:
+            return MatchNone()
+        legs: list[QueryAst] = [Term(field, t) for t in toks[:-1]]
+        legs.append(Wildcard(field, toks[-1] + "*"))
+        if len(legs) == 1:
+            return _boost(legs[0], spec)
+        ast = Bool(must=legs) if op == "and" else Bool(should=legs)
+        return _boost(ast, spec)
+
     if kind == "multi_match":
         fields = body.get("fields") or default_fields
         op = str(body.get("operator", "or")).lower()

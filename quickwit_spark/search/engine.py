@@ -486,12 +486,29 @@ class IndexSearcher:
         return self._matches(ast, seg_ids, None, mode, fast_filter)
 
     def count(self, query, time_range=None) -> int:
-        """Hit count; match-all answers straight from the manifest
-        (reference fast path `leaf.rs:466-468`)."""
+        """Hit count. Fast paths (reference `leaf.rs:466-468` metadata
+        counts): match-all answers from the manifest; a bare Term
+        answers from the postings doc_freq metadata — a narrow
+        pushed-filter scan, no kernel, exact because pending deletes
+        stay searchable until rewrite."""
         ast, fast_filter, seg_ids = self._resolve(query, time_range)
-        if isinstance(ast, MatchAll) and fast_filter is None:
-            keep = set(seg_ids)
-            return sum(s.num_docs for s in self.segments if s.segment_id in keep)
+        if fast_filter is None:
+            if isinstance(ast, MatchAll):
+                keep = set(seg_ids)
+                return sum(s.num_docs for s in self.segments if s.segment_id in keep)
+            if isinstance(ast, Term):
+                row = (
+                    self.inv()
+                    .filter(
+                        (F.col("kind") == KIND_POSTINGS)
+                        & (F.col("field") == ast.field)
+                        & (F.col("term") == ast.value)
+                        & F.col("segment_id").isin(seg_ids)
+                    )
+                    .agg(F.sum("doc_freq"))
+                    .collect()[0][0]
+                )
+                return int(row or 0)
         return self._matches(ast, seg_ids, None, "parity", fast_filter).count()
 
     def sort_by_field(

@@ -94,3 +94,21 @@ def test_es_search_end_to_end(spark, sf_dir, tmp_path):
     es_hits = s.search(from_es_body(body), k=5).collect()
     native = s.search(FullText("text", "spark join", "or"), k=5).collect()
     assert [r.asDict() for r in es_hits] == [r.asDict() for r in native]
+
+
+def test_match_bool_prefix():
+    from quickwit_spark.query.ast import Bool, Term, Wildcard
+    from quickwit_spark.query.es_dsl import from_es_query
+
+    ast = from_es_query({"match_bool_prefix": {"text": {"query": "file not ch"}}})
+    assert ast == Bool(
+        should=[Term("text", "file"), Term("text", "not"), Wildcard("text", "ch*")]
+    )
+    ast_and = from_es_query(
+        {"match_bool_prefix": {"text": {"query": "file not ch", "operator": "AND"}}}
+    )
+    assert ast_and == Bool(
+        must=[Term("text", "file"), Term("text", "not"), Wildcard("text", "ch*")]
+    )
+    single = from_es_query({"match_bool_prefix": {"text": "qu"}})
+    assert single == Wildcard("text", "qu*")

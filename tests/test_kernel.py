@@ -178,3 +178,21 @@ def test_exists_from_norms():
         seg, Bool(must=[Exists("title"), Term("title", "here")]), TOK
     )
     assert set(d3.tolist()) == {2}
+
+
+def test_term_count_metadata_fast_path(spark, sf_dir):
+    # metadata count == kernel count (chunked or not)
+    import tempfile
+
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
+    idx = tempfile.mkdtemp(prefix="qws_cnt_")
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=2)
+    build_index(spark, web_corpus(spark, sf_dir), idx, cfg)
+    s = IndexSearcher(spark, idx)
+    fast = s.count(Term("text", "spark"))
+    slow = s.match_docs(Term("text", "spark")).count()
+    assert fast == slow > 0
+    assert s.count(Term("text", "zzz_absent")) == 0
