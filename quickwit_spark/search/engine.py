@@ -737,6 +737,32 @@ class IndexSearcher:
             "spark_plan": buf.getvalue(),
         }
 
+    def es_search(self, body: dict, mode: str = "parity") -> dict:
+        """Full ES `_search` body: `query` + `aggs` + `size` (reference
+        rest handler surface, `elastic_search_api`). Returns
+        {"hits": DataFrame (absent when size=0),
+         "aggregations": {name: DataFrame}}."""
+        from quickwit_spark.query.es_dsl import from_es_body
+        from quickwit_spark.search import aggs as _aggs
+        from quickwit_spark.search.es_aggs import run_es_aggs
+
+        ast = from_es_body(
+            body,
+            [f.name for f in self.config.fields],
+            position_fields={
+                f.name for f in self.config.fields if f.record == "position"
+            },
+        )
+        out: dict = {}
+        size = int(body.get("size", 10))
+        if size > 0:
+            out["hits"] = self.search(ast, k=size, mode=mode)
+        agg_body = body.get("aggs") or body.get("aggregations")
+        if agg_body:
+            m = _aggs.matches(self, ast)
+            out["aggregations"] = run_es_aggs(m, agg_body)
+        return out
+
     def scroll(
         self,
         query,

@@ -1,0 +1,113 @@
+"""ES aggregation DSL → DataFrame plans (reference scenarii
+0004-term_aggregations.yaml / 0020-stats.yaml shapes)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+from quickwit_spark.search.engine import IndexSearcher
+from quickwit_spark.sources.corpus import web_corpus
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, sf_dir):
+    idx = tempfile.mkdtemp(prefix="qws_esagg_")
+    docs = web_corpus(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("lang", "n_chars"),
+        time_column="warc_ts",
+    )
+    build_index(spark, docs, idx, cfg)
+    return IndexSearcher(spark, idx)
+
+
+@pytest.fixture(scope="module")
+def fast(spark, sf_dir):
+    return web_corpus(spark, sf_dir).withColumn("n_chars", F.length("text"))
+
+
+def test_terms_with_metric_subagg(searcher, fast):
+    body = {
+        "query": {"match_all": {}},
+        "size": 0,
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 3},
+                "aggs": {"avg_len": {"avg": {"field": "n_chars"}}},
+            }
+        },
+    }
+    res = searcher.es_search(body)
+    assert "hits" not in res
+    got = res["aggregations"]["by_lang"].toPandas()
+    exp = (
+        fast.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.avg("n_chars").alias("a"))
+        .orderBy(F.desc("n"), F.asc("lang"))
+        .limit(3)
+        .toPandas()
+    )
+    assert list(got["key"]) == list(exp["lang"])
+    assert list(got["doc_count"]) == list(exp["n"])
+    assert got["avg_len"].round(6).tolist() == exp["a"].round(6).tolist()
+
+
+def test_stats_and_percentiles_and_range(searcher, fast):
+    body = {
+        "query": {"match": {"text": {"query": "spark"}}},
+        "size": 0,
+        "aggs": {
+            "len_stats": {"stats": {"field": "n_chars"}},
+            "len_pct": {"percentiles": {"field": "n_chars", "percents": [50, 90]}},
+            "len_rng": {
+                "range": {
+                    "field": "n_chars",
+                    "ranges": [{"to": 150}, {"from": 150, "to": 300}, {"from": 300}],
+                }
+            },
+        },
+    }
+    res = searcher.es_search(body)
+    aggd = res["aggregations"]
+    stats = aggd["len_stats"].collect()[0]
+    n_match = searcher.count("text:spark")
+    assert stats["value_count"] == n_match
+    rng = aggd["len_rng"].toPandas()
+    assert rng["doc_count"].sum() == n_match
+    assert list(rng["key"]) == ["*-150", "150-300", "300-*"]
+    pct = aggd["len_pct"].collect()[0]
+    assert pct["value_p50"] <= pct["value_p90"]
+
+
+def test_query_plus_hits_and_date_histogram(searcher):
+    body = {
+        "query": {"match": {"text": {"query": "spark join", "operator": "and"}}},
+        "size": 5,
+        "aggs": {"per_day": {"date_histogram": {"field": "warc_ts", "calendar_interval": "day"}}},
+    }
+    res = searcher.es_search(body, mode="oracle")
+    hits = res["hits"].collect()
+    assert len(hits) == 5 and hits[0]["rank"] == 1
+    per_day = res["aggregations"]["per_day"].toPandas()
+    assert per_day["doc_count"].sum() == searcher.count(
+        "text:spark AND text:join"
+    )
+
+
+def test_unsupported_nesting_raises(searcher):
+    body = {
+        "size": 0,
+        "aggs": {
+            "a": {
+                "terms": {"field": "lang"},
+                "aggs": {"b": {"terms": {"field": "lang"}}},
+            }
+        },
+    }
+    with pytest.raises(NotImplementedError):
+        searcher.es_search(body)
