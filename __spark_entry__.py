@@ -109,6 +109,42 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_event_searchers: dict[str, IndexSearcher] = {}
+
+
+def _searcher_events(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Log-analytics index over the events table (the reference's core
+    use-case: timestamped logs, raw keyword field, time pruning, aggs).
+    props' JSON payload is surfaced as a typed fast field at ingest."""
+    _ship(spark)
+    key = os.path.abspath(sf_dir)
+    if key in _event_searchers:
+        return _event_searchers[key]
+    idx_dir = os.path.join(
+        _IDX_ROOT, key.strip("/").replace("/", "_") + "_events_v1"
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("event_type", tokenizer="raw")],
+        doc_key="event_id",
+        num_partitions=4,
+        stored_columns=("user_id", "value", "event_type", "k"),
+        time_column="ts",
+        tag_fields=("event_type",),
+    )
+    build_index(spark, ev, idx_dir, cfg, job_id="entry_events")
+    s = IndexSearcher(spark, idx_dir)
+    _event_searchers[key] = s
+    return s
+
+
 _tagged_searchers: dict[str, IndexSearcher] = {}
 
 
@@ -358,6 +394,30 @@ def _q_snippet(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         "snippet_text",
     )
+
+
+def _q_events_error_by_day(spark, sf_dir):
+    """Logs workflow: raw keyword match → docmap join → date_histogram."""
+    s = _searcher_events(spark, sf_dir)
+    m = aggs.matches(s, Term("event_type", "error"), columns=["ts"])
+    return aggs.date_histogram(m, "ts", "day")
+
+
+def _q_events_top_value(spark, sf_dir):
+    """Fast-field sort over the events index (no scoring)."""
+    s = _searcher_events(spark, sf_dir)
+    out = s.sort_by_field(Term("event_type", "click"), "value", k=10, tie_by_key=True)
+    return out.select(
+        "doc_key",
+        F.round("sort_value", 6).alias("sort_value"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_events_user_cardinality(spark, sf_dir):
+    s = _searcher_events(spark, sf_dir)
+    m = aggs.matches(s, Term("event_type", "error"), columns=["user_id"])
+    return aggs.cardinality(m, "user_id", exact=True)
 
 
 def _q_concat_count(spark, sf_dir):
@@ -942,6 +1002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tag_pruned": _q_tag_pruned,
         "search_snippet": _q_snippet,
         "search_concat_count": _q_concat_count,
+        "events_error_by_day": _q_events_error_by_day,
+        "events_top_value": _q_events_top_value,
+        "events_user_cardinality": _q_events_user_cardinality,
         "match_stream_term": _q_match_stream,
         "count_term": _q_count_term,
         "count_all": _q_count_all,
@@ -1017,6 +1080,21 @@ FROM base JOIN documents d ON d.doc_id = base.doc_key
         "search_concat_count": """
 SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents
 WHERE lang = 'en' OR list_contains(string_split(text, ' '), 'en')
+""",
+        "events_error_by_day": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY bucket
+""",
+        "events_top_value": """
+SELECT event_id AS doc_key, ROUND(value, 6) AS sort_value,
+       CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id DESC) AS BIGINT) AS rank
+FROM events WHERE event_type = 'click'
+ORDER BY value DESC, event_id DESC LIMIT 10
+""",
+        "events_user_cardinality": """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS value
+FROM events WHERE event_type = 'error'
 """,
         "match_stream_term": _MATCH_TERM_SQL,
         "count_term": _COUNT_TERM_SQL,

@@ -763,6 +763,41 @@ class IndexSearcher:
             out["aggregations"] = run_es_aggs(m, agg_body)
         return out
 
+    def msearch(self, bodies: list[dict], mode: str = "parity") -> list[dict]:
+        """ES `_msearch`: several bodies planned in one call (reference
+        `rest_handler.rs:804`). All plans are lazy DataFrames — the
+        caller triggers them, concurrently if desired (the searcher is
+        stateless, like the reference's searcher fleet)."""
+        return [self.es_search(b, mode=mode) for b in bodies]
+
+    def describe_index(self) -> dict:
+        """`_cat/indices` analog: manifest-level shape + on-disk bytes."""
+        import os as _os
+
+        def _du(path):
+            total = 0
+            for root, _dirs, files in _os.walk(path):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, f)) for f in files
+                )
+            return total
+
+        live = self.segments
+        return {
+            "index_dir": self.index_dir,
+            "num_segments": len(live),
+            "num_docs": sum(s.num_docs for s in live),
+            "merge_gens": sorted({s.merge_gen for s in live}),
+            "fields": [f.name for f in self.config.fields],
+            "tag_fields": list(self.config.tag_fields),
+            "inv_bytes": _du(f"{self.index_dir}/inv"),
+            "docs_bytes": _du(f"{self.index_dir}/docs"),
+            "time_range": [
+                min((s.time_range[0] for s in live if s.time_range), default=None),
+                max((s.time_range[1] for s in live if s.time_range), default=None),
+            ],
+        }
+
     def scroll(
         self,
         query,

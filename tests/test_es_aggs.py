@@ -111,3 +111,20 @@ def test_unsupported_nesting_raises(searcher):
     }
     with pytest.raises(NotImplementedError):
         searcher.es_search(body)
+
+
+def test_msearch_and_describe(searcher):
+    res = searcher.msearch(
+        [
+            {"query": {"term": {"text": {"value": "spark"}}}, "size": 0,
+             "aggs": {"n": {"value_count": {"field": "doc_key"}}}},
+            {"query": {"match": {"text": {"query": "spark"}}}, "size": 3},
+        ]
+    )
+    assert len(res) == 2
+    assert res[0]["aggregations"]["n"].collect()[0]["value"] > 0
+    assert len(res[1]["hits"].collect()) == 3
+    d = searcher.describe_index()
+    assert d["num_docs"] == 500
+    assert d["num_segments"] >= 1
+    assert d["inv_bytes"] > 0 and d["docs_bytes"] > 0
