@@ -13,9 +13,11 @@ hand).
 
 Supported: bucket terms / histogram / date_histogram / range, metric
 avg / min / max / sum / value_count / stats / percentiles /
-cardinality; one level of metric sub-aggs under a bucket (the
-reference's common shape). Deeper bucket-in-bucket nesting raises
-NotImplementedError.
+cardinality; metric sub-aggs under a bucket, and ONE bucket-in-bucket
+level (outer×inner keys become a single composite groupBy — one
+shuffle — with the inner rows flattened into (key, <inner> columns);
+per-outer-bucket truncation for inner `terms` runs as a rank window).
+Deeper nesting raises NotImplementedError.
 """
 
 from __future__ import annotations
@@ -67,11 +69,104 @@ def _sub_metric_cols(sub_aggs: dict) -> list[Column]:
         entries = {k: v for k, v in clause.items() if k != "aggs"}
         if "aggs" in clause or set(entries) - _METRICS:
             raise NotImplementedError(
-                "only metric sub-aggregations are supported under a bucket"
+                "only metric sub-aggregations are supported at this depth"
             )
         (kind, spec), = entries.items()
         out.extend(_metric_cols(kind, spec, name))
     return out
+
+
+def _bucket_key(kind: str, spec: dict, alias: str) -> Column:
+    """The group-key expression for a bucket aggregation."""
+    if kind == "terms":
+        return F.col(spec["field"]).cast("string").alias(alias)
+    if kind == "histogram":
+        interval = float(spec["interval"])
+        offset = float(spec.get("offset", 0.0))
+        return (
+            F.floor((F.col(spec["field"]) - F.lit(offset)) / F.lit(interval))
+            * F.lit(interval)
+            + F.lit(offset)
+        ).cast("double").alias(alias)
+    if kind == "date_histogram":
+        unit = spec.get("calendar_interval") or spec.get("fixed_interval") or "day"
+        return F.date_trunc(unit, F.col(spec["field"])).alias(alias)
+    if kind == "range":
+        c = F.col(spec["field"])
+        expr = None
+        for r in spec["ranges"]:
+            lo, hi = r.get("from"), r.get("to")
+            label = r.get("key") or (
+                f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+            )
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (c >= lo)
+            if hi is not None:
+                cond = cond & (c < hi)
+            expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        return expr.alias(alias)
+    raise NotImplementedError(f"bucket aggregation {kind!r}")
+
+
+def _nested_agg(
+    df: DataFrame,
+    outer_kind: str,
+    outer_spec: dict,
+    inner_name: str,
+    inner_clause: dict,
+) -> DataFrame:
+    """Bucket-in-bucket: ONE composite groupBy on (outer, inner) keys,
+    then window-based truncation — outer `terms` keeps its top `size`
+    buckets by TOTAL doc_count, inner `terms` keeps top `size` rows per
+    outer bucket. → (key, doc_count, <inner>_key, <inner>_doc_count,
+    leaf metric cols…)."""
+    from pyspark.sql import Window
+
+    inner_entries = {k: v for k, v in inner_clause.items() if k != "aggs"}
+    (inner_kind, inner_spec), = inner_entries.items()
+    if inner_kind in _METRICS:
+        raise ValueError("metric clause routed to _nested_agg")
+    leaf_metrics = _sub_metric_cols(inner_clause.get("aggs"))
+    okey = _bucket_key(outer_kind, outer_spec, "key")
+    ikey = _bucket_key(inner_kind, inner_spec, f"{inner_name}_key")
+    grouped = (
+        df.withColumn("key", okey)
+        .withColumn(f"{inner_name}_key", ikey)
+        .filter(F.col("key").isNotNull() & F.col(f"{inner_name}_key").isNotNull())
+        .groupBy("key", f"{inner_name}_key")
+        .agg(F.count(F.lit(1)).alias(f"{inner_name}_doc_count"), *leaf_metrics)
+    )
+    w_tot = Window.partitionBy("key")
+    grouped = grouped.withColumn(
+        "doc_count", F.sum(f"{inner_name}_doc_count").over(w_tot)
+    )
+    if outer_kind == "terms":
+        size = int(outer_spec.get("size", 10))
+        w_outer = Window.orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        grouped = grouped.withColumn("_or", F.dense_rank().over(w_outer)).filter(
+            F.col("_or") <= size
+        )
+    else:
+        grouped = grouped.withColumn("_or", F.lit(0))
+    if inner_kind == "terms":
+        isize = int(inner_spec.get("size", 10))
+        w_inner = Window.partitionBy("key").orderBy(
+            F.col(f"{inner_name}_doc_count").desc(), F.col(f"{inner_name}_key").asc()
+        )
+        grouped = grouped.withColumn("_ir", F.row_number().over(w_inner)).filter(
+            F.col("_ir") <= isize
+        )
+    else:
+        grouped = grouped.withColumn("_ir", F.col(f"{inner_name}_key").cast("string"))
+    out_cols = ["key", "doc_count", f"{inner_name}_key", f"{inner_name}_doc_count"] + [
+        c for c in grouped.columns
+        if c not in (
+            "key", "doc_count", f"{inner_name}_key", f"{inner_name}_doc_count",
+            "_or", "_ir",
+        )
+    ]
+    return grouped.orderBy("_or", "key", "_ir").select(*out_cols)
 
 
 def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
@@ -88,6 +183,18 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
 
     if kind not in _BUCKETS:
         raise NotImplementedError(f"aggregation {kind!r}")
+    bucket_subs = {
+        n: c
+        for n, c in (sub or {}).items()
+        if set(k for k in c if k != "aggs") & _BUCKETS
+    }
+    if bucket_subs:
+        if len(bucket_subs) > 1 or len(bucket_subs) != len(sub):
+            raise NotImplementedError(
+                "exactly one bucket sub-aggregation (no metric siblings) supported"
+            )
+        (inner_name, inner_clause), = bucket_subs.items()
+        return _nested_agg(df, kind, spec, inner_name, inner_clause)
     metric_cols = _sub_metric_cols(sub)
     count_col = F.count(F.lit(1)).alias("doc_count")
 

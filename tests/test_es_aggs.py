@@ -11,24 +11,31 @@ from quickwit_spark.search.engine import IndexSearcher
 from quickwit_spark.sources.corpus import web_corpus
 
 
+def _docs(spark, sf_dir):
+    return (
+        web_corpus(spark, sf_dir)
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("site", (F.col("doc_id") % 3).cast("string"))
+    )
+
+
 @pytest.fixture(scope="module")
 def searcher(spark, sf_dir):
     idx = tempfile.mkdtemp(prefix="qws_esagg_")
-    docs = web_corpus(spark, sf_dir).withColumn("n_chars", F.length("text"))
     cfg = IndexConfig(
         fields=[FieldConfig("text")],
         doc_key="doc_id",
         num_partitions=2,
-        stored_columns=("lang", "n_chars"),
+        stored_columns=("lang", "n_chars", "site"),
         time_column="warc_ts",
     )
-    build_index(spark, docs, idx, cfg)
+    build_index(spark, _docs(spark, sf_dir), idx, cfg)
     return IndexSearcher(spark, idx)
 
 
 @pytest.fixture(scope="module")
 def fast(spark, sf_dir):
-    return web_corpus(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    return _docs(spark, sf_dir)
 
 
 def test_terms_with_metric_subagg(searcher, fast):
@@ -99,13 +106,54 @@ def test_query_plus_hits_and_date_histogram(searcher):
     )
 
 
-def test_unsupported_nesting_raises(searcher):
+def test_bucket_in_bucket_nesting(searcher, fast):
+    body = {
+        "size": 0,
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 2},
+                "aggs": {
+                    "by_src": {
+                        "terms": {"field": "site", "size": 2},
+                        "aggs": {"avg_len": {"avg": {"field": "n_chars"}}},
+                    }
+                },
+            }
+        },
+    }
+    got = searcher.es_search(body)["aggregations"]["by_lang"].toPandas()
+    # outer: top-2 langs by total count; inner: top-2 sources per lang
+    top_langs = (
+        fast.groupBy("lang").count().orderBy(F.desc("count"), F.asc("lang")).limit(2).toPandas()
+    )
+    assert set(got["key"]) == set(top_langs["lang"])
+    assert got.groupby("key").size().max() <= 2
+    one = got.iloc[0]
+    exp = fast.filter(
+        (F.col("lang") == one["key"]) & (F.col("site") == one["by_src_key"])
+    )
+    assert one["by_src_doc_count"] == exp.count()
+    assert round(one["avg_len"], 6) == round(
+        exp.agg(F.avg("n_chars")).collect()[0][0], 6
+    )
+    # outer doc_count = total docs of that lang
+    lang_tot = dict(zip(top_langs["lang"], top_langs["count"]))
+    for _, r in got.iterrows():
+        assert r["doc_count"] == lang_tot[r["key"]]
+
+
+def test_too_deep_nesting_raises(searcher):
     body = {
         "size": 0,
         "aggs": {
             "a": {
                 "terms": {"field": "lang"},
-                "aggs": {"b": {"terms": {"field": "lang"}}},
+                "aggs": {
+                    "b": {
+                        "terms": {"field": "site"},
+                        "aggs": {"c": {"terms": {"field": "lang"}}},
+                    }
+                },
             }
         },
     }
