@@ -68,4 +68,43 @@ def garbage_collect(index_dir: str, dry_run: bool = False) -> list[str]:
                 removed.append(f"{sub}/{entry}")
                 if not dry_run:
                     shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+
+    # merge-op tombstone sidecars (deletes_compact/<op_id>): per-op
+    # scratch, dead once the manifest carries the op's merged segment
+    from quickwit_spark.index.deletes import COMPACT_DIR, DELETES_DIR
+
+    comp = os.path.join(index_dir, COMPACT_DIR)
+    if os.path.isdir(comp):
+        for entry in sorted(os.listdir(comp)):
+            if entry in all_segs:
+                removed.append(f"{COMPACT_DIR}/{entry}")
+                if not dry_run:
+                    shutil.rmtree(os.path.join(comp, entry), ignore_errors=True)
+
+    # tombstone partitions (deletes/opstamp=N): dead once NO segment
+    # they target is still published (every target replaced/rewritten)
+    ddir = os.path.join(index_dir, DELETES_DIR)
+    if os.path.isdir(ddir):
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        live_ids = {
+            r.segment_id for r in all_segs.values() if r.state == mf.PUBLISHED
+        }
+        for entry in sorted(os.listdir(ddir)):
+            if not entry.startswith("opstamp="):
+                continue
+            try:
+                targets = set(
+                    pads.dataset(os.path.join(ddir, entry))
+                    .to_table(columns=["segment_id"])
+                    .column("segment_id")
+                    .to_pylist()
+                )
+            except (OSError, pa.ArrowInvalid):
+                continue  # unreadable/in-flight — leave it
+            if targets and not (targets & live_ids):
+                removed.append(f"{DELETES_DIR}/{entry}")
+                if not dry_run:
+                    shutil.rmtree(os.path.join(ddir, entry), ignore_errors=True)
     return removed

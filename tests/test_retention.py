@@ -59,3 +59,43 @@ def test_gc_after_merge_collects_inputs(spark, sf_dir, tmp_path):
     assert len([p for p in removed if p.startswith("docs/")]) == 4
     s = IndexSearcher(spark, d)
     assert s.count("*") == 500
+
+
+def test_gc_collects_tombstones_and_sidecars(spark, sf_dir, tmp_path):
+    """After a merge applies all deletes, GC removes the opstamp
+    tombstone partitions (no published segment targeted anymore) and
+    the merge's compact sidecar."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.index import manifest as mf
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.index.deletes import COMPACT_DIR, DELETES_DIR, delete_by_query
+    from quickwit_spark.index.merge import MergePolicy, run_merges
+    from quickwit_spark.query.ast import Term
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=1)
+    corpus = web_corpus(spark, sf_dir)
+    for i in range(2):
+        build_index(
+            spark, corpus.filter((F.col("doc_id") % 2) == i), d, cfg, job_id=f"g{i}"
+        )
+    s = IndexSearcher(spark, d)
+    delete_by_query(s, Term("text", "vector"))
+    assert os.path.isdir(os.path.join(d, DELETES_DIR))
+    run_merges(spark, d, MergePolicy(merge_factor=2, max_merge_factor=2))
+
+    removed = garbage_collect(d)
+    names = "\n".join(removed)
+    assert f"{COMPACT_DIR}/" in names or not os.path.isdir(
+        os.path.join(d, COMPACT_DIR)
+    )
+    assert f"{DELETES_DIR}/opstamp=" in names
+    # nothing live was touched
+    s.refresh()
+    assert s.count(Term("text", "vector")) == 0
+    assert s.count("*") > 0
