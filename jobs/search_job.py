@@ -2,7 +2,13 @@
 
     spark-submit --py-files dist/quickwit_spark.zip jobs/search_job.py \
         --index-dir /data/index --query "spark AND join" [--k 10] \
-        [--count-only] [--fetch url,lang]
+        [--count-only] [--fetch url,lang] [--snippet text] \
+        [--sort-by n_chars [--asc]] [--plan] [--describe]
+
+    # full ES _search body (query + aggs + size):
+    ... jobs/search_job.py --index-dir /data/index \
+        --es-body '{"query": {"match": {"text": {"query": "spark"}}},
+                    "size": 5, "aggs": {"langs": {"terms": {"field": "lang"}}}}'
 """
 
 from __future__ import annotations
@@ -17,19 +23,57 @@ from quickwit_spark.session import get_spark
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--index-dir", required=True)
-    p.add_argument("--query", required=True)
+    p.add_argument("--query")
+    p.add_argument("--es-body", help="full ES _search body as JSON")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--count-only", action="store_true")
     p.add_argument("--fetch", default="")
+    p.add_argument("--snippet", default="", help="comma-separated snippet fields")
+    p.add_argument("--sort-by", default="", help="fast-field sort instead of BM25")
+    p.add_argument("--asc", action="store_true")
+    p.add_argument("--plan", action="store_true", help="print the search plan")
+    p.add_argument("--describe", action="store_true", help="print index stats")
     args = p.parse_args()
 
     spark = get_spark("qws-search")
     s = IndexSearcher(spark, args.index_dir)
+
+    if args.describe:
+        print(json.dumps(s.describe_index(), default=str))
+        return
+    if args.es_body:
+        res = s.es_search(json.loads(args.es_body))
+        if "hits" in res:
+            for r in res["hits"].collect():
+                print(json.dumps(r.asDict(), default=str))
+        for name, df in (res.get("aggregations") or {}).items():
+            print(
+                json.dumps(
+                    {"agg": name, "buckets": [r.asDict() for r in df.collect()]},
+                    default=str,
+                )
+            )
+        return
+    if not args.query:
+        p.error("--query or --es-body or --describe required")
+    if args.plan:
+        plan = s.search_plan(args.query, k=args.k)
+        plan.pop("spark_plan", None)
+        print(json.dumps(plan, default=str))
+        return
     if args.count_only:
         print(json.dumps({"num_hits": s.count(args.query)}))
         return
     fetch = [c for c in args.fetch.split(",") if c]
-    hits = s.search(args.query, k=args.k, fetch=fetch).collect()
+    if args.sort_by:
+        hits = s.sort_by_field(
+            args.query, args.sort_by, k=args.k, descending=not args.asc, fetch=fetch
+        ).collect()
+    else:
+        snippet = [c for c in args.snippet.split(",") if c]
+        hits = s.search(
+            args.query, k=args.k, fetch=fetch, snippet_fields=snippet or None
+        ).collect()
     for r in hits:
         print(json.dumps(r.asDict(), default=str))
 
