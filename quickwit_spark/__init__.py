@@ -14,10 +14,15 @@ Layout:
     analysis/   tokenizers (tantivy `default` parity, whitespace, raw, ...)
     codec/      numpy varint/delta posting codec + fieldnorm quantization
     index/      segment builder (applyInPandas), manifest, merge policy
-    query/      QueryAst dataclasses + query-string mini parser
-    search/     BM25 scorer, block-max WAND kernel, searcher, aggregations
-    ops/        training-data pipeline ops (dedup, ANN, text stats, multimodal)
-    sources/    corpus derivation + (optional) Iceberg/streaming plumbing
+    query/      QueryAst dataclasses, query-string parser, ES DSL,
+                tag-predicate extraction for split pruning
+    search/     BM25 scorer, block-max WAND kernel, searcher (snippets,
+                scroll, es_search+aggs DSL, msearch), aggregations
+    datapipe/   training-data ops (dedup, ANN incl. multi-table LSH +
+                IVF, text stats, multimodal plumbing)
+    sources/    corpus derivation + Transform (VRL-analog ingest hook)
+    streaming/  micro-batch indexing + watermarked analytics +
+                applyInPandasWithState sessionization
 """
 
 __version__ = "0.1.0"
