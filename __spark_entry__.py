@@ -368,6 +368,12 @@ def _q_wildcard(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), Wildcard("text", "qu*"))
 
 
+def _q_query_string(spark, sf_dir):
+    """Query-string path end-to-end: field-scoped group syntax parsed
+    by the mini-DSL, not a hand-built AST."""
+    return _topk(_searcher(spark, sf_dir), "text:(spark OR join)")
+
+
 def _q_tag_pruned(spark, sf_dir):
     """Same shape as search_filter_lang but on the lang-routed index
     whose manifest tags PRUNE segments before the scan — green means
@@ -999,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filter_time": _q_filter_time,
         "search_filter_lang": _q_filter_lang,
         "search_wildcard": _q_wildcard,
+        "search_query_string": _q_query_string,
         "search_tag_pruned": _q_tag_pruned,
         "search_snippet": _q_snippet,
         "search_concat_count": _q_concat_count,
@@ -1061,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
             [("query", 1.0)], must=["query"], filter_sql="lang = 'en'"
         ),
         "search_wildcard": _bm25_sql([], term_pred="term LIKE 'qu%'"),
+        "search_query_string": _bm25_sql([("spark", 1.0), ("join", 1.0)]),
         "search_tag_pruned": _bm25_sql(
             [("query", 1.0)], must=["query"], filter_sql="lang = 'de'"
         ),

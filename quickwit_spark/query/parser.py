@@ -131,6 +131,18 @@ class _Parser:
             t = self.next()
             if t is None:
                 raise ValueError(f"dangling field {field!r}")
+        # field-scoped group: `field:(a OR b)` — every unfielded clause
+        # inside resolves to `field` (reference query-language grouping)
+        if t == "(" and field is not None:
+            saved = self.default_fields
+            self.default_fields = [field]
+            try:
+                inner = self.parse_expr()
+            finally:
+                self.default_fields = saved
+            if self.peek() == ")":
+                self.next()
+            return inner
         # range: [a TO b] / {a TO b}
         if t in ("[", "{"):
             lo = self.next()
