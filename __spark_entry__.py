@@ -591,11 +591,18 @@ WHERE len(list_filter(p2, j ->
 """
 
 _PHRASE_PREFIX_SQL = """
-WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+-- mirror the engine's max_expansions cap: only the FIRST 50 's'-prefixed
+-- dictionary terms (sorted order) participate, like PhrasePrefix does
+exp AS (
+  SELECT term FROM (
+    SELECT DISTINCT unnest(l) AS term FROM t
+  ) WHERE term LIKE 's%' ORDER BY term LIMIT 50
+)
 SELECT doc_id AS doc_key, lang
-FROM t
+FROM t CROSS JOIN (SELECT list(term) AS terms FROM exp) e
 WHERE len(list_filter(range(1, greatest(len(l), 1)),
-          i -> l[i] = 'order' AND l[i+1] LIKE 's%')) > 0
+          i -> l[i] = 'order' AND list_contains(e.terms, l[i+1]))) > 0
 """
 
 

@@ -10,9 +10,12 @@ signs) and the gate compares final rows exactly, not just row counts.
 Same trick as `textstats.fingerprint_portable`.
 
 Portable string hash (base-127 positional, weights cycling every 8
-chars; max value ≈ 2e17 — no 64-bit overflow for strings ≤ ~200 chars):
+chars; codepoints folded mod 128 so the per-char factor is bounded —
+Σ ≤ len/8 · 127·Σ127^k ≈ len·9e15, no int64 overflow for strings up to
+~1000 chars on ANY unicode input, and Spark's wrapping long arithmetic
+can never diverge from DuckDB's HUGEINT promotion):
 
-    PH(s) = Σ_{i=1..len} ascii(s[i]) * 127^((i-1) mod 8)
+    PH(s) = Σ_{i=1..len} (codepoint(s[i]) mod 128) * 127^((i-1) mod 8)
 
 MinHash permutations over P = 2^31 − 1 (A_i·PH' ≤ 1e9·2.1e9 ≈ 2e18,
 still in-range):
@@ -53,7 +56,7 @@ def portable_hash(col) -> "F.Column":
         F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
         F.lit(0).cast("long"),
         lambda acc, i: acc
-        + F.ascii(col.substr(i, F.lit(1))).cast("long")
+        + (F.ascii(col.substr(i, F.lit(1))).cast("long") % 128)
         * F.element_at(warr, ((i - F.lit(1)) % 8) + 1),
     )
 
@@ -76,7 +79,7 @@ def sql_portable_hash(expr: str) -> str:
     w = ", ".join(str(x) for x in WEIGHTS)
     return (
         f"list_sum(list_transform(range(1, length({expr}) + 1), "
-        f"i -> ascii(({expr})[i]) * ([{w}])[((i - 1) % 8) + 1]))"
+        f"i -> (ascii(({expr})[i]) % 128) * ([{w}])[((i - 1) % 8) + 1]))"
     )
 
 

@@ -563,6 +563,21 @@ def build_index(
     processing hook, `vrl_processing.rs`) applied before doc mapping.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # tag pruning records RAW column values while query-side extraction
+    # uses term/token values — sound only when the two coincide, i.e.
+    # the tag field is unindexed (a fast column) or indexed `raw`.
+    # An analyzed tag field would record 'Hello World' but be queried
+    # as 'hello' → a present `field!` marker with absent value tags
+    # would wrongly prune matching segments.
+    analyzed = {
+        f.name for f in config.fields if f.tokenizer != "raw" and not f.sources
+    }
+    bad = [t for t in config.tag_fields if t in analyzed]
+    if bad:
+        raise ValueError(
+            f"tag_fields {bad} are indexed with an analyzing tokenizer; "
+            "tag pruning requires unindexed or raw-tokenizer fields"
+        )
     if transform is not None:
         df = transform(df)
     inv_dir = f"{index_dir}/inv"

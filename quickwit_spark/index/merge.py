@@ -264,14 +264,19 @@ def execute_merge(
         fld, term = key[0], key[1]
         pdf = pdf.sort_values("segment_id")
         tomb = load_tombstones(tomb_path) if tomb_path else {}
-        kind = KIND_NORMS if (pdf["kind"] == KIND_NORMS).all() else KIND_POSTINGS
-        if kind == KIND_NORMS:
+        # split by KIND, not by majority: a chunked norms row's term is a
+        # 20-digit start marker that can collide with a real numeric
+        # text term in the same (field, term, salt) group — both kinds
+        # must be processed, never inferred from each other
+        norms_pdf = pdf[pdf["kind"] == KIND_NORMS]
+        norms_out = None
+        if len(norms_pdf):
             # norms rows may be CHUNKED (a prior merge's output): the term
             # column carries the chunk's docid start within its input
             # segment ("" == 0). Emit one rebased chunk row per input row —
             # start marker = segment offset + old start − deletions below it
             out_rows = []
-            for _, r in pdf.sort_values(["segment_id", "term"]).iterrows():
+            for _, r in norms_pdf.sort_values(["segment_id", "term"]).iterrows():
                 sid = r["segment_id"]
                 chunk_start = int(r["term"]) if r["term"] else 0
                 ids_r = np.frombuffer(r["payload1"], dtype=np.uint8)
@@ -302,10 +307,12 @@ def execute_merge(
                         "meta": "",
                     }
                 )
-            return pd.DataFrame(
+            norms_out = pd.DataFrame(
                 out_rows,
                 columns="segment_id kind field term doc_freq payload1 payload2 block_last block_max meta".split(),
             )
+            if len(norms_pdf) == len(pdf):
+                return norms_out
         # postings (+ positions): decode each input segment's chunk rows,
         # order chunks by first docid WITHIN the segment, pair position
         # chunks 1:1 by the same order (mirrors SegmentData.from_rows),
@@ -365,9 +372,10 @@ def execute_merge(
         tfs = np.concatenate(tf_parts) if tf_parts else np.zeros(0, np.uint32)
         pos_all = np.concatenate(pos_parts) if have_pos and pos_parts else None
         if len(docids) == 0:
-            return pd.DataFrame(
+            empty = pd.DataFrame(
                 columns="segment_id kind field term doc_freq payload1 payload2 block_last block_max meta".split()
             )
+            return norms_out if norms_out is not None else empty
         avgdl = np.float32(avgdls.get(fld, 1.0))
         # block-max needs merged-doc lengths: recovered lazily from the
         # per-doc norm ids of the inputs is expensive here; instead use
@@ -417,7 +425,8 @@ def execute_merge(
                         "meta": f"{int(docids[sl.start]):020d}",
                     }
                 )
-        return pd.DataFrame(rows)
+        out = pd.DataFrame(rows)
+        return pd.concat([norms_out, out]) if norms_out is not None else out
 
     salt_map = F.create_map(
         *[x for sid, bkt in bucket_of.items() for x in (F.lit(sid), F.lit(bkt))]

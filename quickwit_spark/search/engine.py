@@ -583,6 +583,7 @@ class IndexSearcher:
         use_wand: bool = True,
         snippet_fields: list[str] | None = None,
         snippet_max_chars: int = 150,
+        _resolved: tuple | None = None,
     ) -> DataFrame:
         """Top-k by BM25 desc → (doc_key, score, rank [, fetch cols]
         [, snippet_<field> cols]).
@@ -597,9 +598,13 @@ class IndexSearcher:
 
         `snippet_fields` adds highlighted best-fragment columns for the
         k winners (reference `fetch_docs.rs:41-167`); each named field
-        must be in the index's stored_columns.
+        must be in the index's stored_columns. `_resolved` lets internal
+        callers (search_plan) reuse an already-resolved plan so pattern
+        expansion doesn't run twice.
         """
-        ast, fast_filter, seg_ids = self._resolve(query, time_range)
+        ast, fast_filter, seg_ids = (
+            _resolved if _resolved is not None else self._resolve(query, time_range)
+        )
         score_cutoff = search_after[0] if search_after is not None else None
         matches = self._matches(
             ast, seg_ids, k, mode, fast_filter, use_wand, score_cutoff
@@ -717,7 +722,10 @@ class IndexSearcher:
         tag_filter = extract_tag_filter(
             pre_expand, lambda field, text: tok(field)(text)
         )
-        df = self.search(query, k=k, time_range=time_range)
+        df = self.search(
+            query, k=k, time_range=time_range,
+            _resolved=(ast, fast_filter, seg_ids),
+        )
         import contextlib
         import io
 

@@ -76,6 +76,17 @@ def _sub_metric_cols(sub_aggs: dict) -> list[Column]:
     return out
 
 
+def _range_labels(spec: dict) -> list[str]:
+    out = []
+    for r in spec["ranges"]:
+        lo, hi = r.get("from"), r.get("to")
+        out.append(
+            r.get("key")
+            or f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+        )
+    return out
+
+
 def _bucket_key(kind: str, spec: dict, alias: str) -> Column:
     """The group-key expression for a bucket aggregation."""
     if kind == "terms":
@@ -94,11 +105,8 @@ def _bucket_key(kind: str, spec: dict, alias: str) -> Column:
     if kind == "range":
         c = F.col(spec["field"])
         expr = None
-        for r in spec["ranges"]:
+        for r, label in zip(spec["ranges"], _range_labels(spec)):
             lo, hi = r.get("from"), r.get("to")
-            label = r.get("key") or (
-                f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
-            )
             cond = F.lit(True)
             if lo is not None:
                 cond = cond & (c >= lo)
@@ -130,10 +138,14 @@ def _nested_agg(
     leaf_metrics = _sub_metric_cols(inner_clause.get("aggs"))
     okey = _bucket_key(outer_kind, outer_spec, "key")
     ikey = _bucket_key(inner_kind, inner_spec, f"{inner_name}_key")
+    # docs with a NULL inner key still belong to their outer bucket (ES
+    # counts them in the outer doc_count; they just form no inner
+    # bucket) — group them too, compute outer totals, then surface them
+    # as a null-keyed inner row rather than silently shrinking the outer
     grouped = (
         df.withColumn("key", okey)
         .withColumn(f"{inner_name}_key", ikey)
-        .filter(F.col("key").isNotNull() & F.col(f"{inner_name}_key").isNotNull())
+        .filter(F.col("key").isNotNull())
         .groupBy("key", f"{inner_name}_key")
         .agg(F.count(F.lit(1)).alias(f"{inner_name}_doc_count"), *leaf_metrics)
     )
@@ -152,7 +164,8 @@ def _nested_agg(
     if inner_kind == "terms":
         isize = int(inner_spec.get("size", 10))
         w_inner = Window.partitionBy("key").orderBy(
-            F.col(f"{inner_name}_doc_count").desc(), F.col(f"{inner_name}_key").asc()
+            F.col(f"{inner_name}_doc_count").desc(),
+            F.col(f"{inner_name}_key").asc_nulls_last(),
         )
         grouped = grouped.withColumn("_ir", F.row_number().over(w_inner)).filter(
             F.col("_ir") <= isize
@@ -197,9 +210,9 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
         return _nested_agg(df, kind, spec, inner_name, inner_clause)
     metric_cols = _sub_metric_cols(sub)
     count_col = F.count(F.lit(1)).alias("doc_count")
+    key = _bucket_key(kind, spec, "key")
 
     if kind == "terms":
-        key = F.col(spec["field"]).cast("string").alias("key")
         size = int(spec.get("size", 10))
         return (
             df.groupBy(key)
@@ -207,36 +220,13 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
             .orderBy(F.col("doc_count").desc(), F.col("key").asc())
             .limit(size)
         )
-    if kind == "histogram":
-        interval = float(spec["interval"])
-        offset = float(spec.get("offset", 0.0))
-        key = (
-            F.floor((F.col(spec["field"]) - F.lit(offset)) / F.lit(interval))
-            * F.lit(interval)
-            + F.lit(offset)
-        ).cast("double").alias("key")
+    if kind in ("histogram", "date_histogram"):
         return df.groupBy(key).agg(count_col, *metric_cols).orderBy("key")
-    if kind == "date_histogram":
-        unit = spec.get("calendar_interval") or spec.get("fixed_interval") or "day"
-        key = F.date_trunc(unit, F.col(spec["field"])).alias("key")
-        return df.groupBy(key).agg(count_col, *metric_cols).orderBy("key")
-    # range
-    c = F.col(spec["field"])
-    expr = None
-    order: dict[str, int] = {}
-    for i, r in enumerate(spec["ranges"]):
-        lo, hi = r.get("from"), r.get("to")
-        label = r.get("key") or f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
-        cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (c >= lo)
-        if hi is not None:
-            cond = cond & (c < hi)
-        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
-        order[label] = i
+    # range: output in the declared range order
+    order = {label: i for i, label in enumerate(_range_labels(spec))}
     mapping = F.create_map(*[F.lit(x) for kv in order.items() for x in kv])
     return (
-        df.withColumn("key", expr)
+        df.withColumn("key", key)
         .filter(F.col("key").isNotNull())
         .groupBy("key")
         .agg(count_col, *metric_cols)

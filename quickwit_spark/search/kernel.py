@@ -626,11 +626,16 @@ def evaluate_segment(
     docids = np.flatnonzero(mask).astype(np.uint32)
     sc = scores[mask]
     if score_cutoff is not None:
+        # PERMISSIVE pre-filter: the driver re-applies the exact cursor
+        # predicate on F.round-ed scores, so the kernel must never drop
+        # a legitimate hit. In oracle mode the cursor was rounded with
+        # Java HALF_UP while numpy rounds half-even — they can disagree
+        # by 1e-9 at digit 9, so keep everything within that margin and
+        # extend k by the potential ties (the slots the driver may keep).
         cut = ctx.dtype(score_cutoff)
-        if mode == "oracle":
-            sc = np.round(sc, 9)
-        keep = sc <= cut
+        margin = ctx.dtype(1.1e-9) if mode == "oracle" else ctx.dtype(0.0)
+        keep = sc <= cut + margin
         docids, sc = docids[keep], sc[keep]
         if k is not None:
-            k = k + int((sc == cut).sum())
+            k = k + int((sc >= cut - margin).sum())
     return topk_tiebreak(docids, sc, k)

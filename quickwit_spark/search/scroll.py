@@ -93,14 +93,25 @@ class ScrollContext:
     def next_page(self) -> list:
         """The next `page_size` hits (ranks continue across pages);
         empty list when the scroll is drained."""
+        from pyspark.sql import Row
+
         while len(self._cache) < self.page_size and not self._exhausted:
             self._fetch_batch()
         page, self._cache = (
             self._cache[: self.page_size],
             self._cache[self.page_size :],
         )
+        # each cursored batch numbers its ranks from 1 — rewrite them as
+        # the scroll-global positions the caller sees
+        out = []
+        for i, r in enumerate(page):
+            d = r.asDict()
+            if "rank" in d:
+                d["rank"] = self._served + i + 1
+                r = Row(**d)
+            out.append(r)
         self._served += len(page)
-        return page
+        return out
 
 
 # process-local scroll registry (the reference's cluster KV analog)

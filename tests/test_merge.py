@@ -261,3 +261,50 @@ def test_multi_generation_merge_chunked_positions_norms(
         (r["doc_key"], r["score"]) for r in s.search(q, k=15, mode="oracle").collect()
     ]
     assert topk == before["topk"]
+
+
+def test_norms_marker_term_collision(spark, tmp_path):
+    """A text term that equals a chunked-norms start marker (20-digit
+    zero-padded number) must not be confused with the norms row when a
+    merged segment is merged again."""
+    from quickwit_spark.index.merge import execute_merge
+
+    marker = f"{32:020d}"  # the start marker of the 2nd 32-doc chunk
+    rows = [(i, f"{marker} w{i} filler common") for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=1)
+    build_index(spark, df.filter("doc_id < 32"), idx, cfg, job_id="a")
+    build_index(spark, df.filter("doc_id >= 32"), idx, cfg, job_id="b")
+    segs = [s.segment_id for s in mf.live_segments(idx)]
+    # first merge with small chunks → chunked norms rows whose term
+    # column is the docid start marker ('...032' among them)
+    execute_merge(
+        spark,
+        idx,
+        MergeOp(op_id="m0", segment_ids=segs, partition_id=0, merge_gen=1),
+        chunk_target_docs=32,
+    )
+    # add one more segment and merge AGAIN: the (text, marker) group now
+    # holds both the marker TERM's postings and the norms chunk row
+    extra = spark.createDataFrame(
+        [(100 + i, f"{marker} extra") for i in range(4)], "doc_id long, text string"
+    )
+    build_index(spark, extra, idx, cfg, job_id="c")
+    segs2 = [s.segment_id for s in mf.live_segments(idx)]
+    execute_merge(
+        spark,
+        idx,
+        MergeOp(op_id="m1", segment_ids=segs2, partition_id=0, merge_gen=2),
+        chunk_target_docs=32,
+    )
+    s = IndexSearcher(spark, idx)
+    assert s.count("*") == 68
+    assert s.count(Term("text", marker)) == 68  # marker term survives
+    assert s.count(Term("text", "common")) == 64
+    # norms intact: BM25 scoring over the remerged segment works and
+    # doc lengths differ between 4-token and 2-token docs
+    hits = s.search(Term("text", marker), k=68, mode="oracle").collect()
+    assert len(hits) == 68
+    scores = {r["doc_key"]: r["score"] for r in hits}
+    assert scores[100] > scores[0]  # shorter doc scores higher

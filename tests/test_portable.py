@@ -17,11 +17,12 @@ from quickwit_spark.datapipe.dedup import (
 
 
 def _ph_py(s: str) -> int:
-    return sum(ord(c) * WEIGHTS[i % 8] for i, c in enumerate(s))
+    return sum((ord(c) % 128) * WEIGHTS[i % 8] for i, c in enumerate(s))
 
 
 def test_portable_hash_matches_python(spark):
-    strs = ["a", "hello world", "spark join stream", "0 1 2 3 4 5", "z" * 40]
+    strs = ["a", "hello world", "spark join stream", "0 1 2 3 4 5", "z" * 40,
+            "café naïve ünïcode", "日本語テスト"]
     df = spark.createDataFrame([(s,) for s in strs], ["s"])
     got = {
         r["s"]: r["h"]

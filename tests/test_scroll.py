@@ -35,14 +35,17 @@ def test_scroll_bm25_covers_all_hits_in_order(searcher):
         for r in searcher.search("spark", k=total, mode="oracle").collect()
     ]
     ctx = searcher.scroll("spark", page_size=7, mode="oracle", batch_len=20)
-    got = []
+    got, ranks = [], []
     while True:
         page = ctx.next_page()
         if not page:
             break
         assert len(page) <= 7
         got.extend((r["doc_key"], round(r["score"], 6)) for r in page)
+        ranks.extend(r["rank"] for r in page)
     assert got == truth
+    # ranks continue across pages AND across refetched batches
+    assert ranks == list(range(1, len(got) + 1))
 
 
 def test_scroll_uses_few_batches(searcher):
