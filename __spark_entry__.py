@@ -420,6 +420,23 @@ def _q_events_top_value(spark, sf_dir):
     )
 
 
+def _q_events_two_key_sort(spark, sf_dir):
+    """Reference ≤2-sort-keys collector: (user_id asc, value desc)."""
+    s = _searcher_events(spark, sf_dir)
+    out = s.sort_by_field(
+        Term("event_type", "view"),
+        [("user_id", False), ("value", True)],
+        k=10,
+        tie_by_key=True,
+    )
+    return out.select(
+        "doc_key",
+        F.col("sort_value").cast("long").alias("sort_value"),
+        F.round("sort_value2", 6).alias("sort_value2"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_events_user_cardinality(spark, sf_dir):
     s = _searcher_events(spark, sf_dir)
     m = aggs.matches(s, Term("event_type", "error"), columns=["user_id"])
@@ -1018,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_concat_count": _q_concat_count,
         "events_error_by_day": _q_events_error_by_day,
         "events_top_value": _q_events_top_value,
+        "events_two_key_sort": _q_events_two_key_sort,
         "events_user_cardinality": _q_events_user_cardinality,
         "match_stream_term": _q_match_stream,
         "count_term": _q_count_term,
@@ -1110,6 +1128,14 @@ ORDER BY value DESC, event_id DESC LIMIT 10
         "events_user_cardinality": """
 SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS value
 FROM events WHERE event_type = 'error'
+""",
+        "events_two_key_sort": """
+SELECT event_id AS doc_key, CAST(user_id AS BIGINT) AS sort_value,
+       ROUND(value, 6) AS sort_value2,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY user_id ASC, value DESC, event_id ASC) AS BIGINT) AS rank
+FROM events WHERE event_type = 'view'
+ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10
 """,
         "match_stream_term": _MATCH_TERM_SQL,
         "count_term": _COUNT_TERM_SQL,

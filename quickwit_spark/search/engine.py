@@ -534,13 +534,33 @@ class IndexSearcher:
 
         `search_after=(sort_value, doc_key)` paginates: hits strictly
         after the cursor in sort order (None sort_value = the cursor sat
-        in the missing-values tail). Implies `tie_by_key`.
-        → (doc_key, sort_value, rank[, fetch])."""
+        in the missing-values tail). Implies `tie_by_key`; single-key
+        sorts only.
+
+        `sort_field` may also be a list of up to TWO (field, descending)
+        pairs — the reference's ≤2 sort keys (`collector.rs:40-205`),
+        each with its own direction and missing-last semantics; the
+        second key's value is returned as `sort_value2`.
+        → (doc_key, sort_value[, sort_value2], rank[, fetch])."""
+        if isinstance(sort_field, (list, tuple)) and not isinstance(sort_field, str):
+            specs = [
+                (f, descending) if isinstance(f, str) else (f[0], bool(f[1]))
+                for f in sort_field
+            ]
+        else:
+            specs = [(sort_field, descending)]
+        if len(specs) > 2:
+            raise ValueError("at most 2 sort keys (reference collector limit)")
+        if search_after is not None and len(specs) > 1:
+            raise NotImplementedError("search_after supports single-key sorts")
+        sort_cols = [f for f, _ in specs]
+        out_aliases = ["sort_value", "sort_value2"][: len(specs)]
         ast, fast_filter, seg_ids = self._resolve(query, time_range)
         m = self._matches(ast, seg_ids, None, "parity", fast_filter, use_wand=False)
         docs = self.docs().select(
-            "segment_id", "doc_id", "doc_key", F.col(sort_field).alias("sort_value"),
-            *(c for c in (fetch or []) if c != sort_field),
+            "segment_id", "doc_id", "doc_key",
+            *[F.col(f).alias(a) for (f, _), a in zip(specs, out_aliases)],
+            *(c for c in (fetch or []) if c not in sort_cols),
         )
         hits = docs.join(m.select("segment_id", "doc_id"), ["segment_id", "doc_id"])
         sv = F.col("sort_value")
@@ -561,15 +581,17 @@ class IndexSearcher:
             if tie_by_key
             else [F.col("segment_id"), F.col("doc_id")]
         )
-        if descending:
-            order = [sv.desc_nulls_last(), *[c.desc() for c in tie]]
-        else:
-            order = [sv.asc_nulls_last(), *[c.asc() for c in tie]]
+        order = []
+        for (_, desc_), a in zip(specs, out_aliases):
+            c = F.col(a)
+            order.append(c.desc_nulls_last() if desc_ else c.asc_nulls_last())
+        primary_desc = specs[0][1]
+        order += [c.desc() if primary_desc else c.asc() for c in tie]
         hits = hits.orderBy(*order).limit(k)
         w = Window.orderBy(*order)
         return hits.select(
-            "doc_key", "sort_value", F.row_number().over(w).alias("rank"),
-            *(c for c in (fetch or []) if c != sort_field),
+            "doc_key", *out_aliases, F.row_number().over(w).alias("rank"),
+            *(c for c in (fetch or []) if c not in sort_cols),
         )
 
     def search(

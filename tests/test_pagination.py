@@ -99,3 +99,40 @@ def test_regex_literal_prefix():
     assert lp(r"ab?c") == "a"
     assert lp(r"\d+") == ""
     assert lp("plain") == "plain"
+
+
+def test_two_key_sort(spark, sf_dir, tmp_path_factory):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
+    idx = tempfile.mkdtemp(prefix="qws_2key_")
+    docs = (
+        web_corpus(spark, sf_dir)
+        .withColumn("grp", (F.col("doc_id") % 5))
+        .withColumn("n_chars", F.length("text"))
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("grp", "n_chars"),
+    )
+    build_index(spark, docs, idx, cfg)
+    s = IndexSearcher(spark, idx)
+    out = s.sort_by_field(
+        "text:spark", [("grp", False), ("n_chars", True)], k=20, tie_by_key=True
+    ).collect()
+    assert out[0]["rank"] == 1
+    # primary asc ⇒ doc_key tie-break asc
+    keys = [(r["sort_value"], -r["sort_value2"], r["doc_key"]) for r in out]
+    assert keys == sorted(keys)
+    # third key would exceed the reference's collector limit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s.sort_by_field("text:spark", [("grp", False), ("n_chars", True), ("doc_id", True)], k=5)
