@@ -1,0 +1,67 @@
+"""Physical-plan shape guards: the properties that make the engine
+viable at 100 TB must be visible in `.explain` output and must not
+silently regress.
+
+- the postings scan must push the (kind, field, term) predicates into
+  the Parquet source (row-group pruning over sorted term runs — the
+  reference's warmup/prefetch analog),
+- the fetch join must broadcast the ≤ k·segments winner rows, never
+  shuffle the docmap,
+- no row-at-a-time Python (BatchEvalPython) anywhere in the query plan.
+"""
+
+import contextlib
+import io
+import tempfile
+
+import pytest
+
+from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+from quickwit_spark.query.ast import Term
+from quickwit_spark.search.engine import IndexSearcher
+from quickwit_spark.sources.corpus import web_corpus
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, sf_dir):
+    idx = tempfile.mkdtemp(prefix="qws_plan_")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("lang",),
+    )
+    build_index(spark, web_corpus(spark, sf_dir), idx, cfg)
+    return IndexSearcher(spark, idx)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_term_scan_pushes_filters(searcher):
+    plan = _plan(searcher.match_docs(Term("text", "spark")))
+    # the term predicate must reach the Parquet scan, not a post-filter
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("term" in l for l in pushed), pushed
+    assert any("kind" in l or "EqualTo" in l for l in pushed), pushed
+
+
+def test_topk_broadcasts_winners(searcher):
+    plan = _plan(searcher.search("text:spark", k=10))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # global top-k is the TakeOrdered / sort+limit pattern
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_no_row_at_a_time_python(searcher):
+    for df in (
+        searcher.search("text:spark", k=5),
+        searcher.match_docs(Term("text", "spark")),
+        searcher.search_stream(Term("text", "spark"), ["lang"]),
+    ):
+        assert "BatchEvalPython" not in _plan(df)
