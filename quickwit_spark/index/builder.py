@@ -334,62 +334,6 @@ def _build_field_rows(
     return rows, stats
 
 
-def _make_build_fn(config: IndexConfig, job_id: str):
-    doc_key = config.doc_key
-    fields = config.fields
-    k1, b = config.k1, config.b
-    time_col = config.time_column
-
-    def build_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.perf_counter()
-        pid = int(key[0])
-        segment_id = f"{job_id}-p{pid:05d}"
-        pdf = pdf.sort_values(doc_key, kind="mergesort").reset_index(drop=True)
-        all_rows: list[dict] = []
-        field_stats = {}
-        for fld in fields:
-            if fld.sources:
-                texts = pdf[list(fld.sources)].fillna("").astype(str).agg(" ".join, axis=1)
-            else:
-                texts = pdf[fld.name]
-            rows, stats = _build_field_rows(
-                segment_id, fld, texts, k1, b,
-                custom_tokenizers=config.tokenizers,
-            )
-            all_rows.extend(rows)
-            field_stats[fld.name] = stats
-        time_range = None
-        if time_col is not None:
-            ts = pd.to_datetime(pdf[time_col])
-            time_range = [int(ts.min().value // 1000), int(ts.max().value // 1000)]
-        seg_meta = {
-            "num_docs": len(pdf),
-            "partition_id": pid,
-            "field_stats": field_stats,
-            "time_range": time_range,
-            "min_key": int(pdf[doc_key].iloc[0]),
-            "max_key": int(pdf[doc_key].iloc[-1]),
-            "build_secs": round(time.perf_counter() - t0, 4),
-        }
-        all_rows.append(
-            {
-                "segment_id": segment_id,
-                "kind": KIND_SEG,
-                "field": "",
-                "term": "",
-                "doc_freq": len(pdf),
-                "payload1": b"",
-                "payload2": b"",
-                "block_last": b"",
-                "block_max": b"",
-                "meta": json.dumps(seg_meta, sort_keys=True),
-            }
-        )
-        return pd.DataFrame(all_rows)
-
-    return build_segment
-
-
 _INV_COLUMNS = (
     "segment_id", "kind", "field", "term", "doc_freq",
     "payload1", "payload2", "block_last", "block_max", "meta",
@@ -492,9 +436,11 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
                     .combine_chunks()
                     .to_numpy()
                     .astype("datetime64[us]")
-                    .astype(np.int64)
                 )
-                time_range = [int(tsv.min()), int(tsv.max())]
+                tsv = tsv[~np.isnat(tsv)].astype(np.int64)  # NaT would
+                # poison min/max with int64-min and mis-prune the segment
+                if tsv.size:
+                    time_range = [int(tsv.min()), int(tsv.max())]
             # per-segment tag sets (reference: SplitMetadata.tags) —
             # `field!` marks the field recorded; dropped entirely when
             # the value set blows the cardinality cap, which disables
@@ -578,6 +524,19 @@ def build_index(
             f"tag_fields {bad} are indexed with an analyzing tokenizer; "
             "tag pruning requires unindexed or raw-tokenizer fields"
         )
+    # building into an existing index MUST reuse the identical config —
+    # otherwise new segments would be tokenized/encoded under one config
+    # while searchers read another (checked BEFORE any segment publishes)
+    import os as _os
+
+    _cfg_path = f"{index_dir}/_manifest/index_config.json"
+    if _os.path.exists(_cfg_path):
+        with open(_cfg_path) as _f:
+            if _f.read() != config.to_json():
+                raise ValueError(
+                    f"index at {index_dir} was built with a different "
+                    "config; refusing to mix configs"
+                )
     if transform is not None:
         df = transform(df)
     inv_dir = f"{index_dir}/inv"
@@ -678,7 +637,8 @@ def build_index(
         all_records.extend(records)
         if fail_after_batch is not None and bi >= fail_after_batch:
             raise RuntimeError(f"injected failure after batch {batch_id}")
-    # persist the index config for searchers
+    # persist the index config for searchers (pre-validated against any
+    # existing config at the top of this function)
     cfg_path = f"{index_dir}/_manifest/index_config.json"
     import os
 

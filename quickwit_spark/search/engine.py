@@ -231,9 +231,19 @@ class IndexSearcher:
 
         jobs: dict[tuple, tuple] = {}  # (fld, rx|None, prefix, cap) -> terms
 
+        lowercasing = {"default", "lowercase", "raw_lowercase", "en_stem",
+                       "chinese_compatible", "multilang_default",
+                       "source_code_default", "source_code_with_hex"}
+        fld_tok = {f.name: f.tokenizer for f in self.config.fields}
+
         def key_for(node):
             if isinstance(node, Wildcard):
-                pat = node.pattern.lower()
+                # normalize the literal chars like the field's analyzer
+                # normalizes terms: a `raw`/`whitespace` dictionary is
+                # case-preserving, so the pattern must stay cased too
+                pat = node.pattern
+                if fld_tok.get(node.field, "default") in lowercasing:
+                    pat = pat.lower()
                 lit = pat.split("*")[0].split("?")[0]
                 cap = node.max_expansions or DEFAULT_MAX_EXPANSIONS
                 return (node.field, _wildcard_to_regex(pat), lit, cap)
@@ -314,22 +324,60 @@ class IndexSearcher:
                 out = out & x
             return out
 
-        if isinstance(ast, Range) and ast.field not in text_fields:
-            return MatchAll(), to_filter(ast)
+        def fast_range(node):
+            """Range (possibly Boost-wrapped — a filter clause scores 0,
+            so the boost is inert) on a fast column, else None."""
+            if isinstance(node, Boost):
+                node = node.query
+            if isinstance(node, Range) and node.field not in text_fields:
+                return node
+            return None
+
+        r = fast_range(ast)
+        if r is not None:
+            return MatchAll(), to_filter(r)
         if isinstance(ast, Bool):
             fast = []
             must = []
             flt = []
             for dst, src in ((must, ast.must), (flt, ast.filter)):
                 for cl in src:
-                    if isinstance(cl, Range) and cl.field not in text_fields:
-                        fast.append(to_filter(cl))
-                    else:
-                        dst.append(cl)
+                    r = fast_range(cl)
+                    if r is not None:
+                        fast.append(to_filter(r))
+                        continue
+                    # conjunctive nested Bool: recurse so ranges inside
+                    # must/filter-of-must/filter also reach the docmap
+                    if (
+                        isinstance(cl, Bool)
+                        and not cl.should
+                        and not cl.must_not
+                    ):
+                        inner, cond = self._split_fast_predicates(cl)
+                        if cond is not None:
+                            fast.append(cond)
+                            if not (
+                                isinstance(inner, MatchAll)
+                                or (isinstance(inner, Bool) and not any(
+                                    (inner.must, inner.filter, inner.should, inner.must_not)
+                                ))
+                            ):
+                                dst.append(inner)
+                            continue
+                    dst.append(cl)
             if fast:
                 cond = fast[0]
                 for x in fast[1:]:
                     cond = cond & x
+                if not (must or flt or ast.should or ast.must_not):
+                    return MatchAll(), cond
+                # residual should/must_not need a MatchAll anchor: the
+                # extracted ranges WERE the required clauses, so shoulds
+                # stay optional and a must_not-only residue means
+                # "everything in range except ..." — without the anchor
+                # the kernel would make shoulds mandatory / match nothing
+                if not must and not flt and (ast.should or ast.must_not):
+                    must = [MatchAll()]
                 new_ast = Bool(
                     must=must,
                     must_not=ast.must_not,
@@ -337,10 +385,29 @@ class IndexSearcher:
                     filter=flt,
                     minimum_should_match=ast.minimum_should_match,
                 )
-                if not (must or flt or ast.should or ast.must_not):
-                    new_ast = MatchAll()
                 return new_ast, cond
         return ast, None
+
+    @staticmethod
+    def _reject_residual_ranges(ast: QueryAst) -> None:
+        """Fail at PLANNING time (clear message on the driver) for Range
+        placements the kernel cannot evaluate — better than an opaque
+        NotImplementedError from an executor UDF."""
+
+        def walk(node):
+            if isinstance(node, Range):
+                raise NotImplementedError(
+                    "Range is only supported on fast (docmap) columns in "
+                    "must/filter position (including nested conjunctions); "
+                    f"unsupported placement for field {node.field!r}"
+                )
+            if isinstance(node, Boost):
+                walk(node.query)
+            elif isinstance(node, Bool):
+                for c in (*node.must, *node.must_not, *node.should, *node.filter):
+                    walk(c)
+
+        walk(ast)
 
     def _global_stats(self, terms: list[tuple[str, str]]) -> dict:
         """Global (N, total_tokens) per field from the manifest + global
@@ -478,11 +545,16 @@ class IndexSearcher:
         seg_ids = self._prune_segments(time_range, ast)
         ast = self._expand_patterns(ast, seg_ids)
         ast, fast_filter = self._split_fast_predicates(ast)
+        self._reject_residual_ranges(ast)
         return ast, fast_filter, seg_ids
 
-    def match_docs(self, query, time_range=None, mode: str = "parity") -> DataFrame:
+    def match_docs(
+        self, query, time_range=None, mode: str = "parity", _resolved=None
+    ) -> DataFrame:
         """All matching docs (no top-k): (segment_id, doc_id, score)."""
-        ast, fast_filter, seg_ids = self._resolve(query, time_range)
+        ast, fast_filter, seg_ids = (
+            _resolved if _resolved is not None else self._resolve(query, time_range)
+        )
         return self._matches(ast, seg_ids, None, mode, fast_filter)
 
     def count(self, query, time_range=None) -> int:
@@ -633,13 +705,34 @@ class IndexSearcher:
         )
         if mode == "oracle":
             matches = matches.withColumn("score", F.round(F.col("score"), 9))
+        bounded = True
+        if isinstance(ast, MatchAll) and fast_filter is None:
+            # the match-all fast path returns EVERY docmap row — truncate
+            # per segment before the join (scores are all 0, so global
+            # order is doc_key desc == per-segment doc_id desc) instead
+            # of broadcasting the whole index
+            if k is not None and search_after is None:
+                wseg = Window.partitionBy("segment_id").orderBy(
+                    F.col("doc_id").desc()
+                )
+                matches = (
+                    matches.withColumn("_mr", F.row_number().over(wseg))
+                    .filter(F.col("_mr") <= k)
+                    .drop("_mr")
+                )
+            else:
+                bounded = False
         snippet_fields = list(snippet_fields or [])
         fetch_cols = list(fetch or [])
         raw_cols = fetch_cols + [c for c in snippet_fields if c not in fetch_cols]
         docs = self.docs().select("segment_id", "doc_id", "doc_key", *raw_cols)
         # winners are ≤ k×segments (+ cutoff ties) rows — broadcast them
-        # into the docmap scan
-        hits = docs.join(F.broadcast(matches), ["segment_id", "doc_id"], "inner")
+        # into the docmap scan (never for an unbounded match set)
+        hits = docs.join(
+            F.broadcast(matches) if bounded else matches,
+            ["segment_id", "doc_id"],
+            "inner",
+        )
         if search_after is not None:
             sa_score, sa_key = search_after
             hits = hits.filter(
@@ -785,11 +878,18 @@ class IndexSearcher:
         )
         out: dict = {}
         size = int(body.get("size", 10))
+        resolved = self._resolve(ast, None)  # shared: one pattern expansion
         if size > 0:
-            out["hits"] = self.search(ast, k=size, mode=mode)
+            out["hits"] = self.search(ast, k=size, mode=mode, _resolved=resolved)
         agg_body = body.get("aggs") or body.get("aggregations")
         if agg_body:
-            m = _aggs.matches(self, ast)
+            m = self.docs().join(
+                self.match_docs(ast, _resolved=resolved).select(
+                    "segment_id", "doc_id"
+                ),
+                ["segment_id", "doc_id"],
+                "inner",
+            )
             out["aggregations"] = run_es_aggs(m, agg_body)
         return out
 

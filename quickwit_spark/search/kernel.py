@@ -206,6 +206,17 @@ class _Ctx:
         return self._dl_cache[key]
 
 
+def _tf_comp(ctx: _Ctx, tfs, dl, avgdl):
+    """tf normalization honoring the index's configured (k1, b)."""
+    if (ctx.k1, ctx.b) == (1.2, 0.75):
+        return tf_component(tfs, dl, avgdl, ctx.dtype)
+    tf = tfs.astype(ctx.dtype)
+    norm = ctx.dtype(ctx.k1) * (
+        ctx.dtype(1.0 - ctx.b) + ctx.dtype(ctx.b) * dl.astype(ctx.dtype) / avgdl
+    )
+    return tf / (tf + norm)
+
+
 def _term_scores(ctx: _Ctx, field: str, term: str, boost: float):
     """(docids, scores) of one term, or (empty, empty)."""
     entry = ctx.seg.postings.get((field, term))
@@ -217,14 +228,7 @@ def _term_scores(ctx: _Ctx, field: str, term: str, boost: float):
     df = ctx.doc_freq(field, term, len(docids))
     w = bm25_weight(df, n, boost, ctx.dtype)
     dl = ctx.doc_lens(field)[docids]
-    tc = tf_component(tfs, dl, avgdl, ctx.dtype)
-    # override k1/b if non-default
-    if (ctx.k1, ctx.b) != (1.2, 0.75):
-        tf = tfs.astype(ctx.dtype)
-        norm = ctx.dtype(ctx.k1) * (
-            ctx.dtype(1.0 - ctx.b) + ctx.dtype(ctx.b) * dl.astype(ctx.dtype) / avgdl
-        )
-        tc = tf / (tf + norm)
+    tc = _tf_comp(ctx, tfs, dl, avgdl)
     return docids, (w * tc).astype(ctx.dtype)
 
 
@@ -398,18 +402,24 @@ def _eval_phrase(ctx: _Ctx, node, boost: float):
         if e is None:
             return empty
         entries.append(e)
-    last_entries = [e for e in (entry_for(t) for t in last_terms) if e is not None]
+    last_pairs = [
+        (t, e) for t, e in ((t, entry_for(t)) for t in last_terms) if e is not None
+    ]
+    last_entries = [e for _, e in last_pairs]
     if not last_entries:
         return empty
 
     if len(fixed) == 0 and len(last_entries) == 1 and not is_prefix:
-        # single-term phrase behaves like a term query
+        # single-term phrase behaves like a term query (same df source
+        # and k1/b handling as _term_scores — oracle mode stays
+        # partition-invariant via the global doc_freq)
         docids, tfs, _ = last_entries[0]
         n, avgdl = ctx.field_stats(node.field)
-        w = bm25_weight(len(docids), n, boost, ctx.dtype)
+        df = ctx.doc_freq(node.field, last_pairs[0][0], len(docids))
+        w = bm25_weight(df, n, boost, ctx.dtype)
         dl = ctx.doc_lens(node.field)[docids]
         scores = np.zeros(N, ctx.dtype)
-        scores[docids] = w * tf_component(tfs, dl, avgdl, ctx.dtype)
+        scores[docids] = w * _tf_comp(ctx, tfs, dl, avgdl)
         mask = np.zeros(N, bool)
         mask[docids] = True
         return mask, scores
@@ -442,10 +452,22 @@ def _eval_phrase(ctx: _Ctx, node, boost: float):
     scores = np.zeros(N, ctx.dtype)
     if len(docids):
         n, avgdl = ctx.field_stats(node.field)
-        w = bm25_weight(len(docids), n, boost, ctx.dtype)
+        # parity: phrase-df = this segment's matching docs (tantivy's
+        # per-segment PhraseWeight). oracle: that count depends on the
+        # partitioning, so use the rarest component term's GLOBAL df as
+        # a deterministic bound — partition-invariant like Term scoring.
+        if ctx.mode == "oracle":
+            dfs = [
+                ctx.doc_freq(node.field, t, len(e[0]))
+                for t, e in [*zip(fixed, entries), *last_pairs]
+            ]
+            df = min(dfs) if dfs else len(docids)
+        else:
+            df = len(docids)
+        w = bm25_weight(df, n, boost, ctx.dtype)
         dl = ctx.doc_lens(node.field)[docids]
         mask[docids] = True
-        scores[docids] = w * tf_component(counts[hit], dl, avgdl, ctx.dtype)
+        scores[docids] = w * _tf_comp(ctx, counts[hit], dl, avgdl)
     return mask, scores
 
 
