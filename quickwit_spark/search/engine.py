@@ -660,9 +660,9 @@ class IndexSearcher:
         primary_desc = specs[0][1]
         order += [c.desc() if primary_desc else c.asc() for c in tie]
         hits = hits.orderBy(*order).limit(k)
-        # rank runs on the <= k winner rows; the constant partition
-        # key keeps WindowExec from warning about a global window
-        w = Window.partitionBy(F.lit(1)).orderBy(*order)
+        # rank runs on the <= k winner rows — WindowExec's global-
+        # window warning here is about a plan that never exceeds k rows
+        w = Window.orderBy(*order)
         return hits.select(
             "doc_key", *out_aliases, F.row_number().over(w).alias("rank"),
             *(c for c in (fetch or []) if c not in sort_cols),
@@ -743,9 +743,9 @@ class IndexSearcher:
             )
         order = [F.col("score").desc(), F.col("doc_key").desc()]
         hits = hits.orderBy(*order).limit(k)
-        # rank runs on the <= k winner rows; the constant partition
-        # key keeps WindowExec from warning about a global window
-        w = Window.partitionBy(F.lit(1)).orderBy(*order)
+        # rank runs on the <= k winner rows — WindowExec's global-
+        # window warning here is about a plan that never exceeds k rows
+        w = Window.orderBy(*order)
         hits = hits.select(
             "doc_key",
             "score",
