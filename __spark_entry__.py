@@ -503,7 +503,11 @@ def _q_agg_cardinality(spark, sf_dir):
 
 
 def _q_agg_percentiles(spark, sf_dir):
-    out = aggs.percentiles(_agg_match(spark, sf_dir, ["n_chars"]), "n_chars")
+    # exact=True: the oracle-comparable variant (default is the
+    # percentile_approx sketch — the scale path, pytest-covered)
+    out = aggs.percentiles(
+        _agg_match(spark, sf_dir, ["n_chars"]), "n_chars", exact=True
+    )
     return out.select(*[F.round(c, 6).alias(c) for c in out.columns])
 
 

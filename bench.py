@@ -33,6 +33,31 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("QWS_BENCH_REPLICATE", "40"))
 
+# numbers recorded on a loaded host are noise, not measurements (the
+# round-2 BENCH was 2.5× slower than an idle re-run of the same code) —
+# wait for the machine to go idle, and always record loadavg in the JSON
+# so a flagged run is self-describing
+LOAD_MAX = float(os.environ.get("QWS_BENCH_LOAD_MAX", "2.0"))
+LOAD_WAIT_SECS = int(os.environ.get("QWS_BENCH_LOAD_WAIT_SECS", "600"))
+
+
+def wait_for_idle() -> dict:
+    """Block (up to LOAD_WAIT_SECS) until 1-min loadavg ≤ LOAD_MAX.
+    Returns {"loadavg": [...], "load_flagged": bool} for the output."""
+    deadline = time.time() + LOAD_WAIT_SECS
+    load = os.getloadavg()
+    while load[0] > LOAD_MAX and time.time() < deadline:
+        print(
+            f"# bench: host loaded (1m={load[0]:.2f} > {LOAD_MAX}), waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        load = os.getloadavg()
+    return {
+        "loadavg": [round(x, 2) for x in load],
+        "load_flagged": load[0] > LOAD_MAX,
+    }
+
 
 def bench_corpus(spark, sf_dir: str, replicate: int):
     """documents.parquet replicated `replicate`× with shifted doc_ids.
@@ -297,6 +322,7 @@ def main():
     if "--scaling" in sys.argv:
         print(json.dumps(scaling_report(), indent=2))
         return
+    load_info = wait_for_idle()
     t_all = time.perf_counter()
     idx = run_index_bench(CPUS)
     idx_dir = idx.pop("idx_dir")
@@ -319,6 +345,8 @@ def main():
                 "indexing": idx,
                 "indexing_positions": idxp,
                 "merge": merge,
+                **load_info,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

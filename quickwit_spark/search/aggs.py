@@ -142,14 +142,24 @@ def terms_with_metrics(
     )
 
 
-def percentiles(df: DataFrame, field: str, qs: list[float] | None = None) -> DataFrame:
-    """ES `percentiles` metric (exact, linear interpolation — matches
-    SQL percentile_cont; the reference uses a t-digest sketch whose
-    answers converge to this)."""
+def percentiles(
+    df: DataFrame,
+    field: str,
+    qs: list[float] | None = None,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """ES `percentiles` metric. The default mirrors the reference's
+    t-digest sketch with Spark's mergeable `percentile_approx` — the
+    right shape at scale (bounded per-group state, partial/final merge,
+    never a full per-group sort/materialize). `exact=True` switches to
+    `percentile` (linear interpolation, matches SQL percentile_cont) —
+    the oracle-comparable variant, mirroring `cardinality(exact=)`."""
     qs = qs or [0.5, 0.9, 0.99]
-    c = F.col(field).cast("double")
-    cols = [
-        F.expr(f"percentile({field}, {q})").cast("double").alias(f"p{int(q*100)}")
-        for q in qs
-    ]
+    fn = (
+        (lambda q: F.expr(f"percentile({field}, {q})"))
+        if exact
+        else (lambda q: F.percentile_approx(F.col(field), q, accuracy))
+    )
+    cols = [fn(q).cast("double").alias(f"p{int(q*100)}") for q in qs]
     return df.agg(*cols)

@@ -53,11 +53,18 @@ def _metric_cols(kind: str, spec: dict, name: str) -> list[Column]:
             F.avg(d).alias(f"{name}_avg"),
         ]
     if kind == "percentiles":
+        # approx (t-digest-like sketch, mergeable partial/final state) is
+        # the scale default — the reference also answers percentiles from
+        # a sketch; {"exact": true} opts into the full-sort variant for
+        # oracle comparison (mirrors `cardinality`'s design)
         pcts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        if spec.get("exact"):
+            mk = lambda p: F.expr(f"percentile({spec['field']}, {p / 100.0})")  # noqa: E731
+        else:
+            acc = int(spec.get("accuracy", 10000))
+            mk = lambda p: F.percentile_approx(c, p / 100.0, acc)  # noqa: E731
         return [
-            F.expr(f"percentile({spec['field']}, {p / 100.0})")
-            .cast("double")
-            .alias(f"{name}_p{p}".replace(".", "_"))
+            mk(p).cast("double").alias(f"{name}_p{p}".replace(".", "_"))
             for p in pcts
         ]
     raise NotImplementedError(f"metric aggregation {kind!r}")
@@ -149,18 +156,31 @@ def _nested_agg(
         .groupBy("key", f"{inner_name}_key")
         .agg(F.count(F.lit(1)).alias(f"{inner_name}_doc_count"), *leaf_metrics)
     )
-    w_tot = Window.partitionBy("key")
-    grouped = grouped.withColumn(
-        "doc_count", F.sum(f"{inner_name}_doc_count").over(w_tot)
-    )
     if outer_kind == "terms":
+        # outer top-`size` selection must NOT rank all (outer×inner)
+        # grouped rows through one unpartitioned window (a WindowExec
+        # funnels everything into a single task at high-cardinality
+        # outer keys). Instead: partial/final groupBy → global
+        # TakeOrderedAndProject over ≤ |outer| total rows → broadcast
+        # the ≤ size winners (with their totals) back — the same shape
+        # the engine uses for top-k hits.
         size = int(outer_spec.get("size", 10))
-        w_outer = Window.orderBy(F.col("doc_count").desc(), F.col("key").asc())
-        grouped = grouped.withColumn("_or", F.dense_rank().over(w_outer)).filter(
-            F.col("_or") <= size
+        winners = (
+            grouped.groupBy("key")
+            .agg(F.sum(f"{inner_name}_doc_count").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(size)
         )
+        grouped = grouped.join(F.broadcast(winners), "key")
+        outer_order = [F.col("doc_count").desc(), F.col("key").asc()]
     else:
-        grouped = grouped.withColumn("_or", F.lit(0))
+        # non-terms outer buckets are never truncated; the per-key total
+        # rides a key-partitioned window (parallel — no global funnel)
+        w_tot = Window.partitionBy("key")
+        grouped = grouped.withColumn(
+            "doc_count", F.sum(f"{inner_name}_doc_count").over(w_tot)
+        )
+        outer_order = [F.col("key").asc()]
     if inner_kind == "terms":
         isize = int(inner_spec.get("size", 10))
         w_inner = Window.partitionBy("key").orderBy(
@@ -176,10 +196,10 @@ def _nested_agg(
         c for c in grouped.columns
         if c not in (
             "key", "doc_count", f"{inner_name}_key", f"{inner_name}_doc_count",
-            "_or", "_ir",
+            "_ir",
         )
     ]
-    return grouped.orderBy("_or", "key", "_ir").select(*out_cols)
+    return grouped.orderBy(*outer_order, F.col("_ir").asc()).select(*out_cols)
 
 
 def _one_agg(df: DataFrame, clause: dict) -> DataFrame:

@@ -176,3 +176,71 @@ def test_msearch_and_describe(searcher):
     assert d["num_docs"] == 500
     assert d["num_segments"] >= 1
     assert d["inv_bytes"] > 0 and d["docs_bytes"] > 0
+
+
+def _assert_no_unpartitioned_window(df):
+    """Every windowspecdefinition in the physical plan must carry at
+    least one PARTITION column (a bare attribute before any ASC/DESC
+    ordering expression and before the frame spec) — an unpartitioned
+    WindowExec funnels its whole input through one task."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    for m in re.finditer(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", buf.getvalue()
+    ):
+        head = [p.strip() for p in m.group(1).split(",") if p.strip()]
+        assert head and not re.search(
+            r"\b(ASC|DESC)\b", head[0]
+        ), f"unpartitioned Window in agg plan: windowspecdefinition({m.group(1)}...)"
+
+
+def test_nested_agg_plans_no_unpartitioned_window(searcher):
+    """The outer-terms top-size selection must be groupBy+limit+semi-join
+    (TakeOrderedAndProject), not a global rank window — a WindowExec with
+    no partition spec funnels every (outer×inner) row through ONE task at
+    high-cardinality outer keys."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 2},
+                "aggs": {"by_src": {"terms": {"field": "site", "size": 2}}},
+            },
+            "by_day": {
+                "date_histogram": {"field": "warc_ts", "calendar_interval": "day"},
+                "aggs": {"by_src": {"terms": {"field": "site", "size": 2}}},
+            },
+        },
+    }
+    res = searcher.es_search(body)["aggregations"]
+    for df in res.values():
+        _assert_no_unpartitioned_window(df)
+    # and the fix must not have changed answers: outer totals intact
+    got = res["by_lang"].toPandas()
+    assert (got.groupby("key")["doc_count"].nunique() == 1).all()
+
+
+def test_percentiles_approx_default_close_to_exact(searcher, fast):
+    """Default percentiles use the mergeable percentile_approx sketch
+    (the scale path); exact mode stays available for oracle comparison.
+    At accuracy=10000 over 500 docs the sketch is within one value-step
+    of exact."""
+    from quickwit_spark.search import aggs as qa
+
+    approx = qa.percentiles(fast, "n_chars", [0.5, 0.9]).collect()[0]
+    exact = qa.percentiles(fast, "n_chars", [0.5, 0.9], exact=True).collect()[0]
+    for p in ("p50", "p90"):
+        assert abs(approx[p] - exact[p]) <= max(2.0, 0.01 * abs(exact[p]))
+    # es_aggs spec flag routes the same way
+    body = {
+        "size": 0,
+        "aggs": {"pct": {"percentiles": {"field": "n_chars", "percents": [50],
+                                          "exact": True}}},
+    }
+    r = searcher.es_search(body)["aggregations"]["pct"].collect()[0]
+    assert abs(r["value_p50"] - exact["p50"]) <= 2.0
