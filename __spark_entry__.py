@@ -48,8 +48,12 @@ _searchers: dict[str, IndexSearcher] = {}
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → web corpus (url, warc_ts, text, lang + stored
-    source/n_chars). Same derivation as sources/corpus.py, kept SQL-mirrorable."""
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    source/n_chars + derived ip / multivalued tags), typed through the
+    doc mapper (strict mode). Derivations are deterministic functions of
+    doc_id/lang/source, kept SQL-mirrorable for the oracles."""
+    from quickwit_spark.index.mapping import DocMapping, TypedField
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.concat(
             F.lit("https://site"),
@@ -65,7 +69,35 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_chars",
+        # synthetic client address: 10.(doc_id%200).(7d%256).(13d%256)
+        F.concat(
+            F.lit("10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 13) % 256).cast("string"),
+        ).alias("ip"),
+        # multivalued keyword field (lang + a source tag)
+        F.array(
+            F.col("lang"), F.concat(F.lit("src-"), F.col("source"))
+        ).alias("tags"),
     )
+    mapping = DocMapping(
+        fields=[
+            TypedField("url"),
+            TypedField("warc_ts", "timestamp"),
+            TypedField("text"),
+            TypedField("lang"),
+            TypedField("source"),
+            TypedField("n_chars", "long"),
+            TypedField("ip", "ip"),  # → canonical ::ffff:… + ip_key hex
+            TypedField("tags", "text", array=True),
+        ],
+        mode="strict",
+        exclude=("doc_id",),
+    )
+    return mapping.apply(base)
 
 
 def _ship(spark: SparkSession) -> None:
@@ -86,18 +118,19 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     key = os.path.abspath(sf_dir)
     if key in _searchers:
         return _searchers[key]
-    # _v4: concatenate field `all` over (text, lang) — the suffix
-    # invalidates caches built under the older schema
-    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_v4")
+    # _v5: typed-mapper corpus (ip/ip_key + multivalued tags) — the
+    # suffix invalidates caches built under the older schema
+    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_v5")
     cfg = IndexConfig(
         fields=[
             FieldConfig("text", record="position"),
             FieldConfig("lang", tokenizer="raw"),
             FieldConfig("all", sources=("text", "lang")),
+            FieldConfig("tags", tokenizer="raw"),  # multivalued keyword
         ],
         doc_key="doc_id",
         num_partitions=4,
-        stored_columns=("url", "lang", "source", "n_chars", "text"),
+        stored_columns=("url", "lang", "source", "n_chars", "text", "ip_key"),
         time_column="warc_ts",
         tag_fields=("lang",),
     )
@@ -120,8 +153,13 @@ def _searcher_events(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     key = os.path.abspath(sf_dir)
     if key in _event_searchers:
         return _event_searchers[key]
+    # _v2: nested JSON field `nested` typed through the doc mapper —
+    # dot-path term search (nested_text) + typed fast subcolumn
+    # (nested_u_id) — the reference's json/object field workflow
+    from quickwit_spark.index.mapping import DocMapping, TypedField
+
     idx_dir = os.path.join(
-        _IDX_ROOT, key.strip("/").replace("/", "_") + "_events_v1"
+        _IDX_ROOT, key.strip("/").replace("/", "_") + "_events_v2"
     )
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id",
@@ -130,12 +168,37 @@ def _searcher_events(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         "event_type",
         "value",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.concat(
+            F.lit('{"u": {"id": '),
+            F.col("user_id").cast("string"),
+            F.lit(', "seg": "s'),
+            (F.col("user_id") % 7).cast("string"),
+            F.lit('"}, "t": "'),
+            F.col("event_type"),
+            F.lit('"}'),
+        ).alias("nested"),
     )
+    mapping = DocMapping(
+        fields=[
+            TypedField("ts", "timestamp"),
+            TypedField("user_id", "long"),
+            TypedField("event_type"),
+            TypedField("value", "double"),
+            TypedField("k", "long"),
+            TypedField("nested", "json", subfields={"u.id": "long"}),
+        ],
+        mode="lenient",
+        exclude=("event_id",),
+    )
+    ev = mapping.apply(ev)
     cfg = IndexConfig(
-        fields=[FieldConfig("event_type", tokenizer="raw")],
+        fields=[
+            FieldConfig("event_type", tokenizer="raw"),
+            FieldConfig("nested_text", tokenizer="whitespace"),
+        ],
         doc_key="event_id",
         num_partitions=4,
-        stored_columns=("user_id", "value", "event_type", "k"),
+        stored_columns=("user_id", "value", "event_type", "k", "nested_u_id"),
         time_column="ts",
         tag_fields=("event_type",),
     )
@@ -585,6 +648,66 @@ def _q_sort_field_page2(spark, sf_dir):
         F.col("sort_value").cast("long").alias("sort_value"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def _q_sort_two_key_page2(spark, sf_dir):
+    """Page 2 of a TWO-key fast-field sort via a (v1, v2, doc_key)
+    cursor with per-key direction (reference cursors over both sort
+    values, `search.proto:240-243`)."""
+    s = _searcher_events(spark, sf_dir)
+    specs = [("user_id", False), ("value", True)]
+    p1 = s.sort_by_field(
+        Term("event_type", "view"), specs, k=10, tie_by_key=True
+    ).collect()
+    last = p1[-1]
+    cursor = (int(last["sort_value"]), float(last["sort_value2"]), int(last["doc_key"]))
+    out = s.sort_by_field(
+        Term("event_type", "view"), specs, k=10, search_after=cursor
+    )
+    return out.select(
+        "doc_key",
+        F.col("sort_value").cast("long").alias("sort_value"),
+        F.round("sort_value2", 6).alias("sort_value2"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_ip_range(spark, sf_dir):
+    """Typed ip field: BM25 top-k restricted to an IP range via the
+    32-hex ip_key fast column whose lexicographic order equals the
+    reference's u128 ip order (IPv4→IPv6-mapped normalization)."""
+    from quickwit_spark.index.mapping import ip_sort_key
+
+    ast = Bool(
+        must=[Term("text", "spark")],
+        filter=[
+            Range(
+                "ip_key",
+                gte=ip_sort_key("10.50.0.0"),
+                lt=ip_sort_key("10.120.0.0"),
+            )
+        ],
+    )
+    return _topk(_searcher(spark, sf_dir), ast)
+
+
+def _q_array_term(spark, sf_dir):
+    """Multivalued keyword field: terms from EVERY array element are
+    searchable (tags = [lang, 'src-'||source])."""
+    s = _searcher(spark, sf_dir)
+    ast = Bool(should=[Term("tags", "de"), Term("tags", "src-src3")])
+    return s.search_stream(ast, ["lang", "source"])
+
+
+def _q_json_path(spark, sf_dir):
+    """Typed json field: dot-path term search over the flattened
+    path.token stream + a range filter on a typed fast subcolumn."""
+    s = _searcher_events(spark, sf_dir)
+    ast = Bool(
+        must=[Term("nested_text", "u.seg.s3"), Term("nested_text", "t.error")],
+        filter=[Range("nested_u_id", lt=100)],
+    )
+    return s.search_stream(ast, ["user_id"])
 
 
 _PHRASE_MATCH_SQL = """
@@ -1059,6 +1182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_prefix": _q_phrase_prefix,
         "search_after_page2": _q_search_after,
         "sort_field_page2": _q_sort_field_page2,
+        "sort_two_key_page2": _q_sort_two_key_page2,
+        "search_ip_range": _q_ip_range,
+        "search_array_term": _q_array_term,
+        "search_json_path": _q_json_path,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1217,6 +1344,29 @@ SELECT doc_id AS doc_key,
        CAST(n_chars AS BIGINT) AS sort_value,
        CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id DESC) - 10 AS BIGINT) AS rank
 FROM m ORDER BY n_chars DESC, doc_id DESC LIMIT 10 OFFSET 10
+""",
+        "sort_two_key_page2": """
+SELECT event_id AS doc_key, CAST(user_id AS BIGINT) AS sort_value,
+       ROUND(value, 6) AS sort_value2,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY user_id ASC, value DESC, event_id ASC) - 10 AS BIGINT) AS rank
+FROM events WHERE event_type = 'view'
+ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10 OFFSET 10
+""",
+        "search_ip_range": _bm25_sql(
+            [("spark", 1.0)],
+            must=["spark"],
+            # ip = 10.(doc_id%200).x.y ⇒ key ∈ [10.50.0.0, 10.120.0.0)
+            # iff the second octet ∈ [50, 120)
+            filter_sql="(doc_id % 200) >= 50 AND (doc_id % 200) < 120",
+        ),
+        "search_array_term": """
+SELECT doc_id AS doc_key, lang, source
+FROM documents WHERE lang = 'de' OR source = 'src3'
+""",
+        "search_json_path": """
+SELECT event_id AS doc_key, user_id FROM events
+WHERE user_id % 7 = 3 AND event_type = 'error' AND user_id < 100
 """,
         "dedup_embedding_cosine": _embedding_near_dup_sql(planes=4, threshold=0.45),
         "text_bpe_token_count": """

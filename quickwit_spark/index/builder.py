@@ -166,7 +166,24 @@ def _build_field_rows(
         base_tokenizer = build_tokenizer(custom_tokenizers[fld.tokenizer])
     else:
         base_tokenizer = "default" if fld.tokenizer == "en_stem" else fld.tokenizer
-    flat, doc_idx = tokenize_flat_arrow(texts, base_tokenizer)
+    import pyarrow as pa
+
+    if hasattr(texts, "type") and (
+        pa.types.is_list(texts.type) or pa.types.is_large_list(texts.type)
+    ):
+        # multivalued field (reference Cardinality::MultiValued,
+        # `field_mapping_type.rs:96-109`): tokenize each array element
+        # with the field's analyzer; every element's tokens join the
+        # doc's posting stream (fieldnorm = total tokens across elems)
+        import pyarrow.compute as pc
+
+        col = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        elem_doc = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        elems = pc.cast(pc.list_flatten(col), pa.string())
+        flat, tok_elem = tokenize_flat_arrow(elems, base_tokenizer)
+        doc_idx = elem_doc[tok_elem]
+    else:
+        flat, doc_idx = tokenize_flat_arrow(texts, base_tokenizer)
     lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
     total_tokens = int(len(doc_idx))
     rows: list[dict] = []

@@ -604,10 +604,12 @@ class IndexSearcher:
         engine-independent order); and scoring is skipped entirely when
         the sort key isn't `_score` (`collector.rs:821-831`).
 
-        `search_after=(sort_value, doc_key)` paginates: hits strictly
-        after the cursor in sort order (None sort_value = the cursor sat
-        in the missing-values tail). Implies `tie_by_key`; single-key
-        sorts only.
+        `search_after=(sort_value[, sort_value2], doc_key)` paginates:
+        hits strictly after the cursor in sort order (None sort_value =
+        the cursor sat in that key's missing-values tail). Implies
+        `tie_by_key`. Two-key sorts cursor over BOTH sort values with
+        per-key direction and missing-last semantics (reference
+        `search.proto:240-243`, `docs/internals/sorting.md:15-25`).
 
         `sort_field` may also be a list of up to TWO (field, descending)
         pairs — the reference's ≤2 sort keys (`collector.rs:40-205`),
@@ -623,8 +625,6 @@ class IndexSearcher:
             specs = [(sort_field, descending)]
         if len(specs) > 2:
             raise ValueError("at most 2 sort keys (reference collector limit)")
-        if search_after is not None and len(specs) > 1:
-            raise NotImplementedError("search_after supports single-key sorts")
         sort_cols = [f for f, _ in specs]
         out_aliases = ["sort_value", "sort_value2"][: len(specs)]
         ast, fast_filter, seg_ids = self._resolve(query, time_range)
@@ -635,19 +635,32 @@ class IndexSearcher:
             *(c for c in (fetch or []) if c not in sort_cols),
         )
         hits = docs.join(m.select("segment_id", "doc_id"), ["segment_id", "doc_id"])
-        sv = F.col("sort_value")
         if search_after is not None:
             tie_by_key = True
-            sa_v, sa_key = search_after
-            key = F.col("doc_key")
-            key_after = key < sa_key if descending else key > sa_key
-            if sa_v is None:
-                hits = hits.filter(sv.isNull() & key_after)
-            else:
-                before_cur = sv < sa_v if descending else sv > sa_v
-                hits = hits.filter(
-                    before_cur | ((sv == sa_v) & key_after) | sv.isNull()
+            *cursor_vals, sa_key = search_after
+            if len(cursor_vals) != len(specs):
+                raise ValueError(
+                    f"search_after needs {len(specs)} sort value(s) + doc_key"
                 )
+            # lexicographic strictly-after, per-key direction, nulls last:
+            # fold right-to-left — after_i | (equal_i & after_{i+1});
+            # the doc_key tie-break follows the PRIMARY order (reference
+            # sorting.md: tie key follows the primary direction)
+            key = F.col("doc_key")
+            pred = key < sa_key if specs[0][1] else key > sa_key
+            for (_, desc_), alias, cv in reversed(
+                list(zip(specs, out_aliases, cursor_vals))
+            ):
+                sv = F.col(alias)
+                if cv is None:
+                    # cursor sat in this key's missing tail: only other
+                    # missing rows can follow at this key
+                    after, eq = F.lit(False), sv.isNull()
+                else:
+                    after = (sv < cv if desc_ else sv > cv) | sv.isNull()
+                    eq = sv == cv
+                pred = after | (eq & pred)
+            hits = hits.filter(pred)
         tie = (
             [F.col("doc_key")]
             if tie_by_key

@@ -136,3 +136,51 @@ def test_two_key_sort(spark, sf_dir, tmp_path_factory):
 
     with _pytest.raises(ValueError):
         s.sort_by_field("text:spark", [("grp", False), ("n_chars", True), ("doc_id", True)], k=5)
+
+def test_two_key_search_after(spark, sf_dir):
+    """Two-key cursor pagination: pages concatenate to the full ranking
+    (reference cursors over BOTH sort values, search.proto:240-243)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
+    idx = tempfile.mkdtemp(prefix="qws_2key_sa_")
+    docs = (
+        web_corpus(spark, sf_dir)
+        .withColumn("grp", (F.col("doc_id") % 5))
+        .withColumn("n_chars", F.length("text"))
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("grp", "n_chars"),
+    )
+    build_index(spark, docs, idx, cfg)
+    s = IndexSearcher(spark, idx)
+    specs = [("grp", False), ("n_chars", True)]
+    full = s.sort_by_field("text:spark", specs, k=30, tie_by_key=True).collect()
+    paged = []
+    cursor = None
+    while len(paged) < len(full):
+        page = s.sort_by_field(
+            "text:spark", specs, k=10,
+            **({"search_after": cursor} if cursor else {"tie_by_key": True}),
+        ).collect()
+        if not page:
+            break
+        paged.extend(page)
+        last = page[-1]
+        cursor = (last["sort_value"], last["sort_value2"], last["doc_key"])
+    got = [(r["sort_value"], r["sort_value2"], r["doc_key"]) for r in paged[:30]]
+    exp = [(r["sort_value"], r["sort_value2"], r["doc_key"]) for r in full]
+    assert got == exp
+    # wrong cursor arity fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s.sort_by_field("text:spark", specs, k=5, search_after=(1, 7))
