@@ -589,6 +589,49 @@ def _q_agg_subagg(spark, sf_dir):
     )
 
 
+def _q_search_early(spark, sf_dir):
+    """Split-order early termination: phase-1 probe on high-bound
+    segments, θ demotes provable losers — results must be IDENTICAL to
+    the plain BM25 oracle (demotion is evidence-based, not lossy)."""
+    s = _searcher(spark, sf_dir)
+    et = s.search_early(Term("text", "spark"), k=10, mode="oracle")
+    return et["hits"].select(
+        "doc_key",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_agg_nested(spark, sf_dir):
+    """Two nested bucket levels + leaf metric through the ES aggs DSL:
+    terms(lang) → terms(source) → avg(n_chars). The plan is one groupBy
+    per level + winner semi-joins — no unpartitioned window."""
+    s = _searcher(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": {"query": "table"}}},
+        "size": 0,
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 3},
+                "aggs": {
+                    "by_src": {
+                        "terms": {"field": "source", "size": 2},
+                        "aggs": {"avg_n": {"avg": {"field": "n_chars"}}},
+                    }
+                },
+            }
+        },
+    }
+    out = s.es_search(body)["aggregations"]["by_lang"]
+    return out.select(
+        "key",
+        "doc_count",
+        "by_src_key",
+        "by_src_doc_count",
+        F.round("avg_n", 6).alias("avg_n"),
+    )
+
+
 def _q_sort_by_field(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     out = s.sort_by_field(
@@ -1176,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality_source": _q_agg_cardinality,
         "agg_percentiles_nchars": _q_agg_percentiles,
         "agg_terms_subagg": _q_agg_subagg,
+        "agg_nested_two_levels": _q_agg_nested,
         "search_sort_by_field": _q_sort_by_field,
         "search_phrase_match": _q_phrase_match,
         "search_phrase_slop": _q_phrase_slop,
@@ -1184,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_field_page2": _q_sort_field_page2,
         "sort_two_key_page2": _q_sort_two_key_page2,
         "search_ip_range": _q_ip_range,
+        "search_early_topk": _q_search_early,
         "search_array_term": _q_array_term,
         "search_json_path": _q_json_path,
         "dedup_exact": _q_dedup_exact,
@@ -1327,6 +1372,24 @@ SELECT CAST(lang AS VARCHAR) AS key,
        CAST(MAX(n_chars) AS DOUBLE) AS max_nchars
 FROM m GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
 """,
+        "agg_nested_two_levels": f"""
+WITH {_AGG_MATCH_CTE},
+l1 AS (SELECT lang AS key, COUNT(*) AS doc_count FROM m GROUP BY lang),
+w1 AS (SELECT key, doc_count FROM l1 ORDER BY doc_count DESC, key ASC LIMIT 3),
+l2 AS (
+  SELECT lang AS key, source AS by_src_key, COUNT(*) AS by_src_doc_count,
+         ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_n
+  FROM m GROUP BY lang, source
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY key ORDER BY by_src_doc_count DESC, by_src_key ASC) AS rk
+  FROM l2
+)
+SELECT w1.key, CAST(w1.doc_count AS BIGINT) AS doc_count, r2.by_src_key,
+       CAST(r2.by_src_doc_count AS BIGINT) AS by_src_doc_count, r2.avg_n
+FROM w1 JOIN r2 USING (key) WHERE r2.rk <= 2
+""",
         "search_sort_by_field": f"""
 WITH {_AGG_MATCH_CTE}
 SELECT doc_id AS doc_key,
@@ -1353,6 +1416,7 @@ SELECT event_id AS doc_key, CAST(user_id AS BIGINT) AS sort_value,
 FROM events WHERE event_type = 'view'
 ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10 OFFSET 10
 """,
+        "search_early_topk": _bm25_sql([("spark", 1.0)]),
         "search_ip_range": _bm25_sql(
             [("spark", 1.0)],
             must=["spark"],

@@ -782,6 +782,197 @@ class IndexSearcher:
             )
         return hits
 
+    # ---------- split-order early termination (leaf.rs:958-1100) ----------
+
+    def _scoring_terms_with_boost(self, ast: QueryAst) -> list[tuple] | None:
+        """(field, term, boost) for every term in a SCORING position
+        (must/should chains; filter/must_not contribute no score).
+        None = the query's score isn't term-bounded (pure match-all /
+        filter-only), so no segment can be proven a loser."""
+        tok = self._tokenizer_for_field()
+        out: list[tuple] = []
+
+        def walk(node, mult):
+            if isinstance(node, Boost):
+                walk(node.query, mult * node.boost)
+            elif isinstance(node, Term):
+                out.append((node.field, node.value, mult))
+            elif isinstance(node, TermSet):
+                out.extend((node.field, v, mult) for v in node.values)
+            elif isinstance(node, FullText):
+                out.extend((node.field, t, mult) for t in tok(node.field)(node.text))
+            elif isinstance(node, Phrase):
+                out.extend((node.field, t, mult) for t in tok(node.field)(node.text))
+            elif isinstance(node, PhrasePrefix):
+                for t in tok(node.field)(node.text)[:-1]:
+                    out.append((node.field, t, mult))
+                for t in node.expansions or ():
+                    out.append((node.field, t, mult))
+            elif isinstance(node, Bool):
+                for c in (*node.must, *node.should):
+                    walk(c, mult)
+            # MatchAll/Range/filter clauses: score 0
+
+        walk(ast, 1.0)
+        return out or None
+
+    def _segment_score_bounds(
+        self, triples: list[tuple], seg_ids: list[str], mode: str = "parity"
+    ) -> dict[str, float]:
+        """Per-segment upper bound on any doc's score, from METADATA
+        only: contribution of term t ≤ idf(t) · (k1+1) · boost, since
+        the tf-norm tf/(tf + k1·(…)) < 1 — one narrow pushed-filter scan
+        of (segment, term, doc_freq), no postings decode. The idf uses
+        the SAME statistics the scorer will use (per-segment in parity
+        mode, global in oracle mode) so the bound is sound for that
+        mode. A segment missing every scoring term bounds at 0 (the
+        analog of the reference sorting splits and converting provable
+        losers to count-only, `leaf.rs:958-1100`)."""
+        tvals = sorted({t for _, t, _ in triples})
+        rows = (
+            self.inv()
+            .filter(
+                (F.col("kind") == KIND_POSTINGS)
+                & F.col("term").isin(tvals)
+                & F.col("segment_id").isin(self.live_ids)
+            )
+            .select("segment_id", "field", "term", "doc_freq")
+            .collect()
+        )
+        df_map = {(r["segment_id"], r["field"], r["term"]): r["doc_freq"] for r in rows}
+        n_docs = {
+            s.segment_id: {f: st["doc_count"] for f, st in s.field_stats.items()}
+            for s in self.segments
+        }
+        k1_plus1 = self.config.k1 + 1.0
+        if mode == "oracle":
+            # global stats (every live segment, like the oracle scorer)
+            g_df: dict[tuple, int] = {}
+            for (sid, fld, term), d in df_map.items():
+                g_df[(fld, term)] = g_df.get((fld, term), 0) + d
+            g_n: dict[str, int] = {}
+            for sid, per_field in n_docs.items():
+                for fld, n in per_field.items():
+                    g_n[fld] = g_n.get(fld, 0) + n
+        bounds: dict[str, float] = {}
+        for sid in seg_ids:
+            b = 0.0
+            for fld, term, boost in triples:
+                df_ = df_map.get((sid, fld, term))
+                if not df_:
+                    continue  # term absent here: no contribution possible
+                if mode == "oracle":
+                    n, d = g_n.get(fld, 0), g_df[(fld, term)]
+                else:
+                    n, d = n_docs.get(sid, {}).get(fld, 0), df_
+                idf = float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+                b += idf * k1_plus1 * boost
+            bounds[sid] = b
+        return bounds
+
+    def search_early(
+        self,
+        query,
+        k: int = 10,
+        mode: str = "parity",
+        time_range=None,
+        count_hits: str = "count_all",
+        fetch: list[str] | None = None,
+    ) -> dict:
+        """Top-k with split-order early termination (the reference's
+        `CanSplitDoBetter`, `leaf.rs:958-1100,1385-1389`): segments are
+        sorted by their metadata score bound, a first phase searches the
+        high-bound prefix, and the kth score θ then PROVES the rest
+        losers (bound ≤ θ → demoted) or contenders (phase 2). Results
+        are identical to `search()` — demotion is evidence-based.
+
+        count_hits (reference `CountHits`, `search.proto:245-248`):
+          count_all      demoted segments still contribute an exact
+                         num_hits via the count path (metadata doc_freq
+                         fast path when the query allows)
+          underestimate  demoted segments are skipped entirely;
+                         num_hits counts only surviving phases
+
+        → {"hits": DataFrame(doc_key, score, rank[, fetch]),
+           "num_hits": int|None, "phase1"/"phase2"/"demoted": [ids],
+           "bounds": {segment_id: float}}"""
+        resolved = self._resolve(query, time_range)
+        ast, fast_filter, seg_ids = resolved
+        triples = self._scoring_terms_with_boost(ast)
+        if triples is None or len(seg_ids) <= 1:
+            hits = self.search(
+                query, k=k, mode=mode, time_range=time_range, fetch=fetch,
+                _resolved=resolved,
+            )
+            return {
+                "hits": hits,
+                "num_hits": self.count(query, time_range),
+                "phase1": seg_ids, "phase2": [], "demoted": [],
+                "bounds": {},
+            }
+        bounds = self._segment_score_bounds(triples, seg_ids, mode)
+        ordered = sorted(seg_ids, key=lambda s: -bounds[s])
+        # phase 1: the high-bound prefix (at least one segment, at most
+        # a quarter of the fleet — enough to fill k on hot queries)
+        n1 = max(1, -(-len(ordered) // 4))
+        phase1 = [s for s in ordered[:n1] if bounds[s] > 0.0] or ordered[:1]
+        rest = [s for s in ordered if s not in set(phase1)]
+        m1 = self._matches(ast, phase1, k, mode, fast_filter)
+        w1 = m1.orderBy(F.col("score").desc()).limit(k).collect()
+        theta = min((r["score"] for r in w1), default=None) if len(w1) >= k else None
+        if theta is None or theta <= 0.0:
+            # k not filled (or filled with zero-score docs that any
+            # segment could tie): every segment stays a contender
+            phase2 = rest
+        else:
+            # sound demotion: every real score is STRICTLY below its
+            # segment bound (tf-norm < 1), so bound ≤ θ ⇒ score < θ —
+            # no tie-break can displace a phase-1 winner. Oracle mode
+            # ranks on 9-decimal-rounded scores, so leave the rounding
+            # quantum as a margin against a rounded tie.
+            cut = theta - (2e-9 if mode == "oracle" else 0.0)
+            phase2 = [s for s in rest if bounds[s] > cut]
+        demoted = [s for s in rest if s not in set(phase2)]
+        parts = []
+        if w1:
+            parts.append(
+                self.spark.createDataFrame(
+                    [(r["segment_id"], int(r["doc_id"]), float(r["score"])) for r in w1],
+                    MATCH_SCHEMA,
+                )
+            )
+        if phase2:
+            parts.append(self._matches(ast, phase2, k, mode, fast_filter))
+        if parts:
+            matches = parts[0]
+            for p in parts[1:]:
+                matches = matches.unionByName(p)
+        else:
+            matches = self.spark.createDataFrame([], MATCH_SCHEMA)
+        if mode == "oracle":
+            matches = matches.withColumn("score", F.round(F.col("score"), 9))
+        fetch_cols = list(fetch or [])
+        docs = self.docs().select("segment_id", "doc_id", "doc_key", *fetch_cols)
+        hits = docs.join(F.broadcast(matches), ["segment_id", "doc_id"], "inner")
+        order = [F.col("score").desc(), F.col("doc_key").desc()]
+        hits = hits.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        hits = hits.select(
+            "doc_key", "score", F.row_number().over(w).alias("rank"), *fetch_cols
+        )
+        if count_hits == "underestimate":
+            num_hits = None  # cheap mode: no extra counting pass
+        else:
+            num_hits = self.count(query, time_range)
+        return {
+            "hits": hits,
+            "num_hits": num_hits,
+            "phase1": phase1,
+            "phase2": phase2,
+            "demoted": demoted,
+            "bounds": bounds,
+        }
+
     def list_terms(
         self, field: str, start: str | None = None, end: str | None = None, limit: int = 100
     ) -> DataFrame:
@@ -830,12 +1021,17 @@ class IndexSearcher:
             )
         return out
 
-    def search_plan(self, query, time_range=None, k: int = 10) -> dict:
+    def search_plan(
+        self, query, time_range=None, k: int = 10, early_terminate: bool = False
+    ) -> dict:
         """Explain analog of the reference's `search-plan` endpoint
         (`quickwit-search/src/root.rs:1243-1330`): the resolved AST,
         the segments kept after manifest pruning, the posting terms the
         plan will touch (warmup set), and Spark's formatted physical
-        plan for the top-k query."""
+        plan for the top-k query. `early_terminate=True` additionally
+        runs the split-order triage (phase-1 probe + θ) and reports
+        which segments the bound PROVES losers (demoted to
+        count-only/skip — the `CanSplitDoBetter` evidence)."""
         ast, fast_filter, seg_ids = self._resolve(query, time_range)
         tok = self._tokenizer_for_field()
         terms = collect_fulltext_terms(ast, tok)
@@ -864,7 +1060,21 @@ class IndexSearcher:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
+        early = {}
+        if early_terminate:
+            et = self.search_early(
+                query, k=k, time_range=time_range, count_hits="underestimate"
+            )
+            early = {
+                "early_termination": {
+                    "phase1": et["phase1"],
+                    "phase2": et["phase2"],
+                    "demoted_count_only": et["demoted"],
+                    "bounds": {s: round(b, 4) for s, b in et["bounds"].items()},
+                }
+            }
         return {
+            **early,
             "query_ast": repr(ast),
             "fast_filter": str(fast_filter) if fast_filter is not None else None,
             "tag_filter": repr(tag_filter) if tag_filter is not None else None,

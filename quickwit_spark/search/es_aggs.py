@@ -5,24 +5,37 @@ hands it to tantivy's aggregation module
 (`quickwit-search/src/collector.rs:601-628`; supported set
 `docs/reference/aggregation.md:96-112`, exercised by
 `rest-api-tests/scenarii/es_compatibility/0004-term_aggregations.yaml`,
-`0020-stats.yaml`). Here each top-level aggregation lowers to ONE
-Catalyst plan: bucket expression → 2-phase groupBy → metric
-expressions, so sub-aggregated metrics ride the same shuffle as their
-bucket (the partial/final state merge the reference implements by
-hand).
+`0020-stats.yaml`).
 
-Supported: bucket terms / histogram / date_histogram / range, metric
-avg / min / max / sum / value_count / stats / percentiles /
-cardinality; metric sub-aggs under a bucket, and ONE bucket-in-bucket
-level (outer×inner keys become a single composite groupBy — one
-shuffle — with the inner rows flattened into (key, <inner> columns);
-per-outer-bucket truncation for inner `terms` runs as a rank window).
-Deeper nesting raises NotImplementedError.
+Bucket nesting is ARBITRARY depth (tantivy nests bucket aggregations
+recursively): a chain of bucket levels lowers to one groupBy per level
+(each level's doc_count + its metric sub-aggs ride that level's
+shuffle) assembled by joins on the key prefixes. Truncation never
+funnels rows through an unpartitioned window:
+
+  - a top-level `terms` size limit is groupBy → TakeOrderedAndProject →
+    broadcast semi-join of the ≤ size winners,
+  - a nested `terms` size limit is a rank window PARTITIONED by the
+    parent keys (parallel across parent buckets).
+
+Terms options: `size`, `min_doc_count`, `missing`,
+`show_term_doc_count_error` (adds doc_count_error_upper_bound — always
+0 here: buckets are computed by exact global aggregation, not per-shard
+truncation — and sum_other_doc_count). Histogram options: `interval`,
+`offset`, `min_doc_count`, `extended_bounds` (skeleton of empty
+buckets). Metrics: avg / min / max / sum / value_count / stats /
+percentiles (approx by default, `exact: true` for the full-sort
+variant) / cardinality.
+
+Each result is a flattened DataFrame: level-1 key/doc_count, then per
+deeper level `<name>_key` / `<name>_doc_count`, then metric columns.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _METRICS = {"avg", "min", "max", "sum", "value_count", "stats", "percentiles", "cardinality"}
@@ -70,19 +83,6 @@ def _metric_cols(kind: str, spec: dict, name: str) -> list[Column]:
     raise NotImplementedError(f"metric aggregation {kind!r}")
 
 
-def _sub_metric_cols(sub_aggs: dict) -> list[Column]:
-    out: list[Column] = []
-    for name, clause in (sub_aggs or {}).items():
-        entries = {k: v for k, v in clause.items() if k != "aggs"}
-        if "aggs" in clause or set(entries) - _METRICS:
-            raise NotImplementedError(
-                "only metric sub-aggregations are supported at this depth"
-            )
-        (kind, spec), = entries.items()
-        out.extend(_metric_cols(kind, spec, name))
-    return out
-
-
 def _range_labels(spec: dict) -> list[str]:
     out = []
     for r in spec["ranges"]:
@@ -97,7 +97,10 @@ def _range_labels(spec: dict) -> list[str]:
 def _bucket_key(kind: str, spec: dict, alias: str) -> Column:
     """The group-key expression for a bucket aggregation."""
     if kind == "terms":
-        return F.col(spec["field"]).cast("string").alias(alias)
+        c = F.col(spec["field"]).cast("string")
+        if spec.get("missing") is not None:
+            c = F.coalesce(c, F.lit(str(spec["missing"])))
+        return c.alias(alias)
     if kind == "histogram":
         interval = float(spec["interval"])
         offset = float(spec.get("offset", 0.0))
@@ -124,124 +127,223 @@ def _bucket_key(kind: str, spec: dict, alias: str) -> Column:
     raise NotImplementedError(f"bucket aggregation {kind!r}")
 
 
-def _nested_agg(
-    df: DataFrame,
-    outer_kind: str,
-    outer_spec: dict,
-    inner_name: str,
-    inner_clause: dict,
-) -> DataFrame:
-    """Bucket-in-bucket: ONE composite groupBy on (outer, inner) keys,
-    then window-based truncation — outer `terms` keeps its top `size`
-    buckets by TOTAL doc_count, inner `terms` keeps top `size` rows per
-    outer bucket. → (key, doc_count, <inner>_key, <inner>_doc_count,
-    leaf metric cols…)."""
-    from pyspark.sql import Window
+@dataclass
+class _Level:
+    name: str        # agg name ("" for the top level)
+    kind: str
+    spec: dict
+    metrics: dict = dc_field(default_factory=dict)  # name -> (kind, spec)
 
-    inner_entries = {k: v for k, v in inner_clause.items() if k != "aggs"}
-    (inner_kind, inner_spec), = inner_entries.items()
-    if inner_kind in _METRICS:
-        raise ValueError("metric clause routed to _nested_agg")
-    leaf_metrics = _sub_metric_cols(inner_clause.get("aggs"))
-    okey = _bucket_key(outer_kind, outer_spec, "key")
-    ikey = _bucket_key(inner_kind, inner_spec, f"{inner_name}_key")
-    # docs with a NULL inner key still belong to their outer bucket (ES
-    # counts them in the outer doc_count; they just form no inner
-    # bucket) — group them too, compute outer totals, then surface them
-    # as a null-keyed inner row rather than silently shrinking the outer
-    grouped = (
-        df.withColumn("key", okey)
-        .withColumn(f"{inner_name}_key", ikey)
-        .filter(F.col("key").isNotNull())
-        .groupBy("key", f"{inner_name}_key")
-        .agg(F.count(F.lit(1)).alias(f"{inner_name}_doc_count"), *leaf_metrics)
+
+def _parse_chain(name: str, clause: dict) -> list[_Level]:
+    """Flatten a bucket-agg tree into its chain of levels. Each level
+    may carry metric sub-aggs plus at most ONE bucket sub-agg (tantivy
+    allows sibling buckets; one chain per top-level entry keeps each
+    result a single flat frame — register siblings as separate
+    top-level aggregations)."""
+    entries = {k: v for k, v in clause.items() if k != "aggs"}
+    if len(entries) != 1:
+        raise ValueError(
+            f"aggregation clause needs exactly one type, got {sorted(entries)}"
+        )
+    (kind, spec), = entries.items()
+    if kind not in _BUCKETS:
+        raise NotImplementedError(f"aggregation {kind!r}")
+    level = _Level(name=name, kind=kind, spec=spec)
+    sub_bucket = None
+    for sub_name, sub_clause in (clause.get("aggs") or {}).items():
+        sub_entries = {k: v for k, v in sub_clause.items() if k != "aggs"}
+        if len(sub_entries) != 1:
+            raise ValueError(
+                f"aggregation clause needs exactly one type, got {sorted(sub_entries)}"
+            )
+        (skind, sspec), = sub_entries.items()
+        if skind in _METRICS:
+            if "aggs" in sub_clause:
+                raise NotImplementedError("metric aggregations take no sub-aggs")
+            level.metrics[sub_name] = (skind, sspec)
+        elif skind in _BUCKETS:
+            if sub_bucket is not None:
+                raise NotImplementedError(
+                    "one bucket sub-aggregation per level (register sibling "
+                    "buckets as separate top-level aggregations)"
+                )
+            sub_bucket = (sub_name, sub_clause)
+        else:
+            raise NotImplementedError(f"aggregation {skind!r}")
+    chain = [level]
+    if sub_bucket is not None:
+        chain += _parse_chain(sub_bucket[0], sub_bucket[1])
+    return chain
+
+
+def _level_metric_cols(level: _Level) -> list[Column]:
+    out: list[Column] = []
+    for mname, (mkind, mspec) in level.metrics.items():
+        out.extend(_metric_cols(mkind, mspec, mname))
+    return out
+
+
+def _histogram_skeleton(df: DataFrame, spec: dict, alias: str) -> DataFrame | None:
+    """extended_bounds: the full bucket skeleton [min, max] so empty
+    buckets surface with doc_count 0 (ES histogram min_doc_count=0 +
+    extended_bounds semantics)."""
+    eb = spec.get("extended_bounds")
+    if not eb:
+        return None
+    interval = float(spec["interval"])
+    offset = float(spec.get("offset", 0.0))
+    import math
+
+    lo = math.floor((float(eb["min"]) - offset) / interval) * interval + offset
+    hi = math.floor((float(eb["max"]) - offset) / interval) * interval + offset
+    n = int(round((hi - lo) / interval)) + 1
+    return df.sparkSession.range(n).select(
+        (F.col("id") * interval + lo).cast("double").alias(alias)
     )
-    if outer_kind == "terms":
-        # outer top-`size` selection must NOT rank all (outer×inner)
-        # grouped rows through one unpartitioned window (a WindowExec
-        # funnels everything into a single task at high-cardinality
-        # outer keys). Instead: partial/final groupBy → global
-        # TakeOrderedAndProject over ≤ |outer| total rows → broadcast
-        # the ≤ size winners (with their totals) back — the same shape
-        # the engine uses for top-k hits.
-        size = int(outer_spec.get("size", 10))
-        winners = (
-            grouped.groupBy("key")
-            .agg(F.sum(f"{inner_name}_doc_count").alias("doc_count"))
-            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
-            .limit(size)
+
+
+def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
+    """Lower a bucket chain: one groupBy per level (its doc_count +
+    metrics), terms truncation per level, assembly by key-prefix joins."""
+    key_aliases = []
+    dfk = df
+    for i, lvl in enumerate(chain):
+        alias = "key" if i == 0 else f"{lvl.name}_key"
+        key_aliases.append(alias)
+        dfk = dfk.withColumn(alias, _bucket_key(lvl.kind, lvl.spec, alias))
+    dfk = dfk.filter(F.col("key").isNotNull())
+
+    frames: list[DataFrame] = []
+    for i, lvl in enumerate(chain):
+        dc_alias = "doc_count" if i == 0 else f"{lvl.name}_doc_count"
+        li = dfk.groupBy(*key_aliases[: i + 1]).agg(
+            F.count(F.lit(1)).alias(dc_alias), *_level_metric_cols(lvl)
         )
-        grouped = grouped.join(F.broadcast(winners), "key")
-        outer_order = [F.col("doc_count").desc(), F.col("key").asc()]
-    else:
-        # non-terms outer buckets are never truncated; the per-key total
-        # rides a key-partitioned window (parallel — no global funnel)
-        w_tot = Window.partitionBy("key")
-        grouped = grouped.withColumn(
-            "doc_count", F.sum(f"{inner_name}_doc_count").over(w_tot)
+        mdc = int(lvl.spec.get("min_doc_count", 1)) if lvl.kind == "terms" else int(
+            lvl.spec.get("min_doc_count", 0)
         )
-        outer_order = [F.col("key").asc()]
-    if inner_kind == "terms":
-        isize = int(inner_spec.get("size", 10))
-        w_inner = Window.partitionBy("key").orderBy(
-            F.col(f"{inner_name}_doc_count").desc(),
-            F.col(f"{inner_name}_key").asc_nulls_last(),
+        if mdc > 0:
+            li = li.filter(F.col(dc_alias) >= mdc)
+        if lvl.kind == "terms":
+            size = int(lvl.spec.get("size", 10))
+            if i == 0:
+                winners = (
+                    li.orderBy(F.col(dc_alias).desc(), F.col("key").asc())
+                    .limit(size)
+                    .select("key")
+                )
+                li = li.join(F.broadcast(winners), "key")
+            else:
+                # per-parent-bucket truncation: rank window PARTITIONED
+                # by the parent keys — parallel across parents
+                w = Window.partitionBy(*key_aliases[:i]).orderBy(
+                    F.col(dc_alias).desc(), F.col(key_aliases[i]).asc_nulls_last()
+                )
+                li = (
+                    li.withColumn("_rk", F.row_number().over(w))
+                    .filter(F.col("_rk") <= size)
+                    .drop("_rk")
+                )
+        frames.append(li)
+
+    out = frames[0]
+    for i in range(1, len(frames)):
+        out = out.join(frames[i], key_aliases[:i], "inner")
+
+    order = []
+    for i, lvl in enumerate(chain):
+        dc = F.col("doc_count" if i == 0 else f"{lvl.name}_doc_count")
+        k = F.col(key_aliases[i])
+        if lvl.kind == "terms":
+            order += [dc.desc(), k.asc_nulls_last()]
+        else:
+            order.append(k.asc_nulls_last())
+    # column order: keys/doc_counts per level, then metrics per level
+    cols = []
+    for i, lvl in enumerate(chain):
+        cols += [key_aliases[i], "doc_count" if i == 0 else f"{lvl.name}_doc_count"]
+    metric_cols = [c for c in out.columns if c not in cols]
+    return out.orderBy(*order).select(*cols, *metric_cols)
+
+
+def _terms_stats_cols(
+    df: DataFrame, grouped: DataFrame, spec: dict
+) -> DataFrame:
+    """show_term_doc_count_error: attach doc_count_error_upper_bound
+    (always 0 — buckets come from an exact global aggregation, not
+    per-shard top-N truncation like ES/tantivy's distributed estimate)
+    and sum_other_doc_count (total matching docs minus the returned
+    buckets' docs, ref `docs/reference/aggregation.md`)."""
+    total = df.agg(F.count(F.lit(1)).alias("_tot"))
+    kept = grouped.agg(F.sum("doc_count").alias("_kept"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(kept))
+        .withColumn("doc_count_error_upper_bound", F.lit(0).cast("long"))
+        .withColumn(
+            "sum_other_doc_count",
+            (F.col("_tot") - F.coalesce(F.col("_kept"), F.lit(0))).cast("long"),
         )
-        grouped = grouped.withColumn("_ir", F.row_number().over(w_inner)).filter(
-            F.col("_ir") <= isize
-        )
-    else:
-        grouped = grouped.withColumn("_ir", F.col(f"{inner_name}_key").cast("string"))
-    out_cols = ["key", "doc_count", f"{inner_name}_key", f"{inner_name}_doc_count"] + [
-        c for c in grouped.columns
-        if c not in (
-            "key", "doc_count", f"{inner_name}_key", f"{inner_name}_doc_count",
-            "_ir",
-        )
-    ]
-    return grouped.orderBy(*outer_order, F.col("_ir").asc()).select(*out_cols)
+        .drop("_tot", "_kept")
+    )
 
 
 def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
-    sub = clause.get("aggs")
     entries = {k: v for k, v in clause.items() if k != "aggs"}
     if len(entries) != 1:
-        raise ValueError(f"aggregation clause needs exactly one type, got {sorted(entries)}")
+        raise ValueError(
+            f"aggregation clause needs exactly one type, got {sorted(entries)}"
+        )
     (kind, spec), = entries.items()
 
     if kind in _METRICS:
-        if sub:
+        if clause.get("aggs"):
             raise NotImplementedError("metric aggregations take no sub-aggs")
         return df.agg(*_metric_cols(kind, spec, "value"))
 
-    if kind not in _BUCKETS:
-        raise NotImplementedError(f"aggregation {kind!r}")
-    bucket_subs = {
-        n: c
-        for n, c in (sub or {}).items()
-        if set(k for k in c if k != "aggs") & _BUCKETS
-    }
-    if bucket_subs:
-        if len(bucket_subs) > 1 or len(bucket_subs) != len(sub):
-            raise NotImplementedError(
-                "exactly one bucket sub-aggregation (no metric siblings) supported"
-            )
-        (inner_name, inner_clause), = bucket_subs.items()
-        return _nested_agg(df, kind, spec, inner_name, inner_clause)
-    metric_cols = _sub_metric_cols(sub)
+    chain = _parse_chain("", clause)
+    if len(chain) > 1:
+        return _chain_agg(df, chain)
+
+    # single bucket level
+    lvl = chain[0]
+    metric_cols = _level_metric_cols(lvl)
     count_col = F.count(F.lit(1)).alias("doc_count")
     key = _bucket_key(kind, spec, "key")
 
     if kind == "terms":
         size = int(spec.get("size", 10))
-        return (
+        mdc = int(spec.get("min_doc_count", 1))
+        grouped = df.groupBy(key).agg(count_col, *metric_cols).filter(
+            F.col("key").isNotNull()
+        )
+        if mdc > 0:
+            grouped = grouped.filter(F.col("doc_count") >= mdc)
+        grouped = grouped.orderBy(
+            F.col("doc_count").desc(), F.col("key").asc()
+        ).limit(size)
+        if spec.get("show_term_doc_count_error"):
+            grouped = _terms_stats_cols(df, grouped, spec)
+        return grouped
+    if kind in ("histogram", "date_histogram"):
+        grouped = (
             df.groupBy(key)
             .agg(count_col, *metric_cols)
-            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
-            .limit(size)
+            .filter(F.col("key").isNotNull())
         )
-    if kind in ("histogram", "date_histogram"):
-        return df.groupBy(key).agg(count_col, *metric_cols).orderBy("key")
+        mdc = int(spec.get("min_doc_count", 1 if not spec.get("extended_bounds") else 0))
+        skeleton = (
+            _histogram_skeleton(df, spec, "key") if kind == "histogram" else None
+        )
+        if skeleton is not None:
+            grouped = (
+                skeleton.join(grouped, "key", "left")
+                .withColumn("doc_count", F.coalesce(F.col("doc_count"), F.lit(0)))
+            )
+        if mdc > 0:
+            grouped = grouped.filter(F.col("doc_count") >= mdc)
+        return grouped.orderBy("key")
     # range: output in the declared range order
     order = {label: i for i, label in enumerate(_range_labels(spec))}
     mapping = F.create_map(*[F.lit(x) for kv in order.items() for x in kv])

@@ -142,23 +142,109 @@ def test_bucket_in_bucket_nesting(searcher, fast):
         assert r["doc_count"] == lang_tot[r["key"]]
 
 
-def test_too_deep_nesting_raises(searcher):
+def test_three_level_nesting(searcher, fast):
+    """Arbitrary bucket nesting (tantivy nests recursively): terms →
+    terms → range, with a metric at the middle level and at the leaf."""
     body = {
         "size": 0,
         "aggs": {
             "a": {
-                "terms": {"field": "lang"},
+                "terms": {"field": "lang", "size": 2},
                 "aggs": {
+                    "mid_avg": {"avg": {"field": "n_chars"}},
                     "b": {
-                        "terms": {"field": "site"},
-                        "aggs": {"c": {"terms": {"field": "lang"}}},
-                    }
+                        "terms": {"field": "site", "size": 2},
+                        "aggs": {
+                            "c": {
+                                "range": {
+                                    "field": "n_chars",
+                                    "ranges": [{"to": 200}, {"from": 200}],
+                                }
+                            },
+                        },
+                    },
                 },
             }
         },
     }
+    res = searcher.es_search(body)["aggregations"]["a"]
+    _assert_no_unpartitioned_window(res)
+    got = res.toPandas()
+    assert set(got.columns) >= {
+        "key", "doc_count", "b_key", "b_doc_count", "c_key", "c_doc_count",
+        "mid_avg",
+    }
+    top_langs = (
+        fast.groupBy("lang").count()
+        .orderBy(F.desc("count"), F.asc("lang")).limit(2).toPandas()
+    )
+    assert set(got["key"]) == set(top_langs["lang"])
+    # spot-check one deepest bucket against a direct filter
+    one = got.iloc[0]
+    cond = (
+        (F.col("lang") == one["key"]) & (F.col("site") == one["b_key"])
+        & ((F.col("n_chars") < 200) if one["c_key"] == "*-200" else (F.col("n_chars") >= 200))
+    )
+    assert one["c_doc_count"] == fast.filter(cond).count()
+    # mid-level metric = avg over the whole outer bucket
+    exp_avg = (
+        fast.filter(F.col("lang") == one["key"])
+        .agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert round(float(one["mid_avg"]), 6) == round(exp_avg, 6)
+    # sibling bucket aggs at one level stay unsupported (register them
+    # as separate top-level aggregations)
     with pytest.raises(NotImplementedError):
-        searcher.es_search(body)
+        searcher.es_search(
+            {"size": 0, "aggs": {"a": {"terms": {"field": "lang"}, "aggs": {
+                "b1": {"terms": {"field": "site"}},
+                "b2": {"terms": {"field": "lang"}},
+            }}}}
+        )
+
+
+def test_terms_options(searcher, fast):
+    """min_doc_count / missing / show_term_doc_count_error."""
+    # min_doc_count filters sparse buckets
+    body = {"size": 0, "aggs": {"t": {"terms": {
+        "field": "lang", "size": 10, "min_doc_count": 40}}}}
+    got = searcher.es_search(body)["aggregations"]["t"].toPandas()
+    assert (got["doc_count"] >= 40).all()
+    # missing: null site values bucket under the placeholder
+    with_null = fast.withColumn(
+        "site2", F.when(F.col("site") == "0", None).otherwise(F.col("site"))
+    )
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    r = run_es_aggs(
+        with_null,
+        {"t": {"terms": {"field": "site2", "size": 10, "missing": "N/A"}}},
+    )["t"].toPandas()
+    n_null = with_null.filter(F.col("site2").isNull()).count()
+    assert int(r.set_index("key")["doc_count"]["N/A"]) == n_null
+    # doc_count_error + sum_other: exact engine → error bound 0,
+    # sum_other = total − kept
+    r2 = run_es_aggs(
+        fast,
+        {"t": {"terms": {"field": "site", "size": 2,
+                          "show_term_doc_count_error": True}}},
+    )["t"].toPandas()
+    assert (r2["doc_count_error_upper_bound"] == 0).all()
+    total = fast.count()
+    assert (r2["sum_other_doc_count"] == total - r2["doc_count"].sum()).all()
+
+
+def test_histogram_extended_bounds(fast):
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    r = run_es_aggs(
+        fast.filter(F.col("n_chars") < 300),
+        {"h": {"histogram": {"field": "n_chars", "interval": 100.0,
+                              "extended_bounds": {"min": 0, "max": 599}}}},
+    )["h"].toPandas()
+    # skeleton forces the empty tail buckets into the result
+    assert list(r["key"]) == [0.0, 100.0, 200.0, 300.0, 400.0, 500.0]
+    assert list(r["doc_count"][3:]) == [0, 0, 0]
 
 
 def test_msearch_and_describe(searcher):
