@@ -865,6 +865,42 @@ def _q_knn_lsh(spark, sf_dir):
     )
 
 
+def _q_knn_lsh_scale(spark, sf_dir):
+    """ANN at SCALE parameters: planes=12 (4096 buckets — the knob that
+    keeps per-bucket candidate sets small at 10^12 vectors) with
+    tables=2 OR-amplification recovering recall. Portable hyperplanes
+    keep every bucket and the ranking SQL-reproducible."""
+    from quickwit_spark.datapipe.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries, k=10, planes=12, tables=2, rank_round=9)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _q_ivf_recall(spark, sf_dir):
+    """IVF ANN quality gate: recall@10 vs brute force ≥ 0.9 at
+    nlist=16 / nprobe=12, fixed seed (measured 0.975 at sf0.01). The
+    k-means fit isn't SQL-expressible, so the oracle checks the recall
+    CRITERION rather than bucket values."""
+    from quickwit_spark.datapipe.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = brute_force_topk(emb, q, k=10, rank_round=9).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(
+        emb, q, k=10, nlist=16, nprobe=12, seed=7, rank_round=9
+    ).select("query_id", "neighbor_id")
+    n_bf = bf.count()
+    n_hit = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = n_hit / max(n_bf, 1)
+    return spark.createDataFrame([(bool(recall >= 0.9),)], "recall_ge_090 boolean")
+
+
 def _q_text_stats(spark, sf_dir):
     from quickwit_spark.datapipe.textstats import token_stats
 
@@ -1164,6 +1200,45 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _knn_lsh_multi_sql(planes: int = 12, tables: int = 2, k: int = 10) -> str:
+    """Multi-table (OR-amplified) hyperplane LSH oracle: candidates =
+    union of same-bucket pairs over each table's independent planes
+    (seed = table index, mirroring `lsh_topk`)."""
+    sigs = ",\n".join(
+        f"sig{t} AS (SELECT vec_id, {_hyperplane_bucket_sql(planes, seed=t)} "
+        "AS bucket FROM e)"
+        for t in range(tables)
+    )
+    cand = "\n  UNION\n".join(
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
+        f"  FROM sig{t} q JOIN sig{t} c USING (bucket)\n"
+        f"  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id"
+        for t in range(tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{sigs},
+cand AS (
+{cand}
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_cosine_similarity(q.v, c.v), 9) AS s9
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e c ON c.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, s9,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s9 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(s9, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _embedding_near_dup_sql(planes: int = 4, threshold: float = 0.45) -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1237,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "knn_cosine_bruteforce": _q_knn_cosine,
         "knn_cosine_lsh": _q_knn_lsh,
+        "knn_cosine_lsh_scale": _q_knn_lsh_scale,
+        "knn_ivf_recall": _q_ivf_recall,
         "text_token_stats": _q_text_stats,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
@@ -1443,6 +1520,8 @@ FROM documents
         "dedup_minhash_lsh": _minhash_lsh_sql(num_perm=32, bands=8, rows=4),
         "dedup_simhash": _simhash_sql(max_hamming=8, bits=62),
         "knn_cosine_lsh": _knn_lsh_sql(planes=4, k=10),
+        "knn_cosine_lsh_scale": _knn_lsh_multi_sql(planes=12, tables=2, k=10),
+        "knn_ivf_recall": "SELECT CAST(TRUE AS BOOLEAN) AS recall_ge_090",
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "knn_cosine_bruteforce": _KNN_COSINE_SQL,

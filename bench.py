@@ -234,6 +234,13 @@ def run_query_bench(idx_dir: str, cores: int) -> dict:
         t0 = time.perf_counter()
         fn()
         out[name] = round(time.perf_counter() - t0, 3)
+    # warmup-cache (leaf-cache analog): persist the hot term's postings
+    # and time the repeated query against the in-memory path
+    s.cache_hot_postings(["table"])
+    t0 = time.perf_counter()
+    s.search(Term("text", "table"), k=10).collect()
+    out["q_hot_term_cached"] = round(time.perf_counter() - t0, 3)
+    s.uncache()
     # concurrent-search throughput: all queries at once on the shared
     # session (stateless searcher, like the reference's searcher fleet)
     from concurrent.futures import ThreadPoolExecutor

@@ -149,6 +149,10 @@ class IndexSearcher:
         # re-list the parquet datasets once per refresh, not per query
         self._inv = self.spark.read.parquet(f"{self.index_dir}/inv")
         self._docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        # hot-postings cache invalidates with the segment set
+        if getattr(self, "_hot", None) is not None:
+            self._hot[1].unpersist()
+        self._hot = None
 
     # ---------- catalogs ----------
 
@@ -166,6 +170,50 @@ class IndexSearcher:
             return resolve_tokenizer(fields.get(field, "default"), custom)
 
         return get
+
+    # ---------- warmup / leaf-result cache analog ----------
+
+    def cache_hot_postings(
+        self, terms: list[str], include_positions: bool = False
+    ) -> int:
+        """Persist the inverted-index rows a hot term set touches
+        (postings for `terms` + every norms/stats row) in executor
+        memory — the Spark shape of the reference's leaf caches
+        (`leaf_cache.rs:25-64` per-(split, request) results +
+        warmup byte-range cache): repeated queries over the cached
+        terms serve from an InMemoryTableScan instead of re-reading
+        Parquet. Returns the number of cached rows. The cache is
+        dropped on `refresh()` (segment set changed) or `uncache()`."""
+        tvals = sorted(set(terms))
+        base = self.inv().filter(F.col("segment_id").isin(self.live_ids))
+        cond = (F.col("kind") == KIND_POSTINGS) & F.col("term").isin(tvals)
+        cond = cond | F.col("kind").isin([KIND_NORMS, KIND_STATS])
+        if include_positions:
+            cond = cond | ((F.col("kind") == KIND_POS) & F.col("term").isin(tvals))
+        df = base.filter(cond).persist()
+        n = df.count()  # materialize now, not on first query
+        if getattr(self, "_hot", None) is not None:
+            self._hot[1].unpersist()
+        self._hot = (set(tvals), df, include_positions, frozenset(self.live_ids))
+        return n
+
+    def uncache(self):
+        if getattr(self, "_hot", None) is not None:
+            self._hot[1].unpersist()
+            self._hot = None
+
+    def _hot_base(self, tvals, seg_ids, needs_positions: bool):
+        """The cached inverted-index frame when it covers this query
+        (terms ⊆ cached set, segments ⊆ cached segments), else None."""
+        hot = getattr(self, "_hot", None)
+        if hot is None:
+            return None
+        hterms, hdf, hpos, hsegs = hot
+        if not set(tvals) <= hterms or not set(seg_ids) <= hsegs:
+            return None
+        if needs_positions and not hpos:
+            return None
+        return hdf
 
     # ---------- planning ----------
 
@@ -457,19 +505,37 @@ class IndexSearcher:
             return self.docs().filter(F.col("segment_id").isin(seg_ids)).select(
                 "segment_id", "doc_id", F.lit(0.0).alias("score")
             )
-        # two scans unioned instead of one OR-filter: the term predicate
-        # then reaches the postings scan as a pushed parquet filter
-        # (terms are written sorted per segment → row-group min/max
-        # stats skip everything but the needed term ranges — the
-        # warmup/prefetch analog, now done by the reader for free)
-        base = self.inv().filter(F.col("segment_id").isin(seg_ids))
-        inv = base.filter(
-            (F.col("kind") == KIND_POSTINGS) & F.col("term").isin(tvals)
-        ).unionByName(base.filter(F.col("kind").isin([KIND_NORMS, KIND_STATS])))
-        if _has_phrase(ast):
-            inv = inv.unionByName(
-                base.filter((F.col("kind") == KIND_POS) & F.col("term").isin(tvals))
+        needs_pos = _has_phrase(ast)
+        hot = self._hot_base(tvals, seg_ids, needs_pos)
+        if hot is not None:
+            # warmup-cache hit: one in-memory filter instead of Parquet
+            # scans (the leaf-cache analog, `leaf_cache.rs:25-64`)
+            cond = (F.col("kind") == KIND_POSTINGS) & F.col("term").isin(tvals)
+            cond = cond | F.col("kind").isin([KIND_NORMS, KIND_STATS])
+            if needs_pos:
+                cond = cond | (
+                    (F.col("kind") == KIND_POS) & F.col("term").isin(tvals)
+                )
+            inv = hot.filter(F.col("segment_id").isin(seg_ids)).filter(cond)
+        else:
+            # two scans unioned instead of one OR-filter: the term
+            # predicate then reaches the postings scan as a pushed
+            # parquet filter (terms are written sorted per segment →
+            # row-group min/max stats skip everything but the needed
+            # term ranges — the warmup/prefetch analog, done by the
+            # reader for free)
+            base = self.inv().filter(F.col("segment_id").isin(seg_ids))
+            inv = base.filter(
+                (F.col("kind") == KIND_POSTINGS) & F.col("term").isin(tvals)
+            ).unionByName(
+                base.filter(F.col("kind").isin([KIND_NORMS, KIND_STATS]))
             )
+            if needs_pos:
+                inv = inv.unionByName(
+                    base.filter(
+                        (F.col("kind") == KIND_POS) & F.col("term").isin(tvals)
+                    )
+                )
         cfg_fields = {f.name: f.tokenizer for f in self.config.fields}
         custom_toks = self.config.tokenizers
         k1, b = self.config.k1, self.config.b
@@ -1120,6 +1186,85 @@ class IndexSearcher:
             out["aggregations"] = run_es_aggs(m, agg_body)
         return out
 
+    def es_search_response(self, body: dict, mode: str = "parity") -> dict:
+        """Full ES `_search` wire envelope (reference
+        `elasticsearch_api/rest_handler.rs:96-294` re-shaping):
+        {"took", "timed_out", "hits": {"total", "max_score", "hits":
+        [{"_id", "_score", "_source"}]}, "aggregations": {...}}.
+        `_source` carries the body's `_source` column list (stored
+        columns). Collects the ≤ size hits and agg buckets — the same
+        driver-side materialization the reference's root node does."""
+        import time as _time
+
+        from quickwit_spark.search.es_aggs import shape_es_agg
+
+        t0 = _time.perf_counter()
+        src_cols = body.get("_source") or []
+        inner = dict(body)
+        raw = self.es_search(inner, mode=mode)
+        hits_rows = []
+        max_score = None
+        if "hits" in raw:
+            hdf = raw["hits"]
+            if src_cols:
+                # re-run the fetch with the requested source columns
+                from quickwit_spark.query.es_dsl import from_es_body
+
+                ast = from_es_body(
+                    body,
+                    [f.name for f in self.config.fields],
+                    position_fields={
+                        f.name for f in self.config.fields if f.record == "position"
+                    },
+                )
+                hdf = self.search(
+                    ast, k=int(body.get("size", 10)), mode=mode, fetch=src_cols
+                )
+            for r in hdf.collect():
+                d = r.asDict()
+                score = d.get("score")
+                if max_score is None or (score is not None and score > max_score):
+                    max_score = score
+                hits_rows.append(
+                    {
+                        "_id": str(d["doc_key"]),
+                        "_score": score,
+                        "_source": {c: d.get(c) for c in src_cols},
+                    }
+                )
+        agg_body = body.get("aggs") or body.get("aggregations") or {}
+        aggs_shaped = {
+            name: shape_es_agg(agg_body[name], df)
+            for name, df in (raw.get("aggregations") or {}).items()
+        }
+        if body.get("track_total_hits", True):
+            total = {"value": self.count(self._es_ast(body)), "relation": "eq"}
+        else:
+            total = {"value": len(hits_rows), "relation": "gte"}
+        out = {
+            "took": int((_time.perf_counter() - t0) * 1000),
+            "timed_out": False,
+            "hits": {
+                "total": total,
+                "max_score": max_score,
+                "hits": hits_rows,
+            },
+        }
+        if aggs_shaped:
+            out["aggregations"] = aggs_shaped
+        return out
+
+    def _es_ast(self, body: dict):
+        from quickwit_spark.query.es_dsl import from_es_body
+
+        return from_es_body(
+            body,
+            [f.name for f in self.config.fields],
+            position_fields={
+                f.name for f in self.config.fields if f.record == "position"
+            },
+        )
+
     def msearch(self, bodies: list[dict], mode: str = "parity") -> list[dict]:
         """ES `_msearch`: several bodies planned in one call (reference
         `rest_handler.rs:804`). All plans are lazy DataFrames — the
@@ -1197,3 +1342,32 @@ class IndexSearcher:
         return m.join(self.docs(), ["segment_id", "doc_id"], "inner").select(
             "doc_key", *columns
         )
+
+    def export_stream(
+        self,
+        query,
+        columns: list[str],
+        path: str,
+        fmt: str = "csv",
+        partition_by: str | None = None,
+        time_range=None,
+    ):
+        """search_stream to files: fmt ∈ {csv, rowbinary} with optional
+        partition_by_fast_field layout (reference output formats,
+        `search_stream/leaf.rs:51-290`). → per-file row counts for
+        rowbinary, None for csv (distributed part files)."""
+        from quickwit_spark.search.stream_export import write_csv, write_rowbinary
+
+        cols = list(columns)
+        if partition_by and partition_by not in cols:
+            cols.append(partition_by)
+        df = self.search_stream(
+            query, [c for c in cols if c != "doc_key"], time_range
+        ).select(*cols)
+        if fmt == "csv":
+            return write_csv(df, path, partition_by=partition_by)
+        if fmt == "rowbinary":
+            return write_rowbinary(
+                df, columns, path, partition_by=partition_by
+            )
+        raise ValueError(f"unknown search_stream format {fmt!r}")

@@ -362,3 +362,88 @@ def run_es_aggs(df: DataFrame, aggs: dict) -> dict[str, DataFrame]:
     """`df` = matches joined to fast fields (`aggs.matches`); `aggs` =
     the ES `aggs` body. → {agg name: result DataFrame}."""
     return {name: _one_agg(df, clause) for name, clause in aggs.items()}
+
+
+# ---------- ES wire-shape reassembly (rest_handler.rs:96-294 analog) ----------
+
+
+def _metric_value(row: dict, name: str, kind: str, spec: dict):
+    if kind == "stats":
+        return {
+            "count": row.get(f"{name}_count"),
+            "min": row.get(f"{name}_min"),
+            "max": row.get(f"{name}_max"),
+            "sum": row.get(f"{name}_sum"),
+            "avg": row.get(f"{name}_avg"),
+        }
+    if kind == "percentiles":
+        pcts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        return {
+            "values": {
+                str(float(p)): row.get(f"{name}_p{p}".replace(".", "_"))
+                for p in pcts
+            }
+        }
+    return {"value": row.get(name)}
+
+
+def _nest_bucket_rows(rows: list[dict], chain: list[_Level], depth: int) -> list[dict]:
+    """Rebuild the ES nested-bucket JSON from the flattened chain frame:
+    group rows by this level's key (first-seen order = the frame's sort
+    order), attach this level's metrics from any row of the group, and
+    recurse for the next level."""
+    lvl = chain[depth]
+    key_col = "key" if depth == 0 else f"{lvl.name}_key"
+    dc_col = "doc_count" if depth == 0 else f"{lvl.name}_doc_count"
+    groups: dict = {}
+    order: list = []
+    for r in rows:
+        k = r[key_col]
+        if k not in groups:
+            groups[k] = []
+            order.append(k)
+        groups[k].append(r)
+    out = []
+    for k in order:
+        grp = groups[k]
+        if k is None:
+            continue  # null deeper key: counted upstream, no bucket
+        b = {"key": k, "doc_count": grp[0][dc_col]}
+        for mname, (mkind, mspec) in lvl.metrics.items():
+            b[mname] = _metric_value(grp[0], mname, mkind, mspec)
+        if depth + 1 < len(chain):
+            b[chain[depth + 1].name] = {
+                "buckets": _nest_bucket_rows(grp, chain, depth + 1)
+            }
+        out.append(b)
+    return out
+
+
+def shape_es_agg(clause: dict, df: DataFrame) -> dict:
+    """One aggregation's DataFrame → its ES JSON shape."""
+    entries = {k: v for k, v in clause.items() if k != "aggs"}
+    (kind, spec), = entries.items()
+    rows = [r.asDict() for r in df.collect()]
+    if kind in _METRICS:
+        row = rows[0] if rows else {}
+        if kind == "stats":
+            return {
+                k: row.get(f"value_{k}") for k in ("count", "min", "max", "sum", "avg")
+            }
+        if kind == "percentiles":
+            pcts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
+            return {
+                "values": {
+                    str(float(p)): row.get(f"value_p{p}".replace(".", "_"))
+                    for p in pcts
+                }
+            }
+        return {"value": row.get("value")}
+    chain = _parse_chain("", clause)
+    shaped: dict = {"buckets": _nest_bucket_rows(rows, chain, 0)}
+    if kind == "terms" and spec.get("show_term_doc_count_error") and rows:
+        shaped["doc_count_error_upper_bound"] = rows[0].get(
+            "doc_count_error_upper_bound", 0
+        )
+        shaped["sum_other_doc_count"] = rows[0].get("sum_other_doc_count", 0)
+    return shaped

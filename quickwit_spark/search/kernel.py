@@ -424,7 +424,11 @@ def _eval_phrase(ctx: _Ctx, node, boost: float):
         mask[docids] = True
         return mask, scores
 
-    # candidate docs = docs with ALL fixed terms and ≥1 last-term variant
+    # candidate docs = docs with ALL fixed terms and ≥1 last-term variant.
+    # assume_unique is SOUND here and below only because every operand is
+    # a decoded posting docid array (strictly increasing by construction:
+    # cumulative positive deltas) or an np.unique output — don't reuse
+    # this intersection on arrays without that invariant.
     cand = None
     for d, _, _ in entries:
         cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]

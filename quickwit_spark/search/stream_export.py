@@ -1,0 +1,186 @@
+"""search_stream output formats + partition_by_fast_field.
+
+The reference's search_stream exports one (or a few) fast-field columns
+for ALL matching docs as CSV or ClickHouseRowBinary, optionally split
+by a `partition_by_fast_field` value
+(`quickwit-search/src/search_stream/leaf.rs:51-290`). Spark-native
+re-expression:
+
+  csv        `df.write.csv` — distributed part files; with
+             `partition_by` Spark's partitionBy lays out one directory
+             per field value (the partition_by_fast_field analog)
+  rowbinary  ClickHouse RowBinary: per row, fixed-width numerics as
+             little-endian bytes and strings as LEB128-length-prefixed
+             UTF-8. Encoded in `mapInArrow` batches: all-fixed-width
+             schemas use a numpy structured array (one `tobytes()`
+             interleaves the row bytes — no per-row Python); string
+             columns fall back to a per-row pack inside the Arrow
+             batch. Returns chunk rows (partition value, chunk bytes)
+             so the caller streams/concats them; `write_rowbinary`
+             assembles a file per partition value.
+
+Column types supported for rowbinary: long→Int64, int→Int32,
+double→Float64, float→Float32, string→String(LEB128+UTF8) — the
+ClickHouse types the reference emits (i64/u64/f64/text fast fields).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FIXED = {
+    "bigint": "<i8",
+    "int": "<i4",
+    "double": "<f8",
+    "float": "<f4",
+    "timestamp": "<i8",  # micros since epoch (DateTime64(6) analog)
+}
+
+
+def _leb128(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def rowbinary_chunks(
+    df: DataFrame, columns: list[str], partition_by: str | None = None
+) -> DataFrame:
+    """→ (partition string, chunk binary): RowBinary-encoded batches.
+    With `partition_by`, rows are hash-clustered by that column first so
+    every chunk belongs to exactly one partition value (the
+    partition_by_fast_field analog); partition is '' otherwise."""
+    dtypes = dict(df.dtypes)
+    for c in columns:
+        if dtypes[c] not in _FIXED and dtypes[c] != "string":
+            raise NotImplementedError(
+                f"rowbinary: unsupported column type {dtypes[c]!r} for {c!r}"
+            )
+    sel = list(columns) + ([partition_by] if partition_by and partition_by not in columns else [])
+    work = df.select(*sel)
+    if partition_by:
+        work = work.repartition(partition_by).sortWithinPartitions(partition_by)
+    col_types = [(c, dtypes[c]) for c in columns]
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if partition_by:
+                pvals = batch.column(partition_by).to_numpy(zero_copy_only=False)
+                bounds = [0] + [
+                    i
+                    for i in range(1, len(pvals))
+                    if pvals[i] != pvals[i - 1]
+                ] + [len(pvals)]
+            else:
+                pvals = None
+                bounds = [0, batch.num_rows]
+            for bi in range(len(bounds) - 1):
+                lo, hi = bounds[bi], bounds[bi + 1]
+                if lo == hi:
+                    continue
+                n = hi - lo
+                arrays = {}
+                has_str = False
+                for c, t in col_types:
+                    a = batch.column(c).slice(lo, n)
+                    if t == "string":
+                        has_str = True
+                        arrays[c] = a.to_pylist()
+                    elif t == "timestamp":
+                        arrays[c] = (
+                            a.cast(pa.timestamp("us"))
+                            .to_numpy(zero_copy_only=False)
+                            .astype("datetime64[us]")
+                            .astype("<i8")
+                        )
+                    else:
+                        arrays[c] = a.to_numpy(zero_copy_only=False).astype(
+                            _FIXED[t]
+                        )
+                if not has_str:
+                    # fixed-width only: ONE structured-array write
+                    # interleaves the row bytes — no per-row Python
+                    rec = np.empty(
+                        n, dtype=[(c, _FIXED[t]) for c, t in col_types]
+                    )
+                    for c, _t in col_types:
+                        rec[c] = arrays[c]
+                    blob = rec.tobytes()
+                else:
+                    parts = []
+                    for i in range(n):
+                        for c, t in col_types:
+                            if t == "string":
+                                s = (arrays[c][i] or "").encode("utf-8")
+                                parts.append(_leb128(len(s)))
+                                parts.append(s)
+                            else:
+                                parts.append(arrays[c][i].tobytes())
+                    blob = b"".join(parts)
+                pkey = str(pvals[lo]) if pvals is not None else ""
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([pkey], type=pa.string()),
+                        pa.array([n], type=pa.int64()),
+                        pa.array([blob], type=pa.binary()),
+                    ],
+                    names=["partition", "num_rows", "chunk"],
+                )
+
+    return work.mapInArrow(encode, "partition string, num_rows long, chunk binary")
+
+
+def write_rowbinary(
+    df: DataFrame,
+    columns: list[str],
+    path: str,
+    partition_by: str | None = None,
+) -> dict[str, int]:
+    """Assemble RowBinary file(s) under `path`: one `<value>.bin` per
+    partition value (or `all.bin`). → {file: rows written}."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    chunks = rowbinary_chunks(df, columns, partition_by).collect()
+    out: dict[str, int] = {}
+    handles: dict[str, object] = {}
+    try:
+        for r in sorted(chunks, key=lambda r: r["partition"]):
+            name = f"{r['partition'] or 'all'}.bin"
+            fp = os.path.join(path, name)
+            if fp not in handles:
+                handles[fp] = open(fp, "wb")  # noqa: SIM115
+                out[fp] = 0
+            handles[fp].write(bytes(r["chunk"]))
+            out[fp] += r["num_rows"]
+    finally:
+        for h in handles.values():
+            h.close()
+    return out
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    header: bool = True,
+) -> None:
+    """CSV export; `partition_by` lays out one directory per field
+    value via Spark's writer (partition pruning on read — the
+    partition_by_fast_field analog)."""
+    w = df.write.mode("overwrite").option("header", str(header).lower())
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.csv(path)

@@ -330,3 +330,39 @@ def test_percentiles_approx_default_close_to_exact(searcher, fast):
     }
     r = searcher.es_search(body)["aggregations"]["pct"].collect()[0]
     assert abs(r["value_p50"] - exact["p50"]) <= 2.0
+
+
+def test_es_response_envelope(searcher):
+    """ES wire shape (rest_handler.rs re-shaping analog): hits +
+    nested aggregations JSON."""
+    body = {
+        "query": {"match": {"text": {"query": "spark"}}},
+        "size": 3,
+        "_source": ["lang", "n_chars"],
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 2},
+                "aggs": {
+                    "avg_len": {"avg": {"field": "n_chars"}},
+                    "by_src": {"terms": {"field": "site", "size": 2}},
+                },
+            },
+            "len_stats": {"stats": {"field": "n_chars"}},
+        },
+    }
+    resp = searcher.es_search_response(body, mode="oracle")
+    assert resp["timed_out"] is False and resp["took"] >= 0
+    assert resp["hits"]["total"]["value"] == searcher.count("text:spark")
+    assert resp["hits"]["total"]["relation"] == "eq"
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 3
+    assert resp["hits"]["max_score"] == hits[0]["_score"]
+    assert set(hits[0]["_source"]) == {"lang", "n_chars"}
+    buckets = resp["aggregations"]["by_lang"]["buckets"]
+    assert len(buckets) == 2
+    b0 = buckets[0]
+    assert {"key", "doc_count", "avg_len", "by_src"} <= set(b0)
+    assert isinstance(b0["avg_len"]["value"], float)
+    assert 1 <= len(b0["by_src"]["buckets"]) <= 2
+    st = resp["aggregations"]["len_stats"]
+    assert st["count"] > 0 and st["min"] <= st["avg"] <= st["max"]

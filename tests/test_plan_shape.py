@@ -65,3 +65,32 @@ def test_no_row_at_a_time_python(searcher):
         searcher.search_stream(Term("text", "spark"), ["lang"]),
     ):
         assert "BatchEvalPython" not in _plan(df)
+
+
+def test_hot_postings_cache(searcher):
+    """Warmup/leaf-cache analog: cached terms serve from an
+    InMemoryTableScan with identical results; cache misses fall back to
+    the Parquet scan path."""
+    from quickwit_spark.query.ast import FullText
+
+    base = searcher.search("text:spark", k=10).collect()
+    n = searcher.cache_hot_postings(["spark", "join"])
+    assert n > 0
+    plan = _plan(searcher.match_docs(Term("text", "spark")))
+    assert "InMemoryTableScan" in plan
+    cached = searcher.search("text:spark", k=10).collect()
+    assert [(r["doc_key"], r["score"]) for r in cached] == [
+        (r["doc_key"], r["score"]) for r in base
+    ]
+    # covered multi-term query also hits the cache
+    assert "InMemoryTableScan" in _plan(
+        searcher.match_docs(FullText("text", "spark join", "or"))
+    )
+    # uncovered term -> parquet path (no partial-cache reads)
+    assert "InMemoryTableScan" not in _plan(
+        searcher.match_docs(Term("text", "vector"))
+    )
+    searcher.uncache()
+    assert "InMemoryTableScan" not in _plan(
+        searcher.match_docs(Term("text", "spark"))
+    )
