@@ -235,8 +235,13 @@ def run_query_bench(idx_dir: str, cores: int) -> dict:
         fn()
         out[name] = round(time.perf_counter() - t0, 3)
     # warmup-cache (leaf-cache analog): persist the hot term's postings
-    # and time the repeated query against the in-memory path
+    # and time the REPEATED query against the in-memory path (first
+    # call after caching pays one-time plan/codegen — steady state is
+    # what the cache exists for). At sf0.1 the win is bounded by the
+    # ~0.9 s fixed job-submission floor (see q_count); the scan-time
+    # component it removes grows with index size.
     s.cache_hot_postings(["table"])
+    s.search(Term("text", "table"), k=10).collect()
     t0 = time.perf_counter()
     s.search(Term("text", "table"), k=10).collect()
     out["q_hot_term_cached"] = round(time.perf_counter() - t0, 3)

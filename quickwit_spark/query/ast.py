@@ -174,3 +174,50 @@ def collect_fulltext_terms(ast: QueryAst, tokenizer_for_field) -> list[tuple[str
 
     walk(ast)
     return out
+
+
+# ---------- JSON (de)serialization — the reference serializes QueryAst
+# with serde for its KV-stored scroll contexts (`scroll_context.rs`);
+# this is the same shape: a `$type` tag + the dataclass fields ----------
+
+import datetime as _dt
+from dataclasses import fields as _dc_fields
+
+
+def ast_to_json(node: QueryAst) -> dict:
+    def enc(v):
+        if isinstance(v, QueryAst):
+            return ast_to_json(v)
+        if isinstance(v, (list, tuple)):
+            return [enc(x) for x in v]
+        if isinstance(v, _dt.datetime):
+            return {"$dt": v.isoformat()}
+        return v
+
+    out = {"$type": type(node).__name__}
+    for f in _dc_fields(node):
+        out[f.name] = enc(getattr(node, f.name))
+    return out
+
+
+def ast_from_json(d: dict) -> QueryAst:
+    classes = {
+        c.__name__: c
+        for c in (
+            Term, TermSet, FullText, Phrase, PhrasePrefix, Range, Exists,
+            Wildcard, Regex, Bool, Boost, MatchAll, MatchNone,
+        )
+    }
+
+    def dec(v):
+        if isinstance(v, dict) and "$type" in v:
+            return ast_from_json(v)
+        if isinstance(v, dict) and "$dt" in v:
+            return _dt.datetime.fromisoformat(v["$dt"])
+        if isinstance(v, list):
+            return [dec(x) for x in v]
+        return v
+
+    cls = classes[d["$type"]]
+    kwargs = {k: dec(v) for k, v in d.items() if k != "$type"}
+    return cls(**kwargs)

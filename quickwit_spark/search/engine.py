@@ -1172,8 +1172,26 @@ class IndexSearcher:
         out: dict = {}
         size = int(body.get("size", 10))
         resolved = self._resolve(ast, None)  # shared: one pattern expansion
-        if size > 0:
-            out["hits"] = self.search(ast, k=size, mode=mode, _resolved=resolved)
+        sort_spec = body.get("sort")
+        if size > 0 and sort_spec and not self._is_score_sort(sort_spec):
+            specs = self._parse_es_sort(sort_spec)
+            sa = body.get("search_after")
+            out["hits"] = self.sort_by_field(
+                ast,
+                specs,
+                k=size,
+                tie_by_key=True,
+                search_after=tuple(sa) if sa else None,
+            )
+        elif size > 0:
+            sa = body.get("search_after")
+            out["hits"] = self.search(
+                ast,
+                k=size,
+                mode=mode,
+                search_after=tuple(sa) if sa else None,
+                _resolved=resolved,
+            )
         agg_body = body.get("aggs") or body.get("aggregations")
         if agg_body:
             m = self.docs().join(
@@ -1264,6 +1282,33 @@ class IndexSearcher:
                 f.name for f in self.config.fields if f.record == "position"
             },
         )
+
+    @staticmethod
+    def _is_score_sort(sort_spec) -> bool:
+        first = sort_spec[0] if isinstance(sort_spec, list) else sort_spec
+        if isinstance(first, str):
+            return first == "_score"
+        return isinstance(first, dict) and "_score" in first
+
+    @staticmethod
+    def _parse_es_sort(sort_spec) -> list[tuple]:
+        """ES `sort` entries → [(field, descending)]: "field",
+        {"field": "asc"}, {"field": {"order": "desc"}} (reference
+        sort-by mini-DSL, `rest_handler.rs:103-147`; desc default like
+        `docs/internals/sorting.md`)."""
+        if not isinstance(sort_spec, list):
+            sort_spec = [sort_spec]
+        specs = []
+        for ent in sort_spec:
+            if isinstance(ent, str):
+                specs.append((ent, True))
+                continue
+            (fld, opts), = ent.items()
+            if isinstance(opts, str):
+                specs.append((fld, opts == "desc"))
+            else:
+                specs.append((fld, opts.get("order", "desc") == "desc"))
+        return specs
 
     def msearch(self, bodies: list[dict], mode: str = "parity") -> list[dict]:
         """ES `_msearch`: several bodies planned in one call (reference

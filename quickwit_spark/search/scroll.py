@@ -6,9 +6,11 @@ a scroll fetches hits in large batches (SCROLL_BATCH_LEN) using the
 cursor (`search_after`) pushdown and serves client-sized pages from the
 cached batch, so N small pages cost N/batch real queries, not N. The
 scroll id is an opaque token resolved through a registry (the reference
-stores serialized contexts in its cluster KV store; a process-local
-registry plays that role here — on a real deployment the serialized
-dict would live in any shared KV).
+stores serialized contexts in its cluster KV store): the in-process
+registry serves the common case, and `ctx.save()` serializes the
+context (query AST as JSON + the last-served cursor) under the index's
+`_scroll/` directory so ANOTHER driver process resumes it via
+`fetch_scroll(id, searcher)` — the shared-KV shape without a KV.
 
 Works for both BM25 order (cursor = (score, doc_key)) and fast-field
 sort order (cursor = (sort_value, doc_key), missing-last semantics) —
@@ -111,7 +113,72 @@ class ScrollContext:
                 r = Row(**d)
             out.append(r)
         self._served += len(page)
+        if page:
+            last = page[-1]
+            val = last["score"] if self.sort_field is None else last["sort_value"]
+            # cursor of the last SERVED hit — the durable resume point
+            # (cached-but-unserved rows are refetched after a resume)
+            self._served_cursor = (val, last["doc_key"])
         return out
+
+    # -------------------------------------------------- durable state
+
+    def state(self) -> dict:
+        """Serializable context (reference: serialized ScrollContext in
+        the cluster KV store, `scroll_context.rs`): enough to resume
+        from the last SERVED hit in another driver process."""
+        from quickwit_spark.query.ast import QueryAst, ast_to_json
+
+        q = self.query
+        return {
+            "scroll_id": self.scroll_id,
+            "query": ast_to_json(q) if isinstance(q, QueryAst) else q,
+            "page_size": self.page_size,
+            "mode": self.mode,
+            "time_range": self.time_range,
+            "fetch": self.fetch,
+            "sort_field": self.sort_field,
+            "descending": self.descending,
+            "batch_len": self.batch_len,
+            "served": self._served,
+            "served_cursor": getattr(self, "_served_cursor", None),
+        }
+
+    def save(self, path: str | None = None) -> str:
+        import json
+        import os
+
+        path = path or f"{self.searcher.index_dir}/_scroll"
+        os.makedirs(path, exist_ok=True)
+        fp = os.path.join(path, f"{self.scroll_id}.json")
+        with open(fp, "w") as f:
+            json.dump(self.state(), f)
+        return fp
+
+    @staticmethod
+    def resume(searcher, state: dict) -> "ScrollContext":
+        from quickwit_spark.query.ast import ast_from_json
+
+        q = state["query"]
+        if isinstance(q, dict):
+            q = ast_from_json(q)
+        ctx = ScrollContext(
+            searcher,
+            q,
+            page_size=state["page_size"],
+            mode=state["mode"],
+            time_range=state["time_range"],
+            fetch=state["fetch"],
+            sort_field=state["sort_field"],
+            descending=state["descending"],
+            batch_len=state["batch_len"],
+        )
+        ctx.scroll_id = state["scroll_id"]
+        ctx._served = state["served"]
+        sc = state["served_cursor"]
+        ctx._cursor = tuple(sc) if sc is not None else None
+        _REGISTRY[ctx.scroll_id] = ctx
+        return ctx
 
 
 # process-local scroll registry (the reference's cluster KV analog)
@@ -123,9 +190,32 @@ def create_scroll(ctx: ScrollContext) -> str:
     return ctx.scroll_id
 
 
-def fetch_scroll(scroll_id: str) -> ScrollContext:
-    return _REGISTRY[scroll_id]
+def fetch_scroll(scroll_id: str, searcher=None) -> ScrollContext:
+    """Resolve a scroll id: the in-process registry first, else (with a
+    searcher) the serialized context under the index's `_scroll/` dir —
+    a fresh driver process resumes another's scroll from disk."""
+    if scroll_id in _REGISTRY:
+        return _REGISTRY[scroll_id]
+    if searcher is not None:
+        import json
+        import os
+
+        fp = os.path.join(searcher.index_dir, "_scroll", f"{scroll_id}.json")
+        if os.path.exists(fp):
+            with open(fp) as f:
+                return ScrollContext.resume(searcher, json.load(f))
+    raise KeyError(scroll_id)
 
 
-def delete_scroll(scroll_id: str) -> None:
-    _REGISTRY.pop(scroll_id, None)
+def delete_scroll(scroll_id: str, searcher=None) -> None:
+    ctx = _REGISTRY.pop(scroll_id, None)
+    for s in (searcher, getattr(ctx, "searcher", None)):
+        if s is not None:
+            import contextlib
+            import os
+
+            with contextlib.suppress(OSError):
+                os.unlink(
+                    os.path.join(s.index_dir, "_scroll", f"{scroll_id}.json")
+                )
+            break

@@ -112,3 +112,50 @@ def test_match_bool_prefix():
     )
     single = from_es_query({"match_bool_prefix": {"text": "qu"}})
     assert single == Wildcard("text", "qu*")
+
+
+def test_es_body_sort_and_search_after(spark, sf_dir, tmp_path):
+    """ES body `sort` routes to the fast-field collector; `search_after`
+    cursors page 2 (reference sort-by mini-DSL + search_after)."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
+    idx = str(tmp_path / "idx_sort")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=2,
+        stored_columns=("n_chars",),
+    )
+    docs = web_corpus(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    build_index(spark, docs, idx, cfg)
+    searcher = IndexSearcher(spark, idx)
+    body = {
+        "query": {"match": {"text": {"query": "spark"}}},
+        "size": 5,
+        "sort": [{"n_chars": {"order": "desc"}}],
+    }
+    p1 = searcher.es_search(body)["hits"].collect()
+    assert len(p1) == 5
+    vals = [r["sort_value"] for r in p1]
+    assert vals == sorted(vals, reverse=True)
+    last = p1[-1]
+    body2 = dict(body, search_after=[last["sort_value"], last["doc_key"]])
+    p2 = searcher.es_search(body2)["hits"].collect()
+    assert len(p2) == 5
+    # desc primary ⇒ doc_key tie-break desc: strictly after the cursor
+    assert all(
+        (r["sort_value"], r["doc_key"]) < (last["sort_value"], last["doc_key"])
+        for r in p2
+    )
+    assert {r["doc_key"] for r in p1}.isdisjoint({r["doc_key"] for r in p2})
+    # _score sort stays on the BM25 path
+    body3 = {
+        "query": {"match": {"text": {"query": "spark"}}},
+        "size": 3,
+        "sort": ["_score"],
+    }
+    hits = searcher.es_search(body3)["hits"].collect()
+    assert [r["rank"] for r in hits] == [1, 2, 3]
+    assert "score" in hits[0].asDict()

@@ -82,3 +82,34 @@ def test_scroll_registry_roundtrip(searcher):
     delete_scroll(sid)
     with pytest.raises(KeyError):
         fetch_scroll(sid)
+
+
+def test_scroll_durable_resume(searcher):
+    """Serialized scroll context resumes in a 'fresh process' (registry
+    cleared): pages continue from the last served hit with global ranks
+    intact — the reference's KV-stored ScrollContext shape."""
+    from quickwit_spark.query.ast import Term
+    from quickwit_spark.search import scroll as sc
+
+    ctx = searcher.scroll(Term("text", "spark"), page_size=5, mode="oracle")
+    p1 = ctx.next_page()
+    p2_expected = [r["doc_key"] for r in ctx.next_page()]
+    # rewind a fresh context to just after page 1 and persist it
+    ctx2 = searcher.scroll(Term("text", "spark"), page_size=5, mode="oracle")
+    ctx2.next_page()
+    fp = ctx2.save()
+    sid = ctx2.scroll_id
+    sc._REGISTRY.clear()  # simulate a new driver process
+    with pytest.raises(KeyError):
+        sc.fetch_scroll(sid)
+    resumed = sc.fetch_scroll(sid, searcher)
+    page = resumed.next_page()
+    assert [r["doc_key"] for r in page] == p2_expected
+    assert [r["rank"] for r in page] == [6, 7, 8, 9, 10]
+    assert p1[0]["rank"] == 1
+    sc.delete_scroll(sid, searcher)
+    import os
+
+    assert not os.path.exists(fp)
+    with pytest.raises(KeyError):
+        sc.fetch_scroll(sid, searcher)
