@@ -3,7 +3,10 @@
     spark-submit --py-files dist/quickwit_spark.zip jobs/search_job.py \
         --index-dir /data/index --query "spark AND join" [--k 10] \
         [--count-only] [--fetch url,lang] [--snippet text] \
-        [--sort-by n_chars [--asc]] [--plan] [--describe]
+        [--sort-by n_chars [--asc]] [--plan] [--describe] \
+        [--early-terminate [--count-hits underestimate]] \
+        [--export /out --format csv|rowbinary --columns lang,n_chars \
+         [--partition-by lang]]
 
     # full ES _search body (query + aggs + size):
     ... jobs/search_job.py --index-dir /data/index \
@@ -33,6 +36,16 @@ def main() -> None:
     p.add_argument("--asc", action="store_true")
     p.add_argument("--plan", action="store_true", help="print the search plan")
     p.add_argument("--describe", action="store_true", help="print index stats")
+    p.add_argument(
+        "--early-terminate", action="store_true",
+        help="split-order early termination (demotes provable losers)",
+    )
+    p.add_argument("--count-hits", default="count_all",
+                   choices=["count_all", "underestimate"])
+    p.add_argument("--export", help="search_stream export directory")
+    p.add_argument("--format", default="csv", choices=["csv", "rowbinary"])
+    p.add_argument("--columns", default="", help="export columns")
+    p.add_argument("--partition-by", help="partition_by_fast_field column")
     args = p.parse_args()
 
     spark = get_spark("qws-search")
@@ -64,7 +77,32 @@ def main() -> None:
     if args.count_only:
         print(json.dumps({"num_hits": s.count(args.query)}))
         return
+    if args.export:
+        cols = [c for c in args.columns.split(",") if c]
+        res = s.export_stream(
+            args.query, cols, args.export, fmt=args.format,
+            partition_by=args.partition_by,
+        )
+        print(json.dumps({"exported": res}, default=str))
+        return
     fetch = [c for c in args.fetch.split(",") if c]
+    if args.early_terminate:
+        et = s.search_early(
+            args.query, k=args.k, count_hits=args.count_hits, fetch=fetch
+        )
+        for r in et["hits"].collect():
+            print(json.dumps(r.asDict(), default=str))
+        print(
+            json.dumps(
+                {
+                    "num_hits": et["num_hits"],
+                    "phase1": et["phase1"],
+                    "phase2": et["phase2"],
+                    "demoted": et["demoted"],
+                }
+            )
+        )
+        return
     if args.sort_by:
         hits = s.sort_by_field(
             args.query, args.sort_by, k=args.k, descending=not args.asc, fetch=fetch

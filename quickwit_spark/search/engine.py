@@ -623,13 +623,18 @@ class IndexSearcher:
         )
         return self._matches(ast, seg_ids, None, mode, fast_filter)
 
-    def count(self, query, time_range=None) -> int:
+    def count(self, query, time_range=None, segments=None) -> int:
         """Hit count. Fast paths (reference `leaf.rs:466-468` metadata
         counts): match-all answers from the manifest; a bare Term
         answers from the postings doc_freq metadata — a narrow
         pushed-filter scan, no kernel, exact because pending deletes
-        stay searchable until rewrite."""
+        stay searchable until rewrite. `segments` restricts the count
+        to a segment subset (the early-termination underestimate
+        path)."""
         ast, fast_filter, seg_ids = self._resolve(query, time_range)
+        if segments is not None:
+            keep = set(segments)
+            seg_ids = [s for s in seg_ids if s in keep]
         if fast_filter is None:
             if isinstance(ast, MatchAll):
                 keep = set(seg_ids)
@@ -956,8 +961,9 @@ class IndexSearcher:
           count_all      demoted segments still contribute an exact
                          num_hits via the count path (metadata doc_freq
                          fast path when the query allows)
-          underestimate  demoted segments are skipped entirely;
-                         num_hits counts only surviving phases
+          underestimate  demoted segments are skipped by the counting
+                         pass too; num_hits counts only the segments
+                         phases 1+2 actually searched (may undercount)
 
         → {"hits": DataFrame(doc_key, score, rank[, fetch]),
            "num_hits": int|None, "phase1"/"phase2"/"demoted": [ids],
@@ -1027,7 +1033,12 @@ class IndexSearcher:
             "doc_key", "score", F.row_number().over(w).alias("rank"), *fetch_cols
         )
         if count_hits == "underestimate":
-            num_hits = None  # cheap mode: no extra counting pass
+            # reference CountHits::Underestimate (search.proto:245-248):
+            # count only the splits actually searched; demoted segments
+            # contribute nothing, so the total may undercount.
+            num_hits = self.count(
+                query, time_range, segments=list(phase1) + list(phase2)
+            )
         else:
             num_hits = self.count(query, time_range)
         return {

@@ -61,11 +61,18 @@ def test_early_identical_and_demotes(skewed):
     assert set(zero_bound) <= set(et["demoted"])
     # exact num_hits via the count path (CountHits::CountAll)
     assert et["num_hits"] == skewed.count(Term("text", "needle"))
-    # underestimate mode skips the counting pass entirely
+    # underestimate mode counts only the searched segments — here the
+    # needle-free demoted segments hold no matches, so the underestimate
+    # happens to equal the exact count; it can never exceed it.
     et2 = skewed.search_early(
         Term("text", "needle"), k=10, count_hits="underestimate"
     )
-    assert et2["num_hits"] is None
+    under = et2["num_hits"]
+    exact = skewed.count(Term("text", "needle"))
+    assert under is not None and 0 < under <= exact
+    assert under == skewed.count(
+        Term("text", "needle"), segments=et2["phase1"] + et2["phase2"]
+    )
     assert _rows(et2["hits"]) == _rows(full)
 
 
