@@ -632,6 +632,57 @@ def _q_agg_nested(spark, sf_dir):
     )
 
 
+def _q_agg_extended_stats(spark, sf_dir):
+    """extended_stats metric through the ES aggs DSL (reference
+    `docs/reference/aggregation.md` "Extended Stats"): stats +
+    sum_of_squares / population+sampling variance and std-deviation.
+    One df.agg — mergeable partial/final, no shuffle skew."""
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    df = _agg_match(spark, sf_dir, ["n_chars"])
+    out = run_es_aggs(df, {"x": {"extended_stats": {"field": "n_chars"}}})["x"]
+    return out.select(
+        F.col("value_count").cast("long").alias("count"),
+        F.col("value_min").alias("min"),
+        F.col("value_max").alias("max"),
+        F.col("value_sum").alias("sum"),
+        F.round("value_avg", 6).alias("avg"),
+        F.col("value_sum_of_squares").alias("sum_of_squares"),
+        F.round("value_variance", 2).alias("variance"),
+        F.round("value_variance_sampling", 2).alias("variance_sampling"),
+        F.round("value_std_deviation", 4).alias("std_deviation"),
+        F.round("value_std_deviation_sampling", 4).alias("std_deviation_sampling"),
+    )
+
+
+def _q_agg_terms_order(spark, sf_dir):
+    """terms agg ordered by a metric sub-aggregation (reference terms
+    `order` parameter): lang buckets ranked by avg(n_chars) desc — the
+    order column rides the same groupBy, winners by
+    TakeOrderedAndProject."""
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    df = _agg_match(spark, sf_dir, ["lang", "n_chars"])
+    out = run_es_aggs(
+        df,
+        {
+            "t": {
+                "terms": {
+                    "field": "lang",
+                    "size": 5,
+                    "order": {"mean_len": "desc"},
+                },
+                "aggs": {"mean_len": {"avg": {"field": "n_chars"}}},
+            }
+        },
+    )["t"]
+    return out.select(
+        "key",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.round("mean_len", 6).alias("mean_len"),
+    )
+
+
 def _q_sort_by_field(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     out = s.sort_by_field(
@@ -1295,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles_nchars": _q_agg_percentiles,
         "agg_terms_subagg": _q_agg_subagg,
         "agg_nested_two_levels": _q_agg_nested,
+        "agg_extended_stats": _q_agg_extended_stats,
+        "agg_terms_order_metric": _q_agg_terms_order,
         "search_sort_by_field": _q_sort_by_field,
         "search_phrase_match": _q_phrase_match,
         "search_phrase_slop": _q_phrase_slop,
@@ -1466,6 +1519,28 @@ r2 AS (
 SELECT w1.key, CAST(w1.doc_count AS BIGINT) AS doc_count, r2.by_src_key,
        CAST(r2.by_src_doc_count AS BIGINT) AS by_src_doc_count, r2.avg_n
 FROM w1 JOIN r2 USING (key) WHERE r2.rk <= 2
+""",
+        "agg_extended_stats": f"""
+WITH {_AGG_MATCH_CTE}
+SELECT CAST(COUNT(n_chars) AS BIGINT) AS count,
+       CAST(MIN(n_chars) AS DOUBLE) AS min,
+       CAST(MAX(n_chars) AS DOUBLE) AS max,
+       CAST(SUM(n_chars) AS DOUBLE) AS sum,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg,
+       CAST(SUM(CAST(n_chars AS DOUBLE) * n_chars) AS DOUBLE) AS sum_of_squares,
+       ROUND(var_pop(CAST(n_chars AS DOUBLE)), 2) AS variance,
+       ROUND(var_samp(CAST(n_chars AS DOUBLE)), 2) AS variance_sampling,
+       ROUND(stddev_pop(CAST(n_chars AS DOUBLE)), 4) AS std_deviation,
+       ROUND(stddev_samp(CAST(n_chars AS DOUBLE)), 4) AS std_deviation_sampling
+FROM m
+""",
+        "agg_terms_order_metric": f"""
+WITH {_AGG_MATCH_CTE}
+SELECT CAST(lang AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_len
+FROM m GROUP BY lang
+ORDER BY AVG(CAST(n_chars AS DOUBLE)) DESC, key ASC LIMIT 5
 """,
         "search_sort_by_field": f"""
 WITH {_AGG_MATCH_CTE}

@@ -168,6 +168,7 @@ def _build_field_rows(
         base_tokenizer = "default" if fld.tokenizer == "en_stem" else fld.tokenizer
     import pyarrow as pa
 
+    mv_tok_pos = None  # multivalued position stream (with element gaps)
     if hasattr(texts, "type") and (
         pa.types.is_list(texts.type) or pa.types.is_large_list(texts.type)
     ):
@@ -182,6 +183,30 @@ def _build_field_rows(
         elems = pc.cast(pc.list_flatten(col), pa.string())
         flat, tok_elem = tokenize_flat_arrow(elems, base_tokenizer)
         doc_idx = elem_doc[tok_elem]
+        if fld.record == "position":
+            # positions restart per doc but leave POSITION_GAP=2
+            # between consecutive array elements (tantivy's multivalue
+            # convention) so phrases cannot match across element
+            # boundaries; fieldnorms still count real tokens only
+            GAP = 2
+            tok_counts = np.bincount(tok_elem, minlength=len(elems)).astype(
+                np.int64
+            )
+            tok_starts = np.cumsum(tok_counts) - tok_counts
+            elem_span = tok_counts + GAP
+            css = np.cumsum(elem_span) - elem_span  # global element start
+            if len(elem_doc):
+                first = np.empty(len(elem_doc), dtype=bool)
+                first[0] = True
+                np.not_equal(elem_doc[1:], elem_doc[:-1], out=first[1:])
+                # css of each element's doc-first element
+                doc_first_css = css[first][np.cumsum(first) - 1]
+                elem_base = css - doc_first_css
+            else:
+                elem_base = css
+            mv_tok_pos = elem_base[tok_elem] + (
+                np.arange(len(doc_idx), dtype=np.int64) - tok_starts[tok_elem]
+            )
     else:
         flat, doc_idx = tokenize_flat_arrow(texts, base_tokenizer)
     lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
@@ -258,8 +283,11 @@ def _build_field_rows(
     if fld.record == "position":
         # token position within its doc; stable sort keeps positions
         # ascending inside every (term, doc) run
-        doc_starts = np.cumsum(lens) - lens
-        tok_pos = np.arange(total_tokens, dtype=np.int64) - doc_starts[doc_idx]
+        if mv_tok_pos is not None:
+            tok_pos = mv_tok_pos  # multivalued: element-gapped positions
+        else:
+            doc_starts = np.cumsum(lens) - lens
+            tok_pos = np.arange(total_tokens, dtype=np.int64) - doc_starts[doc_idx]
         sorted_pos = tok_pos[order].astype(np.uint64)
     # run-length (term, doc) → tf
     new_run = np.empty(len(c), dtype=bool)

@@ -36,9 +36,11 @@ def idf(doc_freq, doc_count, dtype=np.float32):
     return np.log1p(x).astype(dtype)
 
 
-def bm25_weight(doc_freq, doc_count, boost=1.0, dtype=np.float32):
-    """idf * (k1 + 1) * boost — the per-term multiplier."""
-    return (idf(doc_freq, doc_count, dtype) * dtype(1.0 + K1) * dtype(boost)).astype(
+def bm25_weight(doc_freq, doc_count, boost=1.0, dtype=np.float32, k1=K1):
+    """idf * (k1 + 1) * boost — the per-term multiplier. `k1` must be
+    the index's configured value (the tf-norm honors it too; a
+    mismatched multiplier breaks the early-termination score bounds)."""
+    return (idf(doc_freq, doc_count, dtype) * dtype(1.0 + k1) * dtype(boost)).astype(
         dtype
     )
 
@@ -51,7 +53,9 @@ def tf_component(tfs, doc_lens, avgdl, dtype=np.float32):
     return (tf / (tf + norm)).astype(dtype)
 
 
-def bm25_scores(tfs, doc_lens, avgdl, doc_freq, doc_count, boost=1.0, dtype=np.float32):
+def bm25_scores(
+    tfs, doc_lens, avgdl, doc_freq, doc_count, boost=1.0, dtype=np.float32, k1=K1
+):
     """Full per-posting BM25 scores for one term in one segment."""
-    w = bm25_weight(doc_freq, doc_count, boost, dtype)
+    w = bm25_weight(doc_freq, doc_count, boost, dtype, k1)
     return (w * tf_component(tfs, doc_lens, avgdl, dtype)).astype(dtype)

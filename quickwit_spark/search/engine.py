@@ -867,18 +867,27 @@ class IndexSearcher:
             if isinstance(node, Boost):
                 walk(node.query, mult * node.boost)
             elif isinstance(node, Term):
-                out.append((node.field, node.value, mult))
+                out.append(("term", node.field, node.value, mult))
             elif isinstance(node, TermSet):
-                out.extend((node.field, v, mult) for v in node.values)
+                out.extend(("term", node.field, v, mult) for v in node.values)
             elif isinstance(node, FullText):
-                out.extend((node.field, t, mult) for t in tok(node.field)(node.text))
+                out.extend(
+                    ("term", node.field, t, mult) for t in tok(node.field)(node.text)
+                )
             elif isinstance(node, Phrase):
-                out.extend((node.field, t, mult) for t in tok(node.field)(node.text))
+                # the kernel scores a phrase as ONE pseudo-term whose df
+                # is the per-segment match count (parity) / the rarest
+                # component's global df (oracle) — NOT a sum of
+                # component contributions, so it needs its own bound
+                # unit (summing component idfs is unsound: idf(df=1)
+                # can exceed the sum).
+                out.append(
+                    ("phrase", node.field, tuple(tok(node.field)(node.text)), mult)
+                )
             elif isinstance(node, PhrasePrefix):
-                for t in tok(node.field)(node.text)[:-1]:
-                    out.append((node.field, t, mult))
-                for t in node.expansions or ():
-                    out.append((node.field, t, mult))
+                fixed = tuple(tok(node.field)(node.text)[:-1])
+                expansions = tuple(node.expansions or ())
+                out.append(("phrase_prefix", node.field, (fixed, expansions), mult))
             elif isinstance(node, Bool):
                 for c in (*node.must, *node.should):
                     walk(c, mult)
@@ -898,8 +907,24 @@ class IndexSearcher:
         mode, global in oracle mode) so the bound is sound for that
         mode. A segment missing every scoring term bounds at 0 (the
         analog of the reference sorting splits and converting provable
-        losers to count-only, `leaf.rs:958-1100`)."""
-        tvals = sorted({t for _, t, _ in triples})
+        losers to count-only, `leaf.rs:958-1100`).
+
+        Phrase units: the kernel's phrase pseudo-term df is the
+        per-segment match count in parity mode — as low as 1 — so the
+        sound bound is idf(df=1) when every component term is present
+        (and 0 otherwise: a missing component makes a match
+        impossible). In oracle mode the scorer uses the rarest
+        component's GLOBAL df, which the bound mirrors exactly."""
+        tvals_set: set = set()
+        for kind_, fld_, payload, _b in triples:
+            if kind_ == "term":
+                tvals_set.add(payload)
+            elif kind_ == "phrase":
+                tvals_set.update(payload)
+            else:  # phrase_prefix: (fixed, expansions)
+                tvals_set.update(payload[0])
+                tvals_set.update(payload[1])
+        tvals = sorted(tvals_set)
         rows = (
             self.inv()
             .filter(
@@ -925,19 +950,43 @@ class IndexSearcher:
             for sid, per_field in n_docs.items():
                 for fld, n in per_field.items():
                     g_n[fld] = g_n.get(fld, 0) + n
+        def _idf(n, d):
+            return float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+
         bounds: dict[str, float] = {}
         for sid in seg_ids:
             b = 0.0
-            for fld, term, boost in triples:
-                df_ = df_map.get((sid, fld, term))
-                if not df_:
-                    continue  # term absent here: no contribution possible
-                if mode == "oracle":
-                    n, d = g_n.get(fld, 0), g_df[(fld, term)]
+            for kind_, fld, payload, boost in triples:
+                if kind_ == "term":
+                    df_ = df_map.get((sid, fld, payload))
+                    if not df_:
+                        continue  # term absent here: no contribution possible
+                    if mode == "oracle":
+                        n, d = g_n.get(fld, 0), g_df[(fld, payload)]
+                    else:
+                        n, d = n_docs.get(sid, {}).get(fld, 0), df_
+                    b += _idf(n, d) * k1_plus1 * boost
+                    continue
+                # phrase / phrase_prefix pseudo-term
+                if kind_ == "phrase":
+                    fixed, expansions = payload, ()
                 else:
-                    n, d = n_docs.get(sid, {}).get(fld, 0), df_
-                idf = float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
-                b += idf * k1_plus1 * boost
+                    fixed, expansions = payload
+                if any(not df_map.get((sid, fld, t)) for t in fixed):
+                    continue  # a missing component ⇒ no phrase match here
+                if expansions and not any(
+                    df_map.get((sid, fld, t)) for t in expansions
+                ):
+                    continue
+                if mode == "oracle":
+                    comp = [*fixed, *(t for t in expansions
+                                       if df_map.get((sid, fld, t)))]
+                    d = min(g_df[(fld, t)] for t in comp)
+                    b += _idf(g_n.get(fld, 0), d) * k1_plus1 * boost
+                else:
+                    # parity phrase df = segment match count ≥ 1
+                    n = n_docs.get(sid, {}).get(fld, 0)
+                    b += _idf(n, 1) * k1_plus1 * boost
             bounds[sid] = b
         return bounds
 
@@ -989,7 +1038,11 @@ class IndexSearcher:
         n1 = max(1, -(-len(ordered) // 4))
         phase1 = [s for s in ordered[:n1] if bounds[s] > 0.0] or ordered[:1]
         rest = [s for s in ordered if s not in set(phase1)]
-        m1 = self._matches(ast, phase1, k, mode, fast_filter)
+        # persist: the kernel runs once, serving both the θ probe and
+        # the final assembly (which must union the FULL phase-1 match
+        # set — truncating to the k collected rows here would let a
+        # θ-tied doc with the winning doc_key tie-break vanish)
+        m1 = self._matches(ast, phase1, k, mode, fast_filter).persist()
         w1 = m1.orderBy(F.col("score").desc()).limit(k).collect()
         theta = min((r["score"] for r in w1), default=None) if len(w1) >= k else None
         if theta is None or theta <= 0.0:
@@ -1005,22 +1058,11 @@ class IndexSearcher:
             cut = theta - (2e-9 if mode == "oracle" else 0.0)
             phase2 = [s for s in rest if bounds[s] > cut]
         demoted = [s for s in rest if s not in set(phase2)]
-        parts = []
-        if w1:
-            parts.append(
-                self.spark.createDataFrame(
-                    [(r["segment_id"], int(r["doc_id"]), float(r["score"])) for r in w1],
-                    MATCH_SCHEMA,
-                )
-            )
+        matches = m1
         if phase2:
-            parts.append(self._matches(ast, phase2, k, mode, fast_filter))
-        if parts:
-            matches = parts[0]
-            for p in parts[1:]:
-                matches = matches.unionByName(p)
-        else:
-            matches = self.spark.createDataFrame([], MATCH_SCHEMA)
+            matches = matches.unionByName(
+                self._matches(ast, phase2, k, mode, fast_filter)
+            )
         if mode == "oracle":
             matches = matches.withColumn("score", F.round(F.col("score"), 9))
         fetch_cols = list(fetch or [])
@@ -1184,6 +1226,7 @@ class IndexSearcher:
         size = int(body.get("size", 10))
         resolved = self._resolve(ast, None)  # shared: one pattern expansion
         sort_spec = body.get("sort")
+        fetch = list(body.get("_source") or [])
         if size > 0 and sort_spec and not self._is_score_sort(sort_spec):
             specs = self._parse_es_sort(sort_spec)
             sa = body.get("search_after")
@@ -1193,6 +1236,7 @@ class IndexSearcher:
                 k=size,
                 tie_by_key=True,
                 search_after=tuple(sa) if sa else None,
+                fetch=fetch,
             )
         elif size > 0:
             sa = body.get("search_after")
@@ -1201,6 +1245,7 @@ class IndexSearcher:
                 k=size,
                 mode=mode,
                 search_after=tuple(sa) if sa else None,
+                fetch=fetch,
                 _resolved=resolved,
             )
         agg_body = body.get("aggs") or body.get("aggregations")
@@ -1234,21 +1279,10 @@ class IndexSearcher:
         hits_rows = []
         max_score = None
         if "hits" in raw:
+            # es_search already fetched the _source columns through the
+            # body's own sort/search_after path — no re-run (a plain
+            # re-search here would silently drop the body's sort).
             hdf = raw["hits"]
-            if src_cols:
-                # re-run the fetch with the requested source columns
-                from quickwit_spark.query.es_dsl import from_es_body
-
-                ast = from_es_body(
-                    body,
-                    [f.name for f in self.config.fields],
-                    position_fields={
-                        f.name for f in self.config.fields if f.record == "position"
-                    },
-                )
-                hdf = self.search(
-                    ast, k=int(body.get("size", 10)), mode=mode, fetch=src_cols
-                )
             for r in hdf.collect():
                 d = r.asDict()
                 score = d.get("score")

@@ -18,14 +18,19 @@ funnels rows through an unpartitioned window:
   - a nested `terms` size limit is a rank window PARTITIONED by the
     parent keys (parallel across parent buckets).
 
-Terms options: `size`, `min_doc_count`, `missing`,
+Terms options: `size`, `min_doc_count`, `missing`, `order` (one of
+`_count` / `_key` / a metric sub-agg name, `stats.avg` style for
+multi-value metrics — the reference's one-property limitation),
 `show_term_doc_count_error` (adds doc_count_error_upper_bound — always
 0 here: buckets are computed by exact global aggregation, not per-shard
 truncation — and sum_other_doc_count). Histogram options: `interval`,
 `offset`, `min_doc_count`, `extended_bounds` (skeleton of empty
-buckets). Metrics: avg / min / max / sum / value_count / stats /
-percentiles (approx by default, `exact: true` for the full-sort
-variant) / cardinality.
+buckets), `hard_bounds` (closed-interval value clip). Metrics: avg /
+min / max / sum / value_count / stats / extended_stats (sum_of_squares,
+population+sampling variance and std_deviation, sigma-scaled
+std_deviation_bounds) / percentiles (approx by default, `exact: true`
+for the full-sort variant) / cardinality; every metric honors
+`missing`.
 
 Each result is a flattened DataFrame: level-1 key/doc_count, then per
 deeper level `<name>_key` / `<name>_doc_count`, then metric columns.
@@ -38,12 +43,22 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_METRICS = {"avg", "min", "max", "sum", "value_count", "stats", "percentiles", "cardinality"}
+_METRICS = {
+    "avg", "min", "max", "sum", "value_count", "stats", "extended_stats",
+    "percentiles", "cardinality",
+}
 _BUCKETS = {"terms", "histogram", "date_histogram", "range"}
 
 
 def _metric_cols(kind: str, spec: dict, name: str) -> list[Column]:
     c = F.col(spec["field"])
+    if spec.get("missing") is not None:
+        # reference metric `missing` (aggregation.md): docs without a
+        # value are treated as holding `missing` instead of ignored
+        if kind in ("value_count", "cardinality"):
+            c = F.coalesce(c, F.lit(spec["missing"]))
+        else:
+            c = F.coalesce(c.cast("double"), F.lit(float(spec["missing"])))
     d = c.cast("double")
     if kind == "avg":
         return [F.avg(d).alias(name)]
@@ -64,6 +79,23 @@ def _metric_cols(kind: str, spec: dict, name: str) -> list[Column]:
             F.max(d).alias(f"{name}_max"),
             F.sum(d).alias(f"{name}_sum"),
             F.avg(d).alias(f"{name}_avg"),
+        ]
+    if kind == "extended_stats":
+        # `stats` + sum_of_squares / variance / std_deviation in both
+        # population and sampling flavors (aggregation.md "Extended
+        # Stats"); std_deviation_bounds (avg ± sigma·std) is derived at
+        # wire-shaping time from these columns.
+        return [
+            F.count(d).alias(f"{name}_count"),
+            F.min(d).alias(f"{name}_min"),
+            F.max(d).alias(f"{name}_max"),
+            F.sum(d).alias(f"{name}_sum"),
+            F.avg(d).alias(f"{name}_avg"),
+            F.sum(d * d).alias(f"{name}_sum_of_squares"),
+            F.var_pop(d).alias(f"{name}_variance"),
+            F.var_samp(d).alias(f"{name}_variance_sampling"),
+            F.stddev_pop(d).alias(f"{name}_std_deviation"),
+            F.stddev_samp(d).alias(f"{name}_std_deviation_sampling"),
         ]
     if kind == "percentiles":
         # approx (t-digest-like sketch, mergeable partial/final state) is
@@ -94,6 +126,55 @@ def _range_labels(spec: dict) -> list[str]:
     return out
 
 
+_FIXED_UNITS_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+
+
+def _fixed_interval_ms(s) -> int:
+    """Parse a reference fixed_interval/offset string ("30d", "90m",
+    "-4d", "1000ms") to milliseconds (aggregation.md fixed-interval
+    units; fractional values are rejected, as in the reference)."""
+    if isinstance(s, (int, float)):
+        return int(s)
+    txt = str(s).strip()
+    neg = txt.startswith("-")
+    if neg or txt.startswith("+"):
+        txt = txt[1:]
+    unit = "ms" if txt.endswith("ms") else txt[-1:]
+    if unit not in _FIXED_UNITS_MS:
+        raise ValueError(f"unsupported fixed interval unit in {s!r}")
+    num = txt[: -len(unit)]
+    if not num.isdigit():
+        raise ValueError(f"fixed interval must be a whole number of {unit}: {s!r}")
+    val = int(num) * _FIXED_UNITS_MS[unit]
+    return -val if neg else val
+
+
+def _terms_order_cols(spec: dict, dc_name: str, key_name: str) -> list[Column]:
+    """Terms `order` (aggregation.md "order"): one property — `_count`,
+    `_key`, or a metric sub-agg name (`stats.avg` style for multi-value
+    metrics). Default `_count` desc; key asc breaks ties
+    deterministically."""
+    order = spec.get("order")
+    if not order:
+        return [F.col(dc_name).desc(), F.col(key_name).asc_nulls_last()]
+    if len(order) != 1:
+        raise NotImplementedError(
+            "terms order supports exactly one property (reference limitation)"
+        )
+    (target, direction), = order.items()
+    if direction not in ("asc", "desc"):
+        raise ValueError(f"terms order direction must be asc|desc, got {direction!r}")
+    if target == "_count":
+        col = F.col(dc_name)
+    elif target == "_key":
+        col = F.col(key_name)
+    else:
+        # metric sub-agg: single-value → its column; "name.sub" → name_sub
+        col = F.col(target.replace(".", "_", 1))
+    primary = col.asc_nulls_last() if direction == "asc" else col.desc_nulls_last()
+    return [primary, F.col(key_name).asc_nulls_last()]
+
+
 def _bucket_key(kind: str, spec: dict, alias: str) -> Column:
     """The group-key expression for a bucket aggregation."""
     if kind == "terms":
@@ -104,14 +185,46 @@ def _bucket_key(kind: str, spec: dict, alias: str) -> Column:
     if kind == "histogram":
         interval = float(spec["interval"])
         offset = float(spec.get("offset", 0.0))
-        return (
+        expr = (
             F.floor((F.col(spec["field"]) - F.lit(offset)) / F.lit(interval))
             * F.lit(interval)
             + F.lit(offset)
-        ).cast("double").alias(alias)
+        ).cast("double")
+        hb = spec.get("hard_bounds")
+        if hb:
+            # hard_bounds clips to the closed [min, max] interval
+            # (aggregation.md): out-of-bounds values take a NULL key —
+            # excluded from this histogram's buckets but still counted
+            # by any parent bucket level (a row filter would corrupt
+            # parent doc_counts in nested chains).
+            c = F.col(spec["field"])
+            expr = F.when(
+                (c >= float(hb["min"])) & (c <= float(hb["max"])), expr
+            )
+        return expr.alias(alias)
     if kind == "date_histogram":
-        unit = spec.get("calendar_interval") or spec.get("fixed_interval") or "day"
-        return F.date_trunc(unit, F.col(spec["field"])).alias(alias)
+        # The reference supports ONLY `fixed_interval` ("30d"/"90m"/...,
+        # epoch-ms bucket grid shifted by `offset`, aggregation.md
+        # "Date Histogram"); `calendar_interval` with a date_trunc unit
+        # is kept as an ES-compat superset.
+        cal = spec.get("calendar_interval")
+        if cal:
+            return F.date_trunc(cal, F.col(spec["field"])).alias(alias)
+        ms = _fixed_interval_ms(spec.get("fixed_interval", "1d"))
+        off = _fixed_interval_ms(spec["offset"]) if spec.get("offset") else 0
+        ts_ms = F.unix_millis(F.col(spec["field"]).cast("timestamp"))
+        key_ms = (
+            F.floor((ts_ms - F.lit(off)) / F.lit(ms)).cast("long") * F.lit(ms)
+            + F.lit(off)
+        )
+        hb = spec.get("hard_bounds")
+        if hb:
+            # bounds are epoch-ms timestamps (aggregation.md); NULL key
+            # for out-of-bounds values — see the histogram note above
+            key_ms = F.when(
+                (ts_ms >= int(hb["min"])) & (ts_ms <= int(hb["max"])), key_ms
+            )
+        return F.timestamp_millis(key_ms).alias(alias)
     if kind == "range":
         c = F.col(spec["field"])
         expr = None
@@ -227,9 +340,10 @@ def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
             li = li.filter(F.col(dc_alias) >= mdc)
         if lvl.kind == "terms":
             size = int(lvl.spec.get("size", 10))
+            lvl_order = _terms_order_cols(lvl.spec, dc_alias, key_aliases[i])
             if i == 0:
                 winners = (
-                    li.orderBy(F.col(dc_alias).desc(), F.col("key").asc())
+                    li.orderBy(*lvl_order)
                     .limit(size)
                     .select("key")
                 )
@@ -237,9 +351,7 @@ def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
             else:
                 # per-parent-bucket truncation: rank window PARTITIONED
                 # by the parent keys — parallel across parents
-                w = Window.partitionBy(*key_aliases[:i]).orderBy(
-                    F.col(dc_alias).desc(), F.col(key_aliases[i]).asc_nulls_last()
-                )
+                w = Window.partitionBy(*key_aliases[:i]).orderBy(*lvl_order)
                 li = (
                     li.withColumn("_rk", F.row_number().over(w))
                     .filter(F.col("_rk") <= size)
@@ -249,16 +361,20 @@ def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
 
     out = frames[0]
     for i in range(1, len(frames)):
-        out = out.join(frames[i], key_aliases[:i], "inner")
+        # LEFT join: a parent bucket whose child rows were all pruned
+        # (child min_doc_count / hard_bounds) must survive with an
+        # empty child bucket list (null child key → skipped by the
+        # nest shaper), matching ES — an inner join would erase the
+        # parent's own doc_count.
+        out = out.join(frames[i], key_aliases[:i], "left")
 
     order = []
     for i, lvl in enumerate(chain):
-        dc = F.col("doc_count" if i == 0 else f"{lvl.name}_doc_count")
-        k = F.col(key_aliases[i])
+        dc_name = "doc_count" if i == 0 else f"{lvl.name}_doc_count"
         if lvl.kind == "terms":
-            order += [dc.desc(), k.asc_nulls_last()]
+            order += _terms_order_cols(lvl.spec, dc_name, key_aliases[i])
         else:
-            order.append(k.asc_nulls_last())
+            order.append(F.col(key_aliases[i]).asc_nulls_last())
     # column order: keys/doc_counts per level, then metrics per level
     cols = []
     for i, lvl in enumerate(chain):
@@ -274,8 +390,14 @@ def _terms_stats_cols(
     (always 0 — buckets come from an exact global aggregation, not
     per-shard top-N truncation like ES/tantivy's distributed estimate)
     and sum_other_doc_count (total matching docs minus the returned
-    buckets' docs, ref `docs/reference/aggregation.md`)."""
-    total = df.agg(F.count(F.lit(1)).alias("_tot"))
+    buckets' docs, ref `docs/reference/aggregation.md`). Docs with a
+    NULL terms key belong to no bucket and are excluded from the
+    total — ES counts only docs that landed in SOME bucket."""
+    total = (
+        df.select(_bucket_key("terms", spec, "_k"))
+        .filter(F.col("_k").isNotNull())
+        .agg(F.count(F.lit(1)).alias("_tot"))
+    )
     kept = grouped.agg(F.sum("doc_count").alias("_kept"))
     return (
         grouped.crossJoin(F.broadcast(total))
@@ -320,9 +442,9 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
         )
         if mdc > 0:
             grouped = grouped.filter(F.col("doc_count") >= mdc)
-        grouped = grouped.orderBy(
-            F.col("doc_count").desc(), F.col("key").asc()
-        ).limit(size)
+        grouped = grouped.orderBy(*_terms_order_cols(spec, "doc_count", "key")).limit(
+            size
+        )
         if spec.get("show_term_doc_count_error"):
             grouped = _terms_stats_cols(df, grouped, spec)
         return grouped
@@ -367,6 +489,38 @@ def run_es_aggs(df: DataFrame, aggs: dict) -> dict[str, DataFrame]:
 # ---------- ES wire-shape reassembly (rest_handler.rs:96-294 analog) ----------
 
 
+def _extended_stats_value(row: dict, prefix: str, spec: dict) -> dict:
+    """ES extended_stats JSON shape: the ten stat fields plus
+    std_deviation_bounds at avg ± sigma·std (sigma default 2)."""
+    sigma = float(spec.get("sigma", 2.0))
+    g = lambda s: row.get(f"{prefix}_{s}" if prefix else s)  # noqa: E731
+    avg, sd_pop, sd_samp = g("avg"), g("std_deviation"), g("std_deviation_sampling")
+    bounds = {}
+    if avg is not None and sd_pop is not None:
+        bounds.update(
+            upper=avg + sigma * sd_pop, lower=avg - sigma * sd_pop,
+            upper_population=avg + sigma * sd_pop,
+            lower_population=avg - sigma * sd_pop,
+        )
+    if avg is not None and sd_samp is not None:
+        bounds.update(
+            upper_sampling=avg + sigma * sd_samp,
+            lower_sampling=avg - sigma * sd_samp,
+        )
+    return {
+        "count": g("count"), "min": g("min"), "max": g("max"),
+        "sum": g("sum"), "avg": avg,
+        "sum_of_squares": g("sum_of_squares"),
+        "variance": g("variance"),
+        "variance_population": g("variance"),
+        "variance_sampling": g("variance_sampling"),
+        "std_deviation": sd_pop,
+        "std_deviation_population": sd_pop,
+        "std_deviation_sampling": sd_samp,
+        "std_deviation_bounds": bounds,
+    }
+
+
 def _metric_value(row: dict, name: str, kind: str, spec: dict):
     if kind == "stats":
         return {
@@ -376,6 +530,8 @@ def _metric_value(row: dict, name: str, kind: str, spec: dict):
             "sum": row.get(f"{name}_sum"),
             "avg": row.get(f"{name}_avg"),
         }
+    if kind == "extended_stats":
+        return _extended_stats_value(row, name, spec)
     if kind == "percentiles":
         pcts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
         return {
@@ -408,7 +564,24 @@ def _nest_bucket_rows(rows: list[dict], chain: list[_Level], depth: int) -> list
         grp = groups[k]
         if k is None:
             continue  # null deeper key: counted upstream, no bucket
-        b = {"key": k, "doc_count": grp[0][dc_col]}
+        if lvl.kind == "date_histogram" and hasattr(k, "timestamp"):
+            # reference wire shape: key = epoch millis, key_as_string =
+            # Rfc3339 (aggregation.md response example). PySpark's
+            # collect() yields naive datetimes in the DRIVER's OS-local
+            # timezone (TimestampType.fromInternal), so timestamp() —
+            # which interprets naive as local — inverts it exactly;
+            # forcing UTC here would shift keys on non-UTC drivers.
+            import datetime as _dt
+
+            epoch_ms = int(k.timestamp() * 1000)
+            utc = _dt.datetime.fromtimestamp(epoch_ms / 1000, tz=_dt.timezone.utc)
+            b = {
+                "key": epoch_ms,
+                "key_as_string": utc.isoformat().replace("+00:00", "Z"),
+                "doc_count": grp[0][dc_col],
+            }
+        else:
+            b = {"key": k, "doc_count": grp[0][dc_col]}
         for mname, (mkind, mspec) in lvl.metrics.items():
             b[mname] = _metric_value(grp[0], mname, mkind, mspec)
         if depth + 1 < len(chain):
@@ -430,6 +603,8 @@ def shape_es_agg(clause: dict, df: DataFrame) -> dict:
             return {
                 k: row.get(f"value_{k}") for k in ("count", "min", "max", "sum", "avg")
             }
+        if kind == "extended_stats":
+            return _extended_stats_value(row, "value", spec)
         if kind == "percentiles":
             pcts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
             return {

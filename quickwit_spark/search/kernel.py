@@ -226,7 +226,7 @@ def _term_scores(ctx: _Ctx, field: str, term: str, boost: float):
     docids, tfs, _, _ = entry
     n, avgdl = ctx.field_stats(field)
     df = ctx.doc_freq(field, term, len(docids))
-    w = bm25_weight(df, n, boost, ctx.dtype)
+    w = bm25_weight(df, n, boost, ctx.dtype, k1=ctx.k1)
     dl = ctx.doc_lens(field)[docids]
     tc = _tf_comp(ctx, tfs, dl, avgdl)
     return docids, (w * tc).astype(ctx.dtype)
@@ -416,7 +416,7 @@ def _eval_phrase(ctx: _Ctx, node, boost: float):
         docids, tfs, _ = last_entries[0]
         n, avgdl = ctx.field_stats(node.field)
         df = ctx.doc_freq(node.field, last_pairs[0][0], len(docids))
-        w = bm25_weight(df, n, boost, ctx.dtype)
+        w = bm25_weight(df, n, boost, ctx.dtype, k1=ctx.k1)
         dl = ctx.doc_lens(node.field)[docids]
         scores = np.zeros(N, ctx.dtype)
         scores[docids] = w * _tf_comp(ctx, tfs, dl, avgdl)
@@ -468,7 +468,7 @@ def _eval_phrase(ctx: _Ctx, node, boost: float):
             df = min(dfs) if dfs else len(docids)
         else:
             df = len(docids)
-        w = bm25_weight(df, n, boost, ctx.dtype)
+        w = bm25_weight(df, n, boost, ctx.dtype, k1=ctx.k1)
         dl = ctx.doc_lens(node.field)[docids]
         mask[docids] = True
         scores[docids] = w * _tf_comp(ctx, counts[hit], dl, avgdl)
@@ -531,7 +531,7 @@ def _wand_candidates(ctx: _Ctx, terms, k: int):
             continue
         docids, tfs, block_last, block_max = entry
         n, _ = ctx.field_stats(f)
-        w = bm25_weight(len(docids), n, 1.0, np.float32)
+        w = bm25_weight(len(docids), n, 1.0, np.float32, k1=ctx.k1)
         per_term.append((f, t, docids, w))
         # block bound per posting: expand block_max to posting granularity
         nb = len(block_max)

@@ -50,6 +50,7 @@ class ScrollContext:
         self._cache: list = []
         self._served = 0  # global rank offset already handed out
         self._cursor = None
+        self._served_cursor = None  # cursor of the last SERVED hit
         self._exhausted = False
 
     # ------------------------------------------------------------ fetching
@@ -141,7 +142,7 @@ class ScrollContext:
             "descending": self.descending,
             "batch_len": self.batch_len,
             "served": self._served,
-            "served_cursor": getattr(self, "_served_cursor", None),
+            "served_cursor": self._served_cursor,
         }
 
     def save(self, path: str | None = None) -> str:
@@ -177,6 +178,11 @@ class ScrollContext:
         ctx._served = state["served"]
         sc = state["served_cursor"]
         ctx._cursor = tuple(sc) if sc is not None else None
+        # a resumed-then-saved context must re-serialize the same
+        # resume point — without this, save() before the next page
+        # would write served_cursor=null and a later resume restarts
+        # the scroll while keeping the old rank offset
+        ctx._served_cursor = ctx._cursor
         _REGISTRY[ctx.scroll_id] = ctx
         return ctx
 

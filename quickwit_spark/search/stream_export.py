@@ -95,6 +95,16 @@ def rowbinary_chunks(
                 has_str = False
                 for c, t in col_types:
                     a = batch.column(c).slice(lo, n)
+                    if t != "string" and a.null_count:
+                        # non-Nullable RowBinary has no null marker —
+                        # NaN→astype(int) would silently emit
+                        # INT64_MIN garbage (ClickHouse would read it
+                        # as a real value)
+                        raise ValueError(
+                            f"RowBinary export: column {c!r} contains "
+                            "NULLs; filter them or export a coalesced "
+                            "column"
+                        )
                     if t == "string":
                         has_str = True
                         arrays[c] = a.to_pylist()

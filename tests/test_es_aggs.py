@@ -366,3 +366,137 @@ def test_es_response_envelope(searcher):
     assert 1 <= len(b0["by_src"]["buckets"]) <= 2
     st = resp["aggregations"]["len_stats"]
     assert st["count"] > 0 and st["min"] <= st["avg"] <= st["max"]
+
+
+def test_extended_stats(fast):
+    import math
+
+    from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
+
+    clause = {"extended_stats": {"field": "n_chars", "sigma": 3.0}}
+    df = run_es_aggs(fast, {"x": clause})["x"]
+    row = df.collect()[0].asDict()
+    vals = [r["n_chars"] for r in fast.select("n_chars").collect()]
+    n = len(vals)
+    mean = sum(vals) / n
+    var_pop = sum((v - mean) ** 2 for v in vals) / n
+    assert row["value_count"] == n
+    assert abs(row["value_avg"] - mean) < 1e-6
+    assert abs(row["value_sum_of_squares"] - sum(v * v for v in vals)) < 1e-3
+    assert abs(row["value_variance"] - var_pop) < 1e-4
+    assert abs(row["value_variance_sampling"] - var_pop * n / (n - 1)) < 1e-4
+    assert abs(row["value_std_deviation"] - math.sqrt(var_pop)) < 1e-6
+    # wire shape: bounds at avg ± 3σ, population/sampling variants
+    shaped = shape_es_agg(clause, df)
+    b = shaped["std_deviation_bounds"]
+    assert abs(b["upper"] - (mean + 3 * math.sqrt(var_pop))) < 1e-6
+    assert b["upper"] == b["upper_population"]
+    assert b["upper_sampling"] > b["upper"]  # sampling σ is larger
+    assert shaped["variance_population"] == shaped["variance"]
+
+
+def test_terms_order(fast):
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    # _key asc
+    r = run_es_aggs(
+        fast, {"t": {"terms": {"field": "lang", "size": 5,
+                                "order": {"_key": "asc"}}}}
+    )["t"].toPandas()
+    assert list(r["key"]) == sorted(r["key"])
+    # _count asc = rarest first
+    r2 = run_es_aggs(
+        fast, {"t": {"terms": {"field": "lang", "size": 5,
+                                 "order": {"_count": "asc"}}}}
+    )["t"].toPandas()
+    assert list(r2["doc_count"]) == sorted(r2["doc_count"])
+    # order by a metric sub-agg
+    r3 = run_es_aggs(
+        fast,
+        {"t": {"terms": {"field": "lang", "size": 5,
+                          "order": {"mean_len": "desc"}},
+               "aggs": {"mean_len": {"avg": {"field": "n_chars"}}}}},
+    )["t"].toPandas()
+    assert list(r3["mean_len"]) == sorted(r3["mean_len"], reverse=True)
+    # multi-value metric addressed as name.sub
+    r4 = run_es_aggs(
+        fast,
+        {"t": {"terms": {"field": "lang", "size": 5,
+                          "order": {"ls.avg": "asc"}},
+               "aggs": {"ls": {"stats": {"field": "n_chars"}}}}},
+    )["t"].toPandas()
+    assert list(r4["ls_avg"]) == sorted(r4["ls_avg"])
+
+
+def test_histogram_hard_bounds_and_metric_missing(fast):
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    r = run_es_aggs(
+        fast,
+        {"h": {"histogram": {"field": "n_chars", "interval": 100.0,
+                              "hard_bounds": {"min": 100, "max": 299}}}},
+    )["h"].toPandas()
+    assert set(r["key"]) <= {100.0, 200.0}
+    n_in = fast.filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 299)).count()
+    assert int(r["doc_count"].sum()) == n_in
+    # metric `missing`: nulls count as the substitute value
+    with_null = fast.withColumn(
+        "len2", F.when(F.col("site") == "0", None).otherwise(F.col("n_chars"))
+    )
+    row = run_es_aggs(
+        with_null, {"m": {"avg": {"field": "len2", "missing": 0}}}
+    )["m"].collect()[0]
+    n = with_null.count()
+    s = with_null.agg(F.sum("len2")).collect()[0][0]
+    assert abs(row["value"] - s / n) < 1e-6
+
+
+def test_date_histogram_fixed_interval(fast):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.search.es_aggs import (
+        _fixed_interval_ms,
+        run_es_aggs,
+        shape_es_agg,
+    )
+
+    assert _fixed_interval_ms("30d") == 30 * 86_400_000
+    assert _fixed_interval_ms("90m") == 90 * 60_000
+    assert _fixed_interval_ms("-4d") == -4 * 86_400_000
+    assert _fixed_interval_ms("1000ms") == 1000
+    with pytest.raises(ValueError):
+        _fixed_interval_ms("1.5h")
+
+    clause = {"date_histogram": {"field": "warc_ts", "fixed_interval": "7d"}}
+    r = run_es_aggs(fast, {"d": clause})["d"]
+    rows = r.collect()
+    # keys sit on the 7-day epoch grid and partition all docs
+    for row in rows:
+        ms = int(row["key"].timestamp() * 1000)
+        assert ms % (7 * 86_400_000) == 0
+    assert sum(x["doc_count"] for x in rows) == fast.count()
+    # wire shape: epoch-ms key + Rfc3339 key_as_string
+    shaped = shape_es_agg(clause, r)
+    b0 = shaped["buckets"][0]
+    assert isinstance(b0["key"], int) and b0["key_as_string"].endswith("Z")
+    # hard_bounds clips VALUES by epoch-ms closed interval: min at the
+    # second bucket's left edge empties the first bucket
+    lo = min(x["key"] for x in shaped["buckets"])
+    clause2 = {"date_histogram": {"field": "warc_ts", "fixed_interval": "7d",
+                                   "hard_bounds": {"min": lo + 7 * 86_400_000,
+                                                    "max": 2**62}}}
+    r2 = run_es_aggs(fast, {"d": clause2})["d"].collect()
+    keys2 = {int(x["key"].timestamp() * 1000)
+             for x in r2}
+    assert lo not in keys2 and len(keys2) == len(rows) - 1
+    # offset shifts the grid
+    clause3 = {"date_histogram": {"field": "warc_ts", "fixed_interval": "7d",
+                                   "offset": "1d"}}
+    r3 = run_es_aggs(fast, {"d": clause3})["d"].collect()
+    for row in r3:
+        ms = int(row["key"].timestamp() * 1000)
+        assert ms % (7 * 86_400_000) == 86_400_000
