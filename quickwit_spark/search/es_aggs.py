@@ -23,9 +23,11 @@ Terms options: `size`, `min_doc_count`, `missing`, `order` (one of
 multi-value metrics — the reference's one-property limitation),
 `show_term_doc_count_error` (adds doc_count_error_upper_bound — always
 0 here: buckets are computed by exact global aggregation, not per-shard
-truncation — and sum_other_doc_count). Histogram options: `interval`,
-`offset`, `min_doc_count`, `extended_bounds` (skeleton of empty
-buckets), `hard_bounds` (closed-interval value clip). Metrics: avg /
+truncation — and sum_other_doc_count). Histogram + date_histogram
+options: `interval`/`fixed_interval`, `offset`, `min_doc_count`,
+`extended_bounds` (skeleton of empty buckets — extends, never filters),
+`hard_bounds` (closed-interval value clip), `keyed` wire shape (also on
+range, whose buckets carry from/to edges). Metrics: avg /
 min / max / sum / value_count / stats / extended_stats (sum_of_squares,
 population+sampling variance and std_deviation, sigma-scaled
 std_deviation_bounds) / percentiles (approx by default, `exact: true`
@@ -297,17 +299,32 @@ def _level_metric_cols(level: _Level) -> list[Column]:
     return out
 
 
-def _histogram_skeleton(df: DataFrame, spec: dict, alias: str) -> DataFrame | None:
+def _histogram_skeleton(
+    df: DataFrame, kind: str, spec: dict, alias: str
+) -> DataFrame | None:
     """extended_bounds: the full bucket skeleton [min, max] so empty
     buckets surface with doc_count 0 (ES histogram min_doc_count=0 +
-    extended_bounds semantics)."""
+    extended_bounds semantics). For date_histogram the bounds are
+    epoch-ms timestamps on the fixed_interval grid (aggregation.md
+    "Same as in Histogram but ... milliseconds precision"). The
+    skeleton only EXTENDS the result — data buckets outside it are
+    kept (ES: "extended_bounds is not filtering buckets")."""
     eb = spec.get("extended_bounds")
     if not eb:
         return None
-    interval = float(spec["interval"])
-    offset = float(spec.get("offset", 0.0))
     import math
 
+    if kind == "date_histogram":
+        ms = _fixed_interval_ms(spec.get("fixed_interval", "1d"))
+        off = _fixed_interval_ms(spec["offset"]) if spec.get("offset") else 0
+        lo = (int(eb["min"]) - off) // ms * ms + off
+        hi = (int(eb["max"]) - off) // ms * ms + off
+        n = (hi - lo) // ms + 1
+        return df.sparkSession.range(n).select(
+            F.timestamp_millis(F.col("id") * ms + lo).alias(alias)
+        )
+    interval = float(spec["interval"])
+    offset = float(spec.get("offset", 0.0))
     lo = math.floor((float(eb["min"]) - offset) / interval) * interval + offset
     hi = math.floor((float(eb["max"]) - offset) / interval) * interval + offset
     n = int(round((hi - lo) / interval)) + 1
@@ -455,12 +472,13 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
             .filter(F.col("key").isNotNull())
         )
         mdc = int(spec.get("min_doc_count", 1 if not spec.get("extended_bounds") else 0))
-        skeleton = (
-            _histogram_skeleton(df, spec, "key") if kind == "histogram" else None
-        )
+        skeleton = _histogram_skeleton(df, kind, spec, "key")
         if skeleton is not None:
+            # FULL join: the skeleton adds empty buckets but must not
+            # drop data buckets outside [min, max] — extended_bounds
+            # extends, it never filters (use hard_bounds to clip)
             grouped = (
-                skeleton.join(grouped, "key", "left")
+                skeleton.join(grouped, "key", "full")
                 .withColumn("doc_count", F.coalesce(F.col("doc_count"), F.lit(0)))
             )
         if mdc > 0:
@@ -580,6 +598,19 @@ def _nest_bucket_rows(rows: list[dict], chain: list[_Level], depth: int) -> list
                 "key_as_string": utc.isoformat().replace("+00:00", "Z"),
                 "doc_count": grp[0][dc_col],
             }
+        elif lvl.kind == "range":
+            # reference range buckets carry their from/to edges in the
+            # response (aggregation.md Range response example)
+            b = {"key": k, "doc_count": grp[0][dc_col]}
+            edges = {
+                label: (r.get("from"), r.get("to"))
+                for r, label in zip(lvl.spec["ranges"], _range_labels(lvl.spec))
+            }
+            lo, hi = edges.get(k, (None, None))
+            if lo is not None:
+                b["from"] = float(lo)
+            if hi is not None:
+                b["to"] = float(hi)
         else:
             b = {"key": k, "doc_count": grp[0][dc_col]}
         for mname, (mkind, mspec) in lvl.metrics.items():
@@ -615,7 +646,17 @@ def shape_es_agg(clause: dict, df: DataFrame) -> dict:
             }
         return {"value": row.get("value")}
     chain = _parse_chain("", clause)
-    shaped: dict = {"buckets": _nest_bucket_rows(rows, chain, 0)}
+    buckets = _nest_bucket_rows(rows, chain, 0)
+    if spec.get("keyed") and kind in ("histogram", "date_histogram", "range"):
+        # keyed response format (aggregation.md): array → hashmap with
+        # the bucket key (key_as_string for date buckets) as map key
+        shaped = {
+            "buckets": {
+                str(b.get("key_as_string", b["key"])): b for b in buckets
+            }
+        }
+    else:
+        shaped = {"buckets": buckets}
     if kind == "terms" and spec.get("show_term_doc_count_error") and rows:
         shaped["doc_count_error_upper_bound"] = rows[0].get(
             "doc_count_error_upper_bound", 0

@@ -500,3 +500,85 @@ def test_date_histogram_fixed_interval(fast):
     for row in r3:
         ms = int(row["key"].timestamp() * 1000)
         assert ms % (7 * 86_400_000) == 86_400_000
+
+def test_extended_bounds_extends_never_filters(fast):
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    lo = fast.agg(F.min("n_chars")).collect()[0][0]
+    hi = fast.agg(F.max("n_chars")).collect()[0][0]
+    # bounds strictly inside the data range: data buckets beyond them
+    # must survive, and empty in-range buckets must appear
+    r = run_es_aggs(
+        fast,
+        {"h": {"histogram": {"field": "n_chars", "interval": 50.0,
+                              "extended_bounds": {"min": lo + 100,
+                                                   "max": lo + 200}}}},
+    )["h"].toPandas()
+    assert r["key"].max() >= (hi // 50) * 50  # outside-bounds data kept
+    assert int(r["doc_count"].sum()) == fast.count()
+    keys = list(r["key"])
+    assert keys == sorted(keys)
+    # bounds beyond the data range: zero-count skeleton buckets appear
+    r2 = run_es_aggs(
+        fast,
+        {"h": {"histogram": {"field": "n_chars", "interval": 50.0,
+                              "extended_bounds": {"min": hi + 100,
+                                                   "max": hi + 200}}}},
+    )["h"].toPandas()
+    empt = r2[r2["key"] > hi]
+    assert len(empt) >= 2 and empt["doc_count"].sum() == 0
+
+
+def test_date_histogram_extended_bounds_and_keyed(fast):
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
+
+    mx = fast.agg(F.max(F.unix_millis(F.col("warc_ts").cast("timestamp")))).collect()[0][0]
+    day = 86_400_000
+    clause = {
+        "date_histogram": {
+            "field": "warc_ts",
+            "fixed_interval": "1d",
+            "keyed": True,
+            "extended_bounds": {"min": mx + day, "max": mx + 3 * day},
+        }
+    }
+    df = run_es_aggs(fast, {"d": clause})["d"]
+    pdf = df.toPandas()
+    assert int(pdf["doc_count"].sum()) == fast.count()  # data buckets kept
+    assert (pdf["doc_count"] == 0).sum() >= 3  # skeleton days past max
+    shaped = shape_es_agg(clause, df)
+    assert isinstance(shaped["buckets"], dict)  # keyed = hashmap shape
+    some_key = next(iter(shaped["buckets"]))
+    assert some_key.endswith("Z")  # date buckets keyed by key_as_string
+    assert shaped["buckets"][some_key]["key"] % day == 0
+
+
+def test_range_wire_shape_from_to_and_keyed(fast):
+    from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
+
+    clause = {
+        "range": {
+            "field": "n_chars",
+            "keyed": True,
+            "ranges": [
+                {"to": 200.0, "key": "low"},
+                {"from": 200.0, "to": 400.0},
+                {"from": 400.0, "key": "high"},
+            ],
+        }
+    }
+    df = run_es_aggs(fast, {"r": clause})["r"]
+    shaped = shape_es_agg(clause, df)
+    b = shaped["buckets"]
+    assert set(b) <= {"low", "200.0-400.0", "high"}
+    assert "to" in b["low"] and "from" not in b["low"]
+    assert b["200.0-400.0"]["from"] == 200.0 and b["200.0-400.0"]["to"] == 400.0
+    assert b["high"]["from"] == 400.0 and "to" not in b["high"]
+    # un-keyed: a list in declared range order
+    clause2 = {k: dict(v, keyed=False) for k, v in clause.items()}
+    shaped2 = shape_es_agg(clause2, run_es_aggs(fast, {"r": clause2})["r"])
+    assert [x["key"] for x in shaped2["buckets"]] == ["low", "200.0-400.0", "high"]
