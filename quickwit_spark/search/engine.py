@@ -664,6 +664,7 @@ class IndexSearcher:
         fetch: list[str] | None = None,
         tie_by_key: bool = False,
         search_after: tuple | None = None,
+        _resolved: tuple | None = None,
     ) -> DataFrame:
         """Top-k by a fast (docmap) column instead of BM25.
 
@@ -698,12 +699,18 @@ class IndexSearcher:
             raise ValueError("at most 2 sort keys (reference collector limit)")
         sort_cols = [f for f, _ in specs]
         out_aliases = ["sort_value", "sort_value2"][: len(specs)]
-        ast, fast_filter, seg_ids = self._resolve(query, time_range)
+        # fetch columns keep their OWN names even when they are also a
+        # sort key (the sort key additionally appears as sort_value*) —
+        # an ES `_source` listing a sort field must not read back null
+        fetch_cols = list(dict.fromkeys(c for c in (fetch or []) if c != "doc_key"))
+        ast, fast_filter, seg_ids = (
+            _resolved if _resolved is not None else self._resolve(query, time_range)
+        )
         m = self._matches(ast, seg_ids, None, "parity", fast_filter, use_wand=False)
         docs = self.docs().select(
             "segment_id", "doc_id", "doc_key",
             *[F.col(f).alias(a) for (f, _), a in zip(specs, out_aliases)],
-            *(c for c in (fetch or []) if c not in sort_cols),
+            *fetch_cols,
         )
         hits = docs.join(m.select("segment_id", "doc_id"), ["segment_id", "doc_id"])
         if search_after is not None:
@@ -749,7 +756,7 @@ class IndexSearcher:
         w = Window.orderBy(*order)
         return hits.select(
             "doc_key", *out_aliases, F.row_number().over(w).alias("rank"),
-            *(c for c in (fetch or []) if c not in sort_cols),
+            *fetch_cols,
         )
 
     def search(
@@ -1041,8 +1048,14 @@ class IndexSearcher:
         # persist: the kernel runs once, serving both the θ probe and
         # the final assembly (which must union the FULL phase-1 match
         # set — truncating to the k collected rows here would let a
-        # θ-tied doc with the winning doc_key tie-break vanish)
-        m1 = self._matches(ast, phase1, k, mode, fast_filter).persist()
+        # θ-tied doc with the winning doc_key tie-break vanish).
+        # One cached phase-1 frame per searcher: the previous call's is
+        # released here so repeated early-terminated queries don't
+        # accumulate executor cache blocks.
+        prev = getattr(self, "_early_m1", None)
+        if prev is not None:
+            prev.unpersist()
+        self._early_m1 = m1 = self._matches(ast, phase1, k, mode, fast_filter).persist()
         w1 = m1.orderBy(F.col("score").desc()).limit(k).collect()
         theta = min((r["score"] for r in w1), default=None) if len(w1) >= k else None
         if theta is None or theta <= 0.0:
@@ -1237,6 +1250,7 @@ class IndexSearcher:
                 tie_by_key=True,
                 search_after=tuple(sa) if sa else None,
                 fetch=fetch,
+                _resolved=resolved,
             )
         elif size > 0:
             sa = body.get("search_after")
@@ -1330,10 +1344,24 @@ class IndexSearcher:
 
     @staticmethod
     def _is_score_sort(sort_spec) -> bool:
-        first = sort_spec[0] if isinstance(sort_spec, list) else sort_spec
-        if isinstance(first, str):
-            return first == "_score"
-        return isinstance(first, dict) and "_score" in first
+        """True iff the body sorts by BM25. `_score` mixed with field
+        keys is rejected explicitly: silently dropping the other key
+        (either direction) would return differently-ordered hits than
+        ES with no error."""
+        entries = sort_spec if isinstance(sort_spec, list) else [sort_spec]
+
+        def _has_score(e):
+            return e == "_score" if isinstance(e, str) else (
+                isinstance(e, dict) and "_score" in e
+            )
+
+        flags = [_has_score(e) for e in entries]
+        if any(flags) and len(entries) > 1:
+            raise NotImplementedError(
+                "sort mixing _score with field keys is not supported; "
+                "sort by _score alone or by up to two fast fields"
+            )
+        return flags[0]
 
     @staticmethod
     def _parse_es_sort(sort_spec) -> list[tuple]:

@@ -106,7 +106,9 @@ def _metric_cols(kind: str, spec: dict, name: str) -> list[Column]:
         # oracle comparison (mirrors `cardinality`'s design)
         pcts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
         if spec.get("exact"):
-            mk = lambda p: F.expr(f"percentile({spec['field']}, {p / 100.0})")  # noqa: E731
+            # F.percentile on the same coalesced column as the approx
+            # path so `missing` behaves identically in both modes
+            mk = lambda p: F.percentile(c, F.lit(p / 100.0))  # noqa: E731
         else:
             acc = int(spec.get("accuracy", 10000))
             mk = lambda p: F.percentile_approx(c, p / 100.0, acc)  # noqa: E731
@@ -336,6 +338,29 @@ def _histogram_skeleton(
 def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
     """Lower a bucket chain: one groupBy per level (its doc_count +
     metrics), terms truncation per level, assembly by key-prefix joins."""
+    # name-collision + unsupported-option validation up front: metric
+    # aliases and key/doc_count columns share one flat namespace across
+    # levels, so a reused sub-agg name would produce duplicate columns
+    # and an AMBIGUOUS_REFERENCE crash at join time — reject it with an
+    # actionable message instead.
+    seen: set[str] = set()
+    for i, lvl in enumerate(chain):
+        if lvl.spec.get("extended_bounds"):
+            raise NotImplementedError(
+                "extended_bounds inside a nested aggregation chain is not "
+                "supported (empty skeleton buckets would need per-parent "
+                "expansion); use it on a top-level histogram"
+            )
+        names = [f"{lvl.name}_key", f"{lvl.name}_doc_count"] if i else []
+        for mname, (mkind, _) in lvl.metrics.items():
+            names.append(mname)
+        for nm in names:
+            if nm in seen:
+                raise ValueError(
+                    f"aggregation name {nm!r} is reused across nesting levels; "
+                    "rename one (result columns share a flat namespace)"
+                )
+            seen.add(nm)
     key_aliases = []
     dfk = df
     for i, lvl in enumerate(chain):
@@ -350,6 +375,13 @@ def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
         li = dfk.groupBy(*key_aliases[: i + 1]).agg(
             F.count(F.lit(1)).alias(dc_alias), *_level_metric_cols(lvl)
         )
+        if i > 0:
+            # docs with a NULL key at this level (missing field /
+            # hard_bounds clip) belong to no bucket: drop the group
+            # BEFORE terms ranking so it cannot consume a `size` slot
+            # and evict a real bucket. Parents whose children all
+            # vanish here are restored by the LEFT join below.
+            li = li.filter(F.col(key_aliases[i]).isNotNull())
         mdc = int(lvl.spec.get("min_doc_count", 1)) if lvl.kind == "terms" else int(
             lvl.spec.get("min_doc_count", 0)
         )

@@ -131,18 +131,20 @@ class ScrollContext:
         from quickwit_spark.query.ast import QueryAst, ast_to_json
 
         q = self.query
+        sc = self._served_cursor
+        tr = self.time_range
         return {
             "scroll_id": self.scroll_id,
             "query": ast_to_json(q) if isinstance(q, QueryAst) else q,
             "page_size": self.page_size,
             "mode": self.mode,
-            "time_range": self.time_range,
+            "time_range": [_enc_val(v) for v in tr] if tr is not None else None,
             "fetch": self.fetch,
             "sort_field": self.sort_field,
             "descending": self.descending,
             "batch_len": self.batch_len,
             "served": self._served,
-            "served_cursor": self._served_cursor,
+            "served_cursor": [_enc_val(v) for v in sc] if sc is not None else None,
         }
 
     def save(self, path: str | None = None) -> str:
@@ -163,12 +165,13 @@ class ScrollContext:
         q = state["query"]
         if isinstance(q, dict):
             q = ast_from_json(q)
+        tr = state["time_range"]
         ctx = ScrollContext(
             searcher,
             q,
             page_size=state["page_size"],
             mode=state["mode"],
-            time_range=state["time_range"],
+            time_range=tuple(_dec_val(v) for v in tr) if tr is not None else None,
             fetch=state["fetch"],
             sort_field=state["sort_field"],
             descending=state["descending"],
@@ -177,7 +180,7 @@ class ScrollContext:
         ctx.scroll_id = state["scroll_id"]
         ctx._served = state["served"]
         sc = state["served_cursor"]
-        ctx._cursor = tuple(sc) if sc is not None else None
+        ctx._cursor = tuple(_dec_val(v) for v in sc) if sc is not None else None
         # a resumed-then-saved context must re-serialize the same
         # resume point — without this, save() before the next page
         # would write served_cursor=null and a later resume restarts
@@ -185,6 +188,37 @@ class ScrollContext:
         ctx._served_cursor = ctx._cursor
         _REGISTRY[ctx.scroll_id] = ctx
         return ctx
+
+
+def _enc_val(v):
+    """JSON-encode one cursor / time-range value: timestamps and
+    decimals (u64-mapped fields) round-trip through tagged wrappers —
+    a plain json.dump would raise on exactly the time-ordered scans
+    durable scroll targets."""
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return {"$dt": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"$date": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"$dec": str(v)}
+    return v
+
+
+def _dec_val(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, dict):
+        if "$dt" in v:
+            return datetime.datetime.fromisoformat(v["$dt"])
+        if "$date" in v:
+            return datetime.date.fromisoformat(v["$date"])
+        if "$dec" in v:
+            return decimal.Decimal(v["$dec"])
+    return v
 
 
 # process-local scroll registry (the reference's cluster KV analog)

@@ -95,11 +95,12 @@ def rowbinary_chunks(
                 has_str = False
                 for c, t in col_types:
                     a = batch.column(c).slice(lo, n)
-                    if t != "string" and a.null_count:
+                    if a.null_count:
                         # non-Nullable RowBinary has no null marker —
-                        # NaN→astype(int) would silently emit
-                        # INT64_MIN garbage (ClickHouse would read it
-                        # as a real value)
+                        # a numeric NaN→astype(int) would silently emit
+                        # INT64_MIN garbage and a null string would
+                        # become '' (indistinguishable from a real
+                        # empty string), so refuse both
                         raise ValueError(
                             f"RowBinary export: column {c!r} contains "
                             "NULLs; filter them or export a coalesced "

@@ -582,3 +582,93 @@ def test_range_wire_shape_from_to_and_keyed(fast):
     clause2 = {k: dict(v, keyed=False) for k, v in clause.items()}
     shaped2 = shape_es_agg(clause2, run_es_aggs(fast, {"r": clause2})["r"])
     assert [x["key"] for x in shaped2["buckets"]] == ["low", "200.0-400.0", "high"]
+
+
+def test_nested_null_key_never_consumes_size_slot(fast):
+    """Docs whose child-level key is NULL must not occupy one of the
+    child terms agg's `size` slots (they belong to no bucket)."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    # site3: NULL for half the docs (the most common 'value'), else 0/1/2
+    with_null = fast.withColumn(
+        "site3", F.when(F.col("doc_id") % 2 == 0, F.col("site"))
+    )
+    r = run_es_aggs(
+        with_null,
+        {"t": {"terms": {"field": "lang", "size": 3},
+               "aggs": {"b": {"terms": {"field": "site3", "size": 2}}}}},
+    )["t"].toPandas()
+    # every lang bucket gets its 2 REAL site buckets — NULL took no slot
+    per_parent = r.dropna(subset=["b_key"]).groupby("key")["b_key"].nunique()
+    assert (per_parent == 2).all()
+
+
+def test_duplicate_agg_name_rejected(fast):
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    with pytest.raises(ValueError, match="reused"):
+        run_es_aggs(
+            fast,
+            {"t": {"terms": {"field": "lang"},
+                   "aggs": {"m": {"avg": {"field": "n_chars"}},
+                            "b": {"terms": {"field": "site"},
+                                  "aggs": {"m": {"sum": {"field": "n_chars"}}}}}}},
+        )["t"].collect()
+
+
+def test_chain_extended_bounds_rejected(fast):
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    with pytest.raises(NotImplementedError, match="extended_bounds"):
+        run_es_aggs(
+            fast,
+            {"h": {"histogram": {"field": "n_chars", "interval": 100.0,
+                                  "extended_bounds": {"min": 0, "max": 500}},
+                   "aggs": {"b": {"terms": {"field": "lang"}}}}},
+        )["h"].collect()
+
+
+def test_exact_percentiles_honor_missing(fast):
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    with_null = fast.withColumn(
+        "len2", F.when(F.col("site") == "0", None).otherwise(F.col("n_chars"))
+    )
+    spec = {"field": "len2", "missing": 0, "percents": [50]}
+    exact = run_es_aggs(
+        with_null, {"p": {"percentiles": dict(spec, exact=True)}}
+    )["p"].collect()[0]["value_p50"]
+    approx = run_es_aggs(
+        with_null, {"p": {"percentiles": spec}}
+    )["p"].collect()[0]["value_p50"]
+    # both modes substitute 0 for NULLs: the median shifts well below
+    # the NULL-excluding median and the two modes agree closely
+    no_missing = run_es_aggs(
+        with_null, {"p": {"percentiles": {"field": "len2", "percents": [50],
+                                            "exact": True}}}
+    )["p"].collect()[0]["value_p50"]
+    assert exact < no_missing
+    assert abs(exact - approx) <= max(2.0, 0.02 * no_missing)
+
+
+def test_es_sort_field_in_source_and_mixed_score_rejected(searcher):
+    body = {
+        "query": {"match_all": {}},
+        "size": 5,
+        "sort": [{"n_chars": "desc"}],
+        "_source": ["n_chars"],
+    }
+    resp = searcher.es_search_response(body)
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 5
+    vals = [h["_source"]["n_chars"] for h in hits]
+    assert all(v is not None for v in vals)
+    assert vals == sorted(vals, reverse=True)
+    with pytest.raises(NotImplementedError, match="_score"):
+        searcher.es_search({"query": {"match": {"text": "spark"}},
+                             "sort": [{"n_chars": "desc"}, "_score"],
+                             "size": 3})

@@ -113,3 +113,25 @@ def test_scroll_durable_resume(searcher):
     assert not os.path.exists(fp)
     with pytest.raises(KeyError):
         sc.fetch_scroll(sid, searcher)
+
+
+def test_durable_state_round_trips_datetime_cursor(searcher, tmp_path):
+    """A timestamp-sorted scroll's served cursor (datetime) and a
+    datetime time_range must survive json save/resume — plain
+    json.dump raises on datetime."""
+    import datetime as dt
+    import json
+
+    from quickwit_spark.search.scroll import ScrollContext
+
+    ctx = searcher.scroll("spark", page_size=3, sort_field="n_chars")
+    assert ctx.next_page()
+    when = dt.datetime(2024, 1, 2, 3, 4, 5)
+    ctx._served_cursor = (when, "doc-9")
+    ctx.time_range = (when, when + dt.timedelta(days=1))
+    fp = ctx.save(str(tmp_path))
+    state = json.load(open(fp))  # must be valid JSON on disk
+    ctx2 = ScrollContext.resume(searcher, state)
+    assert ctx2._cursor == (when, "doc-9")
+    assert ctx2.time_range == (when, when + dt.timedelta(days=1))
+    assert ctx2._served == ctx._served
