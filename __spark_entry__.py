@@ -27,11 +27,13 @@ from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
 from quickwit_spark.query.ast import (
     Bool,
     Boost,
+    Exists,
     FullText,
     MatchAll,
     Phrase,
     PhrasePrefix,
     Range,
+    Regex,
     Term,
     Wildcard,
 )
@@ -82,6 +84,11 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             F.col("lang"), F.concat(F.lit("src-"), F.col("source"))
         ).alias("tags"),
+        # OPTIONAL field, absent (NULL) for 3/5 of docs — the Exists
+        # query's subject; presence ≡ doc_id % 5 < 2 (SQL-mirrorable)
+        F.when(
+            F.col("doc_id") % 5 < 2, F.concat(F.lit("note "), F.col("lang"))
+        ).alias("alt_title"),
     )
     mapping = DocMapping(
         fields=[
@@ -93,6 +100,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             TypedField("n_chars", "long"),
             TypedField("ip", "ip"),  # → canonical ::ffff:… + ip_key hex
             TypedField("tags", "text", array=True),
+            TypedField("alt_title"),
         ],
         mode="strict",
         exclude=("doc_id",),
@@ -118,15 +126,16 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     key = os.path.abspath(sf_dir)
     if key in _searchers:
         return _searchers[key]
-    # _v5: typed-mapper corpus (ip/ip_key + multivalued tags) — the
+    # _v6: + optional alt_title field (Exists-query subject) — the
     # suffix invalidates caches built under the older schema
-    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_v5")
+    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_v6")
     cfg = IndexConfig(
         fields=[
             FieldConfig("text", record="position"),
             FieldConfig("lang", tokenizer="raw"),
             FieldConfig("all", sources=("text", "lang")),
             FieldConfig("tags", tokenizer="raw"),  # multivalued keyword
+            FieldConfig("alt_title"),  # optional: 3/5 of docs lack it
         ],
         doc_key="doc_id",
         num_partitions=4,
@@ -431,6 +440,68 @@ def _q_wildcard(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), Wildcard("text", "qu*"))
 
 
+def _q_regex(spark, sf_dir):
+    """Regex query (ref `query_ast/regex_query.rs`): anchored full-match
+    expansion against the term dictionary → TermSet OR with per-term
+    idf. `[a-z]*er` has NO literal prefix, exercising the full bounded
+    dictionary scan path (wildcard gate covers the prefix-range path)."""
+    return _topk(_searcher(spark, sf_dir), Regex("text", "[a-z]*er"))
+
+
+def _q_exists_filter(spark, sf_dir):
+    """Exists in FILTER context (non-scoring, like the reference's
+    FieldPresence): BM25 of text:spark restricted to docs that HAVE the
+    optional alt_title field (presence ≡ doc_id % 5 < 2)."""
+    return _topk(
+        _searcher(spark, sf_dir),
+        Bool(must=[Term("text", "spark")], filter=[Exists("alt_title")]),
+    )
+
+
+def _q_es_dsl_bool(spark, sf_dir):
+    """Full ES `_search` body through the DSL translator: match must +
+    term must_not + non-scoring range filter (`query/es_dsl.py`,
+    ref `elasticsearch_api/rest_handler.rs`)."""
+    s = _searcher(spark, sf_dir)
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "spark"}}],
+                "must_not": [{"term": {"text": {"value": "join"}}}],
+                "filter": [{"range": {"n_chars": {"gte": 200}}}],
+            }
+        },
+        "size": 10,
+    }
+    out = s.es_search(body, mode="oracle")["hits"]
+    return out.select(
+        "doc_key",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_scroll_page3(spark, sf_dir):
+    """Scroll contexts (ref `scroll_context.rs`): third page of a
+    field-sorted scroll — ranks continue across pages and the cursor
+    tie-breaks by doc_key following the primary (desc) order."""
+    s = _searcher(spark, sf_dir)
+    ctx = s.scroll(
+        Term("text", "spark"), page_size=10, sort_field="n_chars",
+        batch_len=12,  # < 3 pages: forces ≥2 cursored refetches
+    )
+    page = []
+    for _ in range(3):
+        page = ctx.next_page()
+    return spark.createDataFrame(
+        [
+            (r["doc_key"], int(r["sort_value"]), int(r["rank"]))
+            for r in page
+        ],
+        "doc_key long, sort_value long, rank long",
+    )
+
+
 def _q_query_string(spark, sf_dir):
     """Query-string path end-to-end: field-scoped group syntax parsed
     by the mini-DSL, not a hand-built AST."""
@@ -629,6 +700,43 @@ def _q_agg_nested(spark, sf_dir):
         "by_src_key",
         "by_src_doc_count",
         F.round("avg_n", 6).alias("avg_n"),
+    )
+
+
+def _q_agg_nested3(spark, sf_dir):
+    """THREE nested bucket levels (terms → terms → histogram), the
+    arbitrary-depth lowering: one groupBy per level, winner semi-join /
+    partitioned rank per level, left-join assembly."""
+    s = _searcher(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": {"query": "table"}}},
+        "size": 0,
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 2},
+                "aggs": {
+                    "by_src": {
+                        "terms": {"field": "source", "size": 2},
+                        "aggs": {
+                            "by_len": {
+                                "histogram": {
+                                    "field": "n_chars", "interval": 200.0
+                                }
+                            }
+                        },
+                    }
+                },
+            }
+        },
+    }
+    out = s.es_search(body)["aggregations"]["by_lang"]
+    return out.select(
+        "key",
+        F.col("doc_count").cast("long").alias("doc_count"),
+        "by_src_key",
+        F.col("by_src_doc_count").cast("long").alias("by_src_doc_count"),
+        F.col("by_len_key").cast("double").alias("by_len_key"),
+        F.col("by_len_doc_count").cast("long").alias("by_len_doc_count"),
     )
 
 
@@ -1325,6 +1433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filter_time": _q_filter_time,
         "search_filter_lang": _q_filter_lang,
         "search_wildcard": _q_wildcard,
+        "search_regex": _q_regex,
+        "search_exists_filter": _q_exists_filter,
+        "es_dsl_bool": _q_es_dsl_bool,
+        "scroll_page3": _q_scroll_page3,
         "search_query_string": _q_query_string,
         "search_tag_pruned": _q_tag_pruned,
         "search_snippet": _q_snippet,
@@ -1346,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles_nchars": _q_agg_percentiles,
         "agg_terms_subagg": _q_agg_subagg,
         "agg_nested_two_levels": _q_agg_nested,
+        "agg_nested_three_levels": _q_agg_nested3,
         "agg_extended_stats": _q_agg_extended_stats,
         "agg_terms_order_metric": _q_agg_terms_order,
         "search_sort_by_field": _q_sort_by_field,
@@ -1399,6 +1512,35 @@ def oracle_sql() -> dict[str, str]:
             [("query", 1.0)], must=["query"], filter_sql="lang = 'en'"
         ),
         "search_wildcard": _bm25_sql([], term_pred="term LIKE 'qu%'"),
+        "search_regex": _bm25_sql(
+            [], term_pred="regexp_full_match(term, '[a-z]*er')"
+        ),
+        "search_exists_filter": _bm25_sql(
+            [("spark", 1.0)], must=["spark"], filter_sql="doc_id % 5 < 2"
+        ),
+        "es_dsl_bool": _bm25_sql(
+            [("spark", 1.0)],
+            must=["spark"],
+            must_not=["join"],
+            filter_sql="n_chars >= 200",
+        ),
+        "scroll_page3": """
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+m AS (
+  SELECT d.doc_id, d.n_chars FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'spark')
+)
+SELECT doc_id AS doc_key,
+       CAST(n_chars AS BIGINT) AS sort_value,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id DESC) AS BIGINT) AS rank
+FROM m
+ORDER BY n_chars DESC, doc_id DESC
+LIMIT 10 OFFSET 20
+""",
         "search_query_string": _bm25_sql([("spark", 1.0), ("join", 1.0)]),
         "search_tag_pruned": _bm25_sql(
             [("query", 1.0)], must=["query"], filter_sql="lang = 'de'"
@@ -1519,6 +1661,33 @@ r2 AS (
 SELECT w1.key, CAST(w1.doc_count AS BIGINT) AS doc_count, r2.by_src_key,
        CAST(r2.by_src_doc_count AS BIGINT) AS by_src_doc_count, r2.avg_n
 FROM w1 JOIN r2 USING (key) WHERE r2.rk <= 2
+""",
+        "agg_nested_three_levels": f"""
+WITH {_AGG_MATCH_CTE},
+l1 AS (SELECT lang AS key, COUNT(*) AS doc_count FROM m GROUP BY lang),
+w1 AS (SELECT key, doc_count FROM l1 ORDER BY doc_count DESC, key ASC LIMIT 2),
+l2 AS (
+  SELECT lang AS key, source AS by_src_key, COUNT(*) AS by_src_doc_count
+  FROM m GROUP BY lang, source
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY key ORDER BY by_src_doc_count DESC, by_src_key ASC) AS rk
+  FROM l2
+),
+w2 AS (SELECT key, by_src_key, by_src_doc_count FROM r2 WHERE rk <= 2),
+l3 AS (
+  SELECT lang AS key, source AS by_src_key,
+         CAST(FLOOR(n_chars / 200.0) * 200.0 AS DOUBLE) AS by_len_key,
+         COUNT(*) AS by_len_doc_count
+  FROM m GROUP BY 1, 2, 3
+)
+SELECT w1.key, CAST(w1.doc_count AS BIGINT) AS doc_count,
+       w2.by_src_key, CAST(w2.by_src_doc_count AS BIGINT) AS by_src_doc_count,
+       l3.by_len_key, CAST(l3.by_len_doc_count AS BIGINT) AS by_len_doc_count
+FROM w1
+JOIN w2 USING (key)
+JOIN l3 ON l3.key = w2.key AND l3.by_src_key = w2.by_src_key
 """,
         "agg_extended_stats": f"""
 WITH {_AGG_MATCH_CTE}
