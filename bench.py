@@ -242,9 +242,12 @@ def run_query_bench(idx_dir: str, cores: int) -> dict:
     # component it removes grows with index size.
     s.cache_hot_postings(["table"])
     s.search(Term("text", "table"), k=10).collect()
-    t0 = time.perf_counter()
-    s.search(Term("text", "table"), k=10).collect()
-    out["q_hot_term_cached"] = round(time.perf_counter() - t0, 3)
+    reps = []
+    for _ in range(2):  # steady state = best-of-2 (single-shot GC noise)
+        t0 = time.perf_counter()
+        s.search(Term("text", "table"), k=10).collect()
+        reps.append(time.perf_counter() - t0)
+    out["q_hot_term_cached"] = round(min(reps), 3)
     s.uncache()
     # concurrent-search throughput: all queries at once on the shared
     # session (stateless searcher, like the reference's searcher fleet)
