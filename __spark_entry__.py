@@ -245,6 +245,90 @@ def _searcher_tagged(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_merged_searchers: dict[str, IndexSearcher] = {}
+
+
+def _searcher_merged(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built in TWO ingest jobs (doc_id parity halves → 2 segments
+    per partition), then StableLog-merged (merge_factor=2) down to one
+    segment per partition. The gates over this index prove the merge
+    pipeline end-to-end: postings rebase/concat, norms carry-over and
+    stats summing must leave results byte-identical to the full-corpus
+    SQL. Extra analyzed views of the same text gate the en_stem
+    (Porter2) and source_code (camelCase/underscore split) analyzers
+    through real postings rather than pytest-only token lists."""
+    _ship(spark)
+    key = os.path.abspath(sf_dir)
+    if key in _merged_searchers:
+        return _merged_searchers[key]
+    from quickwit_spark.index.merge import MergePolicy, run_merges
+
+    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_mrg_v1")
+    corpus = _corpus(spark, sf_dir).withColumn(
+        # synthetic code-ish column: 'fetchDe_src4' — camelCase + '_'
+        # boundaries are exactly what source_code_default must split
+        "code_text",
+        F.concat(F.lit("fetch"), F.initcap("lang"), F.lit("_"), F.col("source")),
+    )
+    cfg = IndexConfig(
+        fields=[
+            FieldConfig("text"),
+            FieldConfig("text_stem", tokenizer="en_stem", sources=("text",)),
+            FieldConfig("code_text", tokenizer="source_code_default"),
+        ],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("lang",),
+    )
+    build_index(
+        spark, corpus.filter(F.col("doc_id") % 2 == 0), idx_dir, cfg, job_id="half0"
+    )
+    build_index(
+        spark, corpus.filter(F.col("doc_id") % 2 == 1), idx_dir, cfg, job_id="half1"
+    )
+    # idempotent: resumed builds skip committed batches, a fully merged
+    # index plans no further ops (one segment per partition+level)
+    run_merges(spark, idx_dir, MergePolicy(merge_factor=2, max_merge_factor=2))
+    s = IndexSearcher(spark, idx_dir)
+    _merged_searchers[key] = s
+    return s
+
+
+_deleted_searchers: dict[str, IndexSearcher] = {}
+
+
+def _searcher_deleted(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index with `lang:de` docs deleted by query and the tombstones
+    applied through the janitor's single-segment rewrites (the
+    reference's delete-task pipeline: docs stay searchable until a
+    rewrite applies the delete). Post-rewrite searches must match SQL
+    over the SURVIVING corpus — n/df/avgdl recomputed without the
+    deleted docs (`_bm25_sql(corpus_sql=...)`)."""
+    _ship(spark)
+    key = os.path.abspath(sf_dir)
+    if key in _deleted_searchers:
+        return _deleted_searchers[key]
+    from quickwit_spark.index.deletes import delete_by_query, plan_delete_rewrites
+    from quickwit_spark.index.merge import execute_merge
+
+    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_del_v1")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text"), FieldConfig("lang", tokenizer="raw")],
+        doc_key="doc_id",
+        num_partitions=4,
+        stored_columns=("lang",),
+    )
+    build_index(spark, _corpus(spark, sf_dir), idx_dir, cfg, job_id="entry_del")
+    s = IndexSearcher(spark, idx_dir)
+    if s.count(Term("lang", "de")) > 0:  # idempotent across cached runs
+        delete_by_query(s, Term("lang", "de"))
+        for op in plan_delete_rewrites(idx_dir):
+            execute_merge(spark, idx_dir, op)
+        s = IndexSearcher(spark, idx_dir)  # fresh manifest view
+    _deleted_searchers[key] = s
+    return s
+
+
 def _topk(searcher: IndexSearcher, ast, k: int = 10, **kw) -> DataFrame:
     res = searcher.search(ast, k=k, mode="oracle", **kw)
     return res.select(
@@ -258,15 +342,21 @@ def _topk(searcher: IndexSearcher, ast, k: int = 10, **kw) -> DataFrame:
 # BM25 oracle SQL generator
 # --------------------------------------------------------------------------
 
-_TOKS_CTE = """
+def _toks_cte(corpus_sql: str = "documents") -> str:
+    """toks/dl/stats CTEs over `corpus_sql` (a table name or derived
+    table). Post-delete oracles pass a filtered corpus so n/df/avgdl are
+    recomputed over the SURVIVORS — matching the engine's rebuilt
+    segment stats after a delete rewrite."""
+    return f"""
 toks AS (
   SELECT doc_id, term FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM {corpus_sql} AS corpus
   ) WHERE term <> ''
 ),
 dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
 stats AS (
-  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+  SELECT CAST((SELECT COUNT(*) FROM {corpus_sql} AS corpus) AS DOUBLE) AS n,
          CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) AS total
 )"""
 
@@ -283,6 +373,7 @@ def _bm25_sql(
     term_pred: str | None = None,
     k: int = 10,
     offset: int = 0,
+    corpus_sql: str = "documents",
 ) -> str:
     """Top-k BM25 oracle. `scoring` = [(term, boost)]; `must` terms are
     required (AND); `term_pred` overrides the term membership predicate
@@ -312,7 +403,7 @@ def _bm25_sql(
         conds.append(f"doc_id IN (SELECT doc_id FROM documents WHERE {filter_sql})")
     having = " AND ".join(conds) if conds else "TRUE"
     return f"""
-WITH {_TOKS_CTE},
+WITH {_toks_cte(corpus_sql)},
 tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
   FROM toks WHERE {pred} GROUP BY doc_id, term
@@ -598,6 +689,66 @@ def _q_count_term(spark, sf_dir):
 def _q_count_all(spark, sf_dir):
     n = _searcher(spark, sf_dir).count(MatchAll())
     return spark.createDataFrame([(n,)], "num_hits long")
+
+
+def _q_merged_topk(spark, sf_dir):
+    """Hot-term top-k over the two-batch-then-merged index — must be
+    byte-identical to the same query over the single-build index."""
+    return _topk(_searcher_merged(spark, sf_dir), Term("text", "spark"))
+
+
+def _q_stem_count(spark, sf_dir):
+    """en_stem analyzer gate: query word 'queries' (absent from the
+    corpus) stems to 'queri', matching docs that contain 'query' —
+    nonzero only if BOTH index- and query-side stemming are correct."""
+    n = _searcher_merged(spark, sf_dir).count(FullText("text_stem", "queries", "or"))
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
+def _q_code_count(spark, sf_dir):
+    """source_code analyzer gate: 'fetchDe_src4' must split on the
+    camelCase AND '_' boundaries (and lowercase) for token 'de' to
+    exist at all — count equals docs with lang='de'."""
+    n = _searcher_merged(spark, sf_dir).count(FullText("code_text", "de", "or"))
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
+def _q_deleted_topk(spark, sf_dir):
+    """Hot-term top-k AFTER delete-by-query(lang:de) + rewrite: scores
+    must reflect the rebuilt stats (n/df/avgdl over survivors)."""
+    return _topk(_searcher_deleted(spark, sf_dir), Term("text", "spark"))
+
+
+def _q_deleted_count(spark, sf_dir):
+    n = _searcher_deleted(spark, sf_dir).count(Term("text", "spark"))
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
+def _q_transform_pipeline(spark, sf_dir):
+    """VRL-processing-hook gate: declarative steps (rename / derive /
+    filter / drop lower to Column expressions) plus an Arrow
+    `map_batches` step — both tiers mirrored by the SQL oracle."""
+    from quickwit_spark.sources.transform import Transform
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def tag_batch(pdf):
+        pdf = pdf.copy()
+        pdf["tag"] = pdf["etype_uc"] + ":" + pdf["uid"].astype("int64").astype(str)
+        return pdf[["uid", "etype_uc", "vsq", "tag"]]
+
+    t = (
+        Transform()
+        .rename(user_id="uid")
+        .with_columns(
+            etype_uc=F.upper("event_type"),
+            vsq=F.round(F.col("value") * F.col("value"), 6),
+        )
+        .where(F.col("value") > 50)
+        .drop("props", "ts", "event_id", "event_type", "value")
+        .map_batches(tag_batch, "uid long, etype_uc string, vsq double, tag string")
+    )
+    return t(ev)
 
 
 def _q_list_terms(spark, sf_dir):
@@ -1448,6 +1599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_stream_term": _q_match_stream,
         "count_term": _q_count_term,
         "count_all": _q_count_all,
+        "search_merged_topk": _q_merged_topk,
+        "search_stem_count": _q_stem_count,
+        "search_code_count": _q_code_count,
+        "search_deleted_topk": _q_deleted_topk,
+        "search_deleted_count": _q_deleted_count,
+        "transform_pipeline": _q_transform_pipeline,
         "list_terms_range": _q_list_terms,
         "agg_terms_lang": _q_agg_terms_lang,
         "agg_date_histogram": _q_agg_date_histogram,
@@ -1587,6 +1744,41 @@ ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10
 """,
         "match_stream_term": _MATCH_TERM_SQL,
         "count_term": _COUNT_TERM_SQL,
+        "search_merged_topk": _bm25_sql([("spark", 1.0)]),
+        "search_stem_count": """
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+)
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS num_hits
+FROM toks WHERE term = 'query'
+""",
+        "search_code_count": """
+SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents WHERE lang = 'de'
+""",
+        "search_deleted_topk": _bm25_sql(
+            [("spark", 1.0)],
+            corpus_sql="(SELECT * FROM documents WHERE lang <> 'de')",
+        ),
+        "search_deleted_count": """
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE lang <> 'de'
+  ) WHERE term <> ''
+)
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS num_hits
+FROM toks WHERE term = 'spark'
+""",
+        "transform_pipeline": """
+SELECT user_id AS uid,
+       upper(event_type) AS etype_uc,
+       round(value * value, 6) AS vsq,
+       upper(event_type) || ':' || CAST(user_id AS VARCHAR) AS tag
+FROM events
+WHERE value > 50
+""",
         "count_all": "SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents",
         "list_terms_range": _LIST_TERMS_SQL,
         "agg_terms_lang": f"""

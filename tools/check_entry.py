@@ -57,6 +57,9 @@ def main():
             pass
 
     qs = entrymod.queries()
+    only = set(sys.argv[2:])
+    if only:  # optional: check just the named entries
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
