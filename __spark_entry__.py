@@ -263,18 +263,38 @@ def _searcher_merged(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _merged_searchers[key]
     from quickwit_spark.index.merge import MergePolicy, run_merges
 
-    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_mrg_v1")
-    corpus = _corpus(spark, sf_dir).withColumn(
-        # synthetic code-ish column: 'fetchDe_src4' — camelCase + '_'
-        # boundaries are exactly what source_code_default must split
-        "code_text",
-        F.concat(F.lit("fetch"), F.initcap("lang"), F.lit("_"), F.col("source")),
+    # _v2: + zh_text / ml_text CJK analyzer-gate fields
+    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_mrg_v2")
+    # deterministic letter→CJK transliteration ('a'→一, 'b'→丁, …):
+    # chinese_compatible must emit ONE TOKEN PER CJK CHAR for the
+    # translated text to be searchable at all (oracle: LIKE '%letter%')
+    cjk = "".join(chr(0x4E00 + i) for i in range(26))
+    latin = "abcdefghijklmnopqrstuvwxyz"
+    corpus = (
+        _corpus(spark, sf_dir)
+        .withColumn(
+            # synthetic code-ish column: 'fetchDe_src4' — camelCase + '_'
+            # boundaries are exactly what source_code_default must split
+            "code_text",
+            F.concat(F.lit("fetch"), F.initcap("lang"), F.lit("_"), F.col("source")),
+        )
+        .withColumn("zh_text", F.translate("text", latin, cjk))
+        .withColumn(
+            # mixed-script corpus (the multilang analyzer's use case):
+            # zh docs carry CJK text, everything else stays latin
+            "ml_text",
+            F.when(F.col("lang") == "zh", F.translate("text", latin, cjk)).otherwise(
+                F.col("text")
+            ),
+        )
     )
     cfg = IndexConfig(
         fields=[
             FieldConfig("text"),
             FieldConfig("text_stem", tokenizer="en_stem", sources=("text",)),
             FieldConfig("code_text", tokenizer="source_code_default"),
+            FieldConfig("zh_text", tokenizer="chinese_compatible"),
+            FieldConfig("ml_text", tokenizer="multilang_default"),
         ],
         doc_key="doc_id",
         num_partitions=2,
@@ -710,6 +730,22 @@ def _q_code_count(spark, sf_dir):
     camelCase AND '_' boundaries (and lowercase) for token 'de' to
     exist at all — count equals docs with lang='de'."""
     n = _searcher_merged(spark, sf_dir).count(FullText("code_text", "de", "or"))
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
+def _q_cjk_count(spark, sf_dir):
+    """chinese_compatible analyzer gate: 一 is the transliteration of
+    'a', so the count equals docs whose text contains the LETTER 'a' —
+    nonzero only if CJK text is split one-token-per-char."""
+    n = _searcher_merged(spark, sf_dir).count(FullText("zh_text", "一", "or"))
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
+def _q_multilang_count(spark, sf_dir):
+    """multilang analyzer gate over a mixed-script corpus: zh docs are
+    fully CJK in ml_text, so 'spark' matches only non-zh docs — a
+    different count than the plain text field's."""
+    n = _searcher_merged(spark, sf_dir).count(FullText("ml_text", "spark", "or"))
     return spark.createDataFrame([(n,)], "num_hits long")
 
 
@@ -1602,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_merged_topk": _q_merged_topk,
         "search_stem_count": _q_stem_count,
         "search_code_count": _q_code_count,
+        "search_cjk_count": _q_cjk_count,
+        "search_multilang_count": _q_multilang_count,
         "search_deleted_topk": _q_deleted_topk,
         "search_deleted_count": _q_deleted_count,
         "transform_pipeline": _q_transform_pipeline,
@@ -1756,6 +1794,19 @@ FROM toks WHERE term = 'query'
 """,
         "search_code_count": """
 SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents WHERE lang = 'de'
+""",
+        "search_cjk_count": """
+SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents WHERE text LIKE '%a%'
+""",
+        "search_multilang_count": """
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE lang <> 'zh'
+  ) WHERE term <> ''
+)
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS num_hits
+FROM toks WHERE term = 'spark'
 """,
         "search_deleted_topk": _bm25_sql(
             [("spark", 1.0)],
