@@ -240,14 +240,21 @@ def run_query_bench(idx_dir: str, cores: int) -> dict:
     # what the cache exists for). At sf0.1 the win is bounded by the
     # ~0.9 s fixed job-submission floor (see q_count); the scan-time
     # component it removes grows with index size.
+    def best_of(fn, n=3):
+        reps = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            reps.append(time.perf_counter() - t0)
+        return round(min(reps), 3)
+
+    run_hot = lambda: s.search(Term("text", "table"), k=10).collect()  # noqa: E731
+    # paired protocol: SAME query, SAME best-of-3, with and without the
+    # cache — the delta is the parquet-scan component the cache removes
+    out["q_hot_term_uncached_rep"] = best_of(run_hot)
     s.cache_hot_postings(["table"])
-    s.search(Term("text", "table"), k=10).collect()
-    reps = []
-    for _ in range(2):  # steady state = best-of-2 (single-shot GC noise)
-        t0 = time.perf_counter()
-        s.search(Term("text", "table"), k=10).collect()
-        reps.append(time.perf_counter() - t0)
-    out["q_hot_term_cached"] = round(min(reps), 3)
+    run_hot()  # one-time plan/codegen against the in-memory relation
+    out["q_hot_term_cached"] = best_of(run_hot)
     s.uncache()
     # concurrent-search throughput: all queries at once on the shared
     # session (stateless searcher, like the reference's searcher fleet)

@@ -1418,6 +1418,108 @@ class IndexSearcher:
             ],
         }
 
+    def es_field_caps(self, fields: list[str] | None = None) -> dict:
+        """ES `_field_caps` wire shape (reference
+        `elasticsearch_api/model/field_capability.rs:60-140`):
+        {"indices": [...], "fields": {name: {es_type: {metadata_field,
+        searchable, aggregatable, type}}}}. `fields` accepts the ES
+        wildcard patterns of the query param."""
+        import fnmatch
+        import os as _os
+
+        index_name = _os.path.basename(self.index_dir.rstrip("/"))
+
+        def es_type(f: dict) -> str:
+            if f["indexed"]:
+                return (
+                    "keyword"
+                    if f["tokenizer"] in ("raw", "raw_lowercase")
+                    else "text"
+                )
+            t = f["type"]
+            if t in ("bigint", "long", "int", "smallint", "decimal(20,0)"):
+                return "long"
+            if t in ("double", "float"):
+                return "double"
+            if t.startswith("timestamp"):
+                return "date_nanos"
+            if t == "boolean":
+                return "boolean"
+            if t == "binary":
+                return "binary"
+            if t == "string":
+                return "keyword"
+            return "object"
+
+        out: dict[str, dict] = {}
+        for f in self.list_fields():
+            if fields and not any(fnmatch.fnmatch(f["name"], p) for p in fields):
+                continue
+            typ = es_type(f)
+            out.setdefault(f["name"], {})[typ] = {
+                "metadata_field": False,
+                "searchable": bool(f["indexed"]),
+                "aggregatable": bool(f["fast"]),
+                "type": typ,
+            }
+        return {"indices": [index_name], "fields": out}
+
+    def es_count(self, body: dict | None = None) -> dict:
+        """ES `_count` endpoint: {"count", "_shards"} for the body's
+        `query` (MatchAll when absent) — reference
+        `es_compat_index_count_handler`."""
+        from quickwit_spark.query.ast import MatchAll as _MatchAll
+        from quickwit_spark.query.es_dsl import from_es_query
+
+        q = (body or {}).get("query")
+        ast = from_es_query(q) if q else _MatchAll()
+        nseg = len(self.segments)
+        return {
+            "count": self.count(ast),
+            "_shards": {
+                "total": nseg,
+                "successful": nseg,
+                "skipped": 0,
+                "failed": 0,
+            },
+        }
+
+    def es_cat_indices(self, fields: list[str] | None = None) -> list[dict]:
+        """ES `_cat/indices?format=json` row (reference
+        `elasticsearch_api/model/cat_indices.rs:96-133`): one aggregated
+        row per index with ES-human-formatted sizes. `fields` filters
+        the returned keys like the `h=` query param."""
+        import os as _os
+
+        def fmt(n: int) -> str:
+            # reference format_byte_size (`cat_indices.rs:208-224`)
+            for unit, div in (("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2)):
+                if n >= div:
+                    return f"{n / div:.1f}{unit}"
+            if n >= 1024:
+                return f"{n / 1024:.1f}kb"
+            return f"{n}b"
+
+        d = self.describe_index()
+        size = d["inv_bytes"] + d["docs_bytes"]
+        row = {
+            "health": "green",
+            "status": "open",
+            "index": _os.path.basename(self.index_dir.rstrip("/")),
+            "uuid": _os.path.basename(self.index_dir.rstrip("/")),
+            "pri": str(d["num_segments"]),
+            "rep": "0",
+            "docs.count": str(d["num_docs"]),
+            "docs.deleted": "0",
+            "store.size": fmt(size),
+            "pri.store.size": fmt(size),
+            "dataset.size": fmt(size),
+        }
+        if fields:
+            keep = set(fields)
+            row = {k: v for k, v in row.items() if k in keep}
+        return [row]
+
     def scroll(
         self,
         query,

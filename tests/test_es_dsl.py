@@ -159,3 +159,49 @@ def test_es_body_sort_and_search_after(spark, sf_dir, tmp_path):
     hits = searcher.es_search(body3)["hits"].collect()
     assert [r["rank"] for r in hits] == [1, 2, 3]
     assert "score" in hits[0].asDict()
+
+
+def test_es_wire_field_caps_count_cat(spark, sf_dir, tmp_path):
+    """_field_caps / _count / _cat indices wire shapes (reference
+    `model/field_capability.rs:60-140`, `cat_indices.rs:96-224`)."""
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
+    idx = str(tmp_path / "wire_idx")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text"), FieldConfig("lang", tokenizer="raw")],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("lang",),
+        time_column="warc_ts",
+    )
+    build_index(spark, web_corpus(spark, sf_dir), idx, cfg)
+    s = IndexSearcher(spark, idx)
+
+    caps = s.es_field_caps()
+    assert caps["indices"] == ["wire_idx"]
+    assert caps["fields"]["text"]["text"]["searchable"] is True
+    # raw tokenizer ⇒ ES keyword type
+    assert "keyword" in caps["fields"]["lang"]
+    # fast (docmap) timestamp column ⇒ date_nanos, aggregatable
+    ts = caps["fields"]["warc_ts"]["date_nanos"]
+    assert ts["aggregatable"] is True and ts["searchable"] is False
+    # wildcard field filter
+    only = s.es_field_caps(fields=["lang*"])
+    assert set(only["fields"]) == {"lang"}
+
+    # _count: body query and match-all, shard header from live segments
+    total = s.es_count()
+    assert total["count"] == 500 and total["_shards"]["failed"] == 0
+    n_spark = s.es_count({"query": {"match": {"text": {"query": "spark"}}}})
+    assert 0 < n_spark["count"] < total["count"]
+    assert n_spark["count"] == s.count(Term("text", "spark"))
+
+    # _cat/indices: ES-shaped row with human sizes
+    (row,) = s.es_cat_indices()
+    assert row["index"] == "wire_idx" and row["health"] == "green"
+    assert row["docs.count"] == "500"
+    assert row["store.size"].endswith(("b", "kb", "mb"))
+    (filtered,) = s.es_cat_indices(fields=["index", "docs.count"])
+    assert set(filtered) == {"index", "docs.count"}
