@@ -349,6 +349,49 @@ def _searcher_deleted(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_retained_searchers: dict[str, IndexSearcher] = {}
+_RETENTION_CUTOFF = "2024-01-01 06:00:00"
+
+
+def _searcher_retained(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Retention-policy gate fixture: TWO ingest batches split exactly at
+    the retention cutoff (so each batch's segments span only its half's
+    time range), then `apply_retention` retires every pre-cutoff segment
+    via its manifest time_range. Searches must then match SQL over the
+    docs at/after the cutoff — if retirement misfires in either
+    direction the count/top-k hashes diverge."""
+    _ship(spark)
+    key = os.path.abspath(sf_dir)
+    if key in _retained_searchers:
+        return _retained_searchers[key]
+    import datetime as dt
+
+    from quickwit_spark.index.retention import apply_retention
+
+    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_ret_v1")
+    corpus = _corpus(spark, sf_dir)
+    old = F.col("warc_ts") < F.to_timestamp(F.lit(_RETENTION_CUTOFF))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("lang",),
+        time_column="warc_ts",
+    )
+    build_index(spark, corpus.filter(old), idx_dir, cfg, job_id="old")
+    build_index(spark, corpus.filter(~old), idx_dir, cfg, job_id="new")
+    cutoff_micros = int(
+        dt.datetime.fromisoformat(_RETENTION_CUTOFF)
+        .replace(tzinfo=dt.timezone.utc)  # session timeZone is UTC
+        .timestamp()
+        * 1_000_000
+    )
+    apply_retention(idx_dir, cutoff_micros)  # idempotent: retired stay retired
+    s = IndexSearcher(spark, idx_dir)
+    _retained_searchers[key] = s
+    return s
+
+
 def _topk(searcher: IndexSearcher, ast, k: int = 10, **kw) -> DataFrame:
     res = searcher.search(ast, k=k, mode="oracle", **kw)
     return res.select(
@@ -758,6 +801,20 @@ def _q_deleted_topk(spark, sf_dir):
 def _q_deleted_count(spark, sf_dir):
     n = _searcher_deleted(spark, sf_dir).count(Term("text", "spark"))
     return spark.createDataFrame([(n,)], "num_hits long")
+
+
+def _q_retention_count(spark, sf_dir):
+    """Doc count after retention — retired segments must be gone, kept
+    segments whole (count equals docs at/after the cutoff)."""
+    n = _searcher_retained(spark, sf_dir).count(MatchAll())
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
+def _q_retention_topk(spark, sf_dir):
+    """Hot-term top-k after retention: BM25 stats must come from the
+    surviving segments only (oracle recomputes n/df/avgdl over the
+    post-cutoff corpus)."""
+    return _topk(_searcher_retained(spark, sf_dir), Term("text", "spark"))
 
 
 def _q_transform_pipeline(spark, sf_dir):
@@ -1642,6 +1699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_multilang_count": _q_multilang_count,
         "search_deleted_topk": _q_deleted_topk,
         "search_deleted_count": _q_deleted_count,
+        "retention_count": _q_retention_count,
+        "retention_topk": _q_retention_topk,
         "transform_pipeline": _q_transform_pipeline,
         "list_terms_range": _q_list_terms,
         "agg_terms_lang": _q_agg_terms_lang,
@@ -1822,6 +1881,19 @@ WITH toks AS (
 SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS num_hits
 FROM toks WHERE term = 'spark'
 """,
+        "retention_count": f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents
+WHERE TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id * 97) SECOND
+      >= TIMESTAMP '{_RETENTION_CUTOFF}'
+""",
+        "retention_topk": _bm25_sql(
+            [("spark", 1.0)],
+            corpus_sql=(
+                "(SELECT * FROM documents WHERE TIMESTAMP '2024-01-01 00:00:00'"
+                " + INTERVAL (doc_id * 97) SECOND"
+                f" >= TIMESTAMP '{_RETENTION_CUTOFF}')"
+            ),
+        ),
         "transform_pipeline": """
 SELECT user_id AS uid,
        upper(event_type) AS etype_uc,
