@@ -150,3 +150,52 @@ def committed_checkpoints(index_dir: str, kind: str = "build") -> dict:
         if c["kind"] == kind:
             cp.update(c.get("checkpoint") or {})
     return cp
+
+
+def delete_index(index_dir: str) -> int:
+    """Delete a whole index: manifest, inverted files, doc store — the
+    metastore `delete_index` + storage GC path the reference's ES
+    `DELETE /<index>` handler drives (`es_compat_delete_index_handler`).
+    Refuses paths that don't contain a manifest directory (never rm an
+    arbitrary tree). Returns the number of files removed."""
+    import shutil
+
+    if not os.path.isdir(_manifest_dir(index_dir)):
+        raise FileNotFoundError(f"not a quickwit_spark index: {index_dir!r}")
+    removed = sum(len(files) for _r, _d, files in os.walk(index_dir))
+    shutil.rmtree(index_dir)
+    return removed
+
+
+def list_splits(
+    index_dir: str,
+    states: tuple | None = None,
+    time_range: tuple | None = None,
+    tags_any: tuple | None = None,
+    min_merge_gen: int | None = None,
+) -> list[SegmentRecord]:
+    """Metastore `ListSplits` analog (reference
+    `quickwit-metastore/src/metastore/mod.rs` ListSplitsQuery: filter by
+    split state, timestamp-range overlap, tags, and maturity): every
+    manifest record matching all given filters, stable segment_id order.
+
+    - `states`: subset of {staged, published, replaced}; default all.
+    - `time_range`: (lo_micros, hi_micros) half-open overlap test; a
+      record with no time range always matches (it cannot be pruned —
+      same convention as query-time pruning).
+    - `tags_any`: match if the record carries ANY of these tag strings.
+    - `min_merge_gen`: maturity filter (merge generation ≥ n)."""
+    out = []
+    for r in reconcile(index_dir).values():
+        if states and r.state not in states:
+            continue
+        if time_range and r.time_range is not None:
+            lo, hi = time_range
+            if r.time_range[1] < lo or r.time_range[0] >= hi:
+                continue
+        if tags_any and not set(tags_any) & set(r.tags):
+            continue
+        if min_merge_gen is not None and r.merge_gen < min_merge_gen:
+            continue
+        out.append(r)
+    return sorted(out, key=lambda r: r.segment_id)

@@ -623,7 +623,7 @@ class IndexSearcher:
         )
         return self._matches(ast, seg_ids, None, mode, fast_filter)
 
-    def count(self, query, time_range=None, segments=None) -> int:
+    def count(self, query, time_range=None, segments=None, _resolved=None) -> int:
         """Hit count. Fast paths (reference `leaf.rs:466-468` metadata
         counts): match-all answers from the manifest; a bare Term
         answers from the postings doc_freq metadata — a narrow
@@ -631,7 +631,9 @@ class IndexSearcher:
         stay searchable until rewrite. `segments` restricts the count
         to a segment subset (the early-termination underestimate
         path)."""
-        ast, fast_filter, seg_ids = self._resolve(query, time_range)
+        ast, fast_filter, seg_ids = (
+            _resolved if _resolved is not None else self._resolve(query, time_range)
+        )
         if segments is not None:
             keep = set(segments)
             seg_ids = [s for s in seg_ids if s in keep]
@@ -653,6 +655,30 @@ class IndexSearcher:
                 )
                 return int(row or 0)
         return self._matches(ast, seg_ids, None, "parity", fast_filter).count()
+
+    def count_up_to(self, query, n: int, time_range=None) -> tuple[int, bool]:
+        """Count accurately up to `n` hits, then stop — the ES
+        `track_total_hits: <int>` semantics the reference lowers to
+        `CountHits::Underestimate` (`rest_handler.rs:364-367`,
+        `search.proto:245-248`). Segments are counted in manifest order
+        in small batches; once the running total reaches `n` the
+        remaining segments are never touched, so at a 100×-scale index
+        a hot query stops after the first batch instead of scanning the
+        fleet. Returns `(count, exhausted)`: `exhausted=True` means
+        every live segment was counted and the value is exact (wire
+        relation `eq`), else it is a lower bound (`gte`)."""
+        resolved = self._resolve(query, time_range)
+        _ast, _ff, seg_ids = resolved
+        total = 0
+        batch = 8
+        for i in range(0, len(seg_ids), batch):
+            total += self.count(
+                query, time_range, segments=seg_ids[i : i + batch],
+                _resolved=resolved,
+            )
+            if total >= n and i + batch < len(seg_ids):
+                return total, False
+        return total, True
 
     def sort_by_field(
         self,
@@ -1314,10 +1340,26 @@ class IndexSearcher:
             name: shape_es_agg(agg_body[name], df)
             for name, df in (raw.get("aggregations") or {}).items()
         }
-        if body.get("track_total_hits", True):
+        # reference mapping (`rest_handler.rs:364-367`): absent / false /
+        # int ≤ size → CountHits::Underestimate; true / int > size →
+        # CountAll. Underestimate counts segment batches in manifest
+        # order and stops at the requested accuracy (`count_up_to`).
+        tth = body.get("track_total_hits")  # None | bool | int
+        size = int(body.get("size", 10))
+        count_all = tth is True or (
+            isinstance(tth, int) and not isinstance(tth, bool) and tth > size
+        )
+        if count_all:
             total = {"value": self.count(self._es_ast(body)), "relation": "eq"}
-        else:
+        elif tth is False:
+            # no counting work at all — the returned hits are the bound
             total = {"value": len(hits_rows), "relation": "gte"}
+        else:
+            n = tth if isinstance(tth, int) and not isinstance(tth, bool) else size
+            v, exhausted = self.count_up_to(
+                self._es_ast(body), max(n, len(hits_rows), 1)
+            )
+            total = {"value": v, "relation": "eq" if exhausted else "gte"}
         out = {
             "took": int((_time.perf_counter() - t0) * 1000),
             "timed_out": False,
@@ -1520,6 +1562,76 @@ class IndexSearcher:
             row = {k: v for k, v in row.items() if k in keep}
         return [row]
 
+    def es_stats(self) -> dict:
+        """ES `_stats` wire shape (reference
+        `es_compat_index_stats_handler`, built from metastore split
+        metadata — here the manifest): `_all`/`indices.<name>` with
+        `primaries`/`total` docs + store sections."""
+        import os as _os
+
+        d = self.describe_index()
+        name = _os.path.basename(self.index_dir.rstrip("/"))
+        section = {
+            "docs": {"count": d["num_docs"], "deleted": 0},
+            "store": {"size_in_bytes": d["inv_bytes"] + d["docs_bytes"]},
+        }
+        stats = {"primaries": section, "total": section}
+        nseg = d["num_segments"]
+        return {
+            "_shards": {"total": nseg, "successful": nseg, "failed": 0},
+            "_all": stats,
+            "indices": {name: stats},
+        }
+
+    def es_cluster_health(self) -> dict:
+        """ES `_cluster/health` wire shape (reference
+        `es_compat_cluster_health_handler`): a single-node green answer
+        — Spark is the cluster, so node counts describe the session."""
+        nseg = len(self.segments)
+        return {
+            "cluster_name": "quickwit-spark",
+            "status": "green",
+            "timed_out": False,
+            "number_of_nodes": 1,
+            "number_of_data_nodes": 1,
+            "active_primary_shards": nseg,
+            "active_shards": nseg,
+            "relocating_shards": 0,
+            "initializing_shards": 0,
+            "unassigned_shards": 0,
+            "active_shards_percent_as_number": 100.0,
+        }
+
+    def es_resolve_index(self, pattern: str = "*") -> dict:
+        """ES `_resolve/index/<pattern>` wire shape (reference
+        `es_compat_resolve_index_handler`): expression-matched open
+        indices; no aliases or data streams in this engine."""
+        import fnmatch
+        import os as _os
+
+        name = _os.path.basename(self.index_dir.rstrip("/"))
+        indices = (
+            [{"name": name, "attributes": ["open"]}]
+            if any(fnmatch.fnmatch(name, p) for p in pattern.split(","))
+            else []
+        )
+        return {"indices": indices, "aliases": [], "data_streams": []}
+
+    def es_delete_index(self) -> dict:
+        """ES `DELETE /<index>` (reference
+        `es_compat_delete_index_handler`): drops the manifest + files
+        via `manifest.delete_index` and invalidates this searcher."""
+        from quickwit_spark.index.manifest import delete_index as _del
+
+        _del(self.index_dir)
+        # tombstone — refresh() would re-read the now-deleted parquet
+        self.segments = []
+        self.live_ids = []
+        if getattr(self, "_hot", None) is not None:
+            self._hot[1].unpersist()
+        self._hot = None
+        return {"acknowledged": True}
+
     def scroll(
         self,
         query,
@@ -1591,3 +1703,25 @@ class IndexSearcher:
                 df, columns, path, partition_by=partition_by
             )
         raise ValueError(f"unknown search_stream format {fmt!r}")
+
+
+def es_cluster_info() -> dict:
+    """ES `GET /` root info (reference
+    `es_compat_cluster_info_handler`): the ES-compatible version
+    banner clients probe before talking to the cluster. The reference
+    reports itself as an ES-compatible distribution with its own
+    `distribution` marker; this engine does the same."""
+    import pyspark
+
+    return {
+        "name": "quickwit-spark",
+        "cluster_name": "quickwit-spark",
+        "version": {
+            "distribution": "quickwit-spark",
+            "number": "8.0.0",
+            "build_flavor": "pyspark",
+            "build_type": f"spark-{pyspark.__version__}",
+            "lucene_version": "n/a",
+        },
+        "tagline": "You Know, for Search (on Spark)",
+    }

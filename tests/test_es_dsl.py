@@ -205,3 +205,80 @@ def test_es_wire_field_caps_count_cat(spark, sf_dir, tmp_path):
     assert row["store.size"].endswith(("b", "kb", "mb"))
     (filtered,) = s.es_cat_indices(fields=["index", "docs.count"])
     assert set(filtered) == {"index", "docs.count"}
+
+
+def test_es_wire_stats_health_resolve_info_delete(spark, sf_dir, tmp_path):
+    """_stats / _cluster/health / _resolve/index / GET-root / DELETE
+    wire shapes + track_total_hits count accuracy (reference
+    `elasticsearch_api/mod.rs:66-99` handler set,
+    `rest_handler.rs:364-367` TrackTotalHits → CountHits mapping)."""
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher, es_cluster_info
+    from quickwit_spark.sources.corpus import web_corpus
+
+    idx = str(tmp_path / "wire2_idx")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=12,  # > one count_up_to batch (8)
+        time_column="warc_ts",
+    )
+    build_index(spark, web_corpus(spark, sf_dir), idx, cfg)
+    s = IndexSearcher(spark, idx)
+
+    # _stats
+    st = s.es_stats()
+    assert st["_all"]["primaries"]["docs"]["count"] == 500
+    assert st["indices"]["wire2_idx"]["total"]["store"]["size_in_bytes"] > 0
+    assert st["_shards"]["failed"] == 0
+
+    # _cluster/health
+    h = s.es_cluster_health()
+    assert h["status"] == "green"
+    assert h["active_shards"] == len(s.segments) > 8
+
+    # _resolve/index with ES expression patterns
+    assert s.es_resolve_index("wire2*")["indices"] == [
+        {"name": "wire2_idx", "attributes": ["open"]}
+    ]
+    assert s.es_resolve_index("zzz*,nope")["indices"] == []
+
+    # GET / root banner
+    info = es_cluster_info()
+    assert info["version"]["distribution"] == "quickwit-spark"
+    assert info["cluster_name"] == "quickwit-spark"
+
+    # count_up_to: exact when exhausted, early-stopped lower bound else
+    exact = s.count(Term("text", "spark"))
+    assert exact > 8  # hot enough to stop after the first batch
+    v_all, ex_all = s.count_up_to(Term("text", "spark"), 10**9)
+    assert (v_all, ex_all) == (exact, True)
+    v_lo, ex_lo = s.count_up_to(Term("text", "spark"), 1)
+    assert v_lo >= 1 and ex_lo is False and v_lo <= exact
+
+    # track_total_hits through the wire envelope
+    body = {"query": {"match": {"text": {"query": "spark"}}}, "size": 3}
+    eq = s.es_search_response({**body, "track_total_hits": True})
+    assert eq["hits"]["total"] == {"value": exact, "relation": "eq"}
+    off = s.es_search_response({**body, "track_total_hits": False})
+    assert off["hits"]["total"] == {"value": 3, "relation": "gte"}
+    # int > size ⇒ CountAll (exact); int ≤ size ⇒ underestimate
+    big = s.es_search_response({**body, "track_total_hits": 10**6})
+    assert big["hits"]["total"] == {"value": exact, "relation": "eq"}
+    lo = s.es_search_response({**body, "track_total_hits": 1})
+    tot = lo["hits"]["total"]
+    assert tot["value"] >= 3 and tot["relation"] in ("eq", "gte")
+    if tot["relation"] == "eq":
+        assert tot["value"] == exact
+
+    # DELETE /<index>: files gone, searcher tombstoned, non-index refused
+    import os
+
+    import pytest as _pytest
+
+    from quickwit_spark.index.manifest import delete_index
+
+    with _pytest.raises(FileNotFoundError):
+        delete_index(str(tmp_path / "not_an_index"))
+    assert s.es_delete_index() == {"acknowledged": True}
+    assert not os.path.exists(idx) and s.segments == []
