@@ -662,6 +662,20 @@ def _q_query_string(spark, sf_dir):
     return _topk(_searcher(spark, sf_dir), "text:(spark OR join)")
 
 
+def _q_qs_time_range(spark, sf_dir):
+    """Full query-string path with rfc3339 range bounds and a bare
+    `field:*` Exists clause (docs/reference/query-language.md parity):
+    the parser lexes colon-bearing bounds as one value, maps
+    `alt_title:*` to FieldPresence, and the time range BOTH refines
+    manifest pruning (reference refine_start_end_timestamp_from_ast,
+    root.rs:1108-1137) and reaches the docmap as a pushed filter."""
+    q = (
+        "text:spark AND alt_title:* "
+        "AND warc_ts:[2024-01-01T10:00:00Z TO 2024-01-03T00:00:00Z}"
+    )
+    return _topk(_searcher(spark, sf_dir), q)
+
+
 def _q_tag_pruned(spark, sf_dir):
     """Same shape as search_filter_lang but on the lang-routed index
     whose manifest tags PRUNE segments before the scan — green means
@@ -1682,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_dsl_bool": _q_es_dsl_bool,
         "scroll_page3": _q_scroll_page3,
         "search_query_string": _q_query_string,
+        "search_qs_time_range": _q_qs_time_range,
         "search_tag_pruned": _q_tag_pruned,
         "search_snippet": _q_snippet,
         "search_concat_count": _q_concat_count,
@@ -1771,6 +1786,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_exists_filter": _bm25_sql(
             [("spark", 1.0)], must=["spark"], filter_sql="doc_id % 5 < 2"
+        ),
+        "search_qs_time_range": _bm25_sql(
+            [("spark", 1.0)],
+            must=["spark"],
+            filter_sql=(
+                "doc_id % 5 < 2 AND "
+                "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id * 97)"
+                " SECOND >= TIMESTAMP '2024-01-01 10:00:00' AND "
+                "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id * 97)"
+                " SECOND < TIMESTAMP '2024-01-03 00:00:00'"
+            ),
         ),
         "es_dsl_bool": _bm25_sql(
             [("spark", 1.0)],

@@ -6,6 +6,7 @@ Grammar subset of `docs/reference/query-language.md` /
     clause   := '-'/'NOT' clause | '(' expr ')' | leaf
     expr     := clause ((AND|OR)? clause)*      (default operator AND)
     leaf     := '*'                             MatchAll
+              | field ':' '*'                   Exists (doc: "Exists `field:*`")
               | field ':' 'IN' '[' v+ ']'       TermSet
               | field ':' '[' a 'TO' b ']'      Range (inclusive; '{' '}' excl.)
               | field ':' value                 FullText on that field
@@ -15,6 +16,14 @@ A value containing '*' or '?' becomes a Wildcard. Unfielded clauses
 resolve against `default_search_fields` (reference resolution at
 `quickwit-config/src/index_config/mod.rs:166-169`) — multiple defaults
 become a should-Bool.
+
+Lexing details matching `docs/reference/query-language.md`:
+- backslash escapes the reserved characters (`\:`, `\.`, `\*`, ...)
+  inside unquoted terms and field names;
+- values and range bounds may contain unescaped ':' runs when the
+  pieces are character-adjacent (rfc3339 datetimes `...T22:45:41Z`,
+  IPv6 `::1`) — the field separator is only the FIRST colon after a
+  leading word.
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ import re
 
 from quickwit_spark.query.ast import (
     Bool,
+    Exists,
     FullText,
     MatchAll,
     Phrase,
@@ -37,26 +47,37 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<lpar>\()|(?P<rpar>\))|(?P<lbrk>\[)|(?P<rbrk>\])|(?P<lbrc>\{)|(?P<rbrc>\})
     |(?P<quoted>"[^"]*")
-    |(?P<word>[^\s()\[\]{}:"]+)
+    |(?P<word>(?:\\.|[^\s()\[\]{}:"\\])+)
     |(?P<colon>:)
     """,
     re.VERBOSE,
 )
+
+_ESCAPE_RE = re.compile(r"\\(.)")
+
+
+def _unescape(s: str) -> str:
+    return _ESCAPE_RE.sub(r"\1", s)
 
 
 def _lex(q: str) -> list[str]:
     return [m.group(0) for m in _TOKEN_RE.finditer(q)]
 
 
+def _lex_spans(q: str) -> list[tuple[str, int, int]]:
+    return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(q)]
+
+
 class _Parser:
     def __init__(
         self,
-        tokens: list[str],
+        tokens: list[tuple[str, int, int]],
         default_fields: list[str],
         default_operator: str,
         position_fields: set[str] | None = None,
     ):
-        self.toks = tokens
+        self.spans = tokens
+        self.toks = [t for t, _, _ in tokens]
         self.i = 0
         self.default_fields = default_fields
         self.default_operator = default_operator
@@ -69,6 +90,34 @@ class _Parser:
         t = self.peek()
         self.i += 1
         return t
+
+    def _join_value(self, first: str) -> str:
+        """Extend a just-consumed word token with character-adjacent
+        word/colon tokens: `2021-04-13T22:45:41Z` lexes as
+        word ':' word ':' word but is ONE value (rfc3339); same for
+        IPv6 `::1`. Adjacency (no whitespace) is the joining rule —
+        `a :b` stays two clauses."""
+        out = first
+        end = self.spans[self.i - 1][2]
+        while self.i < len(self.spans):
+            t, s, e = self.spans[self.i]
+            is_joinable = t == ":" or (t not in "()[]{}" and not t.startswith('"'))
+            if s != end or not is_joinable:
+                break
+            out += t
+            end = e
+            self.i += 1
+        return out
+
+    def _bound(self) -> str:
+        """One range bound / term-set value: a quoted token (quotes
+        stripped) or an adjacency-joined word (escapes resolved)."""
+        t = self.next()
+        if t is None:
+            raise ValueError("malformed range")
+        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+            return t[1:-1]
+        return _unescape(self._join_value(t))
 
     def parse_expr(self) -> QueryAst:
         clauses: list[tuple[str, QueryAst]] = []  # (connector-before, clause)
@@ -127,10 +176,14 @@ class _Parser:
         field = None
         if self.peek() == ":":
             self.next()
-            field = t
+            field = _unescape(t)
             t = self.next()
             if t is None:
                 raise ValueError(f"dangling field {field!r}")
+        # bare `field:*` is Exists, never a wildcard expansion
+        # (docs/reference/query-language.md "Exists `field:*`")
+        if t == "*" and field is not None:
+            return Exists(field=field)
         # field-scoped group: `field:(a OR b)` — every unfielded clause
         # inside resolves to `field` (reference query-language grouping)
         if t == "(" and field is not None:
@@ -143,11 +196,12 @@ class _Parser:
             if self.peek() == ")":
                 self.next()
             return inner
-        # range: [a TO b] / {a TO b}
+        # range: [a TO b] / {a TO b} — bounds may contain ':' runs
+        # (rfc3339 datetimes, IPv6), joined by character adjacency
         if t in ("[", "{"):
-            lo = self.next()
+            lo = self._bound()
             to = self.next()
-            hi = self.next()
+            hi = self._bound()
             close = self.next()
             if to != "TO" or close not in ("]", "}"):
                 raise ValueError("malformed range")
@@ -162,7 +216,7 @@ class _Parser:
             self.next()
             vals = []
             while self.peek() not in ("]", None):
-                vals.append(self.next())
+                vals.append(self._bound())
             if self.peek() == "]":
                 self.next()
             return TermSet(field=field or self.default_fields[0], values=vals)
@@ -182,13 +236,15 @@ class _Parser:
                 prefix = True
                 self.next()
             return self._phrase(field, text, slop, prefix)
-        if "*" in t or "?" in t:
+        t = self._join_value(t)
+        # wildcard check on the escape-stripped view so `\*` stays literal
+        if re.search(r"[*?]", _ESCAPE_RE.sub("", t)):
             if field is None:
                 return _multi_field(
                     [Wildcard(field=f, pattern=t) for f in self.default_fields]
                 )
             return Wildcard(field=field, pattern=t)
-        return self._fulltext(field, t, operator="and")
+        return self._fulltext(field, _unescape(t), operator="and")
 
     def _fulltext(self, field: str | None, text: str, operator: str) -> QueryAst:
         if field is not None:
@@ -231,5 +287,5 @@ def parse_query(
     if not q or q == "*":
         return MatchAll()
     return _Parser(
-        _lex(q), default_fields or ["text"], default_operator, position_fields
+        _lex_spans(q), default_fields or ["text"], default_operator, position_fields
     ).parse_expr()

@@ -596,6 +596,61 @@ class IndexSearcher:
             lambda pdf: fn(pdf, None), MATCH_SCHEMA
         )
 
+    def _ast_time_bounds(self, ast) -> tuple[int | None, int | None]:
+        """(lo_incl, hi_excl) micros implied by Range nodes on the time
+        column in REQUIRED positions (must/filter of conjunctions) — the
+        reference refines `start/end_timestamp` from the query AST the
+        same way before split pruning
+        (`quickwit-search/src/root.rs:1108-1137`,
+        `refine_start_end_timestamp_from_ast`). Optional (should) and
+        negated clauses never narrow the bounds."""
+        tcol = self.config.time_column
+        lo = hi = None
+
+        def micros(v) -> int | None:
+            import datetime as _dt
+
+            if isinstance(v, (int, float)):
+                return int(v)
+            if isinstance(v, str):
+                try:
+                    v = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+                except ValueError:
+                    return None  # unparseable bound: skip refinement,
+                    # the exact docmap filter still applies
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                return int(v.timestamp() * 1_000_000)
+            return None
+
+        def walk(node):
+            nonlocal lo, hi
+            if isinstance(node, Boost):
+                walk(node.query)
+                return
+            if isinstance(node, Range) and node.field == tcol:
+                for v, bump in ((node.gte, 0), (node.gt, 1)):
+                    m = micros(v) if v is not None else None
+                    if m is not None:
+                        m += bump
+                        lo = m if lo is None else max(lo, m)
+                for v, bump in ((node.lte, 1), (node.lt, 0)):
+                    m = micros(v) if v is not None else None
+                    if m is not None:
+                        m += bump
+                        hi = m if hi is None else min(hi, m)
+                return
+            if isinstance(node, Bool):
+                # must/filter stay required even when should clauses
+                # exist (shoulds only ever narrow further) — so their
+                # ranges refine; shoulds/must_nots never do
+                for cl in list(node.must) + list(node.filter):
+                    walk(cl)
+
+        walk(ast)
+        return lo, hi
+
     def _resolve(self, query, time_range):
         ast = (
             parse_query(
@@ -608,6 +663,15 @@ class IndexSearcher:
             if isinstance(query, str)
             else query
         )
+        if self.config.time_column:
+            ast_lo, ast_hi = self._ast_time_bounds(ast)
+            if ast_lo is not None or ast_hi is not None:
+                lo, hi = time_range if time_range is not None else (None, None)
+                if ast_lo is not None:
+                    lo = ast_lo if lo is None else max(lo, ast_lo)
+                if ast_hi is not None:
+                    hi = ast_hi if hi is None else min(hi, ast_hi)
+                time_range = (lo, hi)
         seg_ids = self._prune_segments(time_range, ast)
         ast = self._expand_patterns(ast, seg_ids)
         ast, fast_filter = self._split_fast_predicates(ast)

@@ -102,6 +102,71 @@ def test_time_range_pruning_and_filter(searcher, corpus_pdf, spark):
     assert got == expected
 
 
+def test_ast_time_bounds_extraction(searcher):
+    """Timestamp bounds refine from Range nodes in required positions
+    (reference `refine_start_end_timestamp_from_ast`,
+    `quickwit-search/src/root.rs:1108-1137`)."""
+    import datetime as dt
+
+    day = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+    micros = int(day.timestamp() * 1_000_000)
+    lo, hi = searcher._ast_time_bounds(
+        Bool(must=[Term("text", "x")], filter=[Range("warc_ts", gte=day)])
+    )
+    assert (lo, hi) == (micros, None)
+    # string bounds (the query-string path) parse rfc3339
+    lo, hi = searcher._ast_time_bounds(
+        Range("warc_ts", gt="2024-01-02T00:00:00Z", lte="2024-01-03T00:00:00Z")
+    )
+    assert lo == micros + 1 and hi == micros + 86_400_000_000 + 1
+    # optional/negated clauses never narrow
+    lo, hi = searcher._ast_time_bounds(
+        Bool(should=[Range("warc_ts", gte=day)], must=[Term("text", "x")])
+    )
+    assert (lo, hi) == (None, None)
+    # ranges on non-time columns are ignored
+    lo, hi = searcher._ast_time_bounds(Range("n_chars", gte=10))
+    assert (lo, hi) == (None, None)
+
+
+def test_query_range_prunes_segments(spark, tmp_path):
+    """A query-string rfc3339 range on the time column prunes whole
+    segments at the manifest BEFORE any scan when routing makes them
+    time-disjoint — the reference's refine-then-prune split listing."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        day = i % 2  # two disjoint days, routed apart
+        rows.append(
+            {
+                "doc_id": i,
+                "text": "alpha beta" if i % 3 else "alpha gamma",
+                "day": f"d{day}",
+                "warc_ts": base + dt.timedelta(days=day, seconds=i),
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=4,
+        time_column="warc_ts",
+        routing_column="day",
+    )
+    build_index(spark, df, d, cfg, job_id="tprune")
+    s = IndexSearcher(spark, d)
+    q = "text:alpha AND warc_ts:[2024-01-02T00:00:00Z TO *]"
+    plan = s.search_plan(q)
+    assert plan["segments_pruned"], "day-0 segment should prune at manifest"
+    got = {r["doc_key"] for r in s.search_stream(q, []).collect()}
+    assert got == {i for i in range(40) if i % 2 == 1}
+
+
 def test_bm25_topk_vs_pandas_oracle(searcher, corpus_pdf):
     """oracle mode (global stats, exact lens, f64) vs independent pandas
     recomputation — rank-identical including docid-desc tie-break."""

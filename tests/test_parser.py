@@ -4,6 +4,7 @@ import pytest
 
 from quickwit_spark.query.ast import (
     Bool,
+    Exists,
     FullText,
     MatchAll,
     Phrase,
@@ -61,3 +62,45 @@ def test_basics_still_parse():
 def test_phrase_in_field_group():
     got = parse_query('text:("a b" OR c)', F2, position_fields={"text"})
     assert got == Bool(should=[Phrase(field="text", text="a b"), ft("text", "c")])
+
+
+def test_exists_clause():
+    # doc "Exists `field:*`": bare star on a field is presence, not a
+    # wildcard expansion; unfielded `*` stays MatchAll
+    assert parse_query("lang:*", F2) == Exists(field="lang")
+    assert parse_query("* AND lang:en", F2) == Bool(
+        must=[MatchAll(), ft("lang", "en")]
+    )
+
+
+def test_rfc3339_range_bounds():
+    # doc "Datetime": rfc3339 bounds contain ':' — they must lex as one
+    # value (reference grammar allows unescaped ':' in range bounds)
+    r = parse_query("warc_ts:[2021-04-13T22:45:41Z TO *]", F2)
+    assert r == Range(field="warc_ts", gte="2021-04-13T22:45:41Z")
+    r = parse_query(
+        "warc_ts:{2024-01-01T00:00:00Z TO 2024-01-02T12:30:00Z]", F2
+    )
+    assert r.gt == "2024-01-01T00:00:00Z" and r.lte == "2024-01-02T12:30:00Z"
+    # IPv6 bounds (doc "IP addresses": range queries instead of CIDR)
+    r = parse_query("ip:[::1 TO ::ffff]", F2)
+    assert r.gte == "::1" and r.lte == "::ffff"
+
+
+def test_escaped_specials():
+    # doc "Escaping Special Characters"
+    assert parse_query(r"text:a\:b", F2) == ft("text", "a:b")
+    assert parse_query(r"k8s\.component\.name:quickwit", F2) == ft(
+        "k8s.component.name", "quickwit"
+    )
+    # escaped star is a literal, not a wildcard
+    assert parse_query(r"text:lit\*eral", F2) == ft("text", "lit*eral")
+    # unescaped value colons after the first split colon join by adjacency
+    assert parse_query("warc_ts:2021-04-13T22:45:41Z", F2) == ft(
+        "warc_ts", "2021-04-13T22:45:41Z"
+    )
+
+
+def test_termset_with_datetime_values():
+    got = parse_query("warc_ts:IN [2021-04-13T22:45:41Z x]", F2)
+    assert got == TermSet("warc_ts", ("2021-04-13T22:45:41Z", "x"))
