@@ -758,6 +758,44 @@ def _q_match_stream(spark, sf_dir):
     return s.search_stream(Term("text", "spark"), ["lang", "source"])
 
 
+def _q_bulk_count(spark, sf_dir):
+    """ES `_bulk` wire ingestion end-to-end (reference
+    `elasticsearch_api/bulk.rs`): an NDJSON action/source payload is
+    parsed (docs JVM-side), indexed through the ordinary distributed
+    build as its own lineage batch, then counted. Replays are
+    idempotent via the fixed request id."""
+    import json as _json
+
+    from quickwit_spark.sources.bulk import es_bulk
+
+    key = os.path.abspath(sf_dir)
+    idx_dir = os.path.join(
+        _IDX_ROOT, key.strip("/").replace("/", "_") + "_bulk_v1"
+    )
+    pdf = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter("doc_id < 400")
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    lines = []
+    for r in pdf.itertuples(index=False):
+        lines.append(
+            _json.dumps({"index": {"_index": "docs", "_id": int(r.doc_id)}})
+        )
+        lines.append(_json.dumps({"text": r.text, "lang": r.lang}))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text"), FieldConfig("lang", tokenizer="raw")],
+        doc_key="doc_id",
+        num_partitions=2,
+    )
+    es_bulk(spark, "\n".join(lines), idx_dir, cfg, request_id="bulk-gate")
+    s = IndexSearcher(spark, idx_dir)
+    n = s.count(Bool(must=[Term("text", "spark")], filter=[Term("lang", "en")]))
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
 def _q_count_term(spark, sf_dir):
     n = _searcher(spark, sf_dir).count(Term("text", "spark"))
     return spark.createDataFrame([(n,)], "num_hits long")
@@ -1707,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_stream_term": _q_match_stream,
         "count_term": _q_count_term,
         "count_all": _q_count_all,
+        "bulk_ingest_count": _q_bulk_count,
         "search_merged_topk": _q_merged_topk,
         "search_stem_count": _q_stem_count,
         "search_code_count": _q_code_count,
@@ -1867,6 +1906,11 @@ ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10
 """,
         "match_stream_term": _MATCH_TERM_SQL,
         "count_term": _COUNT_TERM_SQL,
+        "bulk_ingest_count": """
+SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents
+WHERE doc_id < 400 AND lang = 'en'
+  AND list_contains(string_split(text, ' '), 'spark')
+""",
         "search_merged_topk": _bm25_sql([("spark", 1.0)]),
         "search_stem_count": """
 WITH toks AS (

@@ -1,4 +1,4 @@
-"""Query-string mini-DSL parser (subset of the reference's language).
+r"""Query-string mini-DSL parser (subset of the reference's language).
 
 Grammar subset of `docs/reference/query-language.md` /
 `query_ast/user_input_query.rs:61-128`:
