@@ -39,7 +39,7 @@ from dataclasses import dataclass, field as dc_field
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quickwit_spark.analysis import tokenize_series  # noqa: F401 (query-side parity)
@@ -63,6 +63,17 @@ KIND_NORMS = "norms"
 KIND_STATS = "stats"
 KIND_SEG = "seg"
 KIND_POS = "pos"  # per-term token-position streams (record: position)
+KIND_DOCMAP = "docmap"  # per-doc typed row (doc_id, doc_key, stored cols)
+
+# names a stored/time/key column may not use: the inverted-index columns
+# plus the docmap positional/key columns and the write partition columns
+RESERVED_COLUMNS = frozenset(
+    (
+        "segment_id", "kind", "field", "term", "doc_freq", "payload1",
+        "payload2", "block_last", "block_max", "meta", "doc_id", "doc_key",
+        "batch_id", "_pid",
+    )
+)
 
 
 @dataclass
@@ -385,7 +396,11 @@ _INV_COLUMNS = (
 )
 
 
-def _rows_to_batch(rows: list[dict]):
+def _rows_to_batch(rows: list[dict], extra_types=()):
+    """Inverted-index rows → one RecordBatch of the unified output
+    schema; `extra_types` are the docmap-only (name, arrow type) columns,
+    all-null on inverted-index rows (parquet stores them as ~free null
+    runs)."""
     import pyarrow as pa
 
     types = {
@@ -394,10 +409,54 @@ def _rows_to_batch(rows: list[dict]):
         "payload2": pa.binary(), "block_last": pa.binary(),
         "block_max": pa.binary(), "meta": pa.string(),
     }
-    return pa.RecordBatch.from_arrays(
-        [pa.array([r[c] for r in rows], type=types[c]) for c in _INV_COLUMNS],
-        names=list(_INV_COLUMNS),
-    )
+    n = len(rows)
+    arrays = [
+        pa.array([r[c] for r in rows], type=types[c]) for c in _INV_COLUMNS
+    ]
+    names = list(_INV_COLUMNS)
+    for name, t in extra_types:
+        arrays.append(pa.nulls(n, type=t))
+        names.append(name)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+_DOCMAP_CHUNK = 1 << 16  # rows per emitted docmap batch (bounds Arrow IPC memory)
+
+
+def _docmap_batches(segment_id: str, seg, doc_key: str, extra_types):
+    """Docmap rows for one segment, emitted from the SAME mapInArrow pass
+    as the postings (the reference's doc store is likewise written by the
+    same serializer that writes the postings, `IndexSerializer`). The
+    inverted-index columns are null except (segment_id, kind); doc_id is
+    the positional id inside the (already (pid, doc_key)-sorted) slice."""
+    import pyarrow as pa
+
+    n = seg.num_rows
+    names = list(_INV_COLUMNS) + [name for name, _ in extra_types]
+    for lo in range(0, n, _DOCMAP_CHUNK):
+        m = min(_DOCMAP_CHUNK, n - lo)
+        sl = seg.slice(lo, m)
+        cols = [
+            pa.array([segment_id] * m, pa.string()),
+            pa.array([KIND_DOCMAP] * m, pa.string()),
+            pa.nulls(m, pa.string()),   # field
+            pa.nulls(m, pa.string()),   # term
+            pa.nulls(m, pa.int64()),    # doc_freq
+            pa.nulls(m, pa.binary()),   # payload1
+            pa.nulls(m, pa.binary()),   # payload2
+            pa.nulls(m, pa.binary()),   # block_last
+            pa.nulls(m, pa.binary()),   # block_max
+            pa.nulls(m, pa.string()),   # meta
+        ]
+        for name, t in extra_types:
+            if name == "doc_id":
+                cols.append(pa.array(np.arange(lo, lo + m, dtype=np.int32)))
+            else:
+                src = doc_key if name == "doc_key" else name
+                cols.append(sl.column(src))
+        # pa.table tolerates mixed Array/ChunkedArray columns;
+        # to_batches re-chunks them into aligned RecordBatches zero-copy
+        yield from pa.table(dict(zip(names, cols))).to_batches()
 
 
 def _make_build_fn_arrow(config: IndexConfig, job_id: str):
@@ -411,6 +470,10 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
     fields = config.fields
     k1, b = config.k1, config.b
     time_col = config.time_column
+    stored_cols = list(config.stored_columns)
+    extra_names = ["doc_id", "doc_key"] + stored_cols
+    if time_col and time_col not in stored_cols:
+        extra_names.append(time_col)
 
     def build(batches):
         import pyarrow as pa
@@ -422,6 +485,20 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
         tbl = pa.Table.from_batches(blist)
         if tbl.num_rows == 0:
             return
+        # docmap-only output columns: types taken from the INPUT arrow
+        # schema so they round-trip to Spark exactly (timestamps keep
+        # their tz/unit, lists their element type)
+        extra_types = [
+            (
+                name,
+                pa.int32()
+                if name == "doc_id"
+                else tbl.schema.field(
+                    doc_key if name == "doc_key" else name
+                ).type,
+            )
+            for name in extra_names
+        ]
         pids = tbl.column("_pid").to_numpy()
         keys = tbl.column(doc_key).to_numpy()
         # the caller feeds repartition+sortWithinPartitions output, so
@@ -521,7 +598,8 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
                     "meta": json.dumps(seg_meta, sort_keys=True),
                 }
             )
-            yield _rows_to_batch(all_rows)
+            yield _rows_to_batch(all_rows, extra_types)
+            yield from _docmap_batches(segment_id, seg, doc_key, extra_types)
 
     return build
 
@@ -587,6 +665,19 @@ def build_index(
     inv_dir = f"{index_dir}/inv"
     docs_dir = f"{index_dir}/docs"
 
+    # the docmap rides the inverted-index write (unified schema), so its
+    # columns may not shadow the index columns
+    bad_cols = [
+        c
+        for c in (*config.stored_columns, config.time_column or "")
+        if c in RESERVED_COLUMNS
+    ]
+    if bad_cols:
+        raise ValueError(
+            f"stored/time columns {bad_cols} collide with reserved "
+            f"index column names {sorted(RESERVED_COLUMNS)}"
+        )
+
     done = mf.committed_checkpoints(index_dir, kind="build")
     routing = config.routing_column or config.doc_key
     df = df.withColumn(
@@ -594,6 +685,16 @@ def build_index(
         F.pmod(F.xxhash64(F.col(routing)), F.lit(config.num_partitions)).cast("int"),
     )
     build_fn = _make_build_fn_arrow(config, job_id)
+    # unified mapInArrow output schema: inverted-index columns + the
+    # typed docmap columns (doc_id, doc_key, stored, time)
+    extra_ddl = [("doc_id", "int"), ("doc_key", df.schema[config.doc_key].dataType.simpleString())]
+    for c in config.stored_columns:
+        extra_ddl.append((c, df.schema[c].dataType.simpleString()))
+    if config.time_column and config.time_column not in config.stored_columns:
+        extra_ddl.append(
+            (config.time_column, df.schema[config.time_column].dataType.simpleString())
+        )
+    out_schema = INV_SCHEMA + ", " + ", ".join(f"`{n}` {t}" for n, t in extra_ddl)
     all_records: list[mf.SegmentRecord] = []
     for bi, (lo, hi) in enumerate(_batch_ranges(config.num_partitions, num_batches)):
         batch_id = f"{job_id}-b{bi:04d}"
@@ -602,42 +703,34 @@ def build_index(
         t0 = time.perf_counter()
         bdf = df.filter((F.col("_pid") >= lo) & (F.col("_pid") < hi))
 
-        # ONE shuffle: hash-partition by pid + sort within partitions,
-        # persisted and shared by the inverted-index pass and the docmap
-        # pass (the window below reuses the same partitioning+order, so
-        # Catalyst plans no second exchange/sort).
-        part = (
-            bdf.repartition(hi - lo, "_pid")
-            .sortWithinPartitions("_pid", config.doc_key)
-            .persist()
+        # ONE pass over the corpus: shuffle on pid + in-partition sort →
+        # mapInArrow emits postings AND docmap rows (unified schema) →
+        # one write. No persist (at 100 TB, materializing the corpus a
+        # second time was the dominant non-kernel cost), no window.
+        part = bdf.repartition(hi - lo, "_pid").sortWithinPartitions(
+            "_pid", config.doc_key
         )
-        inv = part.mapInArrow(build_fn, INV_SCHEMA)
+        out = part.mapInArrow(build_fn, out_schema)
         (
-            inv.withColumn("batch_id", F.lit(batch_id))
+            out.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .partitionBy("batch_id", "kind")
             .parquet(inv_dir)
         )
+        # relocate the docmap partition into the docs dataset — a
+        # driver-side metadata rename (O(1) on a filesystem; on an
+        # object store this would be the Hadoop FileSystem.rename of
+        # one directory). Idempotent: a rerun of a crashed batch
+        # rewrites kind=docmap above and replaces the destination.
+        import shutil as _shutil
 
-        seg_col = F.format_string(f"{job_id}-p%05d", F.col("_pid"))
-        w = Window.partitionBy("_pid").orderBy(config.doc_key)
-        doc_cols = [
-            seg_col.alias("segment_id"),
-            (F.row_number().over(w) - 1).alias("doc_id"),
-            F.col(config.doc_key).alias("doc_key"),
-        ]
-        for c in config.stored_columns:
-            doc_cols.append(F.col(c))
-        if config.time_column and config.time_column not in config.stored_columns:
-            doc_cols.append(F.col(config.time_column))
-        (
-            part.select(*doc_cols)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(docs_dir)
-        )
-        part.unpersist()
+        src = f"{inv_dir}/batch_id={batch_id}/kind={KIND_DOCMAP}"
+        dst = f"{docs_dir}/batch_id={batch_id}"
+        if _os.path.exists(src):
+            _os.makedirs(docs_dir, exist_ok=True)
+            if _os.path.exists(dst):
+                _shutil.rmtree(dst)
+            _os.rename(src, dst)
         build_secs = time.perf_counter() - t0
 
         # read back the tiny seg-meta rows → manifest records (address

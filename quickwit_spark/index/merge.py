@@ -483,8 +483,15 @@ def execute_merge(
 
     # docmap rewrite: drop doomed rows, compact + shift doc_ids, stamp
     # the merged segment id
-    docs = spark.read.parquet(f"{index_dir}/docs").filter(
-        F.col("segment_id").isin(list(offsets))
+    from quickwit_spark.index.builder import _INV_COLUMNS as _IC
+
+    # builder-written docmap files carry the (all-null) inverted-index
+    # columns of the unified single-pass schema; drop them so merged
+    # docmaps store only the typed doc columns (no-op when absent)
+    docs = (
+        spark.read.parquet(f"{index_dir}/docs")
+        .drop(*[c for c in _IC if c != "segment_id"])
+        .filter(F.col("segment_id").isin(list(offsets)))
     )
     if any(tomb_counts.values()):
 

@@ -148,7 +148,16 @@ class IndexSearcher:
         self.live_ids = [s.segment_id for s in self.segments]
         # re-list the parquet datasets once per refresh, not per query
         self._inv = self.spark.read.parquet(f"{self.index_dir}/inv")
-        self._docs = self.spark.read.parquet(f"{self.index_dir}/docs")
+        # the builder writes docmap files through the unified
+        # inverted-index schema (single-pass build); hide the
+        # index-only columns — always all-null here — from every
+        # docmap consumer (drop is a no-op where a file predates the
+        # unified layout)
+        from quickwit_spark.index.builder import _INV_COLUMNS
+
+        self._docs = self.spark.read.parquet(f"{self.index_dir}/docs").drop(
+            *[c for c in _INV_COLUMNS if c != "segment_id"]
+        )
         # hot-postings cache invalidates with the segment set
         if getattr(self, "_hot", None) is not None:
             self._hot[1].unpersist()
