@@ -112,6 +112,14 @@ class IndexConfig:
     # with tag_fields it co-locates a tag value's docs so pruning can
     # skip whole segments
     routing_column: str | None = None
+    # "hash": shuffle docs to num_partitions segments by the routing
+    # key (reference: `partition_key` configured). "input": NO shuffle —
+    # each input partition becomes one segment in arrival order, the
+    # reference's DEFAULT ingest shape (no partition_key ⇒ every split
+    # has partition_id 0, `routing_expression/mod.rs:23-52` unused);
+    # all segments record partition_id 0 so the merge policy groups
+    # them together, exactly like the reference's planner.
+    routing: str = "hash"
     # config-defined custom analyzers: {name: spec} resolved by
     # analysis.tokenizer.build_tokenizer (reference: doc-mapping
     # `tokenizers` entries, `tokenizer_entry.rs:25-150`); serialized so
@@ -132,6 +140,7 @@ class IndexConfig:
                 "tag_fields": list(self.tag_fields),
                 "max_tags_per_field": self.max_tags_per_field,
                 "routing_column": self.routing_column,
+                "routing": self.routing,
                 "tokenizers": self.tokenizers,
             },
             sort_keys=True,
@@ -148,6 +157,7 @@ class IndexConfig:
         d["tag_fields"] = tuple(d.get("tag_fields") or ())
         d.setdefault("max_tags_per_field", 1000)
         d.setdefault("routing_column", None)
+        d.setdefault("routing", "hash")
         d.setdefault("tokenizers", {})
         return IndexConfig(**d)
 
@@ -576,7 +586,10 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
             keys = seg.column(doc_key)
             seg_meta = {
                 "num_docs": end - start,
-                "partition_id": pid,
+                # input routing: partition_id 0 for every segment (the
+                # reference's no-partition_key default) so the merge
+                # policy groups all of them; pid still names the segment
+                "partition_id": 0 if config.routing == "input" else pid,
                 "field_stats": field_stats,
                 "time_range": time_range,
                 "tags": sorted(tags),
@@ -679,11 +692,22 @@ def build_index(
         )
 
     done = mf.committed_checkpoints(index_dir, kind="build")
-    routing = config.routing_column or config.doc_key
-    df = df.withColumn(
-        "_pid",
-        F.pmod(F.xxhash64(F.col(routing)), F.lit(config.num_partitions)).cast("int"),
-    )
+    if config.routing == "input":
+        # zero-shuffle ingest: each input partition IS a segment, docs
+        # in arrival order — the reference's default pipeline shape.
+        # Lineage is one batch (input partitioning is not stable across
+        # reruns, so pid-range sub-batches would not resume safely).
+        if num_batches != 1:
+            raise ValueError("routing='input' supports num_batches=1 only")
+        df = df.withColumn("_pid", F.spark_partition_id())
+    else:
+        routing = config.routing_column or config.doc_key
+        df = df.withColumn(
+            "_pid",
+            F.pmod(
+                F.xxhash64(F.col(routing)), F.lit(config.num_partitions)
+            ).cast("int"),
+        )
     build_fn = _make_build_fn_arrow(config, job_id)
     # unified mapInArrow output schema: inverted-index columns + the
     # typed docmap columns (doc_id, doc_key, stored, time)
@@ -701,15 +725,20 @@ def build_index(
         if batch_id in done:
             continue
         t0 = time.perf_counter()
-        bdf = df.filter((F.col("_pid") >= lo) & (F.col("_pid") < hi))
-
-        # ONE pass over the corpus: shuffle on pid + in-partition sort →
-        # mapInArrow emits postings AND docmap rows (unified schema) →
-        # one write. No persist (at 100 TB, materializing the corpus a
-        # second time was the dominant non-kernel cost), no window.
-        part = bdf.repartition(hi - lo, "_pid").sortWithinPartitions(
-            "_pid", config.doc_key
-        )
+        # ONE pass over the corpus: (optionally) shuffle on pid +
+        # in-partition sort → mapInArrow emits postings AND docmap rows
+        # (unified schema) → one write. No persist (at 100 TB,
+        # materializing the corpus a second time was the dominant
+        # non-kernel cost), no window.
+        if config.routing == "input":
+            # no exchange at all: sortWithinPartitions is narrow, _pid
+            # is constant inside each partition
+            part = df.sortWithinPartitions(config.doc_key)
+        else:
+            bdf = df.filter((F.col("_pid") >= lo) & (F.col("_pid") < hi))
+            part = bdf.repartition(hi - lo, "_pid").sortWithinPartitions(
+                "_pid", config.doc_key
+            )
         out = part.mapInArrow(build_fn, out_schema)
         (
             out.withColumn("batch_id", F.lit(batch_id))

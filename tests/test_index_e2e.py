@@ -261,3 +261,46 @@ def test_bitpack_codec_search_identical(spark, sf_dir, tmp_path_factory, searche
     b = [r.asDict() for r in bp.search(q, k=20).collect()]
     assert a == b
     assert bp.count(Term("text", "spark")) == searcher.count(Term("text", "spark"))
+
+
+def test_input_routing_zero_shuffle(spark, sf_dir, tmp_path_factory, searcher):
+    """routing='input' (the reference's default no-partition_key ingest,
+    `routing_expression/mod.rs:23-52` unused): segments = input
+    partitions, NO exchange in the build plan, partition_id 0 on every
+    segment so the merge policy groups them — and search results are
+    identical to the hash-routed index."""
+    d = str(tmp_path_factory.mktemp("inpidx"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=4,  # ignored for segment routing in input mode
+        stored_columns=("url", "lang"),
+        time_column="warc_ts",
+        routing="input",
+    )
+    df = web_corpus(spark, sf_dir).repartition(3)  # fix input partitioning
+    # the exact pre-mapInArrow plan build_index uses adds no exchange of
+    # its own: the only Exchange is the test's repartition(3) above
+    plan = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    recs = build_index(spark, df, d, cfg, job_id="inp")
+    assert len(recs) == 3  # one segment per input partition
+    assert all(r.partition_id == 0 for r in recs)
+    s = IndexSearcher(spark, d)
+    q = FullText("text", "spark join", "or")
+    # BM25 stats are per-segment (reference: per-split searchers, no
+    # renormalization), so ranked order differs across segmentations —
+    # the MATCH SET and counts must be identical
+    a = {r["doc_key"] for r in s.search(q, k=600).collect()}
+    b = {r["doc_key"] for r in searcher.search(q, k=600).collect()}
+    assert a == b
+    assert s.count(Term("text", "spark")) == searcher.count(Term("text", "spark"))
+    with pytest.raises(ValueError, match="num_batches"):
+        build_index(spark, df, str(tmp_path_factory.mktemp("x")), cfg,
+                    job_id="inp2", num_batches=2)
