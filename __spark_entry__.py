@@ -801,6 +801,44 @@ def _q_count_term(spark, sf_dir):
     return spark.createDataFrame([(n,)], "num_hits long")
 
 
+_input_searchers: dict[str, IndexSearcher] = {}
+
+
+def _searcher_input(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Zero-shuffle build (routing='input'): segments are the input
+    partitions in arrival order — the reference's DEFAULT ingest shape
+    when no partition_key is configured. Gates that the no-exchange
+    build path answers queries identically to the routed one."""
+    _ship(spark)
+    key = os.path.abspath(sf_dir)
+    if key in _input_searchers:
+        return _input_searchers[key]
+    idx_dir = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_inp_v1")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        stored_columns=("url",),
+        time_column="warc_ts",
+        routing="input",
+    )
+    from quickwit_spark.sources.corpus import web_corpus
+
+    # deterministic multi-partition input (hash on the key column)
+    build_index(
+        spark, web_corpus(spark, sf_dir).repartition(5, "doc_id"),
+        idx_dir, cfg, job_id="entry-inp",
+    )
+    s = IndexSearcher(spark, idx_dir)
+    _input_searchers[key] = s
+    return s
+
+
+def _q_input_routed_count(spark, sf_dir):
+    s = _searcher_input(spark, sf_dir)
+    n = s.count(Bool(must=[Term("text", "spark"), Term("text", "join")]))
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
 def _q_count_all(spark, sf_dir):
     n = _searcher(spark, sf_dir).count(MatchAll())
     return spark.createDataFrame([(n,)], "num_hits long")
@@ -1744,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_cardinality": _q_events_user_cardinality,
         "match_stream_term": _q_match_stream,
         "count_term": _q_count_term,
+        "search_input_routed": _q_input_routed_count,
         "count_all": _q_count_all,
         "bulk_ingest_count": _q_bulk_count,
         "search_merged_topk": _q_merged_topk,
@@ -1906,6 +1945,17 @@ ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10
 """,
         "match_stream_term": _MATCH_TERM_SQL,
         "count_term": _COUNT_TERM_SQL,
+        "search_input_routed": """
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM (
+  SELECT doc_id FROM toks WHERE term IN ('spark', 'join')
+  GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2
+)
+""",
         "bulk_ingest_count": """
 SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents
 WHERE doc_id < 400 AND lang = 'en'

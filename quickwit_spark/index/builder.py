@@ -668,11 +668,15 @@ def build_index(
     _cfg_path = f"{index_dir}/_manifest/index_config.json"
     if _os.path.exists(_cfg_path):
         with open(_cfg_path) as _f:
-            if _f.read() != config.to_json():
-                raise ValueError(
-                    f"index at {index_dir} was built with a different "
-                    "config; refusing to mix configs"
-                )
+            stored = _f.read()
+        # compare NORMALIZED configs (round-trip fills defaults) so an
+        # index built before a config field existed stays compatible
+        # when that field is at its default
+        if IndexConfig.from_json(stored).to_json() != config.to_json():
+            raise ValueError(
+                f"index at {index_dir} was built with a different "
+                "config; refusing to mix configs"
+            )
     if transform is not None:
         df = transform(df)
     inv_dir = f"{index_dir}/inv"
