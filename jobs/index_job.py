@@ -3,7 +3,8 @@
     spark-submit --py-files dist/quickwit_spark.zip jobs/index_job.py \
         --input /data/corpus_parquet --index-dir /data/index \
         --text-field text --doc-key doc_id --partitions 64 \
-        [--time-column warc_ts] [--stored url,lang] [--batches 4] [--job-id job1]
+        [--time-column warc_ts] [--stored url,lang] [--batches 4] \
+        [--job-id job1] [--routing hash|input]
 
 Resumable: re-running after a crash skips batches already committed to
 the manifest (per-partition lineage; SURVEY.md §1.3).
@@ -26,6 +27,12 @@ def main() -> None:
     p.add_argument("--time-column", default=None)
     p.add_argument("--stored", default="")
     p.add_argument("--partitions", type=int, default=64)
+    p.add_argument(
+        "--routing", choices=("hash", "input"), default="hash",
+        help="hash: shuffle to --partitions segments by --doc-key; "
+        "input: zero-shuffle, one segment per input partition "
+        "(the reference's default no-partition_key ingest)",
+    )
     p.add_argument("--batches", type=int, default=1)
     p.add_argument("--job-id", default="job0")
     args = p.parse_args()
@@ -36,6 +43,7 @@ def main() -> None:
         fields=[FieldConfig(f) for f in (args.text_field or ["text"])],
         doc_key=args.doc_key,
         num_partitions=args.partitions,
+        routing=args.routing,
         stored_columns=tuple(c for c in args.stored.split(",") if c),
         time_column=args.time_column,
     )

@@ -449,23 +449,33 @@ def _tokenize_ascii_numpy(arr):
     is_tok = _ALNUM_LUT[data]
     if not data.size:
         return pa.array([], type=pa.string()), np.zeros(0, np.int64)
-    prev = np.empty_like(is_tok)
-    prev[0] = False
-    prev[1:] = is_tok[:-1]
+    # run edges from ONE diff pass over the mask (a shifted-copy
+    # prev/nxt formulation costs two extra full-array passes)
+    dd = np.diff(is_tok.view(np.int8))
+    starts = (np.flatnonzero(dd == 1) + 1).astype(np.int32)
+    ends = (np.flatnonzero(dd == -1) + 1).astype(np.int32)
+    if is_tok[0]:
+        starts = np.concatenate(([np.int32(0)], starts))
+    if is_tok[-1]:
+        ends = np.concatenate((ends, [np.int32(data.size)]))
+    # a doc boundary strictly inside a run splits it (tokens never span
+    # documents); breaks are few (≤ num docs) so the sorted merge via
+    # searchsorted+insert is O(T) with tiny constants
     inner = offsets[1:-1]
-    prev[inner[inner < data.size]] = False  # doc boundary breaks a run
-    starts = np.flatnonzero(is_tok & ~prev).astype(np.int32)
-    nxt = np.empty_like(is_tok)
-    nxt[-1] = False
-    nxt[:-1] = is_tok[1:]
-    pos = inner[inner > 0] - 1
-    nxt[pos[pos < data.size]] = False
-    ends = np.flatnonzero(is_tok & ~nxt).astype(np.int32) + 1
+    inner = inner[(inner > 0) & (inner < data.size)]
+    brk = inner[is_tok[inner - 1] & is_tok[inner]]
+    if brk.size:
+        brk = np.unique(brk).astype(np.int32)
+        starts = np.insert(starts, np.searchsorted(starts, brk), brk)
+        ends = np.insert(ends, np.searchsorted(ends, brk), brk)
     lengths = ends - starts
     keep = lengths <= DEFAULT_REMOVE_TOKEN_LENGTH
     if not keep.all():
         starts, lengths = starts[keep], lengths[keep]
-    doc_idx = (np.searchsorted(offsets, starts, side="right") - 1).astype(np.int64)
+    # docs ≪ tokens: count token starts per doc with a D·log T search,
+    # then ONE repeat — the per-token T·log D searchsorted costs ~5×
+    tok_per_doc = np.diff(np.searchsorted(starts, offsets))
+    doc_idx = np.repeat(np.arange(len(tok_per_doc), dtype=np.int64), tok_per_doc)
     cum = np.zeros(len(lengths) + 1, dtype=np.int32)
     np.cumsum(lengths, out=cum[1:])
     total = int(cum[-1])

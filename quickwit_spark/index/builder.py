@@ -296,8 +296,21 @@ def _build_field_rows(
                 codes = remap[codes]
                 uniques = uniques[~dup]
     # the flat token stream is in doc order already, so ONE stable sort
-    # on the term code yields (term, doc) order — no lexsort needed
-    order = np.argsort(codes, kind="stable")
+    # on the term code yields (term, doc) order — no lexsort needed.
+    # numpy's stable radix argsort does one pass per byte of key width,
+    # so narrow the key to the vocabulary (uint16 is ~8× int32); above
+    # 2^16 terms, two chained 16-bit stable passes are still ~4× faster
+    # than one 32-bit sort (classic LSD radix)
+    V = len(uniques)
+    if V <= 1 << 8:
+        order = np.argsort(codes.astype(np.uint8), kind="stable")
+    elif V <= 1 << 16:
+        order = np.argsort(codes.astype(np.uint16), kind="stable")
+    else:
+        lo = (codes & 0xFFFF).astype(np.uint16)
+        hi = (codes >> 16).astype(np.uint16)
+        o1 = np.argsort(lo, kind="stable")
+        order = o1[np.argsort(hi[o1], kind="stable")]
     c = codes[order]
     d = doc_idx[order].astype(np.int32, copy=False)
     sorted_pos = None
