@@ -1319,6 +1319,23 @@ def _q_dedup_minhash(spark, sf_dir):
     return out.select("key_a", "key_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: min-label propagation (iterative, Spark-only
+    shuffles over the edge set) on the portable MinHash-LSH pair graph;
+    the DuckDB oracle computes the same components with a recursive-CTE
+    transitive closure over the identical pair set."""
+    from quickwit_spark.datapipe.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", num_perm=32, portable=True)
+    pairs = minhash_lsh_pairs(sigs, "doc_id", bands=8, rows=4)
+    return connected_components(pairs)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs, portable 62-bit fingerprint. bands=9 >
     max_hamming=8 ⇒ banding is exhaustive (pigeonhole), so the result
@@ -1822,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
         "knn_cosine_bruteforce": _q_knn_cosine,
         "knn_cosine_lsh": _q_knn_lsh,
@@ -2197,6 +2215,22 @@ SELECT doc_id,
 FROM documents
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(num_perm=32, bands=8, rows=4),
+        "dedup_components": f"""
+WITH RECURSIVE base AS (
+{_minhash_lsh_sql(num_perm=32, bands=8, rows=4)}
+),
+cedges AS (
+  SELECT key_a AS u, key_b AS v FROM base
+  UNION
+  SELECT key_b, key_a FROM base
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM cedges) t
+  UNION
+  SELECT e.u, r.lbl FROM cedges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
+""",
         "dedup_simhash": _simhash_sql(max_hamming=8, bits=62),
         "knn_cosine_lsh": _knn_lsh_sql(planes=4, k=10),
         "knn_cosine_lsh_scale": _knn_lsh_multi_sql(planes=12, tables=2, k=10),

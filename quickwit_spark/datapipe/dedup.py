@@ -322,3 +322,81 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("key_a", "key_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "key_a", dst: str = "key_b", max_iter: int = 50
+) -> DataFrame:
+    """Near-dup clusters via min-label propagation over the pair graph:
+    every key gets the smallest key reachable through candidate pairs
+    (→ columns `key`, `component`). Only PAIRED keys appear; unpaired
+    docs are their own trivial component.
+
+    Scale design: each round shuffles only the EDGE set (near-dup pairs
+    ≪ corpus) and converges in O(cluster diameter) rounds — near-dup
+    clusters are shallow, so typically 2-4. The per-round fixpoint
+    check is a limit(1) count on strictly-decreasing labels, not a full
+    materialization. No reference analog (the reference dedups at
+    ingest by doc id only); this is the training-pipeline
+    canonicalization step over LSH candidate pairs."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("lbl"))
+        .withColumn("lbl", F.least(F.col("u"), F.col("lbl")))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("lbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "u")
+            .filter(F.col("lbl") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("key"), F.col("lbl").alias("component"))
+
+
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    src: str = "key_a",
+    dst: str = "key_b",
+) -> DataFrame:
+    """Keep ONE document per near-dup cluster (the smallest key) plus
+    every unpaired document — the canonicalization pass a training
+    pipeline runs after LSH candidate generation. Losers are removed
+    with a left-anti join (losers ≪ corpus; no broadcast assumption)."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    losers = comp.filter(F.col("key") != F.col("component")).select(
+        F.col("key").alias(key)
+    )
+    return df.join(losers, key, "left_anti")

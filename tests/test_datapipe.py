@@ -251,3 +251,19 @@ def test_ivf_topk_recall_monotone_in_nprobe(emb):
     assert r8 >= r2  # probing more cells can only add candidates
     assert r8 >= 0.5  # half the cells probed ⇒ solid recall even on
     # uniform-random vectors (the hardest case for ANN)
+
+
+def test_connected_components_and_canonical(spark):
+    """Min-label propagation vs a hand-computed component map, incl. a
+    3-hop chain (needs >1 propagation round) and an isolated pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "key_a long, key_b long",
+    )
+    comp = {r["key"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    df = spark.createDataFrame([(k,) for k in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+                               "doc_id long")
+    kept = sorted(r["doc_id"] for r in dedup.dedup_canonical(df, pairs).collect())
+    assert kept == [1, 10, 20, 99]  # one winner per cluster + unpaired doc
