@@ -334,11 +334,15 @@ def connected_components(
 
     Scale design: each round shuffles only the EDGE set (near-dup pairs
     ≪ corpus) and converges in O(cluster diameter) rounds — near-dup
-    clusters are shallow, so typically 2-4. The per-round fixpoint
-    check is a limit(1) count on strictly-decreasing labels, not a full
-    materialization. No reference analog (the reference dedups at
-    ingest by doc id only); this is the training-pipeline
-    canonicalization step over LSH candidate pairs."""
+    clusters are shallow, so typically 2-4. Each round's labels are
+    fully materialized into the cache before the previous round is
+    dropped, so round i never recomputes rounds 0..i-1. Raises
+    RuntimeError if the graph has not converged after `max_iter`
+    rounds (a silent exit would return inconsistent labels). The
+    returned DataFrame is cached — `.unpersist()` it when done. No
+    reference analog (the reference dedups at ingest by doc id only);
+    this is the training-pipeline canonicalization step over LSH
+    candidate pairs."""
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -352,6 +356,7 @@ def connected_components(
         .persist()
     )
     labels.count()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -370,6 +375,11 @@ def connected_components(
             )
             .persist()
         )
+        # full count (not limit(1)) so EVERY partition of `new` lands in
+        # the cache before the old labels are dropped — a short-circuit
+        # probe would leave the tail partitions to recompute the whole
+        # join lineage back to `edges` on the next round
+        new.count()
         changed = (
             new.join(labels.withColumnRenamed("lbl", "old"), "u")
             .filter(F.col("lbl") < F.col("old"))
@@ -379,8 +389,15 @@ def connected_components(
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the pair graph has a longer chain than expected — raise max_iter"
+        )
     return labels.select(F.col("u").alias("key"), F.col("lbl").alias("component"))
 
 

@@ -684,8 +684,14 @@ def build_index(
             stored = _f.read()
         # compare NORMALIZED configs (round-trip fills defaults) so an
         # index built before a config field existed stays compatible
-        # when that field is at its default
-        if IndexConfig.from_json(stored).to_json() != config.to_json():
+        # when that field is at its default; an unparseable stored
+        # config (corrupt, or written by a newer version with unknown
+        # fields) is a mismatch, not a crash
+        try:
+            stored_norm = IndexConfig.from_json(stored).to_json()
+        except (TypeError, KeyError, ValueError):
+            stored_norm = None
+        if stored_norm != config.to_json():
             raise ValueError(
                 f"index at {index_dir} was built with a different "
                 "config; refusing to mix configs"
@@ -697,6 +703,10 @@ def build_index(
 
     # the docmap rides the inverted-index write (unified schema), so its
     # columns may not shadow the index columns
+    if config.routing not in ("hash", "input"):
+        raise ValueError(
+            f"unknown routing {config.routing!r}; expected 'hash' or 'input'"
+        )
     bad_cols = [
         c
         for c in (*config.stored_columns, config.time_column or "")
