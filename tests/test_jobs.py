@@ -1,0 +1,99 @@
+"""spark-submit entry points driven in-process (argv-patched mains).
+
+The reference ships a CLI (`docs/reference/cli.md`: index create/
+ingest/search, split list, tool gc); our analogs are the `jobs/*.py`
+spark-submit scripts. Driving `main()` with a patched argv exercises
+the exact code path `spark-submit` runs (argument parsing included) —
+only the JVM launch differs.
+"""
+
+import json
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_path(sf_dir):
+    return f"{sf_dir}/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory, corpus_path, spark, monkeysession):
+    d = str(tmp_path_factory.mktemp("cli_idx"))
+    import jobs.index_job as ij
+
+    monkeysession.setattr(
+        sys, "argv",
+        ["index_job.py", "--input", corpus_path, "--index-dir", d,
+         "--doc-key", "doc_id", "--text-field", "text",
+         "--partitions", "4", "--stored", "lang", "--job-id", "cli"],
+    )
+    ij.main()
+    return d
+
+
+@pytest.fixture(scope="module")
+def monkeysession():
+    from _pytest.monkeypatch import MonkeyPatch
+
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+def test_index_job_publishes(built_index):
+    from quickwit_spark.index import manifest as mf
+
+    segs = mf.live_segments(built_index)
+    assert len(segs) == 4
+    assert sum(s.num_docs for s in segs) == 500
+
+
+def test_search_job_count_and_es_body(built_index, monkeysession, capsys):
+    import jobs.search_job as sj
+
+    monkeysession.setattr(
+        sys, "argv",
+        ["search_job.py", "--index-dir", built_index,
+         "--query", "text:spark", "--count-only"],
+    )
+    sj.main()
+    out = capsys.readouterr().out
+    assert "387" in out  # sf0.001 oracle count for 'spark'
+
+    monkeysession.setattr(
+        sys, "argv",
+        ["search_job.py", "--index-dir", built_index, "--es-body",
+         json.dumps({"query": {"match": {"text": {"query": "spark"}}},
+                     "size": 3})],
+    )
+    sj.main()
+    assert capsys.readouterr().out.strip()
+
+
+def test_index_job_input_routing(tmp_path_factory, corpus_path, monkeysession):
+    import jobs.index_job as ij
+    from quickwit_spark.index import manifest as mf
+
+    d = str(tmp_path_factory.mktemp("cli_idx_inp"))
+    monkeysession.setattr(
+        sys, "argv",
+        ["index_job.py", "--input", corpus_path, "--index-dir", d,
+         "--doc-key", "doc_id", "--text-field", "text",
+         "--routing", "input", "--job-id", "cli-inp"],
+    )
+    ij.main()
+    segs = mf.live_segments(d)
+    assert sum(s.num_docs for s in segs) == 500
+    assert all(s.partition_id == 0 for s in segs)
+
+
+def test_merge_job_runs(built_index, monkeysession, capsys):
+    import jobs.merge_job as mj
+
+    monkeysession.setattr(
+        sys, "argv", ["merge_job.py", "--index-dir", built_index]
+    )
+    mj.main()
+    assert "merge ops" in capsys.readouterr().out
