@@ -162,6 +162,11 @@ class IndexSearcher:
         if getattr(self, "_hot", None) is not None:
             self._hot[1].unpersist()
         self._hot = None
+        # driver-side term-stats cache (the reference's hotcache analog:
+        # term-dictionary doc_freqs are fetched once per TERM, not once
+        # per query) — invalidates with the segment set
+        self._dfreq: dict[tuple, int] = {}
+        self._dfreq_fetched: set[str] = set()
 
     # ---------- catalogs ----------
 
@@ -466,9 +471,40 @@ class IndexSearcher:
 
         walk(ast)
 
+    def _term_doc_freqs(self, tvals) -> dict[tuple, int]:
+        """(segment_id, field, term) → doc_freq for the given term
+        values, served from the per-refresh driver cache; only terms
+        never seen since the last refresh cost a (pushed-filter
+        metadata) Spark job. Absent keys mean the term does not occur
+        in that segment."""
+        if len(self._dfreq_fetched) > 200_000:  # bound driver memory
+            self._dfreq.clear()
+            self._dfreq_fetched.clear()
+        need = sorted(set(tvals) - self._dfreq_fetched)
+        if need:
+            rows = (
+                self.inv()
+                .filter(
+                    (F.col("kind") == KIND_POSTINGS)
+                    & F.col("term").isin(need)
+                    & F.col("segment_id").isin(self.live_ids)
+                )
+                .select("segment_id", "field", "term", "doc_freq")
+                .collect()
+            )
+            for r in rows:
+                # merged segments CHUNK hot-term postings (several rows
+                # per (segment, field, term), one per docid range) —
+                # the term's doc_freq is the SUM over its chunk rows
+                k = (r["segment_id"], r["field"], r["term"])
+                self._dfreq[k] = self._dfreq.get(k, 0) + int(r["doc_freq"])
+            self._dfreq_fetched.update(need)
+        ts = set(tvals)
+        return {k: v for k, v in self._dfreq.items() if k[2] in ts}
+
     def _global_stats(self, terms: list[tuple[str, str]]) -> dict:
         """Global (N, total_tokens) per field from the manifest + global
-        doc_freq per term via one tiny aggregation."""
+        doc_freq per term from the cached term stats."""
         fields: dict[str, dict] = {}
         for s in self.segments:
             for fld, st in s.field_stats.items():
@@ -478,18 +514,8 @@ class IndexSearcher:
         term_df: dict[tuple[str, str], int] = {}
         if terms:
             tvals = sorted({t for _, t in terms})
-            rows = (
-                self.inv()
-                .filter(
-                    (F.col("kind") == KIND_POSTINGS)
-                    & F.col("term").isin(tvals)
-                    & F.col("segment_id").isin(self.live_ids)
-                )
-                .groupBy("field", "term")
-                .agg(F.sum("doc_freq").alias("df"))
-                .collect()
-            )
-            term_df = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+            for (sid, fld, t), d in self._term_doc_freqs(tvals).items():
+                term_df[(fld, t)] = term_df.get((fld, t), 0) + d
         return {"fields": fields, "terms": term_df}
 
     # ---------- execution ----------
@@ -715,18 +741,14 @@ class IndexSearcher:
                 keep = set(seg_ids)
                 return sum(s.num_docs for s in self.segments if s.segment_id in keep)
             if isinstance(ast, Term):
-                row = (
-                    self.inv()
-                    .filter(
-                        (F.col("kind") == KIND_POSTINGS)
-                        & (F.col("field") == ast.field)
-                        & (F.col("term") == ast.value)
-                        & F.col("segment_id").isin(seg_ids)
-                    )
-                    .agg(F.sum("doc_freq"))
-                    .collect()[0][0]
+                keep = set(seg_ids)
+                return sum(
+                    d
+                    for (sid, fld, _t), d in self._term_doc_freqs(
+                        [ast.value]
+                    ).items()
+                    if fld == ast.field and sid in keep
                 )
-                return int(row or 0)
         return self._matches(ast, seg_ids, None, "parity", fast_filter).count()
 
     def count_up_to(self, query, n: int, time_range=None) -> tuple[int, bool]:
@@ -1031,17 +1053,7 @@ class IndexSearcher:
                 tvals_set.update(payload[0])
                 tvals_set.update(payload[1])
         tvals = sorted(tvals_set)
-        rows = (
-            self.inv()
-            .filter(
-                (F.col("kind") == KIND_POSTINGS)
-                & F.col("term").isin(tvals)
-                & F.col("segment_id").isin(self.live_ids)
-            )
-            .select("segment_id", "field", "term", "doc_freq")
-            .collect()
-        )
-        df_map = {(r["segment_id"], r["field"], r["term"]): r["doc_freq"] for r in rows}
+        df_map = self._term_doc_freqs(tvals)
         n_docs = {
             s.segment_id: {f: st["doc_count"] for f, st in s.field_stats.items()}
             for s in self.segments
