@@ -801,6 +801,14 @@ def _q_count_term(spark, sf_dir):
     return spark.createDataFrame([(n,)], "num_hits long")
 
 
+def _q_qs_compare_range(spark, sf_dir):
+    """Query-string comparison shorthand (`field:>=v`, reference
+    query-language §Half-Open bounds) through the full search path:
+    term intersect + fast-field half-open range."""
+    n = _searcher(spark, sf_dir).count("text:spark AND n_chars:>=200")
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
 _input_searchers: dict[str, IndexSearcher] = {}
 
 
@@ -1800,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_stream_term": _q_match_stream,
         "count_term": _q_count_term,
         "search_input_routed": _q_input_routed_count,
+        "search_qs_compare_range": _q_qs_compare_range,
         "count_all": _q_count_all,
         "bulk_ingest_count": _q_bulk_count,
         "search_merged_topk": _q_merged_topk,
@@ -1963,6 +1972,16 @@ ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10
 """,
         "match_stream_term": _MATCH_TERM_SQL,
         "count_term": _COUNT_TERM_SQL,
+        "search_qs_compare_range": """
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents d
+WHERE d.n_chars >= 200
+  AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'spark')
+""",
         "search_input_routed": """
 WITH toks AS (
   SELECT doc_id, term FROM (

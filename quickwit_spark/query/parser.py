@@ -211,6 +211,18 @@ class _Parser:
             if hi != "*":
                 kw["lte" if close == "]" else "lt"] = hi
             return Range(field=field or self.default_fields[0], **kw)
+        # comparison shorthand for half-open ranges: `field:<b`,
+        # `field:>b`, `field:<=b`, `field:>=b`
+        # (docs/reference/query-language.md "Half-Open bounds")
+        if field is not None:
+            m = re.match(r"(<=|>=|<|>)(.*)$", t)
+            if m:
+                op, rest = m.groups()
+                if not rest:
+                    raise ValueError(f"missing bound after {field}:{op}")
+                val = _unescape(self._join_value(rest))
+                key = {"<": "lt", "<=": "lte", ">": "gt", ">=": "gte"}[op]
+                return Range(field=field, **{key: val})
         # term set: IN [a b c]
         if t == "IN" and self.peek() == "[":
             self.next()

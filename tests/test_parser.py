@@ -104,3 +104,21 @@ def test_escaped_specials():
 def test_termset_with_datetime_values():
     got = parse_query("warc_ts:IN [2021-04-13T22:45:41Z x]", F2)
     assert got == TermSet("warc_ts", ("2021-04-13T22:45:41Z", "x"))
+
+
+def test_comparison_shorthand_ranges():
+    """`field:<b` / `>b` / `<=b` / `>=b` — the reference's half-open
+    range shorthand (docs/reference/query-language.md §Half-Open
+    bounds), incl. rfc3339 values with colon joins."""
+    from quickwit_spark.query.ast import Range
+
+    assert parse_query("n_chars:>=5", F2) == Range("n_chars", gte="5")
+    assert parse_query("n_chars:>5", F2) == Range("n_chars", gt="5")
+    assert parse_query("warc_ts:<=2024-01-01", F2) == Range(
+        "warc_ts", lte="2024-01-01"
+    )
+    assert parse_query("warc_ts:<2021-04-13T22:45:41Z", F2) == Range(
+        "warc_ts", lt="2021-04-13T22:45:41Z"
+    )
+    with pytest.raises(ValueError, match="missing bound"):
+        parse_query("n_chars:<", F2)
