@@ -801,6 +801,37 @@ def _q_count_term(spark, sf_dir):
     return spark.createDataFrame([(n,)], "num_hits long")
 
 
+_multi_roots: dict[str, str] = {}
+
+
+def _q_multi_index_count(spark, sf_dir):
+    """Index-pattern fan-out (reference root.rs multi-index leaf-search
+    map): the corpus split across TWO indexes, searched through
+    MultiIndexSearcher.resolve('logs-*') — counts must equal the
+    whole-corpus oracle."""
+    from quickwit_spark.search.multi import MultiIndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
+    _ship(spark)
+    key = os.path.abspath(sf_dir)
+    root = _multi_roots.get(key)
+    if root is None:
+        root = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_multi_v1")
+        df = web_corpus(spark, sf_dir)
+        cfg = IndexConfig(
+            fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=2,
+        )
+        for name, par in (("logs-a", 0), ("logs-b", 1)):
+            build_index(
+                spark, df.filter(F.col("doc_id") % 2 == par),
+                os.path.join(root, name), cfg, job_id=name,
+            )
+        _multi_roots[key] = root
+    m = MultiIndexSearcher.resolve(spark, root, "logs-*")
+    n = m.count(Term("text", "spark"))
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
 def _q_qs_compare_range(spark, sf_dir):
     """Query-string comparison shorthand (`field:>=v`, reference
     query-language §Half-Open bounds) through the full search path:
@@ -1809,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_term": _q_count_term,
         "search_input_routed": _q_input_routed_count,
         "search_qs_compare_range": _q_qs_compare_range,
+        "multi_index_count": _q_multi_index_count,
         "count_all": _q_count_all,
         "bulk_ingest_count": _q_bulk_count,
         "search_merged_topk": _q_merged_topk,
@@ -1972,6 +2004,7 @@ ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10
 """,
         "match_stream_term": _MATCH_TERM_SQL,
         "count_term": _COUNT_TERM_SQL,
+        "multi_index_count": _COUNT_TERM_SQL,
         "search_qs_compare_range": """
 WITH toks AS (
   SELECT doc_id, term FROM (

@@ -1,0 +1,101 @@
+"""Multi-index search — the reference's index-pattern fan-out.
+
+The reference's root search accepts several indexes per request (ES
+`_search` on `idx-a,logs-*`; index-pattern resolution and the
+per-index leaf-search metadata map at
+`quickwit-search/src/root.rs:162-168,561`), runs leaf searches per
+index, and merges partial hits WITHOUT score renormalization — BM25
+statistics stay per-split, exactly like the single-index case.
+
+Spark shape: each member index's top-k plan (pushed term scan →
+per-segment kernel → per-index TakeOrderedAndProject) is a separate
+DataFrame; the federation layer unions the ≤ k-row winner frames and
+re-ranks once — per-index work stays fully distributed, only k×I rows
+meet at the merge.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quickwit_spark.search.engine import IndexSearcher
+
+
+def resolve_index_patterns(root_dir: str, patterns) -> list[str]:
+    """Expand comma-separated index patterns (`idx-a,logs-*`) against
+    the subdirectories of `root_dir` that hold an index manifest —
+    the ES index-pattern resolution analog. Deterministic (sorted)."""
+    if isinstance(patterns, str):
+        patterns = [p.strip() for p in patterns.split(",") if p.strip()]
+    names = sorted(
+        d
+        for d in os.listdir(root_dir)
+        if os.path.isdir(os.path.join(root_dir, d, "_manifest"))
+    )
+    out = []
+    for name in names:
+        if any(fnmatch.fnmatch(name, p) for p in patterns):
+            out.append(os.path.join(root_dir, name))
+    return out
+
+
+class MultiIndexSearcher:
+    """Federated searcher over several indexes (same or different
+    configs). Scores are each index's own BM25 (per-split statistics,
+    no renormalization — reference semantics); ties across indexes
+    break on (score desc, _index asc, doc_key asc)."""
+
+    def __init__(self, spark: SparkSession, index_dirs: list[str]):
+        if not index_dirs:
+            raise ValueError("no index matched the given patterns")
+        self.spark = spark
+        self.searchers = [(d, IndexSearcher(spark, d)) for d in index_dirs]
+
+    @classmethod
+    def resolve(cls, spark: SparkSession, root_dir: str, patterns="*"):
+        return cls(spark, resolve_index_patterns(root_dir, patterns))
+
+    def refresh(self) -> None:
+        for _, s in self.searchers:
+            s.refresh()
+
+    def count(self, query, time_range=None) -> int:
+        return sum(s.count(query, time_range=time_range) for _, s in self.searchers)
+
+    def search(
+        self,
+        query,
+        k: int = 10,
+        mode: str = "parity",
+        time_range=None,
+        fetch: list[str] | None = None,
+    ) -> DataFrame:
+        """Global top-k across all member indexes: union of per-index
+        ≤ k-row winner frames, one final rank. Adds an `_index` column
+        (the index directory basename, like ES `_index` in hits)."""
+        parts = []
+        for d, s in self.searchers:
+            df = s.search(query, k=k, mode=mode, time_range=time_range, fetch=fetch)
+            parts.append(
+                df.drop("rank").withColumn(
+                    "_index", F.lit(os.path.basename(d.rstrip("/")))
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p, allowMissingColumns=True)
+        # ≤ k×I rows: a single-partition rank window here is bounded by
+        # construction (never corpus-sized), same shape as the engine's
+        # own winner ranking
+        w = Window.orderBy(
+            F.col("score").desc(), F.col("_index").asc(), F.col("doc_key").asc()
+        )
+        return (
+            u.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy("rank")
+        )

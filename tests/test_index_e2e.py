@@ -304,3 +304,36 @@ def test_input_routing_zero_shuffle(spark, sf_dir, tmp_path_factory, searcher):
     with pytest.raises(ValueError, match="num_batches"):
         build_index(spark, df, str(tmp_path_factory.mktemp("x")), cfg,
                     job_id="inp2", num_batches=2)
+
+
+def test_multi_index_search(spark, sf_dir, tmp_path_factory, searcher, corpus_pdf):
+    """Index-pattern fan-out (reference root.rs multi-index leaf map):
+    two disjoint half-corpus indexes searched together must count like
+    the full index, union match sets exactly, and resolve patterns."""
+    from quickwit_spark.search.multi import MultiIndexSearcher, resolve_index_patterns
+
+    root = str(tmp_path_factory.mktemp("multiroot"))
+    df = web_corpus(spark, sf_dir)
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=2,
+        stored_columns=("url", "lang"), time_column="warc_ts",
+    )
+    import os
+    for name, pred in (("logs-a", F.col("doc_id") % 2 == 0),
+                       ("logs-b", F.col("doc_id") % 2 == 1)):
+        build_index(spark, df.filter(pred), os.path.join(root, name), cfg,
+                    job_id=name)
+    assert [os.path.basename(p) for p in resolve_index_patterns(root, "logs-*")] \
+        == ["logs-a", "logs-b"]
+    assert resolve_index_patterns(root, "logs-a") == [os.path.join(root, "logs-a")]
+    m = MultiIndexSearcher.resolve(spark, root, "logs-*")
+    q = FullText("text", "spark join", "or")
+    assert m.count(q) == searcher.count(q)
+    hits = m.search(q, k=600).collect()
+    assert {r["doc_key"] for r in hits} == {
+        r["doc_key"] for r in searcher.search(q, k=600).collect()
+    }
+    assert {r["_index"] for r in hits} == {"logs-a", "logs-b"}
+    # ranks are 1..n with scores non-increasing
+    scores = [r["score"] for r in hits]
+    assert scores == sorted(scores, reverse=True)
