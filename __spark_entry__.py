@@ -812,14 +812,25 @@ def _q_multi_index_count(spark, sf_dir):
     from quickwit_spark.search.multi import MultiIndexSearcher
     from quickwit_spark.sources.corpus import web_corpus
 
+    m = _multi_searcher(spark, sf_dir)
+    n = m.count(Term("text", "spark"))
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
+def _multi_searcher(spark, sf_dir):
+    from quickwit_spark.search.multi import MultiIndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
     _ship(spark)
     key = os.path.abspath(sf_dir)
     root = _multi_roots.get(key)
     if root is None:
-        root = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_multi_v1")
+        # _v2: + stored lang (cross-index aggregation gate)
+        root = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_multi_v2")
         df = web_corpus(spark, sf_dir)
         cfg = IndexConfig(
             fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=2,
+            stored_columns=("lang",),
         )
         for name, par in (("logs-a", 0), ("logs-b", 1)):
             build_index(
@@ -827,9 +838,17 @@ def _q_multi_index_count(spark, sf_dir):
                 os.path.join(root, name), cfg, job_id=name,
             )
         _multi_roots[key] = root
-    m = MultiIndexSearcher.resolve(spark, root, "logs-*")
-    n = m.count(Term("text", "spark"))
-    return spark.createDataFrame([(n,)], "num_hits long")
+    return MultiIndexSearcher.resolve(spark, root, "logs-*")
+
+
+def _q_multi_index_terms_agg(spark, sf_dir):
+    """Cross-index aggregation: ONE terms-agg plan over the union of
+    both member indexes' match frames (the root-side aggregation merge
+    of the reference, expressed as a distributed union-groupBy)."""
+    m = _multi_searcher(spark, sf_dir)
+    return aggs.terms_agg(
+        m.matches(Term("text", "table"), columns=["lang"]), "lang", size=10
+    )
 
 
 def _q_qs_compare_range(spark, sf_dir):
@@ -1841,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_input_routed": _q_input_routed_count,
         "search_qs_compare_range": _q_qs_compare_range,
         "multi_index_count": _q_multi_index_count,
+        "multi_index_terms_agg": _q_multi_index_terms_agg,
         "count_all": _q_count_all,
         "bulk_ingest_count": _q_bulk_count,
         "search_merged_topk": _q_merged_topk,
@@ -2005,6 +2025,11 @@ ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10
         "match_stream_term": _MATCH_TERM_SQL,
         "count_term": _COUNT_TERM_SQL,
         "multi_index_count": _COUNT_TERM_SQL,
+        "multi_index_terms_agg": f"""
+WITH {_AGG_MATCH_CTE}
+SELECT CAST(lang AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM m GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
         "search_qs_compare_range": """
 WITH toks AS (
   SELECT doc_id, term FROM (

@@ -99,3 +99,76 @@ class MultiIndexSearcher:
             .filter(F.col("rank") <= k)
             .orderBy("rank")
         )
+
+    def matches(self, query, time_range=None, columns=None) -> DataFrame:
+        """Union of every member index's matching docs joined to their
+        fast-field columns — the input frame for cross-index
+        aggregations (the reference root merges per-index aggregation
+        partials, `root.rs` merge_fruits across indexes; here ONE
+        distributed agg plan runs over the union instead)."""
+        from quickwit_spark.search import aggs as _aggs
+
+        parts = [
+            _aggs.matches(s, query, time_range=time_range, columns=columns)
+            for _, s in self.searchers
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p, allowMissingColumns=True)
+        return u
+
+    def es_search(self, body: dict, mode: str = "parity") -> dict:
+        """ES `_search` across the member indexes (the reference's ES
+        handler accepts index patterns in the URL): hits are the merged
+        per-index top-k (per-index BM25 stats, no renormalization);
+        aggregations run once over the union of match frames. The query
+        is resolved against EACH index's own field config, like the
+        reference's per-index doc-mapper resolution."""
+        from quickwit_spark.query.es_dsl import from_es_body
+        from quickwit_spark.search.es_aggs import run_es_aggs
+
+        out: dict = {}
+        size = int(body.get("size", 10))
+
+        def ast_for(s: IndexSearcher):
+            return from_es_body(
+                body,
+                [f.name for f in s.config.fields],
+                position_fields={
+                    f.name for f in s.config.fields if f.record == "position"
+                },
+            )
+
+        if size > 0:
+            parts = []
+            for d, s in self.searchers:
+                df = s.search(ast_for(s), k=size, mode=mode,
+                              fetch=list(body.get("_source") or []))
+                parts.append(
+                    df.drop("rank").withColumn(
+                        "_index", F.lit(os.path.basename(d.rstrip("/")))
+                    )
+                )
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p, allowMissingColumns=True)
+            w = Window.orderBy(
+                F.col("score").desc(), F.col("_index").asc(), F.col("doc_key").asc()
+            )
+            out["hits"] = (
+                u.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= size)
+                .orderBy("rank")
+            )
+        out["total"] = sum(s.count(ast_for(s)) for _, s in self.searchers)
+        if body.get("aggs"):
+            from quickwit_spark.search import aggs as _aggs
+
+            # one frame per index (resolved per index config), one
+            # distributed agg plan over the union
+            mparts = [_aggs.matches(s, ast_for(s)) for _, s in self.searchers]
+            mu = mparts[0]
+            for p in mparts[1:]:
+                mu = mu.unionByName(p, allowMissingColumns=True)
+            out["aggregations"] = run_es_aggs(mu, body["aggs"])
+        return out

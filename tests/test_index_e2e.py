@@ -337,3 +337,41 @@ def test_multi_index_search(spark, sf_dir, tmp_path_factory, searcher, corpus_pd
     # ranks are 1..n with scores non-increasing
     scores = [r["score"] for r in hits]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_multi_index_es_search(spark, sf_dir, tmp_path_factory, searcher):
+    """ES `_search` across an index pattern: merged hits carry _index,
+    total sums member counts, and a terms agg over the union equals the
+    single-index agg on the full corpus."""
+    import os
+
+    from quickwit_spark.search import aggs as A
+    from quickwit_spark.search.multi import MultiIndexSearcher
+
+    root = str(tmp_path_factory.mktemp("esroot"))
+    df = web_corpus(spark, sf_dir)
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=2,
+        stored_columns=("lang",),
+    )
+    for name, par in (("es-a", 0), ("es-b", 1)):
+        build_index(spark, df.filter(F.col("doc_id") % 2 == par),
+                    os.path.join(root, name), cfg, job_id=name)
+    m = MultiIndexSearcher.resolve(spark, root, "es-*")
+    body = {
+        "query": {"match": {"text": {"query": "spark"}}},
+        "size": 5,
+        "aggs": {"langs": {"terms": {"field": "lang"}}},
+    }
+    out = m.es_search(body)
+    hits = out["hits"].collect()
+    assert len(hits) == 5 and {r["_index"] for r in hits} <= {"es-a", "es-b"}
+    assert out["total"] == searcher.count(Term("text", "spark"))
+    got = [(r["key"], r["doc_count"]) for r in out["aggregations"]["langs"].collect()]
+    exp = [
+        (r["key"], r["doc_count"])
+        for r in A.terms_agg(
+            A.matches(searcher, Term("text", "spark"), columns=["lang"]), "lang"
+        ).collect()
+    ]
+    assert got == exp
