@@ -49,7 +49,31 @@ def main() -> None:
     args = p.parse_args()
 
     spark = get_spark("qws-search")
-    s = IndexSearcher(spark, args.index_dir)
+    # `--index-dir /data/logs-*` or `/data/a,/data/b` fans out across
+    # every matching index (the reference's ES index-pattern URLs);
+    # a plain directory keeps the single-index searcher (full surface)
+    if "*" in args.index_dir or "," in args.index_dir:
+        import os as _os
+
+        from quickwit_spark.search.multi import MultiIndexSearcher
+
+        pats = [p_.strip() for p_ in args.index_dir.split(",")]
+        root = _os.path.dirname(pats[0].rstrip("/")) or "."
+        s = MultiIndexSearcher.resolve(
+            spark, root, [_os.path.basename(p_.rstrip("/")) for p_ in pats]
+        )
+        multi = True
+    else:
+        s = IndexSearcher(spark, args.index_dir)
+        multi = False
+    if multi and (
+        args.describe or args.plan or args.export
+        or args.early_terminate or args.sort_by or args.snippet
+    ):
+        p.error(
+            "index patterns support plain --query search, --count-only, "
+            "and --es-body only"
+        )
 
     if args.describe:
         print(json.dumps(s.describe_index(), default=str))
@@ -107,6 +131,8 @@ def main() -> None:
         hits = s.sort_by_field(
             args.query, args.sort_by, k=args.k, descending=not args.asc, fetch=fetch
         ).collect()
+    elif multi:
+        hits = s.search(args.query, k=args.k, fetch=fetch).collect()
     else:
         snippet = [c for c in args.snippet.split(",") if c]
         hits = s.search(

@@ -97,3 +97,39 @@ def test_merge_job_runs(built_index, monkeysession, capsys):
     )
     mj.main()
     assert "merge ops" in capsys.readouterr().out
+
+
+def test_search_job_index_pattern(tmp_path_factory, corpus_path, monkeysession, capsys):
+    """`--index-dir /root/dir/logs-*` fans out across matching indexes
+    (the ES index-pattern URL analog) for search/count/es-body."""
+    import os
+
+    import jobs.index_job as ij
+    import jobs.search_job as sj
+
+    root = str(tmp_path_factory.mktemp("cli_multi"))
+    for name, batch in (("logs-a", "0"), ("logs-b", "1")):
+        monkeysession.setattr(
+            sys, "argv",
+            ["index_job.py", "--input", corpus_path,
+             "--index-dir", os.path.join(root, name),
+             "--doc-key", "doc_id", "--text-field", "text",
+             "--partitions", "2", "--job-id", f"cli-{name}"],
+        )
+        ij.main()
+    monkeysession.setattr(
+        sys, "argv",
+        ["search_job.py", "--index-dir", os.path.join(root, "logs-*"),
+         "--query", "text:spark", "--count-only"],
+    )
+    sj.main()
+    out = capsys.readouterr().out
+    assert "774" in out  # both indexes hold the full 500-doc corpus: 2*387
+    monkeysession.setattr(
+        sys, "argv",
+        ["search_job.py", "--index-dir", os.path.join(root, "logs-*"),
+         "--query", "text:spark", "--k", "3"],
+    )
+    sj.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 3 and all('"_index"' in l for l in lines)
