@@ -82,6 +82,10 @@ class FieldConfig:
     tokenizer: str = "default"
     record: str = "freq"  # "freq" stores term frequencies; "basic" → tf=1
     fieldnorms: bool = True
+    # physical source column when it differs from the field name
+    # (dynamic dot-path fields: the FIELD is `actor.id`, the COLUMN is
+    # `actor__id` — Spark column resolution reserves dots)
+    column: str | None = None
     # concatenate field (reference `field_mapping_entry.rs:355-364`,
     # type: concatenate): tokens of every source column are indexed
     # under this one virtual field (cross-field search). Sources are
@@ -125,6 +129,18 @@ class IndexConfig:
     # `tokenizers` entries, `tokenizer_entry.rs:25-150`); serialized so
     # executors and later sessions rebuild the identical analyzer
     tokenizers: dict = dc_field(default_factory=dict)
+    # per-field fast-column metadata (dynamic doc mapping,
+    # `doc_mapping.rs:49-70`): {path: {"fast": bool, "normalizer":
+    # "raw"|"lowercase", "datetime_precision": "milliseconds"|...}}.
+    # Drives query-side Range bound normalization/truncation and marks
+    # indexed text fields whose docmap column is range/sort/agg-able.
+    field_options: dict = dc_field(default_factory=dict)
+    # multivalued raw field of present dot paths; Exists(path) lowers to
+    # Term(presence_field, path) (reference `index_field_presence`,
+    # `field_presence.rs:30-80`)
+    presence_field: str | None = None
+    # stored column holding the original doc JSON — the ES `_source`
+    stored_source: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -142,6 +158,9 @@ class IndexConfig:
                 "routing_column": self.routing_column,
                 "routing": self.routing,
                 "tokenizers": self.tokenizers,
+                "field_options": self.field_options,
+                "presence_field": self.presence_field,
+                "stored_source": self.stored_source,
             },
             sort_keys=True,
         )
@@ -151,6 +170,7 @@ class IndexConfig:
         d = json.loads(s)
         for f in d["fields"]:
             f["sources"] = tuple(f.get("sources") or ())
+            f.setdefault("column", None)
         d["fields"] = [FieldConfig(**f) for f in d["fields"]]
         d["stored_columns"] = tuple(d["stored_columns"])
         d.setdefault("postings_codec", "varint")
@@ -159,6 +179,9 @@ class IndexConfig:
         d.setdefault("routing_column", None)
         d.setdefault("routing", "hash")
         d.setdefault("tokenizers", {})
+        d.setdefault("field_options", {})
+        d.setdefault("presence_field", None)
+        d.setdefault("stored_source", None)
         return IndexConfig(**d)
 
 
@@ -229,6 +252,20 @@ def _build_field_rows(
                 np.arange(len(doc_idx), dtype=np.int64) - tok_starts[tok_elem]
             )
     else:
+        if hasattr(texts, "type") and not (
+            pa.types.is_string(texts.type) or pa.types.is_large_string(texts.type)
+        ):
+            # typed leaf (dynamic doc mapping): index the canonical
+            # string form as the term value — "1762355", "true" — so a
+            # typed term query matches it exactly (`raw` tokenizer)
+            col = (
+                texts.combine_chunks()
+                if isinstance(texts, pa.ChunkedArray)
+                else texts
+            )
+            import pyarrow.compute as pc
+
+            texts = pc.cast(col, pa.string())
         flat, doc_idx = tokenize_flat_arrow(texts, base_tokenizer)
     lens = np.bincount(doc_idx, minlength=n).astype(np.int64)
     total_tokens = int(len(doc_idx))
@@ -565,7 +602,7 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
                         else pc.binary_join_element_wise(*parts, " ")
                     )
                 else:
-                    texts = seg.column(fld.name)
+                    texts = seg.column(fld.column or fld.name)
                 rows, stats = _build_field_rows(
                     segment_id, fld, texts, k1, b,
                     postings_codec=config.postings_codec,

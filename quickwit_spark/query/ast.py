@@ -89,6 +89,8 @@ class Range(QueryAst):
     lte: object = None
     gt: object = None
     lt: object = None
+    # ES `format` parameter: datetime pattern the bounds are written in
+    format: str | None = None
 
 
 @dataclass(frozen=True)

@@ -46,6 +46,7 @@ from quickwit_spark.index.builder import (
 from quickwit_spark.query.ast import (
     Bool,
     Boost,
+    Exists,
     FullText,
     MatchAll,
     Phrase,
@@ -68,6 +69,84 @@ from quickwit_spark.query.tags import extract_tag_filter
 from quickwit_spark.search.kernel import SegmentData, evaluate_segment
 
 MATCH_SCHEMA = "segment_id string, doc_id long, score double"
+
+
+def qcol(name: str):
+    """F.col that treats `name` VERBATIM (dynamic dot-path columns like
+    `actor.id` are flat columns, not struct accesses)."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
+def _es_strptime(value: str, fmt: str):
+    """Parse a datetime with an ES/Java-style pattern (the `format`
+    range parameter, `docs/reference/es_compatible_api.md`): yyyy MM dd
+    HH mm ss SSS... tokens, quoted literals. Driver-side only (range
+    bounds), so a scan over the pattern is fine."""
+    import datetime as _dt
+
+    py = []
+    i = 0
+    tokens = (
+        ("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("dd", "%d"),
+        ("HH", "%H"), ("mm", "%M"), ("ss", "%S"),
+        ("SSSSSSSSS", "%f"), ("SSSSSS", "%f"), ("SSS", "%f"),
+    )
+    while i < len(fmt):
+        if fmt[i] == "'":  # quoted literal until closing quote
+            j = fmt.index("'", i + 1)
+            py.append(fmt[i + 1 : j] or "'")
+            i = j + 1
+            continue
+        for tok, rep in tokens:
+            if fmt.startswith(tok, i):
+                py.append(rep)
+                i += len(tok)
+                break
+        else:
+            py.append(fmt[i])
+            i += 1
+    out = _dt.datetime.strptime(value, "".join(py))
+    return out.replace(tzinfo=_dt.timezone.utc) if out.tzinfo is None else out
+
+
+def _parse_dt_bound(v, fmt: str | None):
+    """Range bound → tz-aware UTC datetime: rfc3339 string, ES-format
+    string (`fmt`), or epoch number with magnitude auto-detect
+    (secs < 1e11, millis < 1e14, micros — the reference's
+    unix_timestamp input heuristic, `date_time_format.rs`)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        out = v
+    elif isinstance(v, (int, float)):
+        n = float(v)
+        mag = abs(n)
+        if mag < 1e11:
+            secs = n
+        elif mag < 1e14:
+            secs = n / 1e3
+        elif mag < 1e17:
+            secs = n / 1e6
+        else:
+            secs = n / 1e9
+        out = _dt.datetime.fromtimestamp(secs, tz=_dt.timezone.utc)
+    elif fmt:
+        out = _es_strptime(str(v), fmt)
+    else:
+        out = _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+    if out.tzinfo is None:
+        out = out.replace(tzinfo=_dt.timezone.utc)
+    return out.astimezone(_dt.timezone.utc)
+
+
+def _truncate_dt(v, precision: str | None):
+    if precision in (None, "microseconds") or v is None:
+        return v
+    if precision == "milliseconds":
+        return v.replace(microsecond=(v.microsecond // 1000) * 1000)
+    if precision == "seconds":
+        return v.replace(microsecond=0)
+    raise ValueError(f"unknown datetime precision {precision!r}")
 
 
 def _wildcard_to_regex(pattern: str) -> str:
@@ -158,6 +237,14 @@ class IndexSearcher:
         self._docs = self.spark.read.parquet(f"{self.index_dir}/docs").drop(
             *[c for c in _INV_COLUMNS if c != "segment_id"]
         )
+        # docmap column → Spark type name, for typed Range bound
+        # normalization over dynamic dot-path fast columns
+        self._doc_types = dict(self._docs.dtypes)
+        # dot-path field → physical docmap column (dynamic doc mapping)
+        self._colmap = {
+            p: (o or {}).get("column", p)
+            for p, o in (self.config.field_options or {}).items()
+        }
         # hot-postings cache invalidates with the segment set
         if getattr(self, "_hot", None) is not None:
             self._hot[1].unpersist()
@@ -169,6 +256,10 @@ class IndexSearcher:
         self._dfreq_fetched: set[str] = set()
 
     # ---------- catalogs ----------
+
+    def _fcol(self, field: str) -> str:
+        """Physical docmap column for a (possibly dot-path) field."""
+        return self._colmap.get(field, field)
 
     def inv(self) -> DataFrame:
         return self._inv
@@ -365,13 +456,97 @@ class IndexSearcher:
 
         return rewrite(ast)
 
+    def _normalize_ast(self, ast: QueryAst) -> QueryAst:
+        """Driver-side AST normalization against the index config:
+
+        - `Exists(path)` → `Term(presence_field, path)` when the index
+          carries a presence field (reference `index_field_presence`,
+          `field_presence.rs:30-80`) — works in ANY bool position, and
+          covers intermediate object paths;
+        - Range bounds on typed fast columns become typed Python values:
+          timestamps parse rfc3339 / ES-`format` / epoch numbers and are
+          truncated to the field's declared fast precision (the
+          reference truncates bounds and values identically,
+          `fast_precision`), numerics accept string forms, lowercase-
+          normalized string fields lowercase their bounds
+          (`doc_mapping.rs:49-70` fast normalizer)."""
+        opts = self.config.field_options or {}
+        presence = self.config.presence_field
+
+        def norm_range(node: Range) -> Range:
+            dtype = self._doc_types.get(self._fcol(node.field))
+            if dtype is None:
+                return node
+            o = opts.get(node.field, {})
+
+            def conv(v):
+                if v is None:
+                    return None
+                if dtype.startswith("timestamp"):
+                    return _truncate_dt(
+                        _parse_dt_bound(v, node.format),
+                        o.get("datetime_precision"),
+                    )
+                if dtype in ("bigint", "int", "smallint", "tinyint"):
+                    return int(v)
+                if dtype in ("double", "float") or dtype.startswith("decimal"):
+                    return float(v)
+                if dtype == "string":
+                    s = str(v)
+                    return s.lower() if o.get("normalizer") == "lowercase" else s
+                return v
+
+            return Range(
+                field=node.field,
+                gte=conv(node.gte),
+                lte=conv(node.lte),
+                gt=conv(node.gt),
+                lt=conv(node.lt),
+            )
+
+        def walk(node):
+            if isinstance(node, Exists) and presence is not None:
+                return Term(presence, node.field)
+            if isinstance(node, Range):
+                return norm_range(node)
+            if isinstance(node, Bool):
+                return Bool(
+                    must=[walk(c) for c in node.must],
+                    must_not=[walk(c) for c in node.must_not],
+                    should=[walk(c) for c in node.should],
+                    filter=[walk(c) for c in node.filter],
+                    minimum_should_match=node.minimum_should_match,
+                )
+            if isinstance(node, Boost):
+                return Boost(walk(node.query), node.boost)
+            return node
+
+        return walk(ast)
+
     def _split_fast_predicates(self, ast: QueryAst):
         """Pull Range nodes on docmap columns out of top-level conjunctions
         → (text_ast, spark_filter_column | None)."""
-        text_fields = {f.name for f in self.config.fields}
+        # a field is range-able on its docmap fast column when it is NOT
+        # an indexed text field, or when the config explicitly marks its
+        # fast column (dynamic doc mapping: every path is BOTH an
+        # indexed field and a fast column)
+        opts = self.config.field_options or {}
+        text_fields = {
+            f.name
+            for f in self.config.fields
+            if not opts.get(f.name, {}).get("fast")
+        }
 
         def to_filter(node: Range):
-            c = F.col(node.field)
+            c = qcol(self._fcol(node.field))
+            if (
+                self._doc_types.get(self._fcol(node.field)) == "string"
+                and opts.get(node.field, {}).get("normalizer") == "lowercase"
+            ):
+                # lowercase-normalized fast column: the stored docmap
+                # value is raw; compare case-folded (bounds were folded
+                # in _normalize_ast)
+                c = F.lower(c)
             conds = []
             if node.gte is not None:
                 conds.append(c >= node.gte)
@@ -664,7 +839,7 @@ class IndexSearcher:
             if isinstance(node, Boost):
                 walk(node.query)
                 return
-            if isinstance(node, Range) and node.field == tcol:
+            if isinstance(node, Range) and self._fcol(node.field) == tcol:
                 for v, bump in ((node.gte, 0), (node.gt, 1)):
                     m = micros(v) if v is not None else None
                     if m is not None:
@@ -698,6 +873,7 @@ class IndexSearcher:
             if isinstance(query, str)
             else query
         )
+        ast = self._normalize_ast(ast)
         if self.config.time_column:
             ast_lo, ast_hi = self._ast_time_bounds(ast)
             if ast_lo is not None or ast_hi is not None:
@@ -830,8 +1006,8 @@ class IndexSearcher:
         m = self._matches(ast, seg_ids, None, "parity", fast_filter, use_wand=False)
         docs = self.docs().select(
             "segment_id", "doc_id", "doc_key",
-            *[F.col(f).alias(a) for (f, _), a in zip(specs, out_aliases)],
-            *fetch_cols,
+            *[qcol(self._fcol(f)).alias(a) for (f, _), a in zip(specs, out_aliases)],
+            *[qcol(self._fcol(c)).alias(c) for c in fetch_cols],
         )
         hits = docs.join(m.select("segment_id", "doc_id"), ["segment_id", "doc_id"])
         if search_after is not None:
@@ -877,7 +1053,7 @@ class IndexSearcher:
         w = Window.orderBy(*order)
         return hits.select(
             "doc_key", *out_aliases, F.row_number().over(w).alias("rank"),
-            *fetch_cols,
+            *[qcol(c) for c in fetch_cols],
         )
 
     def search(
@@ -939,7 +1115,10 @@ class IndexSearcher:
         snippet_fields = list(snippet_fields or [])
         fetch_cols = list(fetch or [])
         raw_cols = fetch_cols + [c for c in snippet_fields if c not in fetch_cols]
-        docs = self.docs().select("segment_id", "doc_id", "doc_key", *raw_cols)
+        docs = self.docs().select(
+            "segment_id", "doc_id", "doc_key",
+            *[qcol(self._fcol(c)).alias(c) for c in raw_cols],
+        )
         # winners are ≤ k×segments (+ cutoff ties) rows — broadcast them
         # into the docmap scan (never for an unbounded match set)
         hits = docs.join(
@@ -962,7 +1141,7 @@ class IndexSearcher:
             "doc_key",
             "score",
             F.row_number().over(w).alias("rank"),
-            *raw_cols,
+            *[qcol(c) for c in raw_cols],
         )
         if snippet_fields:
             from quickwit_spark.search.snippets import attach_snippets
@@ -976,8 +1155,8 @@ class IndexSearcher:
             )
             keep = [c for c in raw_cols if c in fetch_cols]
             hits = hits.select(
-                "doc_key", "score", "rank", *keep,
-                *[f"snippet_{f}" for f in snippet_fields],
+                "doc_key", "score", "rank", *[qcol(c) for c in keep],
+                *[qcol(f"snippet_{f}") for f in snippet_fields],
             )
         return hits
 
@@ -1190,13 +1369,17 @@ class IndexSearcher:
         if mode == "oracle":
             matches = matches.withColumn("score", F.round(F.col("score"), 9))
         fetch_cols = list(fetch or [])
-        docs = self.docs().select("segment_id", "doc_id", "doc_key", *fetch_cols)
+        docs = self.docs().select(
+            "segment_id", "doc_id", "doc_key",
+            *[qcol(self._fcol(c)).alias(c) for c in fetch_cols],
+        )
         hits = docs.join(F.broadcast(matches), ["segment_id", "doc_id"], "inner")
         order = [F.col("score").desc(), F.col("doc_key").desc()]
         hits = hits.orderBy(*order).limit(k)
         w = Window.orderBy(*order)
         hits = hits.select(
-            "doc_key", "score", F.row_number().over(w).alias("rank"), *fetch_cols
+            "doc_key", "score", F.row_number().over(w).alias("rank"),
+            *[qcol(c) for c in fetch_cols],
         )
         if count_hits == "underestimate":
             # reference CountHits::Underestimate (search.proto:245-248):
@@ -1501,13 +1684,16 @@ class IndexSearcher:
         specs = []
         for ent in sort_spec:
             if isinstance(ent, str):
-                specs.append((ent, True))
-                continue
-            (fld, opts), = ent.items()
-            if isinstance(opts, str):
-                specs.append((fld, opts == "desc"))
+                fld, order = ent, None
             else:
-                specs.append((fld, opts.get("order", "desc") == "desc"))
+                (fld, opts), = ent.items()
+                order = opts if isinstance(opts, str) else opts.get("order")
+            if fld == "_doc":
+                # ES `_doc`: index order — our global ingest order is the
+                # doc_key; default direction is ascending (unlike fields)
+                specs.append(("doc_key", (order or "asc") == "desc"))
+            else:
+                specs.append((fld, (order or "desc") == "desc"))
         return specs
 
     def msearch(self, bodies: list[dict], mode: str = "parity") -> list[dict]:
