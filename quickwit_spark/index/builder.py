@@ -828,11 +828,14 @@ def build_index(
 
         # read back the tiny seg-meta rows → manifest records (address
         # the partition directory directly — listing the whole inv
-        # dataset costs seconds at high segment counts)
+        # dataset costs seconds at high segment counts). An EMPTY input
+        # writes no partitions at all — a valid zero-segment batch (the
+        # reference publishes an empty index the same way).
+        seg_dir = f"{inv_dir}/batch_id={batch_id}/kind={KIND_SEG}"
         seg_meta = (
-            spark.read.parquet(f"{inv_dir}/batch_id={batch_id}/kind={KIND_SEG}")
-            .select("segment_id", "meta")
-            .collect()
+            spark.read.parquet(seg_dir).select("segment_id", "meta").collect()
+            if _os.path.exists(seg_dir)
+            else []
         )
         records = []
         total_docs = 0

@@ -52,13 +52,83 @@ def _boost(ast: QueryAst, spec: dict) -> QueryAst:
     return Boost(ast, float(b)) if b is not None and float(b) != 1.0 else ast
 
 
+def _canon(v) -> str:
+    """Canonical term string for a JSON value: the form the builder
+    indexes typed leaves under (`term: {actor.id: 1762355}` and
+    `term: {actor.id: "1762355"}` match identically; booleans are
+    "true"/"false")."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+_KNOWN_ANALYZERS = {
+    "default", "raw", "raw_lowercase", "lowercase", "whitespace", "en_stem",
+    "chinese_compatible", "multilang_default", "source_code_default",
+    "source_code_with_hex",
+}
+
+
+def _analyzer_override(field: str, spec: dict, query: str) -> QueryAst | None:
+    """ES `analyzer` param on match-family queries: validate the name
+    (unknown → error, like the reference's tokenizer registry), and for
+    non-splitting analyzers lower the query to its exact expansion
+    (a single-token analyzed text is a pure prefix/term match)."""
+    analyzer = spec.get("analyzer")
+    if analyzer is None:
+        return None
+    if analyzer not in _KNOWN_ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    from quickwit_spark.analysis.tokenizer import resolve_tokenizer
+
+    toks = resolve_tokenizer(analyzer)(query)
+    if len(toks) == 1:
+        # single analyzed token: the phrase degenerates to a prefix scan
+        # (Wildcard has no escape syntax; these analyzers never emit
+        # `*`/`?` metacharacters into tokens from plain text)
+        return Wildcard(field, toks[0] + "*")
+    raise NotImplementedError(
+        "analyzer override supported for single-token analyzers only"
+    )
+
+
+def _resolve_msm(msm, n_should: int) -> int | None:
+    """Lucene `minimum_should_match` forms → concrete count: integer
+    (negative = that many optional clauses may be missing), percentage
+    string "50%" / "-25%" (rounded down before use). A resolved value
+    ≤ 0 means no constraint — a pure disjunction still needs ≥1 match
+    (Lucene BooleanQuery semantics; reference scenario 0009 steps
+    16-19 assert exactly this clamping)."""
+    if msm is None:
+        return None
+    if isinstance(msm, str):
+        s = msm.strip()
+        if s.endswith("%"):
+            pct = float(s[:-1])
+            val = int(n_should * abs(pct) / 100.0)
+            val = n_should - val if pct < 0 else val
+        else:
+            val = int(s)
+            if val < 0:
+                val = n_should + val
+    else:
+        val = int(msm)
+        if val < 0:
+            val = n_should + val
+    return val if val > 0 else None
+
+
 def from_es_query(
     q: dict,
     default_fields: list[str] | None = None,
     position_fields: set[str] | None = None,
+    known_fields: set[str] | None = None,
 ) -> QueryAst:
     """Convert one ES query clause object to QueryAst. `position_fields`
-    = fields indexed with record:'position' (phrase semantics)."""
+    = fields indexed with record:'position' (phrase semantics).
+    `known_fields` (when given) enables the reference's non-lenient
+    `query_string` validation: an explicitly-requested field absent from
+    the mapping is a 400 unless `lenient: true` (rest scenarios 0005)."""
     default_fields = default_fields or ["text"]
     position_fields = position_fields or set()
     if len(q) != 1:
@@ -72,12 +142,12 @@ def from_es_query(
 
     if kind == "term":
         field, spec = _field_value(body)
-        return _boost(Term(field, str(spec["value"])), spec)
+        return _boost(Term(field, _canon(spec["value"])), spec)
 
     if kind == "terms":
         entries = {k: v for k, v in body.items() if k != "boost"}
         field, values = next(iter(entries.items()))
-        ast: QueryAst = TermSet(field, [str(v) for v in values])
+        ast: QueryAst = TermSet(field, [_canon(v) for v in values])
         return _boost(ast, body)
 
     if kind == "exists":
@@ -86,6 +156,8 @@ def from_es_query(
     if kind == "range":
         field, spec = _field_value(body)
         kw = {k: spec[k] for k in ("gte", "gt", "lte", "lt") if k in spec}
+        if spec.get("format"):
+            kw["format"] = spec["format"]
         return _boost(Range(field, **kw), spec)
 
     if kind == "match":
@@ -111,6 +183,9 @@ def from_es_query(
         field, spec = _field_value(body)
         if "query" not in spec and "value" in spec:
             spec["query"] = spec.pop("value")
+        override = _analyzer_override(field, spec, str(spec["query"]))
+        if override is not None:
+            return _boost(override, spec)
         if field not in position_fields:
             raise ValueError(
                 f"match_phrase_prefix on {field!r} requires record: position"
@@ -141,15 +216,56 @@ def from_es_query(
         return _boost(ast, spec)
 
     if kind == "multi_match":
-        fields = body.get("fields") or default_fields
+        fields = body.get("fields")
+        if fields is not None and not fields:
+            raise ValueError("multi_match with empty fields")
+        if isinstance(fields, str):  # ES accepts a bare string here
+            fields = [fields]
+        fields = fields or default_fields
         op = str(body.get("operator", "or")).lower()
-        clauses = [FullText(f, str(body["query"]), op) for f in fields]
+        mm_type = str(body.get("type", "most_fields")).lower()
+        q = str(body["query"])
+        slop = int(body.get("slop", 0))
+        if mm_type == "phrase":
+            clauses = [
+                Phrase(f, q, slop=slop)
+                if f in position_fields
+                else FullText(f, q, "and")
+                for f in fields
+            ]
+        elif mm_type == "phrase_prefix":
+            clauses = [
+                PhrasePrefix(f, q)
+                if f in position_fields
+                else FullText(f, q, "and")
+                for f in fields
+            ]
+        else:  # best_fields / most_fields / bool_prefix-less default
+            clauses = [FullText(f, q, op) for f in fields]
         return clauses[0] if len(clauses) == 1 else Bool(should=clauses)
 
     if kind == "query_string":
-        fields = body.get("fields") or body.get("default_field") or default_fields
+        fields = body.get("fields")
+        if fields is not None and isinstance(fields, str):
+            # ES rejects a bare string for query_string's `fields`
+            # (unlike multi_match) — the reference's scenarios assert
+            # the 400
+            raise ValueError("query_string `fields` must be an array")
+        if fields and body.get("default_field"):
+            raise ValueError(
+                "query_string takes `fields` OR `default_field`, not both"
+            )
+        explicit = fields or body.get("default_field")
+        fields = explicit or default_fields
         if isinstance(fields, str):
             fields = [fields]
+        if explicit and known_fields is not None:
+            missing = [f for f in fields if f not in known_fields]
+            if missing and not body.get("lenient"):
+                raise ValueError(
+                    f"query_string field(s) do not exist: {missing}"
+                )
+            fields = [f for f in fields if f not in missing] or ["__none__"]
         return parse_query(
             body["query"],
             fields,
@@ -167,18 +283,25 @@ def from_es_query(
 
     if kind == "bool":
         def clauses(key):
-            v = body.get(key, [])
+            v = body.get(key) or []  # explicit null = absent (ES)
             v = v if isinstance(v, list) else [v]
-            return [from_es_query(c, default_fields, position_fields) for c in v]
+            return [
+                from_es_query(c, default_fields, position_fields, known_fields)
+                for c in v
+            ]
 
-        msm = body.get("minimum_should_match")
-        return Bool(
+        should = clauses("should")
+        msm = _resolve_msm(body.get("minimum_should_match"), len(should))
+        out = Bool(
             must=clauses("must"),
             must_not=clauses("must_not"),
-            should=clauses("should"),
+            should=should,
             filter=clauses("filter"),
-            minimum_should_match=int(msm) if msm is not None else None,
+            minimum_should_match=msm,
         )
+        if not (out.must or out.must_not or out.should or out.filter):
+            return MatchAll()  # `bool: {}` matches everything (ES)
+        return out
 
     raise NotImplementedError(f"unsupported ES query kind {kind!r}")
 
@@ -187,8 +310,12 @@ def from_es_body(
     body: dict,
     default_fields: list[str] | None = None,
     position_fields: set[str] | None = None,
+    known_fields: set[str] | None = None,
 ) -> QueryAst:
     """Convert a full `_search` body (uses its `query` member)."""
     return from_es_query(
-        body.get("query", {"match_all": {}}), default_fields, position_fields
+        body.get("query", {"match_all": {}}),
+        default_fields,
+        position_fields,
+        known_fields,
     )

@@ -133,6 +133,10 @@ class _Parser:
             clause = self.parse_clause()
             clauses.append((conn or self.default_operator, clause))
             conn = None
+        if conn is not None:
+            # trailing binary operator: `a OR` is a syntax error (the
+            # reference's grammar rejects it; its scenarios assert 400)
+            raise ValueError(f"dangling {conn.upper()} at end of query")
         if not clauses:
             return MatchAll()
         if len(clauses) == 1:
@@ -214,15 +218,21 @@ class _Parser:
         # comparison shorthand for half-open ranges: `field:<b`,
         # `field:>b`, `field:<=b`, `field:>=b`
         # (docs/reference/query-language.md "Half-Open bounds")
-        if field is not None:
-            m = re.match(r"(<=|>=|<|>)(.*)$", t)
-            if m:
-                op, rest = m.groups()
-                if not rest:
-                    raise ValueError(f"missing bound after {field}:{op}")
-                val = _unescape(self._join_value(rest))
-                key = {"<": "lt", "<=": "lte", ">": "gt", ">=": "gte"}[op]
+        m = re.match(r"(<=|>=|<|>)(.*)$", t)
+        if m:
+            op, rest = m.groups()
+            if not rest:
+                raise ValueError(f"missing bound after {field or '?'}:{op}")
+            val = _unescape(self._join_value(rest))
+            key = {"<": "lt", "<=": "lte", ">": "gt", ">=": "gte"}[op]
+            if field is not None:
                 return Range(field=field, **{key: val})
+            # unfielded shorthand applies to the default field(s) — the
+            # reference's query_string scenarios use `>=N` with
+            # default_field (0005 steps 19-20)
+            return _multi_field(
+                [Range(field=f, **{key: val}) for f in self.default_fields]
+            )
         # term set: IN [a b c]
         if t == "IN" and self.peek() == "[":
             self.next()

@@ -149,6 +149,23 @@ def _truncate_dt(v, precision: str | None):
     raise ValueError(f"unknown datetime precision {precision!r}")
 
 
+def _es_sort_value(v, fmt: str | None):
+    """Wire form of one per-hit sort value: timestamps as epoch millis
+    (ES default) or nanos (`epoch_nanos_int`, reference-specific),
+    decimals as ints."""
+    import datetime as _dt
+    import decimal
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        micros = int(v.timestamp() * 1_000_000)
+        return micros * 1000 if fmt == "epoch_nanos_int" else micros // 1000
+    if isinstance(v, decimal.Decimal):
+        return int(v)
+    return v
+
+
 def _wildcard_to_regex(pattern: str) -> str:
     out = []
     for ch in pattern:
@@ -225,6 +242,28 @@ class IndexSearcher:
     def refresh(self):
         self.segments = mf.live_segments(self.index_dir)
         self.live_ids = [s.segment_id for s in self.segments]
+        if not self.segments:
+            # zero-segment index (published empty, or fully expired):
+            # serve empty frames with the canonical schemas instead of
+            # failing schema inference on a file-less dataset
+            from quickwit_spark.index.builder import INV_SCHEMA
+
+            self._inv = self.spark.createDataFrame([], INV_SCHEMA)
+            key_t = "string" if self.config.doc_key.endswith("url") else "bigint"
+            self._docs = self.spark.createDataFrame(
+                [], f"segment_id string, doc_id int, doc_key {key_t}"
+            )
+            self._doc_types = dict(self._docs.dtypes)
+            self._colmap = {
+                p: (o or {}).get("column", p)
+                for p, o in (self.config.field_options or {}).items()
+            }
+            if getattr(self, "_hot", None) is not None:
+                self._hot[1].unpersist()
+            self._hot = None
+            self._dfreq = {}
+            self._dfreq_fetched = set()
+            return
         # re-list the parquet datasets once per refresh, not per query
         self._inv = self.spark.read.parquet(f"{self.index_dir}/inv")
         # the builder writes docmap files through the unified
@@ -1012,17 +1051,27 @@ class IndexSearcher:
         hits = docs.join(m.select("segment_id", "doc_id"), ["segment_id", "doc_id"])
         if search_after is not None:
             tie_by_key = True
-            *cursor_vals, sa_key = search_after
-            if len(cursor_vals) != len(specs):
+            vals = list(search_after)
+            if len(vals) == len(specs) + 1:
+                cursor_vals, sa_key = vals[:-1], vals[-1]
+            elif len(vals) == len(specs):
+                # ES semantics: cursor carries the sort values ONLY —
+                # rows tying the cursor on every key are skipped
+                cursor_vals, sa_key = vals, None
+            else:
                 raise ValueError(
-                    f"search_after needs {len(specs)} sort value(s) + doc_key"
+                    f"search_after needs {len(specs)} sort value(s) "
+                    "(+ optional doc_key)"
                 )
             # lexicographic strictly-after, per-key direction, nulls last:
             # fold right-to-left — after_i | (equal_i & after_{i+1});
             # the doc_key tie-break follows the PRIMARY order (reference
             # sorting.md: tie key follows the primary direction)
             key = F.col("doc_key")
-            pred = key < sa_key if specs[0][1] else key > sa_key
+            if sa_key is None:
+                pred = F.lit(False)
+            else:
+                pred = key < sa_key if specs[0][1] else key > sa_key
             for (_, desc_), alias, cv in reversed(
                 list(zip(specs, out_aliases, cursor_vals))
             ):
@@ -1528,15 +1577,21 @@ class IndexSearcher:
             position_fields={
                 f.name for f in self.config.fields if f.record == "position"
             },
+            known_fields=self._known_fields(),
         )
         out: dict = {}
         size = int(body.get("size", 10))
         resolved = self._resolve(ast, None)  # shared: one pattern expansion
         sort_spec = body.get("sort")
         fetch = list(body.get("_source") or [])
+        if not fetch and self.config.stored_source:
+            # no explicit projection: ES returns the full original doc
+            fetch = [self.config.stored_source]
         if size > 0 and sort_spec and not self._is_score_sort(sort_spec):
             specs = self._parse_es_sort(sort_spec)
             sa = body.get("search_after")
+            if sa:
+                sa = self._convert_es_cursor(list(sa), sort_spec)
             out["hits"] = self.sort_by_field(
                 ast,
                 specs,
@@ -1565,7 +1620,92 @@ class IndexSearcher:
                 ["segment_id", "doc_id"],
                 "inner",
             )
+            m, agg_body = self._agg_frame_and_body(m, agg_body)
             out["aggregations"] = run_es_aggs(m, agg_body)
+        return out
+
+    def _agg_frame_and_body(self, m: DataFrame, agg_body: dict):
+        """Resolve dot-path agg fields against the dynamic doc mapping:
+        each referenced field becomes a derived column of its physical
+        docmap column with the field's fast normalizer applied (the
+        reference aggregates the NORMALIZED fast values — a terms agg on
+        a lowercase-normalized dynamic path buckets lowercased keys)."""
+        opts = self.config.field_options or {}
+        if not opts:
+            return m, agg_body
+        derived: dict[str, object] = {}
+
+        def rewrite(node: dict) -> dict:
+            out = {}
+            for name, spec in node.items():
+                out[name] = {}
+                for k, v in spec.items():
+                    if k in ("aggs", "aggregations"):
+                        out[name][k] = rewrite(v)
+                    elif isinstance(v, dict) and "field" in v and v["field"] in opts:
+                        fld = v["field"]
+                        col = self._fcol(fld)
+                        expr = qcol(col)
+                        if (
+                            opts[fld].get("normalizer") == "lowercase"
+                            and self._doc_types.get(col) == "string"
+                        ):
+                            expr = F.lower(expr)
+                        alias = f"__qw_agg_{len(derived)}"
+                        derived[alias] = expr
+                        out[name][k] = {**v, "field": alias}
+                    else:
+                        out[name][k] = v
+            return out
+
+        body2 = rewrite(agg_body)
+        for alias, expr in derived.items():
+            m = m.withColumn(alias, expr)
+        return m, body2
+
+    def _parse_es_sort_full(self, sort_spec) -> list[tuple]:
+        """[(field, descending, format|None)] — like `_parse_es_sort`
+        plus the per-key ES `format` option (`epoch_nanos_int`)."""
+        entries = sort_spec if isinstance(sort_spec, list) else [sort_spec]
+        full = []
+        for ent, (fld, desc) in zip(entries, self._parse_es_sort(sort_spec)):
+            fmt = None
+            if isinstance(ent, dict):
+                (_, opts), = ent.items()
+                if isinstance(opts, dict):
+                    fmt = opts.get("format")
+            full.append((fld, desc, fmt))
+        return full
+
+    def _convert_es_cursor(self, values: list, sort_spec) -> list:
+        """ES `search_after` values → typed engine cursor values per the
+        sort key's column type (reference converts the wire strings the
+        same way): numerics accept string forms, timestamp keys accept
+        epoch numbers (magnitude auto-detect) or `epoch_nanos_int`."""
+        import datetime as _dt
+
+        out = []
+        for v, (fld, _desc, fmt) in zip(values, self._parse_es_sort_full(sort_spec)):
+            dtype = self._doc_types.get(self._fcol(fld), "")
+            if v is None:
+                out.append(None)
+            elif dtype.startswith("timestamp"):
+                if isinstance(v, str) and v.lstrip("+-").isdigit():
+                    v = int(v)
+                if fmt == "epoch_nanos_int":
+                    out.append(
+                        _dt.datetime.fromtimestamp(
+                            int(v) / 1e9, tz=_dt.timezone.utc
+                        )
+                    )
+                else:
+                    out.append(_parse_dt_bound(v, None))
+            elif dtype in ("bigint", "int", "smallint", "tinyint"):
+                out.append(int(v))
+            elif dtype in ("double", "float"):
+                out.append(float(v))
+            else:
+                out.append(v)
         return out
 
     def es_search_response(self, body: dict, mode: str = "parity") -> dict:
@@ -1584,6 +1724,9 @@ class IndexSearcher:
         src_cols = body.get("_source") or []
         inner = dict(body)
         raw = self.es_search(inner, mode=mode)
+        sort_spec = body.get("sort")
+        field_sort = bool(sort_spec) and not self._is_score_sort(sort_spec)
+        specs_full = self._parse_es_sort_full(sort_spec) if field_sort else []
         hits_rows = []
         max_score = None
         if "hits" in raw:
@@ -1596,13 +1739,23 @@ class IndexSearcher:
                 score = d.get("score")
                 if max_score is None or (score is not None and score > max_score):
                     max_score = score
-                hits_rows.append(
-                    {
-                        "_id": str(d["doc_key"]),
-                        "_score": score,
-                        "_source": {c: d.get(c) for c in src_cols},
-                    }
-                )
+                if src_cols:
+                    src = {c: d.get(c) for c in src_cols}
+                elif self.config.stored_source:
+                    # the full original document, like the reference
+                    raw_doc = d.get(self.config.stored_source)
+                    src = json.loads(raw_doc) if raw_doc is not None else None
+                else:
+                    src = {}
+                hit = {"_id": str(d["doc_key"]), "_score": score, "_source": src}
+                if field_sort:
+                    hit["sort"] = [
+                        _es_sort_value(d.get(alias), fmt)
+                        for (fld, _desc, fmt), alias in zip(
+                            specs_full, ("sort_value", "sort_value2")
+                        )
+                    ]
+                hits_rows.append(hit)
         agg_body = body.get("aggs") or body.get("aggregations") or {}
         aggs_shaped = {
             name: shape_es_agg(agg_body[name], df)
@@ -1641,6 +1794,14 @@ class IndexSearcher:
             out["aggregations"] = aggs_shaped
         return out
 
+    def _known_fields(self) -> set[str]:
+        """Every addressable field: term fields + fast-only paths (a
+        datetime dynamic path has options but no term field)."""
+        known = {f.name for f in self.config.fields}
+        known.update(self.config.field_options or {})
+        known.add(self.config.doc_key)
+        return known
+
     def _es_ast(self, body: dict):
         from quickwit_spark.query.es_dsl import from_es_body
 
@@ -1650,6 +1811,7 @@ class IndexSearcher:
             position_fields={
                 f.name for f in self.config.fields if f.record == "position"
             },
+            known_fields=self._known_fields(),
         )
 
     @staticmethod
@@ -1690,10 +1852,14 @@ class IndexSearcher:
                 order = opts if isinstance(opts, str) else opts.get("order")
             if fld == "_doc":
                 # ES `_doc`: index order — our global ingest order is the
-                # doc_key; default direction is ascending (unlike fields)
+                # doc_key
                 specs.append(("doc_key", (order or "asc") == "desc"))
             else:
-                specs.append((fld, (order or "desc") == "desc"))
+                # ES defaults a field sort to ASCENDING (the native
+                # quickwit sort DSL defaults desc; the ES-compat layer
+                # follows ES — the reference's own sort_by scenarios
+                # assert asc for a bare field)
+                specs.append((fld, (order or "asc") == "desc"))
         return specs
 
     def msearch(self, bodies: list[dict], mode: str = "parity") -> list[dict]:
@@ -1842,12 +2008,15 @@ class IndexSearcher:
 
         d = self.describe_index()
         name = _os.path.basename(self.index_dir.rstrip("/"))
+        nseg = d["num_segments"]
         section = {
             "docs": {"count": d["num_docs"], "deleted": 0},
             "store": {"size_in_bytes": d["inv_bytes"] + d["docs_bytes"]},
         }
-        stats = {"primaries": section, "total": section}
-        nseg = d["num_segments"]
+        stats = {
+            "primaries": dict(section),
+            "total": {**section, "segments": {"count": nseg}},
+        }
         return {
             "_shards": {"total": nseg, "successful": nseg, "failed": 0},
             "_all": stats,

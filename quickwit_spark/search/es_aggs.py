@@ -494,9 +494,10 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
         grouped = grouped.orderBy(*_terms_order_cols(spec, "doc_count", "key")).limit(
             size
         )
-        if spec.get("show_term_doc_count_error"):
-            grouped = _terms_stats_cols(df, grouped, spec)
-        return grouped
+        # ES always reports doc_count_error_upper_bound +
+        # sum_other_doc_count on terms aggs (the reference's own golden
+        # scenarios assert them without opting in)
+        return _terms_stats_cols(df, grouped, spec)
     if kind in ("histogram", "date_histogram"):
         grouped = (
             df.groupBy(key)
@@ -689,9 +690,11 @@ def shape_es_agg(clause: dict, df: DataFrame) -> dict:
         }
     else:
         shaped = {"buckets": buckets}
-    if kind == "terms" and spec.get("show_term_doc_count_error") and rows:
-        shaped["doc_count_error_upper_bound"] = rows[0].get(
-            "doc_count_error_upper_bound", 0
+    if kind == "terms":
+        shaped["doc_count_error_upper_bound"] = (
+            rows[0].get("doc_count_error_upper_bound", 0) if rows else 0
         )
-        shaped["sum_other_doc_count"] = rows[0].get("sum_other_doc_count", 0)
+        shaped["sum_other_doc_count"] = (
+            rows[0].get("sum_other_doc_count", 0) if rows else 0
+        )
     return shaped

@@ -1,0 +1,405 @@
+"""ES-compatible wire handler — the REST layer without HTTP.
+
+Maps (method, endpoint, query params, body) onto the engine exactly the
+way the reference's elasticsearch_api handlers do
+(`quickwit-serve/src/elasticsearch_api/rest_handler.rs:96-294` search,
+`:804` msearch, `:294` scroll, plus `_count` / `_stats` / `_cat`):
+
+- query params merge into the body with the reference's precedence
+  (`q` OVERRIDES the body query; `size`/`sort` override; `extra_filters`
+  are ANDed in as non-scoring filters; `_source_includes`/`_source_
+  excludes` prune the returned source tree),
+- scroll requests validate TTL (≤ 1800 s) and
+  `allow_partial_search_results`, create a ScrollContext, and serve
+  pages through `_search/scroll`,
+- errors surface as `EsApiError(status, reason)`; `response()` renders
+  the reference's error envelope `{"status": N, "error": {"reason"}}`.
+
+Driving this layer against the reference's own rest-api-tests golden
+scenarios (`rest-api-tests/scenarii/es_compatibility/*.yaml`) is the
+parity harness in `tests/test_es_scenarios.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+
+class EsApiError(Exception):
+    def __init__(self, status: int, reason: str):
+        super().__init__(reason)
+        self.status = status
+        self.reason = reason
+
+    def response(self) -> dict:
+        return {"status": self.status, "error": {"reason": self.reason}}
+
+
+MAX_SCROLL_TTL_SECS = 1800  # reference scroll_context.rs TTL cap
+
+
+def _parse_ttl_secs(s: str) -> int:
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)?", str(s).strip())
+    if not m:
+        raise EsApiError(400, f"Invalid argument: bad scroll TTL {s!r}")
+    n, unit = int(m.group(1)), m.group(2) or "s"
+    return n * {"ms": 0, "s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+
+
+def _as_list(v) -> list[str]:
+    """Param values arrive as list or comma-joined string."""
+    if v is None:
+        return []
+    if isinstance(v, str):
+        return [p for p in v.split(",") if p]
+    return list(v)
+
+
+def _source_filter(doc, includes: list[str], excludes: list[str]):
+    """ES `_source_includes`/`_source_excludes` tree filtering: a path
+    selects/removes the whole subtree under it."""
+    if doc is None or not isinstance(doc, dict):
+        return doc
+
+    def pick(node, paths):
+        out = {}
+        for p in paths:
+            head, _, rest = p.partition(".")
+            if head not in node:
+                continue
+            if not rest:
+                out[head] = node[head]
+            elif isinstance(node[head], dict):
+                sub = pick(node[head], [rest])
+                if sub:
+                    prev = out.get(head)
+                    out[head] = {**prev, **sub} if isinstance(prev, dict) else sub
+        return out
+
+    def drop(node, paths):
+        out = dict(node)
+        for p in paths:
+            head, _, rest = p.partition(".")
+            if head not in out:
+                continue
+            if not rest:
+                out.pop(head)
+            elif isinstance(out[head], dict):
+                out[head] = drop(out[head], [rest])
+        return out
+
+    if includes:
+        doc = pick(doc, includes)
+    if excludes:
+        doc = drop(doc, excludes)
+    return doc
+
+
+class EsWireHandler:
+    """Routes ES REST calls to a set of index searchers."""
+
+    def __init__(self, indexes: dict):
+        self.indexes = dict(indexes)  # name -> IndexSearcher
+        # scroll_id -> (ctx, searcher, total, shaped aggs, src filters)
+        self._scrolls: dict[str, dict] = {}
+
+    # ------------------------------------------------------------ routing
+
+    def request(
+        self,
+        method: str,
+        endpoint: str,
+        params: dict | None = None,
+        body: dict | None = None,
+        ndjson: list | None = None,
+    ) -> dict:
+        params = dict(params or {})
+        endpoint, _, qs = endpoint.partition("?")
+        for kv in qs.split("&"):
+            if kv:
+                k, _, v = kv.partition("=")
+                params.setdefault(k, v)
+        parts = [p for p in endpoint.split("/") if p]
+        if parts == ["_msearch"]:
+            return self._msearch(ndjson or [], params)
+        if parts == ["_search", "scroll"]:
+            return self._scroll_page(params, body or {})
+        if parts and parts[-1] == "_search":
+            return self._search(self._one(parts[0]), params, body or {})
+        if parts and parts[-1] == "_count":
+            return self._count(self._one(parts[0]), params, body or {})
+        if parts and parts[-1] == "_stats":
+            return self._stats(parts[0] if len(parts) > 1 else "*")
+        if parts[:2] == ["_cat", "indices"]:
+            pattern = parts[2] if len(parts) > 2 else "*"
+            return self._cat(pattern, params)
+        if parts[:2] == ["_resolve", "index"]:
+            return self._resolve_ep(parts[2] if len(parts) > 2 else "*")
+        if parts == ["_cluster", "health"]:
+            s = next(iter(self.indexes.values()))
+            return s.es_cluster_health()
+        raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
+
+    def _one(self, name: str):
+        names = self._match(name)
+        if not names:
+            raise EsApiError(404, f"index {name!r} not found")
+        return self.indexes[names[0]]
+
+    def _match(self, pattern: str) -> list[str]:
+        import fnmatch
+
+        return sorted(
+            n
+            for n in self.indexes
+            if any(fnmatch.fnmatch(n, p) for p in pattern.split(","))
+        )
+
+    # ------------------------------------------------------------- search
+
+    def _effective_body(self, params: dict, body: dict) -> dict:
+        body = dict(body)
+        if params.get("q"):
+            # the query string param REPLACES the body query (reference
+            # rest_handler: `q` wins)
+            body["query"] = {"query_string": {"query": params["q"], "fields": []}}
+        extra = _as_list(params.get("extra_filters"))
+        if extra:
+            base = body.get("query", {"match_all": {}})
+            body["query"] = {
+                "bool": {
+                    "must": [base],
+                    "filter": [
+                        {"query_string": {"query": e, "fields": []}}
+                        for e in extra
+                    ],
+                }
+            }
+        if params.get("size") is not None:
+            body["size"] = int(params["size"])
+        if params.get("sort"):
+            entries = []
+            for ent in _as_list(params["sort"]):
+                fld, _, order = ent.partition(":")
+                entries.append({fld: {"order": order}} if order else fld)
+            body["sort"] = entries
+        return body
+
+    def _src_filters(self, params: dict) -> tuple[list[str], list[str]]:
+        return (
+            _as_list(params.get("_source_includes")),
+            _as_list(params.get("_source_excludes")),
+        )
+
+    def _apply_src_filters(self, resp: dict, inc, exc) -> dict:
+        if inc or exc:
+            for h in resp.get("hits", {}).get("hits", []):
+                h["_source"] = _source_filter(h["_source"], inc, exc)
+        return resp
+
+    def _search(self, searcher, params: dict, body: dict) -> dict:
+        if params.get("scroll"):
+            return self._scroll_start(searcher, params, body)
+        body = self._effective_body(params, body)
+        inc, exc = self._src_filters(params)
+        try:
+            resp = searcher.es_search_response(body)
+        except EsApiError:
+            raise
+        except (ValueError, TypeError, KeyError, NotImplementedError) as e:
+            raise EsApiError(400, str(e)) from e
+        return self._apply_src_filters(resp, inc, exc)
+
+    def _count(self, searcher, params: dict, body: dict) -> dict:
+        body = self._effective_body(params, body)
+        try:
+            return searcher.es_count(body)
+        except (ValueError, TypeError, KeyError, NotImplementedError) as e:
+            raise EsApiError(400, str(e)) from e
+
+    def _msearch(self, ndjson: list, params: dict) -> dict:
+        if len(ndjson) % 2:
+            raise EsApiError(400, "uneven _msearch header/body lines")
+        out = []
+        for i in range(0, len(ndjson), 2):
+            header, body = ndjson[i], ndjson[i + 1]
+            name = header.get("index")
+            searcher = self._one(name)
+            try:
+                out.append(self._search(searcher, params, body))
+            except EsApiError as e:
+                out.append(e.response())
+        return {"responses": out}
+
+    # ------------------------------------------------------------- scroll
+
+    def _scroll_start(self, searcher, params: dict, body: dict) -> dict:
+        from quickwit_spark.search.es_aggs import shape_es_agg
+        from quickwit_spark.search.scroll import ScrollContext, create_scroll
+
+        if str(params.get("allow_partial_search_results", "true")).lower() == "false":
+            raise EsApiError(
+                400,
+                "Invalid argument: Quickwit only supports scroll API with "
+                "allow_partial_search_results set to true",
+            )
+        ttl = _parse_ttl_secs(params["scroll"])
+        if ttl > MAX_SCROLL_TTL_SECS:
+            raise EsApiError(
+                400,
+                "Invalid argument: Quickwit only supports scroll TTL period "
+                f"up to {MAX_SCROLL_TTL_SECS} secs",
+            )
+        body = self._effective_body(params, body)
+        size = int(body.get("size", 10))
+        sort_spec = body.get("sort")
+        sort_field, desc, fmt = None, True, None
+        if sort_spec and not searcher._is_score_sort(sort_spec):
+            specs = searcher._parse_es_sort_full(sort_spec)
+            if len(specs) != 1:
+                raise EsApiError(400, "scroll supports a single sort key")
+            sort_field, desc, fmt = specs[0]
+        fetch = list(body.get("_source") or [])
+        if not fetch and searcher.config.stored_source:
+            fetch = [searcher.config.stored_source]
+        ctx = ScrollContext(
+            searcher,
+            searcher._es_ast(body),
+            page_size=size,
+            fetch=fetch,
+            sort_field=sort_field,
+            descending=desc,
+        )
+        create_scroll(ctx)
+        total = searcher.count(searcher._es_ast(body))
+        aggs_shaped = None
+        agg_body = body.get("aggs") or body.get("aggregations")
+        if agg_body:
+            raw = searcher.es_search({**body, "size": 0})
+            aggs_shaped = {
+                name: shape_es_agg(agg_body[name], df)
+                for name, df in (raw.get("aggregations") or {}).items()
+            }
+        inc, exc = self._src_filters(params)
+        state = {
+            "ctx": ctx,
+            "searcher": searcher,
+            "total": total,
+            "aggs": aggs_shaped,
+            "inc": inc,
+            "exc": exc,
+            "fmt": fmt,
+            "explicit_src": list(body.get("_source") or []),
+        }
+        self._scrolls[ctx.scroll_id] = state
+        return self._scroll_response(state)
+
+    def _scroll_page(self, params: dict, body: dict) -> dict:
+        sid = body.get("scroll_id") or params.get("scroll_id")
+        if params.get("scroll"):
+            ttl = _parse_ttl_secs(params["scroll"])
+            if ttl > MAX_SCROLL_TTL_SECS:
+                raise EsApiError(
+                    400,
+                    "Invalid argument: Quickwit only supports scroll TTL "
+                    f"period up to {MAX_SCROLL_TTL_SECS} secs",
+                )
+        state = self._scrolls.get(sid)
+        if state is None:
+            raise EsApiError(404, f"scroll id {sid!r} not found")
+        return self._scroll_response(state, include_aggs=False)
+
+    def _scroll_response(self, state: dict, include_aggs: bool = True) -> dict:
+        from quickwit_spark.search.engine import _es_sort_value
+
+        ctx, searcher = state["ctx"], state["searcher"]
+        rows = ctx.next_page()
+        hits = []
+        src_col = searcher.config.stored_source
+        for r in rows:
+            d = r.asDict()
+            if state["explicit_src"]:
+                src = {c: d.get(c) for c in state["explicit_src"]}
+            elif src_col and src_col in d:
+                raw_doc = d[src_col]
+                src = json.loads(raw_doc) if raw_doc is not None else None
+            else:
+                src = {}
+            src = _source_filter(src, state["inc"], state["exc"])
+            hit = {
+                "_id": str(d["doc_key"]),
+                "_score": d.get("score"),
+                "_source": src,
+            }
+            if "sort_value" in d:
+                hit["sort"] = [_es_sort_value(d["sort_value"], state["fmt"])]
+            hits.append(hit)
+        out = {
+            "_scroll_id": ctx.scroll_id,
+            "timed_out": False,
+            "hits": {
+                "total": {"value": state["total"], "relation": "eq"},
+                "max_score": None,
+                "hits": hits,
+            },
+        }
+        if include_aggs and state["aggs"] is not None:
+            out["aggregations"] = state["aggs"]
+        return out
+
+    # -------------------------------------------------------------- admin
+
+    def _stats(self, pattern: str) -> dict:
+        names = self._match(pattern)
+        if not names:
+            raise EsApiError(404, f"no index matches {pattern!r}")
+        all_docs = 0
+        all_bytes = 0
+        all_segs = 0
+        indices = {}
+        for n in names:
+            st = self.indexes[n].es_stats()
+            sec = st["_all"]
+            indices[n] = sec
+            all_docs += sec["primaries"]["docs"]["count"]
+            all_bytes += sec["primaries"]["store"]["size_in_bytes"]
+            all_segs += sec["total"]["segments"]["count"]
+        agg = {
+            "primaries": {
+                "docs": {"count": all_docs, "deleted": 0},
+                "store": {"size_in_bytes": all_bytes},
+            },
+            "total": {
+                "docs": {"count": all_docs, "deleted": 0},
+                "store": {"size_in_bytes": all_bytes},
+                "segments": {"count": all_segs},
+            },
+        }
+        return {"_all": agg, "indices": indices}
+
+    def _cat(self, pattern: str, params: dict) -> list:
+        if params.get("format") != "json":
+            raise EsApiError(400, "only format=json is supported")
+        unknown = set(params) - {"format", "h"}
+        if unknown:
+            raise EsApiError(
+                400, f"unsupported _cat parameters: {sorted(unknown)}"
+            )
+        fields = _as_list(params.get("h"))
+        rows = []
+        for n in self._match(pattern):
+            for row in self.indexes[n].es_cat_indices(fields or None):
+                # the searcher only knows its directory; the wire layer
+                # owns the logical index name
+                for k in ("index", "uuid"):
+                    if k in row:
+                        row[k] = n
+                rows.append(row)
+        return rows
+
+    def _resolve_ep(self, pattern: str) -> dict:
+        indices = [
+            {"name": n, "attributes": ["open"]} for n in self._match(pattern)
+        ]
+        return {"indices": indices, "aliases": [], "data_streams": []}

@@ -305,7 +305,10 @@ def _eval(ctx: _Ctx, node: QueryAst, boost: float):
             elif msm:
                 mask &= scount >= msm
         if mask is None:
-            mask = np.zeros(N, bool)
+            # a must_not-only bool is anchored on match-all (everything
+            # EXCEPT the negated set — ES/reference semantics); a bool
+            # with no clauses at all matches nothing
+            mask = np.ones(N, bool) if node.must_not else np.zeros(N, bool)
         for cl in node.must_not:
             m, _ = _eval(ctx, cl, 0.0)
             mask = mask & ~m

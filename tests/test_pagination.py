@@ -179,8 +179,11 @@ def test_two_key_search_after(spark, sf_dir):
     got = [(r["sort_value"], r["sort_value2"], r["doc_key"]) for r in paged[:30]]
     exp = [(r["sort_value"], r["sort_value2"], r["doc_key"]) for r in full]
     assert got == exp
-    # wrong cursor arity fails loudly
+    # wrong cursor arity fails loudly (len == n_specs is VALID — the
+    # ES values-only cursor; len == n_specs+1 adds the doc_key tiebreak)
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        s.sort_by_field("text:spark", specs, k=5, search_after=(1, 7))
+        s.sort_by_field("text:spark", specs, k=5, search_after=(1,))
+    with _pytest.raises(ValueError):
+        s.sort_by_field("text:spark", specs, k=5, search_after=(1, 7, 3, 9))
