@@ -588,19 +588,59 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
             field_stats = {}
             for fld in fields:
                 if fld.sources:
-                    # concatenate field: space-join the source columns
-                    # (Arrow kernel) so one tokenize pass indexes them all
-                    parts = [
-                        pc.fill_null(
-                            pc.cast(seg.column(s).combine_chunks(), pa.string()), ""
+                    # concatenate field: each source VALUE is analyzed
+                    # separately with the concat field's tokenizer and
+                    # the token streams union under the virtual field —
+                    # reference `field_mapping_entry.rs:355-364` (a raw
+                    # concat of 'AB-CD' and 'EF-GH' indexes two tokens,
+                    # never one joined line; cross-source phrases can't
+                    # match). Shape: a fixed-size list per doc feeding
+                    # the multivalued tokenize path.
+                    parts = []
+                    for s in fld.sources:
+                        col = seg.column(s).combine_chunks()
+                        if pa.types.is_list(col.type) or pa.types.is_large_list(
+                            col.type
+                        ):
+                            # array source contributes its elements —
+                            # harmless flatten-to-string here (rare)
+                            col = pc.binary_join(
+                                pc.cast(col, pa.list_(pa.string())), " "
+                            )
+                        else:
+                            # Arrow casts bool→"true"/"false", numbers to
+                            # their canonical decimal form — the same term
+                            # strings the reference's concat indexes
+                            col = pc.cast(col, pa.string())
+                        parts.append(col)
+                    if len(parts) == 1:
+                        texts = parts[0]
+                    else:
+                        nseg, ksrc = len(seg), len(parts)
+                        # row-major (doc, source) list array, NULL source
+                        # values dropped — a missing source contributes
+                        # no token (raw would otherwise index "")
+                        valid = np.column_stack(
+                            [
+                                p.is_valid().to_numpy(zero_copy_only=False)
+                                for p in parts
+                            ]
                         )
-                        for s in fld.sources
-                    ]
-                    texts = (
-                        parts[0]
-                        if len(parts) == 1
-                        else pc.binary_join_element_wise(*parts, " ")
-                    )
+                        col_major = pa.concat_arrays(
+                            [p.cast(pa.string()) for p in parts]
+                        )
+                        row_major_idx = (
+                            np.arange(ksrc)[None, :] * nseg
+                            + np.arange(nseg)[:, None]
+                        )
+                        take_idx = row_major_idx[valid]
+                        offsets = np.concatenate(
+                            ([0], np.cumsum(valid.sum(axis=1)))
+                        ).astype(np.int32)
+                        texts = pa.ListArray.from_arrays(
+                            pa.array(offsets, pa.int32()),
+                            pc.take(col_major, pa.array(take_idx, pa.int64())),
+                        )
                 else:
                     texts = seg.column(fld.column or fld.name)
                 rows, stats = _build_field_rows(
@@ -616,7 +656,7 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
                     seg.column(time_col)
                     .cast(pa.timestamp("us"))
                     .combine_chunks()
-                    .to_numpy()
+                    .to_numpy(zero_copy_only=False)  # nulls force a copy
                     .astype("datetime64[us]")
                 )
                 tsv = tsv[~np.isnat(tsv)].astype(np.int64)  # NaT would
@@ -735,6 +775,11 @@ def build_index(
             )
     if transform is not None:
         df = transform(df)
+    if config.time_column is not None:
+        # the reference REJECTS documents missing the declared timestamp
+        # field at ingest (doc processor parse failure; the tag_fields /
+        # qw_search_api scenarios count on those docs being absent)
+        df = df.filter(F.col(config.time_column).isNotNull())
     inv_dir = f"{index_dir}/inv"
     docs_dir = f"{index_dir}/docs"
 

@@ -132,6 +132,13 @@ def _parse_dt_bound(v, fmt: str | None):
         out = _dt.datetime.fromtimestamp(secs, tz=_dt.timezone.utc)
     elif fmt:
         out = _es_strptime(str(v), fmt)
+    elif str(v).lstrip("+-").isdigit():
+        # epoch number arriving as a query-string token ("ts:>=168...")
+        return _parse_dt_bound(int(v), fmt)
+    elif _re.fullmatch(r"\d{4}/\d{2}/\d{2}", str(v)):
+        # the query language's yyyy/MM/dd short date form (reference
+        # qw_search_api scenario `ts:>=2023/05/25`)
+        out = _dt.datetime.strptime(str(v), "%Y/%m/%d")
     else:
         out = _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
     if out.tzinfo is None:
@@ -250,8 +257,30 @@ class IndexSearcher:
 
             self._inv = self.spark.createDataFrame([], INV_SCHEMA)
             key_t = "string" if self.config.doc_key.endswith("url") else "bigint"
+            from pyspark.sql import types as T
+
+            doc_fields = [
+                T.StructField("segment_id", T.StringType()),
+                T.StructField("doc_id", T.IntegerType()),
+                T.StructField(
+                    "doc_key",
+                    T.StringType() if key_t == "string" else T.LongType(),
+                ),
+            ]
+            # stored columns (incl. the raw source and the time column)
+            # must exist so projections on an empty index still resolve
+            extra = list(self.config.stored_columns)
+            if self.config.time_column:
+                extra.append(self.config.time_column)
+            for c in extra:
+                t = (
+                    T.TimestampType()
+                    if c == self.config.time_column
+                    else T.StringType()
+                )
+                doc_fields.append(T.StructField(c, t))
             self._docs = self.spark.createDataFrame(
-                [], f"segment_id string, doc_id int, doc_key {key_t}"
+                [], T.StructType(doc_fields)
             )
             self._doc_types = dict(self._docs.dtypes)
             self._colmap = {
@@ -1631,9 +1660,8 @@ class IndexSearcher:
         reference aggregates the NORMALIZED fast values — a terms agg on
         a lowercase-normalized dynamic path buckets lowercased keys)."""
         opts = self.config.field_options or {}
-        if not opts:
-            return m, agg_body
         derived: dict[str, object] = {}
+        m_cols = set(m.columns)
 
         def rewrite(node: dict) -> dict:
             out = {}
@@ -1653,6 +1681,18 @@ class IndexSearcher:
                             expr = F.lower(expr)
                         alias = f"__qw_agg_{len(derived)}"
                         derived[alias] = expr
+                        out[name][k] = {**v, "field": alias}
+                    elif (
+                        isinstance(v, dict)
+                        and "field" in v
+                        and self._fcol(v["field"]) not in m_cols
+                    ):
+                        # unmapped field (e.g. any dynamic path on an
+                        # EMPTY index): aggregate over all-null — empty
+                        # buckets / null metrics, never an error (the
+                        # reference answers the same)
+                        alias = f"__qw_agg_{len(derived)}"
+                        derived[alias] = F.lit(None).cast("double")
                         out[name][k] = {**v, "field": alias}
                     else:
                         out[name][k] = v

@@ -73,7 +73,10 @@ def _metric_cols(kind: str, spec: dict, name: str) -> list[Column]:
     if kind == "value_count":
         return [F.count(c).cast("long").alias(name)]
     if kind == "cardinality":
-        return [F.approx_count_distinct(c).cast("long").alias(name)]
+        # the reference serializes cardinality as f64 (its golden
+        # scenarios assert `8.0`); counts here are Spark HLL++ — we do
+        # NOT reproduce tantivy's sketch's specific collision errors
+        return [F.approx_count_distinct(c).cast("double").alias(name)]
     if kind == "stats":
         return [
             F.count(d).alias(f"{name}_count"),
@@ -100,18 +103,63 @@ def _metric_cols(kind: str, spec: dict, name: str) -> list[Column]:
             F.stddev_samp(d).alias(f"{name}_std_deviation_sampling"),
         ]
     if kind == "percentiles":
-        # approx (t-digest-like sketch, mergeable partial/final state) is
-        # the scale default — the reference also answers percentiles from
-        # a sketch; {"exact": true} opts into the full-sort variant for
-        # oracle comparison (mirrors `cardinality`'s design)
+        # default = DDSketch PARITY: the reference answers percentiles
+        # from sketches-ddsketch (α=0.01) — bucket k=⌈ln v/γln⌉,
+        # γln=log1p(2α/(1−α)), estimate 2·e^{k·γln}/(1+e^{γln}), rank
+        # ⌊q·(n−1)⌋ — reproduced here bit-for-bit (its own golden
+        # scenarios assert the estimates to the last ulp). The group
+        # materializes its (8-byte int) bucket keys; at scale prefer
+        # {"exact": false, "parity": false} → mergeable
+        # percentile_approx, or pre-bucket per segment (the sketch's
+        # own 2048-bin two-phase shape).
         pcts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
         if spec.get("exact"):
             # F.percentile on the same coalesced column as the approx
             # path so `missing` behaves identically in both modes
             mk = lambda p: F.percentile(c, F.lit(p / 100.0))  # noqa: E731
-        else:
+        elif spec.get("parity") is False:
             acc = int(spec.get("accuracy", 10000))
             mk = lambda p: F.percentile_approx(c, p / 100.0, acc)  # noqa: E731
+        else:
+            import math
+
+            gln = math.log1p(2 * 0.01 / (1 - 0.01))
+            min_v = 1.0e-9  # the crate's default min_value
+            # DDSketch keeps zero and negative stores besides the
+            # positive log-bucket store; encode all three on one sorted
+            # int axis: negatives at -4e6 - key(|v|) (more negative
+            # value → smaller code), zeros at -2e6, positives at key(v)
+            # (≥ ~-1036 for min_value 1e-9).
+            _ZERO, _NEG = -2_000_000, -4_000_000
+            v = c.cast("double")
+            code = (
+                F.when(v >= min_v, F.ceil(F.log(v) / gln))
+                .when(v <= -min_v, F.lit(_NEG) - F.ceil(F.log(-v) / gln))
+                .otherwise(F.lit(_ZERO))
+            )
+            keys = F.sort_array(F.collect_list(code))
+
+            def mk(p, _keys=keys, _gln=gln):  # noqa: E731
+                n = F.size(_keys)
+                idx = (
+                    F.floor(F.lit(p / 100.0) * (n - F.lit(1)).cast("double"))
+                    .cast("int")
+                    + F.lit(1)
+                )
+                k = F.element_at(_keys, idx).cast("double")
+                denom = F.lit(1.0 + math.exp(_gln))
+                est = F.lit(2.0) * F.exp(k * F.lit(_gln)) / denom
+                neg = (
+                    F.lit(-2.0)
+                    * F.exp((F.lit(float(_NEG)) - k) * F.lit(_gln))
+                    / denom
+                )
+                return F.when(
+                    n > 0,
+                    F.when(k == _ZERO, F.lit(0.0))
+                    .when(k <= _NEG, neg)
+                    .otherwise(est),
+                )
         return [
             mk(p).cast("double").alias(f"{name}_p{p}".replace(".", "_"))
             for p in pcts
@@ -179,12 +227,22 @@ def _terms_order_cols(spec: dict, dc_name: str, key_name: str) -> list[Column]:
     return [primary, F.col(key_name).asc_nulls_last()]
 
 
-def _bucket_key(kind: str, spec: dict, alias: str) -> Column:
-    """The group-key expression for a bucket aggregation."""
+_NUMERIC_DTYPES = ("bigint", "int", "smallint", "tinyint", "double", "float")
+
+
+def _bucket_key(kind: str, spec: dict, alias: str, dtype: str = "") -> Column:
+    """The group-key expression for a bucket aggregation. `dtype` is the
+    field's Spark type: numeric terms keys stay NUMERIC at full i64
+    precision (the reference's number-precision scenario asserts a
+    19-digit u64 key unrounded); everything else buckets as string."""
     if kind == "terms":
-        c = F.col(spec["field"]).cast("string")
+        c = F.col(spec["field"])
+        numeric = dtype in _NUMERIC_DTYPES or dtype.startswith("decimal")
+        if not numeric:
+            c = c.cast("string")
         if spec.get("missing") is not None:
-            c = F.coalesce(c, F.lit(str(spec["missing"])))
+            mv = spec["missing"]
+            c = F.coalesce(c, F.lit(mv if numeric else str(mv)))
         return c.alias(alias)
     if kind == "histogram":
         interval = float(spec["interval"])
@@ -314,24 +372,57 @@ def _histogram_skeleton(
     eb = spec.get("extended_bounds")
     if not eb:
         return None
+    return _skeleton_between(
+        df.sparkSession, kind, spec, alias, float(eb["min"]), float(eb["max"])
+    )
+
+
+def _skeleton_between(spark, kind, spec, alias, lo_v, hi_v) -> DataFrame:
+    """Bucket-grid skeleton covering [lo_v, hi_v] (epoch ms for
+    date_histogram)."""
     import math
 
     if kind == "date_histogram":
         ms = _fixed_interval_ms(spec.get("fixed_interval", "1d"))
         off = _fixed_interval_ms(spec["offset"]) if spec.get("offset") else 0
-        lo = (int(eb["min"]) - off) // ms * ms + off
-        hi = (int(eb["max"]) - off) // ms * ms + off
+        lo = (int(lo_v) - off) // ms * ms + off
+        hi = (int(hi_v) - off) // ms * ms + off
         n = (hi - lo) // ms + 1
-        return df.sparkSession.range(n).select(
+        return spark.range(n).select(
             F.timestamp_millis(F.col("id") * ms + lo).alias(alias)
         )
     interval = float(spec["interval"])
     offset = float(spec.get("offset", 0.0))
-    lo = math.floor((float(eb["min"]) - offset) / interval) * interval + offset
-    hi = math.floor((float(eb["max"]) - offset) / interval) * interval + offset
+    lo = math.floor((float(lo_v) - offset) / interval) * interval + offset
+    hi = math.floor((float(hi_v) - offset) / interval) * interval + offset
     n = int(round((hi - lo) / interval)) + 1
-    return df.sparkSession.range(n).select(
+    return spark.range(n).select(
         (F.col("id") * interval + lo).cast("double").alias(alias)
+    )
+
+
+def _data_skeleton(grouped: DataFrame, kind: str, spec: dict, alias: str):
+    """min_doc_count=0 (the ES/reference histogram DEFAULT): every grid
+    bucket between the first and last OBSERVED bucket surfaces, empty
+    ones included (`aggregations/0001` plain-histogram step expects the
+    doc_count-0 middle bucket). Bounds come from the already-grouped
+    bucket frame (bucket-count-bounded — one tiny extra job), widened
+    by extended_bounds when present."""
+    row = grouped.agg(
+        F.min(alias).alias("_lo"), F.max(alias).alias("_hi")
+    ).collect()[0]
+    lo, hi = row["_lo"], row["_hi"]
+    eb = spec.get("extended_bounds")
+    if kind == "date_histogram" and lo is not None:
+        lo = int(lo.timestamp() * 1000)
+        hi = int(hi.timestamp() * 1000)
+    if eb:
+        lo = float(eb["min"]) if lo is None else min(lo, float(eb["min"]))
+        hi = float(eb["max"]) if hi is None else max(hi, float(eb["max"]))
+    if lo is None:
+        return None
+    return _skeleton_between(
+        grouped.sparkSession, kind, spec, alias, lo, hi
     )
 
 
@@ -366,7 +457,15 @@ def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
     for i, lvl in enumerate(chain):
         alias = "key" if i == 0 else f"{lvl.name}_key"
         key_aliases.append(alias)
-        dfk = dfk.withColumn(alias, _bucket_key(lvl.kind, lvl.spec, alias))
+        dfk = dfk.withColumn(
+            alias,
+            _bucket_key(
+                lvl.kind,
+                lvl.spec,
+                alias,
+                dict(df.dtypes).get(lvl.spec.get("field", ""), ""),
+            ),
+        )
     dfk = dfk.filter(F.col("key").isNotNull())
 
     frames: list[DataFrame] = []
@@ -433,31 +532,45 @@ def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
 
 
 def _terms_stats_cols(
-    df: DataFrame, grouped: DataFrame, spec: dict
+    df: DataFrame, grouped: DataFrame, spec: dict, err_df=None
 ) -> DataFrame:
-    """show_term_doc_count_error: attach doc_count_error_upper_bound
-    (always 0 — buckets come from an exact global aggregation, not
-    per-shard top-N truncation like ES/tantivy's distributed estimate)
-    and sum_other_doc_count (total matching docs minus the returned
-    buckets' docs, ref `docs/reference/aggregation.md`). Docs with a
-    NULL terms key belong to no bucket and are excluded from the
-    total — ES counts only docs that landed in SOME bucket."""
+    """Attach doc_count_error_upper_bound — 0 for the exact global
+    aggregation, or `err_df`'s scalar when per-segment `split_size`
+    truncation ran — and sum_other_doc_count (total matching docs minus
+    the returned buckets' docs, ref `docs/reference/aggregation.md`).
+    Docs with a NULL terms key belong to no bucket and are excluded
+    from the total — ES counts only docs that landed in SOME bucket."""
     total = (
         df.select(_bucket_key("terms", spec, "_k"))
         .filter(F.col("_k").isNotNull())
         .agg(F.count(F.lit(1)).alias("_tot"))
     )
     kept = grouped.agg(F.sum("doc_count").alias("_kept"))
+    out = grouped.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(kept))
+    if err_df is not None:
+        out = out.crossJoin(F.broadcast(err_df)).withColumn(
+            "doc_count_error_upper_bound", F.col("_err")
+        ).drop("_err")
+    else:
+        out = out.withColumn(
+            "doc_count_error_upper_bound", F.lit(0).cast("long")
+        )
     return (
-        grouped.crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(kept))
-        .withColumn("doc_count_error_upper_bound", F.lit(0).cast("long"))
-        .withColumn(
+        out.withColumn(
             "sum_other_doc_count",
             (F.col("_tot") - F.coalesce(F.col("_kept"), F.lit(0))).cast("long"),
         )
         .drop("_tot", "_kept")
     )
+
+
+def _referenced_fields(clause: dict, out: set):
+    for k, v in clause.items():
+        if k in ("aggs", "aggregations"):
+            for sub in v.values():
+                _referenced_fields(sub, out)
+        elif isinstance(v, dict) and "field" in v:
+            out.add(v["field"])
 
 
 def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
@@ -467,6 +580,18 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
             f"aggregation clause needs exactly one type, got {sorted(entries)}"
         )
     (kind, spec), = entries.items()
+
+    # multivalued fast fields: each element is an independent agg value
+    # (reference Cardinality::MultiValued — a doc with tags
+    # ["nice","cool"] counts once in BOTH terms buckets). Each agg runs
+    # on its own frame, so the explode is per-aggregation and cannot
+    # fan out sibling aggregations.
+    refs: set = set()
+    _referenced_fields(clause, refs)
+    dtypes = dict(df.dtypes)
+    for fld in sorted(refs):
+        if dtypes.get(fld, "").startswith("array"):
+            df = df.withColumn(fld, F.explode(F.col(fld)))
 
     if kind in _METRICS:
         if clause.get("aggs"):
@@ -481,11 +606,57 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
     lvl = chain[0]
     metric_cols = _level_metric_cols(lvl)
     count_col = F.count(F.lit(1)).alias("doc_count")
-    key = _bucket_key(kind, spec, "key")
+    key = _bucket_key(
+        kind, spec, "key", dict(df.dtypes).get(spec.get("field", ""), "")
+    )
 
     if kind == "terms":
         size = int(spec.get("size", 10))
         mdc = int(spec.get("min_doc_count", 1))
+        split_size = (
+            spec.get("split_size")
+            or spec.get("shard_size")
+            or spec.get("segment_size")
+        )
+        if split_size is not None and "segment_id" in df.columns:
+            # the reference's distributed terms contract: each split
+            # returns only its top `split_size` terms; the root merges
+            # the partials. doc_count_error_upper_bound = Σ per-segment
+            # count of the FIRST EXCLUDED term (a term absent from a
+            # truncated segment can hide at most that many docs —
+            # tantivy's bound, asserted by `aggregations/0001`
+            # split_size steps). At scale this caps the shuffle at
+            # split_size rows per segment — the whole point of the knob.
+            if metric_cols:
+                raise NotImplementedError(
+                    "split_size truncation with metric sub-aggregations "
+                    "is not supported"
+                )
+            s_n = int(split_size)
+            per_seg = (
+                df.select(F.col("segment_id").alias("_sid"), key)
+                .filter(F.col("key").isNotNull())
+                .groupBy("_sid", "key")
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+            )
+            w = Window.partitionBy("_sid").orderBy(
+                F.col("_cnt").desc(), F.col("key").asc()
+            )
+            ranked = per_seg.withColumn("_rn", F.row_number().over(w))
+            merged = (
+                ranked.filter(F.col("_rn") <= s_n)
+                .groupBy("key")
+                .agg(F.sum("_cnt").cast("long").alias("doc_count"))
+            )
+            if mdc > 0:
+                merged = merged.filter(F.col("doc_count") >= mdc)
+            grouped = merged.orderBy(
+                *_terms_order_cols(spec, "doc_count", "key")
+            ).limit(size)
+            err = ranked.filter(F.col("_rn") == s_n + 1).agg(
+                F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("_err")
+            )
+            return _terms_stats_cols(df, grouped, spec, err_df=err)
         grouped = df.groupBy(key).agg(count_col, *metric_cols).filter(
             F.col("key").isNotNull()
         )
@@ -504,8 +675,12 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
             .agg(count_col, *metric_cols)
             .filter(F.col("key").isNotNull())
         )
-        mdc = int(spec.get("min_doc_count", 1 if not spec.get("extended_bounds") else 0))
-        skeleton = _histogram_skeleton(df, kind, spec, "key")
+        mdc = int(spec.get("min_doc_count", 0))
+        skeleton = (
+            _data_skeleton(grouped, kind, spec, "key")
+            if mdc == 0
+            else _histogram_skeleton(df, kind, spec, "key")
+        )
         if skeleton is not None:
             # FULL join: the skeleton adds empty buckets but must not
             # drop data buckets outside [min, max] — extended_bounds
@@ -585,11 +760,12 @@ def _metric_value(row: dict, name: str, kind: str, spec: dict):
         return _extended_stats_value(row, name, spec)
     if kind == "percentiles":
         pcts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        vals = {p: row.get(f"{name}_p{p}".replace(".", "_")) for p in pcts}
+        if spec.get("keyed", True):
+            return {"values": {str(float(p)): v for p, v in vals.items()}}
+        # keyed:false → entry list (ES percentiles wire shape)
         return {
-            "values": {
-                str(float(p)): row.get(f"{name}_p{p}".replace(".", "_"))
-                for p in pcts
-            }
+            "values": [{"key": float(p), "value": v} for p, v in vals.items()]
         }
     return {"value": row.get(name)}
 
@@ -627,7 +803,9 @@ def _nest_bucket_rows(rows: list[dict], chain: list[_Level], depth: int) -> list
             epoch_ms = int(k.timestamp() * 1000)
             utc = _dt.datetime.fromtimestamp(epoch_ms / 1000, tz=_dt.timezone.utc)
             b = {
-                "key": epoch_ms,
+                # the reference serializes date keys as f64 epoch millis
+                # (its own scenario expectations are `1420070400000.0`)
+                "key": float(epoch_ms),
                 "key_as_string": utc.isoformat().replace("+00:00", "Z"),
                 "doc_count": grp[0][dc_col],
             }
@@ -653,6 +831,22 @@ def _nest_bucket_rows(rows: list[dict], chain: list[_Level], depth: int) -> list
                 "buckets": _nest_bucket_rows(grp, chain, depth + 1)
             }
         out.append(b)
+    if lvl.kind == "range":
+        # the reference emits EVERY declared range in declaration order,
+        # empty ones included (`aggregations/0001` range step expects a
+        # doc_count: 0 middle bucket)
+        present = {b["key"]: b for b in out}
+        full = []
+        for r, label in zip(lvl.spec["ranges"], _range_labels(lvl.spec)):
+            b = present.get(label)
+            if b is None:
+                b = {"key": label, "doc_count": 0}
+                if r.get("from") is not None:
+                    b["from"] = float(r["from"])
+                if r.get("to") is not None:
+                    b["to"] = float(r["to"])
+            full.append(b)
+        out = full
     return out
 
 
@@ -670,13 +864,7 @@ def shape_es_agg(clause: dict, df: DataFrame) -> dict:
         if kind == "extended_stats":
             return _extended_stats_value(row, "value", spec)
         if kind == "percentiles":
-            pcts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
-            return {
-                "values": {
-                    str(float(p)): row.get(f"value_p{p}".replace(".", "_"))
-                    for p in pcts
-                }
-            }
+            return _metric_value(row, "value", kind, spec)
         return {"value": row.get("value")}
     chain = _parse_chain("", clause)
     buckets = _nest_bucket_rows(rows, chain, 0)

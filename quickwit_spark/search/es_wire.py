@@ -33,7 +33,13 @@ class EsApiError(Exception):
         self.reason = reason
 
     def response(self) -> dict:
-        return {"status": self.status, "error": {"reason": self.reason}}
+        # `error.reason` is the ES envelope; `message` is the native
+        # admin API's field — both carried so either checker matches
+        return {
+            "status": self.status,
+            "error": {"reason": self.reason},
+            "message": self.reason,
+        }
 
 
 MAX_SCROLL_TTL_SECS = 1800  # reference scroll_context.rs TTL cap

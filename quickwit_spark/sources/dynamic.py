@@ -65,6 +65,10 @@ class DynField:
     normalizer: str = "lowercase"
     # datetime fast-value truncation ("seconds"|"milliseconds"|None)
     precision: str | None = None
+    # explicit field_mappings layered over dynamic mode may override the
+    # term tokenizer ('raw' text fields) and the positions record
+    tokenizer: str | None = None
+    record: str | None = None
 
 
 _NUM_LONG = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
@@ -94,7 +98,9 @@ def _truncate_ts(c: Column, precision: str | None) -> Column:
     if precision == "milliseconds":
         return F.timestamp_millis(F.floor(F.unix_micros(c) / 1000).cast("long"))
     if precision == "seconds":
-        return F.timestamp_seconds(F.unix_micros(c) // 1_000_000)
+        return F.timestamp_seconds(
+            F.floor(F.unix_micros(c) / 1_000_000).cast("long")
+        )
     raise ValueError(f"unknown datetime precision {precision!r}")
 
 
@@ -169,6 +175,7 @@ def flatten_dynamic(
     exclude: tuple = (),
     mapped: dict | None = None,
     presence_field: str | None = PRESENCE_FIELD,
+    dynamic_normalizer: str = "lowercase",
 ) -> tuple[DataFrame, list[DynField]]:
     """Nested frame → (flat frame with one column per leaf dot path
     [+ presence column], field inventory).
@@ -212,13 +219,23 @@ def flatten_dynamic(
             column=_sanitize(path),
             array=is_array,
             normalizer=spec.get(
-                "normalizer", "lowercase" if kind == "text" else "raw"
+                "normalizer", dynamic_normalizer if kind == "text" else "raw"
             ),
             precision=spec.get("precision"),
+            tokenizer=spec.get("tokenizer"),
+            record=spec.get("record"),
         )
         if kind == "datetime":
+            from quickwit_spark.index.mapping import _datetime_col
+
             c = expr if not is_array else expr.getItem(0)
-            c = _truncate_ts(F.try_to_timestamp(c.cast("string")), fld.precision)
+            # accepted input formats tried in order (default rfc3339 +
+            # unix epoch with magnitude auto-detect, like the reference
+            # when input_formats is unspecified)
+            c = _truncate_ts(
+                _datetime_col(c, tuple(spec.get("formats") or ())),
+                fld.precision,
+            )
             present = c.isNotNull()
         else:
             target = _CAST[kind]
@@ -291,10 +308,10 @@ def dynamic_index_config(
     for f in fields:
         col = f.column or f.path
         if f.kind == "text":
+            tok = f.tokenizer or "default"
+            rec = f.record or (record if tok != "raw" else "basic")
             fcs.append(
-                FieldConfig(
-                    f.path, tokenizer="default", record=record, column=col
-                )
+                FieldConfig(f.path, tokenizer=tok, record=rec, column=col)
             )
         elif f.kind == "datetime":
             pass  # fast column only — range/sort field, not a term field

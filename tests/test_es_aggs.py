@@ -482,7 +482,8 @@ def test_date_histogram_fixed_interval(fast):
     # wire shape: epoch-ms key + Rfc3339 key_as_string
     shaped = shape_es_agg(clause, r)
     b0 = shaped["buckets"][0]
-    assert isinstance(b0["key"], int) and b0["key_as_string"].endswith("Z")
+    # the reference serializes date keys as f64 epoch millis
+    assert isinstance(b0["key"], float) and b0["key_as_string"].endswith("Z")
     # hard_bounds clips VALUES by epoch-ms closed interval: min at the
     # second bucket's left edge empties the first bucket
     lo = min(x["key"] for x in shaped["buckets"])
@@ -643,16 +644,22 @@ def test_exact_percentiles_honor_missing(fast):
         with_null, {"p": {"percentiles": dict(spec, exact=True)}}
     )["p"].collect()[0]["value_p50"]
     approx = run_es_aggs(
+        with_null, {"p": {"percentiles": dict(spec, parity=False)}}
+    )["p"].collect()[0]["value_p50"]
+    sketch = run_es_aggs(
         with_null, {"p": {"percentiles": spec}}
     )["p"].collect()[0]["value_p50"]
-    # both modes substitute 0 for NULLs: the median shifts well below
-    # the NULL-excluding median and the two modes agree closely
+    # all three modes substitute 0 for NULLs: the median shifts well
+    # below the NULL-excluding median; approx tracks exact closely and
+    # the DDSketch-parity default is within its 1% relative guarantee
+    # (rank selection may land one element off the interpolated exact)
     no_missing = run_es_aggs(
         with_null, {"p": {"percentiles": {"field": "len2", "percents": [50],
                                             "exact": True}}}
     )["p"].collect()[0]["value_p50"]
     assert exact < no_missing
     assert abs(exact - approx) <= max(2.0, 0.02 * no_missing)
+    assert abs(sketch - exact) <= max(2.0, 0.05 * no_missing)
 
 
 def test_es_sort_field_in_source_and_mixed_score_rejected(searcher):
