@@ -169,8 +169,28 @@ def _es_sort_value(v, fmt: str | None):
         micros = int(v.timestamp() * 1_000_000)
         return micros * 1000 if fmt == "epoch_nanos_int" else micros // 1000
     if isinstance(v, decimal.Decimal):
-        return int(v)
+        # u64 fast values ride decimal(20,0) — integral stays an exact
+        # int on the wire; a fractional coercion surfaces as float
+        return int(v) if v == v.to_integral_value() else float(v)
     return v
+
+
+def _parse_json_token(s):
+    """Original JSON scalar token → its typed Python value (mixed-typed
+    dynamic columns keep the token string; the wire re-types it)."""
+    if s is None:
+        return None
+    if s == "true":
+        return True
+    if s == "false":
+        return False
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s
 
 
 def _wildcard_to_regex(pattern: str) -> str:
@@ -1618,6 +1638,14 @@ class IndexSearcher:
             fetch = [self.config.stored_source]
         if size > 0 and sort_spec and not self._is_score_sort(sort_spec):
             specs = self._parse_es_sort(sort_spec)
+            # mixed-typed sort keys: fetch the original-token column so
+            # the wire layer can emit each hit's sort value in its own
+            # JSON type (0, true, 10.5, 18000000000000000000)
+            opts_all = self.config.field_options or {}
+            for fld, _ in specs:
+                o = opts_all.get(fld) or {}
+                if o.get("mixed") and o.get("orig_column"):
+                    fetch.append(o["orig_column"])
             sa = body.get("search_after")
             if sa:
                 sa = self._convert_es_cursor(list(sa), sort_spec)
@@ -1741,7 +1769,21 @@ class IndexSearcher:
                 else:
                     out.append(_parse_dt_bound(v, None))
             elif dtype in ("bigint", "int", "smallint", "tinyint"):
-                out.append(int(v))
+                n = float(v) if isinstance(v, float) else int(v)
+                if isinstance(n, float) or not (
+                    -(2**63) <= n <= 2**63 - 1
+                ):
+                    # cursor outside the i64 column's range (or
+                    # fractional): compare as double — strictly-after
+                    # i64::MAX asc matches nothing, desc matches all
+                    # (the reference's u64→i64 saturation scenarios)
+                    out.append(float(v))
+                else:
+                    out.append(int(v))
+            elif dtype.startswith("decimal"):
+                import decimal
+
+                out.append(decimal.Decimal(str(v)))
             elif dtype in ("double", "float"):
                 out.append(float(v))
             else:
@@ -1789,12 +1831,19 @@ class IndexSearcher:
                     src = {}
                 hit = {"_id": str(d["doc_key"]), "_score": score, "_source": src}
                 if field_sort:
-                    hit["sort"] = [
-                        _es_sort_value(d.get(alias), fmt)
-                        for (fld, _desc, fmt), alias in zip(
-                            specs_full, ("sort_value", "sort_value2")
-                        )
-                    ]
+                    opts_all = self.config.field_options or {}
+                    vals = []
+                    for (fld, _desc, fmt), alias in zip(
+                        specs_full, ("sort_value", "sort_value2")
+                    ):
+                        o = opts_all.get(fld) or {}
+                        if o.get("mixed") and o.get("orig_column"):
+                            vals.append(
+                                _parse_json_token(d.get(o["orig_column"]))
+                            )
+                        else:
+                            vals.append(_es_sort_value(d.get(alias), fmt))
+                    hit["sort"] = vals
                 hits_rows.append(hit)
         agg_body = body.get("aggs") or body.get("aggregations") or {}
         aggs_shaped = {

@@ -786,11 +786,17 @@ def _nest_bucket_rows(rows: list[dict], chain: list[_Level], depth: int) -> list
             groups[k] = []
             order.append(k)
         groups[k].append(r)
+    import decimal as _decimal
+
     out = []
     for k in order:
         grp = groups[k]
         if k is None:
             continue  # null deeper key: counted upstream, no bucket
+        if isinstance(k, _decimal.Decimal):
+            # u64 fast values ride decimal(20,0) — integral keys are
+            # exact ints on the wire
+            k = int(k) if k == k.to_integral_value() else float(k)
         if lvl.kind == "date_histogram" and hasattr(k, "timestamp"):
             # reference wire shape: key = epoch millis, key_as_string =
             # Rfc3339 (aggregation.md response example). PySpark's

@@ -137,6 +137,9 @@ class EsWireHandler:
             return self._count(self._one(parts[0]), params, body or {})
         if parts and parts[-1] == "_stats":
             return self._stats(parts[0] if len(parts) > 1 else "*")
+        if parts and parts[-1] == "_field_caps":
+            pattern = parts[0] if len(parts) > 1 else "*"
+            return self._field_caps(pattern, params)
         if parts[:2] == ["_cat", "indices"]:
             pattern = parts[2] if len(parts) > 2 else "*"
             return self._cat(pattern, params)
@@ -353,6 +356,38 @@ class EsWireHandler:
         if include_aggs and state["aggs"] is not None:
             out["aggregations"] = state["aggs"]
         return out
+
+    def _field_caps(self, pattern: str, params: dict) -> dict:
+        """`_field_caps`: exact index names must ALL resolve (404
+        otherwise); wildcard parts contribute whatever they match."""
+        import fnmatch
+
+        from quickwit_spark.search.field_caps import (
+            index_field_caps,
+            merge_field_caps,
+        )
+
+        names: set = set()
+        for part in pattern.split(","):
+            matched = [n for n in self.indexes if fnmatch.fnmatch(n, part)]
+            if not matched and not any(ch in part for ch in "*?"):
+                raise EsApiError(404, f"index {part!r} not found")
+            names.update(matched)
+        if not names:
+            # a pure-wildcard pattern matching nothing is an empty 200
+            # (ES semantics; only unmatched EXACT names 404)
+            return {"indices": [], "fields": {}}
+        lo = params.get("start_timestamp")
+        hi = params.get("end_timestamp")
+        tr = None
+        if lo is not None or hi is not None:
+            tr = (
+                int(lo) * 1_000_000 if lo is not None else None,
+                int(hi) * 1_000_000 if hi is not None else None,
+            )
+        fields_filter = _as_list(params.get("fields")) or None
+        per = {n: index_field_caps(self.indexes[n], tr) for n in sorted(names)}
+        return merge_field_caps(per, fields_filter)
 
     # -------------------------------------------------------------- admin
 

@@ -69,6 +69,11 @@ class DynField:
     # term tokenizer ('raw' text fields) and the positions record
     tokenizer: str | None = None
     record: str | None = None
+    # mixed-typed dynamic paths (heterogeneous JSON values — the
+    # reference creates one tantivy column per value type under the
+    # path): `column` is the numeric coercion used for sort/range,
+    # `orig_column` keeps each value's original JSON token for the wire
+    orig_column: str | None = None
 
 
 _NUM_LONG = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
@@ -167,7 +172,57 @@ def _leaf_exprs(df: DataFrame, exclude: tuple):
     return out
 
 
-_CAST = {"text": "string", "long": "bigint", "double": "double", "bool": "boolean"}
+_CAST = {
+    "text": "string",
+    "long": "bigint",
+    "double": "double",
+    "bool": "boolean",
+    # u64 needs the full unsigned range (> i64::MAX values appear in
+    # the reference's own search_after corpus) — exact decimal, not
+    # lossy double
+    "u64": "decimal(20,0)",
+}
+
+# a JSON scalar token that is numeric or boolean (what the reference's
+# dynamic mapper would type as i64/u64/f64/bool rather than text)
+_NUMBOOL_RE = r"^([+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?|true|false)$"
+
+
+def detect_mixed_paths(
+    df: DataFrame, exclude: tuple = (), mapped: dict | None = None
+) -> set[str]:
+    """Dynamic string leaves whose every non-null value is a numeric or
+    boolean JSON token — the reference types these per value (its
+    dynamic mapping makes one column per type under the path); Spark's
+    schema inference collapses the conflict to StringType, so one
+    corpus-level aggregate recovers the classification (run ONCE on the
+    full corpus so every batch flattens identically)."""
+    mapped = mapped or {}
+    leaves = _leaf_exprs(df, exclude)
+    probes = []
+    cands = []
+    for path, kind, is_array, expr in leaves:
+        if kind != "text" or is_array or path in mapped:
+            continue
+        v = expr.cast("string")
+        probes.append(
+            (
+                F.max(F.when(~v.rlike(_NUMBOOL_RE), 1).otherwise(0))
+                == F.lit(0)
+            ).alias(f"p{len(cands)}")
+        )
+        probes.append(
+            (F.count(v) > 0).alias(f"n{len(cands)}")
+        )
+        cands.append(path)
+    if not cands:
+        return set()
+    row = df.agg(*probes).collect()[0]
+    return {
+        p
+        for i, p in enumerate(cands)
+        if row[f"p{i}"] and row[f"n{i}"]
+    }
 
 
 def flatten_dynamic(
@@ -176,6 +231,7 @@ def flatten_dynamic(
     mapped: dict | None = None,
     presence_field: str | None = PRESENCE_FIELD,
     dynamic_normalizer: str = "lowercase",
+    mixed_paths: set | None = None,
 ) -> tuple[DataFrame, list[DynField]]:
     """Nested frame → (flat frame with one column per leaf dot path
     [+ presence column], field inventory).
@@ -213,6 +269,40 @@ def flatten_dynamic(
     for path, kind, is_array, expr in leaves:
         spec = mapped.get(path, {})
         kind = spec.get("kind", kind)
+        if mixed_paths and path in mixed_paths and kind == "text" and not is_array:
+            # heterogeneous JSON values: keep the original token string
+            # (wire output) plus an exact numeric coercion for
+            # sort/range (bool orders as 1/0 — the reference's own
+            # mixed-column scenario sorts 0 < true < 10.5 < 1.8e19)
+            # NOTE: the orig column must NOT shadow the field path —
+            # the engine's field→column map would redirect a fetch of
+            # it to the numeric column
+            orig = _sanitize(path + "__qorig")
+            numcol = _sanitize(path + "__qnum")
+            v = expr.cast("string")
+            num = (
+                F.when(F.lower(v) == "true", F.lit(1).cast("decimal(38,9)"))
+                .when(F.lower(v) == "false", F.lit(0).cast("decimal(38,9)"))
+                .otherwise(v.try_cast("decimal(38,9)"))
+            )
+            cols.append(v.alias(orig))
+            cols.append(num.alias(numcol))
+            fields.append(
+                DynField(
+                    path, "mixed", column=numcol, orig_column=orig,
+                    normalizer="raw",
+                )
+            )
+            if presence_field is not None:
+                parts = path.split(".")
+                prefixes = [".".join(parts[: i + 1]) for i in range(len(parts))]
+                presence_parts.append(
+                    F.when(
+                        v.isNotNull(),
+                        F.array(*[F.lit(p) for p in prefixes]),
+                    ).otherwise(_empty)
+                )
+            continue
         fld = DynField(
             path,
             kind,
@@ -315,6 +405,15 @@ def dynamic_index_config(
             )
         elif f.kind == "datetime":
             pass  # fast column only — range/sort field, not a term field
+        elif f.kind == "mixed":
+            # terms index the ORIGINAL token; sort/range use the numeric
+            # coercion column
+            fcs.append(
+                FieldConfig(
+                    f.path, tokenizer="raw", record="basic",
+                    column=f.orig_column,
+                )
+            )
         else:
             fcs.append(
                 FieldConfig(f.path, tokenizer="raw", record="basic", column=col)
@@ -322,8 +421,13 @@ def dynamic_index_config(
         opt = {"fast": True, "normalizer": f.normalizer, "column": col}
         if f.kind == "datetime" and f.precision:
             opt["datetime_precision"] = f.precision
+        if f.kind == "mixed":
+            opt["mixed"] = True
+            opt["orig_column"] = f.orig_column
         options[f.path] = opt
         stored.append(col)
+        if f.orig_column:
+            stored.append(f.orig_column)
     if presence_field is not None:
         fcs.append(FieldConfig(presence_field, tokenizer="raw", record="basic"))
     if source_column is not None:

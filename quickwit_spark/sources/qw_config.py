@@ -87,7 +87,10 @@ def _walk_entries(entries: list, prefix: str, mapped: dict, concat: list):
             if isinstance(fast, dict) and fast.get("normalizer"):
                 spec["normalizer"] = fast["normalizer"]
             mapped[path] = spec
-        elif typ in ("u64", "i64"):
+        elif typ == "u64":
+            # full unsigned range: exact decimal(20,0), not lossy i64
+            mapped[path] = {"kind": "u64"}
+        elif typ == "i64":
             mapped[path] = {"kind": "long"}
         elif typ == "f64":
             mapped[path] = {"kind": "double"}
@@ -95,8 +98,9 @@ def _walk_entries(entries: list, prefix: str, mapped: dict, concat: list):
             mapped[path] = {"kind": "bool"}
         elif typ in ("ip", "bytes"):
             # indexed as raw string terms; ip range math uses the
-            # engine's ip sort-key normalization (`index/mapping.py`)
-            mapped[path] = {"kind": "text", "normalizer": "raw"}
+            # engine's ip sort-key normalization (`index/mapping.py`);
+            # `caps` drives the _field_caps type report
+            mapped[path] = {"kind": "text", "normalizer": "raw", "caps": typ}
         else:
             raise ValueError(f"unsupported field type {typ!r} for {path!r}")
 
@@ -269,6 +273,9 @@ def reference_index_config(
         num_partitions=num_partitions,
         record=record,
     )
+    for path, spec in specs.mapped.items():
+        if spec.get("caps") and path in (cfg.field_options or {}):
+            cfg.field_options[path]["caps"] = spec["caps"]
     by_path = {f.path: f for f in fields}
     for cs in specs.concat:
         srcs = _expand_sources(cs, fields, specs)

@@ -208,20 +208,32 @@ class QwScenarioEnv:
                 ]
             )
 
+        from quickwit_spark.sources.dynamic import detect_mixed_paths
         from quickwit_spark.sources.qw_config import add_document_size
 
-        def flat_of(lines: list[str]):
+        def nested_of(lines: list[str]):
             raw = spark.read.json(
                 spark.sparkContext.parallelize(lines or [], 1), schema=schema
             )
-            df = raw.select("_qw_key", "_qw_raw", "doc.*").withColumnRenamed(
+            return raw.select("_qw_key", "_qw_raw", "doc.*").withColumnRenamed(
                 "_qw_raw", SOURCE_COLUMN
             )
+
+        # classify heterogeneous-typed dynamic paths ONCE over the full
+        # corpus so every batch flattens to the identical column set
+        mixed = detect_mixed_paths(
+            nested_of([l for b in wrapped_batches for l in b] or []),
+            exclude=("_qw_key", SOURCE_COLUMN),
+            mapped=specs.mapped,
+        )
+
+        def flat_of(lines: list[str]):
             flat, flds = flatten_dynamic(
-                df,
+                nested_of(lines),
                 exclude=("_qw_key", SOURCE_COLUMN),
                 mapped=specs.mapped,
                 dynamic_normalizer=dynamic_normalizer,
+                mixed_paths=mixed,
             )
             if dm.get("store_document_size"):
                 flat, flds = add_document_size(flat, flds, SOURCE_COLUMN)

@@ -35,6 +35,8 @@ CORPORA = [
     "concat_fields",
     "aggregations",
     "multi_splits",
+    "search_after",
+    "es_field_capabilities",
 ]
 
 # (corpus, file, step) → reason
