@@ -1266,6 +1266,117 @@ def _q_sort_two_key_page2(spark, sf_dir):
     )
 
 
+_mixed_searchers: dict[str, IndexSearcher] = {}
+
+
+def _searcher_mixed(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Heterogeneous-typed dynamic column + u64 fast field. The
+    reference's dynamic mapping types each JSON value (one tantivy
+    column per type under a path, `mapping_tree.rs:629-690`) and u64
+    spans past i64::MAX; here the mixed path keeps the original token
+    (wire output) plus an exact decimal(38,9) coercion for sort, and
+    the u64 column is decimal(20,0). Derivations are deterministic
+    functions of doc_id, SQL-mirrorable for the oracles."""
+    _ship(spark)
+    key = os.path.abspath(sf_dir)
+    if key in _mixed_searchers:
+        return _mixed_searchers[key]
+    idx_dir = os.path.join(
+        _IDX_ROOT, key.strip("/").replace("/", "_") + "_mixed_v1"
+    )
+    doc_id = F.col("doc_id")
+    tok = (
+        F.when(
+            doc_id % 4 == 1,
+            F.when(doc_id % 8 == 1, F.lit("true")).otherwise(F.lit("false")),
+        )
+        .when(doc_id % 4 == 2, F.concat(doc_id.cast("string"), F.lit(".5")))
+        .otherwise(doc_id.cast("string"))
+    )
+    df = (
+        _corpus(spark, sf_dir)
+        .select("doc_id", "text")
+        .withColumn("mixed_tok", tok)
+        .withColumn(
+            "mixed_num",
+            F.when(
+                F.col("mixed_tok") == "true", F.lit(1).cast("decimal(38,9)")
+            )
+            .when(F.col("mixed_tok") == "false", F.lit(0).cast("decimal(38,9)"))
+            .otherwise(F.col("mixed_tok").try_cast("decimal(38,9)")),
+        )
+        .withColumn(
+            "u64_val",
+            F.expr(
+                "CAST(CAST(doc_id AS DECIMAL(20,0)) "
+                "+ CAST('18446744073709551616' AS DECIMAL(20,0)) "
+                "AS DECIMAL(20,0))"
+            ),
+        )
+    )
+    cfg = IndexConfig(
+        fields=[
+            FieldConfig("text", record="basic"),
+            FieldConfig(
+                "mixed_f", tokenizer="raw", record="basic", column="mixed_tok"
+            ),
+            FieldConfig(
+                "u64_f", tokenizer="raw", record="basic", column="u64_val"
+            ),
+        ],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("mixed_tok", "mixed_num", "u64_val"),
+        field_options={
+            "mixed_f": {
+                "fast": True,
+                "normalizer": "raw",
+                "column": "mixed_num",
+                "mixed": True,
+                "orig_column": "mixed_tok",
+            },
+            "u64_f": {"fast": True, "normalizer": "raw", "column": "u64_val"},
+        },
+    )
+    build_index(spark, df, idx_dir, cfg, job_id="entry")
+    s = IndexSearcher(spark, idx_dir)
+    _mixed_searchers[key] = s
+    return s
+
+
+def _q_sort_mixed_page2(spark, sf_dir):
+    """Mixed-typed dynamic sort + ES values-only cursor: ascending page
+    after numeric value 173 over a column of int/float/bool JSON tokens
+    (numeric-coercion ordering, bool as 1/0 — the reference's
+    search_after-corpus mixed-column semantics)."""
+    s = _searcher_mixed(spark, sf_dir)
+    out = s.es_search(
+        {
+            "query": {"match_all": {}},
+            "size": 12,
+            "sort": [{"mixed_f": "asc"}],
+            "search_after": [173],
+        }
+    )["hits"]
+    return out.select(
+        "doc_key", F.col("sort_value").cast("string").alias("sv")
+    )
+
+
+def _q_u64_range(spark, sf_dir):
+    """u64 fast field past i64::MAX: range filter with full 20-digit
+    decimal bounds (a float bound would round the low digits away)."""
+    s = _searcher_mixed(spark, sf_dir)
+    ast = Range(
+        "u64_f",
+        gte="18446744073709551716",
+        lt="18446744073709551816",
+    )
+    return s.search_stream(ast, ["u64_val"]).select(
+        "doc_key", F.col("u64_val").cast("string").alias("u64")
+    )
+
+
 def _q_ip_range(spark, sf_dir):
     """Typed ip field: BM25 top-k restricted to an IP range via the
     32-hex ip_key fast column whose lexicographic order equals the
@@ -1894,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_field_page2": _q_sort_field_page2,
         "sort_two_key_page2": _q_sort_two_key_page2,
         "search_ip_range": _q_ip_range,
+        "sort_mixed_page2": _q_sort_mixed_page2,
+        "search_u64_range": _q_u64_range,
         "search_early_topk": _q_search_early,
         "search_array_term": _q_array_term,
         "search_json_path": _q_json_path,
@@ -2278,6 +2391,29 @@ ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10 OFFSET 10
         "search_array_term": """
 SELECT doc_id AS doc_key, lang, source
 FROM documents WHERE lang = 'de' OR source = 'src3'
+""",
+        "sort_mixed_page2": """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 1 THEN
+           (CASE WHEN doc_id % 8 = 1 THEN 'true' ELSE 'false' END)
+         WHEN doc_id % 4 = 2 THEN CAST(doc_id AS VARCHAR) || '.5'
+         ELSE CAST(doc_id AS VARCHAR) END AS tok
+  FROM documents
+), nums AS (
+  SELECT doc_id,
+    CASE WHEN tok = 'true' THEN CAST(1 AS DECIMAL(38,9))
+         WHEN tok = 'false' THEN CAST(0 AS DECIMAL(38,9))
+         ELSE CAST(tok AS DECIMAL(38,9)) END AS num
+  FROM toks
+)
+SELECT doc_id AS doc_key, CAST(num AS VARCHAR) AS sv
+FROM nums WHERE num > 173 ORDER BY num ASC LIMIT 12
+""",
+        "search_u64_range": """
+SELECT doc_id AS doc_key,
+  CAST(doc_id + 18446744073709551616 AS VARCHAR) AS u64
+FROM documents WHERE doc_id >= 100 AND doc_id < 200
 """,
         "search_json_path": """
 SELECT event_id AS doc_key, user_id FROM events

@@ -577,7 +577,13 @@ class IndexSearcher:
                     )
                 if dtype in ("bigint", "int", "smallint", "tinyint"):
                     return int(v)
-                if dtype in ("double", "float") or dtype.startswith("decimal"):
+                if dtype.startswith("decimal"):
+                    # u64 columns: full-precision bounds (a 20-digit
+                    # gte through float would round ~3 low digits away)
+                    import decimal
+
+                    return decimal.Decimal(str(v))
+                if dtype in ("double", "float"):
                     return float(v)
                 if dtype == "string":
                     s = str(v)
