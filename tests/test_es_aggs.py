@@ -679,3 +679,28 @@ def test_es_sort_field_in_source_and_mixed_score_rejected(searcher):
         searcher.es_search({"query": {"match": {"text": "spark"}},
                              "sort": [{"n_chars": "desc"}, "_score"],
                              "size": 3})
+
+
+def test_split_size_terms_plan_and_error_bound(searcher):
+    """`split_size` terms truncation runs per-SEGMENT (window
+    partitioned by segment_id — parallel across segments, never a
+    global funnel) and reports tantivy's first-excluded-count
+    doc_count_error_upper_bound. A wide-enough split_size is exact:
+    zero error bound and the exact path's buckets."""
+    from quickwit_spark.search.es_aggs import shape_es_agg
+
+    def run(spec):
+        clause = {"terms": spec}
+        df = searcher.es_search(
+            {"size": 0, "aggs": {"s": {"terms": spec}}}
+        )["aggregations"]["s"]
+        return df, shape_es_agg(clause, df)
+
+    df, tight = run({"field": "site", "size": 1, "split_size": 1})
+    _assert_no_unpartitioned_window(df)
+    assert len(tight["buckets"]) == 1
+    assert tight["sum_other_doc_count"] >= 0
+    _, exact = run({"field": "site", "size": 1})
+    _, wide = run({"field": "site", "size": 1, "split_size": 10_000})
+    assert wide["doc_count_error_upper_bound"] == 0
+    assert wide["buckets"] == exact["buckets"]
