@@ -714,6 +714,30 @@ def _batch_ranges(num_partitions: int, num_batches: int) -> list[tuple[int, int]
     return [(int(bounds[i]), int(bounds[i + 1])) for i in range(num_batches)]
 
 
+def _is_additive_extension(old: IndexConfig, new: IndexConfig) -> bool:
+    """True iff `new` only ADDS fields/options/stored columns to `old`
+    — every old entry reappears byte-identical and all scalar knobs
+    match (doc mapping evolution in dynamic mode; the reference's
+    per-split mapping growth)."""
+    old_d = json.loads(old.to_json())
+    new_d = json.loads(new.to_json())
+    for key in old_d:
+        if key in ("fields", "stored_columns", "field_options"):
+            continue
+        if old_d[key] != new_d[key]:
+            return False
+    new_fields = {f["name"]: f for f in new_d["fields"]}
+    for f in old_d["fields"]:
+        if new_fields.get(f["name"]) != f:
+            return False
+    if not set(old_d["stored_columns"]) <= set(new_d["stored_columns"]):
+        return False
+    for path, opt in (old_d.get("field_options") or {}).items():
+        if (new_d.get("field_options") or {}).get(path) != opt:
+            return False
+    return True
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,
@@ -765,14 +789,27 @@ def build_index(
         # config (corrupt, or written by a newer version with unknown
         # fields) is a mismatch, not a crash
         try:
-            stored_norm = IndexConfig.from_json(stored).to_json()
+            stored_cfg = IndexConfig.from_json(stored)
+            stored_norm = stored_cfg.to_json()
         except (TypeError, KeyError, ValueError):
-            stored_norm = None
+            stored_cfg, stored_norm = None, None
         if stored_norm != config.to_json():
-            raise ValueError(
-                f"index at {index_dir} was built with a different "
-                "config; refusing to mix configs"
-            )
+            # ADDITIVE dynamic evolution is allowed (the reference's
+            # dynamic mapping grows per split: new fields appear in new
+            # splits, old splits simply hold no postings/columns for
+            # them): every stored field/option/stored-column must
+            # reappear IDENTICALLY; everything else must match. Any
+            # change to an existing field is still a refusal.
+            if stored_cfg is None or not _is_additive_extension(
+                stored_cfg, config
+            ):
+                raise ValueError(
+                    f"index at {index_dir} was built with a different "
+                    "config; refusing to mix configs (only additive "
+                    "field additions are allowed)"
+                )
+            with open(_cfg_path, "w") as _f:
+                _f.write(config.to_json())
     if transform is not None:
         df = transform(df)
     if config.time_column is not None:

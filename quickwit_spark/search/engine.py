@@ -322,8 +322,12 @@ class IndexSearcher:
         # unified layout)
         from quickwit_spark.index.builder import _INV_COLUMNS
 
-        self._docs = self.spark.read.parquet(f"{self.index_dir}/docs").drop(
-            *[c for c in _INV_COLUMNS if c != "segment_id"]
+        # mergeSchema: additive dynamic evolution means newer batches
+        # carry docmap columns older files lack (read as null there)
+        self._docs = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(f"{self.index_dir}/docs")
+            .drop(*[c for c in _INV_COLUMNS if c != "segment_id"])
         )
         # docmap column → Spark type name, for typed Range bound
         # normalization over dynamic dot-path fast columns

@@ -329,7 +329,10 @@ def flatten_dynamic(
             present = c.isNotNull()
         else:
             target = _CAST[kind]
-            c = expr.cast(f"array<{target}>" if is_array else target)
+            # try_cast: a value that no longer fits a pinned kind
+            # coerces to null (the reference's lenient coercion) rather
+            # than failing the batch under ANSI mode
+            c = expr.try_cast(f"array<{target}>" if is_array else target)
             if kind == "text":
                 # presence follows the INDEXED tokens, not raw nullness:
                 # a value whose every token exceeds the tokenizer's
