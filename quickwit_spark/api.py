@@ -147,6 +147,75 @@ class QuickwitSpark:
         self._searchers.pop(index_id, None)
         shutil.rmtree(d)
 
+    # -------------------------------------------------------- templates
+    # reference index templates (`quickwit-config/src/index_template/
+    # mod.rs:30-99`): glob `index_id_patterns` (leading `-` negates),
+    # highest `priority` wins; a bulk write to a missing index that
+    # matches a template auto-creates the index from it.
+
+    def _templates_dir(self) -> str:
+        return os.path.join(self.root, "_templates")
+
+    def create_template(self, config: dict) -> dict:
+        from quickwit_spark.sources.qw_config import parse_doc_mapping
+
+        template_id = config["template_id"]
+        if not template_id or "/" in template_id or template_id[0] in "._":
+            raise ValueError(f"invalid template_id {template_id!r}")
+        patterns = config.get("index_id_patterns") or []
+        if not patterns:
+            raise ValueError("`index_id_patterns` must not be empty")
+        parse_doc_mapping(config.get("doc_mapping") or {})
+        d = self._templates_dir()
+        os.makedirs(d, exist_ok=True)
+        # metastore semantics: create-or-replace per template_id
+        with open(os.path.join(d, f"{template_id}.json"), "w") as f:
+            json.dump(config, f)
+        return {"template_id": template_id}
+
+    def delete_template(self, template_id: str) -> None:
+        path = os.path.join(self._templates_dir(), f"{template_id}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"template {template_id!r} not found")
+        os.remove(path)
+
+    def list_templates(self) -> list[dict]:
+        d = self._templates_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def _find_template(self, index_id: str) -> dict | None:
+        import fnmatch
+
+        best: tuple[int, dict] | None = None
+        for tpl in self.list_templates():
+            patterns = tpl.get("index_id_patterns") or []
+            neg = [p[1:] for p in patterns if p.startswith("-")]
+            pos = [p for p in patterns if not p.startswith("-")]
+            if any(fnmatch.fnmatchcase(index_id, p) for p in neg):
+                continue
+            if not any(fnmatch.fnmatchcase(index_id, p) for p in pos):
+                continue
+            priority = int(tpl.get("priority") or 0)
+            if best is None or priority > best[0]:
+                best = (priority, tpl)
+        return best[1] if best else None
+
+    def _apply_template(self, tpl: dict, index_id: str) -> dict:
+        """`IndexTemplate::apply_template` (mod.rs:55-80): the concrete
+        index config is the template body bound to the new index_id."""
+        return {
+            "index_id": index_id,
+            "doc_mapping": tpl.get("doc_mapping") or {},
+            "search_settings": tpl.get("search_settings") or {},
+        }
+
     def describe_index(self, index_id: str) -> dict:
         return self.searcher(index_id).describe_index()
 
@@ -160,6 +229,160 @@ class QuickwitSpark:
         n = self._build(index_id, state, lines)
         self._searchers.pop(index_id, None)  # config may have grown
         return {"index_id": index_id, "num_docs": n}
+
+    def bulk(self, payload, default_index: str | None = None) -> dict:
+        """ES `_bulk` over the facade (`bulk_v2.rs:83-280` semantics):
+        request-level 400s for malformed action lines / missing index,
+        per-item 404 `index_not_found_exception` (unless an index
+        template matches, which auto-creates the target), per-item 400
+        `document_parsing_exception` for docs that fail the declared
+        mapping, 201 for created docs. Valid docs commit through the
+        ordinary distributed ingest path, one batch per target index."""
+        import time
+
+        from quickwit_spark.search.es_wire import EsApiError
+        from quickwit_spark.sources.bulk import BulkV2Error, parse_bulk_v2
+
+        t0 = time.monotonic()
+        try:
+            actions = parse_bulk_v2(payload, default_index)
+        except BulkV2Error as e:
+            raise EsApiError(e.status, e.reason, es_type=e.es_type) from e
+
+        items: list = [None] * len(actions)
+        by_index: dict[str, list[dict]] = {}
+        for a in actions:
+            by_index.setdefault(a["_index"], []).append(a)
+        errors = False
+        existing = set(self.list_indexes())
+        for index_id, acts in by_index.items():
+            if index_id not in existing:
+                tpl = self._find_template(index_id)
+                if tpl is None:
+                    errors = True
+                    for a in acts:
+                        items[a["pos"]] = self._bulk_item(
+                            a,
+                            404,
+                            error={
+                                "index": index_id,
+                                "type": "index_not_found_exception",
+                                "reason": f"no such index [{index_id}]",
+                            },
+                        )
+                    continue
+                self.create_index(self._apply_template(tpl, index_id))
+                existing.add(index_id)
+            failures = self._parse_failures(
+                self._state(index_id), [a["doc_line"] for a in acts]
+            )
+            good: list[str] = []
+            for j, a in enumerate(acts):
+                if j in failures:
+                    errors = True
+                    items[a["pos"]] = self._bulk_item(
+                        a,
+                        400,
+                        error={
+                            "index": index_id,
+                            "type": "document_parsing_exception",
+                            "reason": failures[j],
+                        },
+                    )
+                else:
+                    good.append(a["doc_line"])
+                    items[a["pos"]] = self._bulk_item(a, 201)
+            if good:
+                self.ingest(index_id, good)
+        return {
+            "took": int((time.monotonic() - t0) * 1000),
+            "errors": errors,
+            "items": items,
+        }
+
+    @staticmethod
+    def _bulk_item(action: dict, status: int, error: dict | None = None):
+        d: dict = {"_index": action["_index"], "status": status}
+        if action["_id"] is not None:
+            d["_id"] = action["_id"]
+        if error is not None:
+            d["error"] = error
+        return {"index": d}
+
+    def _parse_failures(self, state: dict, doc_lines: list[str]) -> dict:
+        """→ {position in doc_lines: reason} for docs the declared
+        mapping rejects. Coercion checks are JVM Column expressions
+        (`get_json_object` + the mapper's own cast/parse exprs) over one
+        small DataFrame; only the FAILURES are collected, so the check
+        stays collect-light at bulk scale."""
+        from pyspark.sql import functions as F
+
+        from quickwit_spark.index.mapping import _datetime_col
+        from quickwit_spark.sources.qw_config import parse_doc_mapping
+
+        dm = state["doc_mapping"]
+        specs = parse_doc_mapping(dm)
+        out: dict[int, str] = {}
+        rows = []
+        for j, ln in enumerate(doc_lines):
+            try:
+                ok = isinstance(json.loads(ln), dict)
+            except json.JSONDecodeError:
+                ok = False
+            if ok:
+                rows.append((j, ln))
+            else:
+                out[j] = "the request body is not a valid JSON object"
+
+        casts = {
+            "long": "long",
+            "u64": "decimal(20,0)",
+            "double": "double",
+            "bool": "boolean",
+        }
+        msgs = []
+        for path, spec in specs.mapped.items():
+            kind = spec.get("kind", "text")
+            raw = F.get_json_object(F.col("_raw"), "$." + path)
+            if kind == "datetime":
+                coerced = _datetime_col(raw, tuple(spec.get("formats") or ()))
+            elif kind in casts:
+                coerced = raw.try_cast(casts[kind])
+            else:
+                continue
+            msgs.append(
+                F.when(
+                    raw.isNotNull() & coerced.isNull(),
+                    F.lit(
+                        f"failed to parse field [{path}]: value is not a "
+                        f"valid `{kind}`"
+                    ),
+                )
+            )
+        ts_field = dm.get("timestamp_field")
+        if ts_field:
+            msgs.append(
+                F.when(
+                    F.get_json_object(F.col("_raw"), "$." + ts_field).isNull(),
+                    F.lit(
+                        f"document doesn't declare timestamp field "
+                        f"[{ts_field}]"
+                    ),
+                )
+            )
+        if not rows or not msgs:
+            return out
+        df = self.spark.createDataFrame(rows, "pos long, _raw string")
+        bad = (
+            df.select(
+                "pos", F.array_compact(F.array(*msgs)).alias("errs")
+            )
+            .where(F.size("errs") > 0)
+            .collect()
+        )
+        for r in bad:
+            out[int(r["pos"])] = r["errs"][0]
+        return out
 
     def _state(self, index_id: str) -> dict:
         path = os.path.join(self.index_dir(index_id), STATE_FILE)
@@ -313,7 +536,7 @@ class QuickwitSpark:
         from quickwit_spark.search.es_wire import EsWireHandler
 
         return EsWireHandler(
-            {n: self.searcher(n) for n in self.list_indexes()}
+            {n: self.searcher(n) for n in self.list_indexes()}, facade=self
         )
 
     def search(self, index_id: str, body: dict) -> dict:

@@ -27,17 +27,23 @@ import re
 
 
 class EsApiError(Exception):
-    def __init__(self, status: int, reason: str):
+    def __init__(self, status: int, reason: str, es_type: str | None = None):
         super().__init__(reason)
         self.status = status
         self.reason = reason
+        # ES exception slug (`model/error.rs:140-170`), e.g.
+        # "illegal_argument_exception" — present on typed wire errors
+        self.es_type = es_type
 
     def response(self) -> dict:
         # `error.reason` is the ES envelope; `message` is the native
         # admin API's field — both carried so either checker matches
+        error: dict = {"reason": self.reason}
+        if self.es_type:
+            error["type"] = self.es_type
         return {
             "status": self.status,
-            "error": {"reason": self.reason},
+            "error": error,
             "message": self.reason,
         }
 
@@ -105,8 +111,10 @@ def _source_filter(doc, includes: list[str], excludes: list[str]):
 class EsWireHandler:
     """Routes ES REST calls to a set of index searchers."""
 
-    def __init__(self, indexes: dict):
+    def __init__(self, indexes: dict, facade=None):
         self.indexes = dict(indexes)  # name -> IndexSearcher
+        # an api.QuickwitSpark — enables the ingest endpoints (`_bulk`)
+        self.facade = facade
         # scroll_id -> (ctx, searcher, total, shaped aggs, src filters)
         self._scrolls: dict[str, dict] = {}
 
@@ -127,6 +135,13 @@ class EsWireHandler:
                 k, _, v = kv.partition("=")
                 params.setdefault(k, v)
         parts = [p for p in endpoint.split("/") if p]
+        if not parts:
+            # GET / — the ES cluster-info banner
+            # (`rest_handler.rs:70-93` es_compat_cluster_info_handler)
+            return self._cluster_info()
+        if parts[-1] == "_bulk" and len(parts) <= 2:
+            default = parts[0] if len(parts) == 2 else None
+            return self._bulk(default, params, ndjson)
         if parts == ["_msearch"]:
             return self._msearch(ndjson or [], params)
         if parts == ["_search", "scroll"]:
@@ -164,6 +179,31 @@ class EsWireHandler:
             for n in self.indexes
             if any(fnmatch.fnmatch(n, p) for p in pattern.split(","))
         )
+
+    # ------------------------------------------------------------- ingest
+
+    def _cluster_info(self) -> dict:
+        """The `GET /` banner (`rest_handler.rs:79-89`): node + cluster
+        ids and a version block with distribution "quickwit"."""
+        from quickwit_spark import __version__
+
+        return {
+            "name": "quickwit-spark-node",
+            "cluster_name": "quickwit-spark",
+            "version": {
+                "distribution": "quickwit",
+                "number": __version__,
+                "build_hash": "unknown",
+                "build_date": "unknown",
+            },
+        }
+
+    def _bulk(self, default_index: str | None, params: dict, ndjson) -> dict:
+        if self.facade is None:
+            raise EsApiError(
+                501, "_bulk requires an index-management facade (QuickwitSpark)"
+            )
+        return self.facade.bulk(ndjson or [], default_index=default_index)
 
     # ------------------------------------------------------------- search
 

@@ -34,6 +34,84 @@ class BulkError(ValueError):
     """Malformed bulk payload (maps to the reference's 400 response)."""
 
 
+class BulkV2Error(ValueError):
+    """Request-level bulk failure with the ingest-v2 handler's wording
+    (`bulk_v2.rs:94-123`): carries the HTTP status and the ES exception
+    slug so the wire layer renders the exact reference envelope."""
+
+    def __init__(self, status: int, reason: str, es_type: str):
+        super().__init__(reason)
+        self.status = status
+        self.reason = reason
+        self.es_type = es_type
+
+
+def parse_bulk_v2(
+    payload: str | list, default_index: str | None = None
+) -> list[dict]:
+    """ingest-v2 bulk parse (`bulk_v2.rs:83-123`): 1-based line numbers,
+    `illegal_argument_exception` on malformed action lines,
+    `action_request_validation_exception` on a missing source line or a
+    missing index. → [{"pos", "_index", "_id", "doc_line"}] in request
+    order."""
+    if isinstance(payload, str):
+        lines = payload.splitlines()
+    else:
+        lines = [
+            ln if isinstance(ln, str) else json.dumps(ln) for ln in payload
+        ]
+    numbered = [(i + 1, ln) for i, ln in enumerate(lines) if ln.strip()]
+    actions: list[dict] = []
+    i = 0
+    while i < len(numbered):
+        line_no, line = numbered[i]
+        try:
+            action = json.loads(line)
+        except json.JSONDecodeError as e:
+            raise BulkV2Error(
+                400,
+                f"Malformed action/metadata line [{line_no}]: {e}",
+                "illegal_argument_exception",
+            ) from e
+        ok = (
+            isinstance(action, dict)
+            and len(action) == 1
+            and next(iter(action)) in _ACTIONS
+        )
+        if not ok:
+            raise BulkV2Error(
+                400,
+                f"Malformed action/metadata line [{line_no}]: unknown "
+                f"variant, expected one of `index`, `create`",
+                "illegal_argument_exception",
+            )
+        meta = next(iter(action.values())) or {}
+        if i + 1 >= len(numbered):
+            raise BulkV2Error(
+                400,
+                "Validation Failed: 1: no requests added;",
+                "action_request_validation_exception",
+            )
+        index_id = meta.get("_index") or default_index
+        if not index_id:
+            raise BulkV2Error(
+                400,
+                "Validation Failed: 1: index is missing;",
+                "action_request_validation_exception",
+            )
+        _id = meta.get("_id")
+        actions.append(
+            {
+                "pos": len(actions),
+                "_index": index_id,
+                "_id": str(_id) if _id is not None else None,
+                "doc_line": numbered[i + 1][1],
+            }
+        )
+        i += 2
+    return actions
+
+
 def parse_bulk_lines(
     payload: str | list[str], default_index: str | None = None
 ) -> tuple[list[dict], list[str]]:
