@@ -146,10 +146,18 @@ class EsWireHandler:
             return self._msearch(ndjson or [], params)
         if parts == ["_search", "scroll"]:
             return self._scroll_page(params, body or {})
-        if parts and parts[-1] == "_search":
-            return self._search(self._one(parts[0]), params, body or {})
-        if parts and parts[-1] == "_count":
-            return self._count(self._one(parts[0]), params, body or {})
+        if parts and parts[-1] == "_search" and len(parts) <= 2:
+            pattern = parts[0] if len(parts) == 2 else "*"
+            names = self._resolve_es(pattern)
+            if len(names) == 1:
+                return self._search(self.indexes[names[0]], params, body or {})
+            return self._search_many(names, params, body or {})
+        if parts and parts[-1] == "_count" and len(parts) <= 2:
+            pattern = parts[0] if len(parts) == 2 else "*"
+            names = self._resolve_es(pattern)
+            if len(names) == 1:
+                return self._count(self.indexes[names[0]], params, body or {})
+            return self._count_many(names, params, body or {})
         if parts and parts[-1] == "_stats":
             return self._stats(parts[0] if len(parts) > 1 else "*")
         if parts and parts[-1] == "_field_caps":
@@ -170,6 +178,40 @@ class EsWireHandler:
         if not names:
             raise EsApiError(404, f"index {name!r} not found")
         return self.indexes[names[0]]
+
+    def _resolve_es(self, pattern: str) -> list[str]:
+        """ES multi-target resolution (the reference root's
+        index-pattern semantics, exercised by its multi-indices
+        scenarios): comma-separated terms, URL-encoded commas accepted,
+        `-pattern` SUBTRACTS from the selection so far; a concrete
+        (wildcard-free) name that doesn't exist is a 404, while a
+        wildcard pattern matching nothing just contributes nothing."""
+        import fnmatch
+        from urllib.parse import unquote
+
+        selected: list[str] = []
+        for term in (t for t in unquote(pattern).split(",") if t):
+            if term.startswith("-"):
+                neg = term[1:]
+                selected = [
+                    n for n in selected if not fnmatch.fnmatchcase(n, neg)
+                ]
+            elif any(ch in term for ch in "*?["):
+                selected += [
+                    n
+                    for n in sorted(self.indexes)
+                    if fnmatch.fnmatchcase(n, term) and n not in selected
+                ]
+            else:
+                if term not in self.indexes:
+                    raise EsApiError(
+                        404,
+                        f"no such index [{term}]",
+                        es_type="index_not_found_exception",
+                    )
+                if term not in selected:
+                    selected.append(term)
+        return sorted(selected)
 
     def _match(self, pattern: str) -> list[str]:
         import fnmatch
@@ -267,6 +309,162 @@ class EsWireHandler:
         except (ValueError, TypeError, KeyError, NotImplementedError) as e:
             raise EsApiError(400, str(e)) from e
 
+    # ---------------------------------------------- multi-index federation
+    # the reference root fans a `_search` over every index the URL
+    # pattern resolves to and merges per-index leaf responses without
+    # score renormalization (`root.rs:162-168,561`); hits gain `_index`.
+
+    @staticmethod
+    def _empty_search_response(t0: float) -> dict:
+        import time as _time
+
+        return {
+            "took": int((_time.perf_counter() - t0) * 1000),
+            "timed_out": False,
+            "hits": {
+                "total": {"value": 0, "relation": "eq"},
+                "max_score": None,
+                "hits": [],
+            },
+        }
+
+    def _search_many(self, names: list[str], params: dict, body: dict) -> dict:
+        import functools
+        import time as _time
+
+        if params.get("scroll"):
+            return self._scroll_start_many(names, params, body)
+        t0 = _time.perf_counter()
+        if not names:
+            return self._empty_search_response(t0)
+        body = self._effective_body(params, body)
+        inc, exc = self._src_filters(params)
+        size = int(body.get("size", 10))
+        all_hits: list[dict] = []
+        total = 0
+        relation = "eq"
+        max_score = None
+        for n in names:
+            try:
+                resp = self.indexes[n].es_search_response(body)
+            except EsApiError:
+                raise
+            except (ValueError, TypeError, KeyError, NotImplementedError) as e:
+                raise EsApiError(400, str(e)) from e
+            for h in resp["hits"]["hits"]:
+                h["_index"] = n
+                all_hits.append(h)
+            t = resp["hits"]["total"]
+            total += t["value"]
+            if t["relation"] != "eq":
+                relation = t["relation"]
+            ms = resp["hits"].get("max_score")
+            if ms is not None and (max_score is None or ms > max_score):
+                max_score = ms
+        sort_spec = body.get("sort")
+        if sort_spec and all_hits and "sort" in all_hits[0]:
+            from quickwit_spark.search.engine import IndexSearcher
+
+            descs = [d for _, d in IndexSearcher._parse_es_sort(sort_spec)]
+
+            def cmp(a: dict, b: dict) -> int:
+                for va, vb, desc in zip(a["sort"], b["sort"], descs):
+                    if (va is None) != (vb is None):
+                        return -1 if vb is None else 1  # missing-last
+                    if va is None or va == vb:
+                        continue
+                    try:
+                        lt = va < vb
+                    except TypeError:
+                        lt = (type(va).__name__, str(va)) < (
+                            type(vb).__name__,
+                            str(vb),
+                        )
+                    return (1 if lt else -1) if desc else (-1 if lt else 1)
+                if a["_index"] != b["_index"]:
+                    return -1 if a["_index"] < b["_index"] else 1
+                return -1 if str(a["_id"]) < str(b["_id"]) else 1
+
+            all_hits.sort(key=functools.cmp_to_key(cmp))
+        else:
+            all_hits.sort(
+                key=lambda h: (
+                    -(h["_score"] if h["_score"] is not None else float("-inf")),
+                    h["_index"],
+                    str(h["_id"]),
+                )
+            )
+        out = {
+            "took": int((_time.perf_counter() - t0) * 1000),
+            "timed_out": False,
+            "hits": {
+                "total": {"value": total, "relation": relation},
+                "max_score": max_score,
+                "hits": all_hits[:size],
+            },
+        }
+        aggs_shaped = self._aggs_shaped_many(names, body)
+        if aggs_shaped is not None:
+            out["aggregations"] = aggs_shaped
+        return self._apply_src_filters(out, inc, exc)
+
+    def _aggs_shaped_many(self, names: list[str], body: dict) -> dict | None:
+        """One distributed agg plan over the UNION of per-index match
+        frames (each resolved against its own field config) — the Spark
+        shape of the reference root's merge of per-index agg partials."""
+        agg_body = body.get("aggs") or body.get("aggregations")
+        if not agg_body or not names:
+            return None
+        from quickwit_spark.search import aggs as _aggs
+        from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
+
+        def field_refs(node: dict, acc: set) -> set:
+            for spec in node.values():
+                for k, v in spec.items():
+                    if k in ("aggs", "aggregations"):
+                        field_refs(v, acc)
+                    elif isinstance(v, dict) and "field" in v:
+                        acc.add(v["field"])
+            return acc
+
+        frames = []
+        body2 = None
+        for n in names:
+            s = self.indexes[n]
+            m = _aggs.matches(s, s._es_ast(body))
+            # per-index field→column resolution (dot paths, normalizers)
+            # — alias assignment is traversal-ordered, so every member
+            # produces the SAME rewritten body and column names
+            m, b2 = s._agg_frame_and_body(m, agg_body)
+            body2 = b2 if body2 is None else body2
+            cols = [
+                c
+                for c in dict.fromkeys(
+                    ["segment_id", "doc_id", "doc_key", *field_refs(b2, set())]
+                )
+                if c in m.columns
+            ]
+            # project to just the agg inputs: member docmaps disagree on
+            # unrelated column types, and the union must not care
+            frames.append(m.select(*cols))
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f, allowMissingColumns=True)
+        raw = run_es_aggs(u, body2)
+        return {
+            name: shape_es_agg(body2[name], df) for name, df in raw.items()
+        }
+
+    def _count_many(self, names: list[str], params: dict, body: dict) -> dict:
+        body = self._effective_body(params, body)
+        total = 0
+        for n in names:
+            try:
+                total += int(self.indexes[n].es_count(body)["count"])
+            except (ValueError, TypeError, KeyError, NotImplementedError) as e:
+                raise EsApiError(400, str(e)) from e
+        return {"count": total}
+
     def _msearch(self, ndjson: list, params: dict) -> dict:
         if len(ndjson) % 2:
             raise EsApiError(400, "uneven _msearch header/body lines")
@@ -274,9 +472,14 @@ class EsWireHandler:
         for i in range(0, len(ndjson), 2):
             header, body = ndjson[i], ndjson[i + 1]
             name = header.get("index")
-            searcher = self._one(name)
             try:
-                out.append(self._search(searcher, params, body))
+                names = self._resolve_es(name)
+                if len(names) == 1:
+                    out.append(
+                        self._search(self.indexes[names[0]], params, body)
+                    )
+                else:
+                    out.append(self._search_many(names, params, body))
             except EsApiError as e:
                 out.append(e.response())
         return {"responses": out}
@@ -344,6 +547,81 @@ class EsWireHandler:
         self._scrolls[ctx.scroll_id] = state
         return self._scroll_response(state)
 
+    def _scroll_start_many(
+        self, names: list[str], params: dict, body: dict
+    ) -> dict:
+        """Federated scroll start: one per-member ScrollContext each
+        with its own cursor, merged by `FederatedScrollContext`."""
+        from quickwit_spark.search.scroll import (
+            FederatedScrollContext,
+            ScrollContext,
+            create_scroll,
+        )
+
+        if str(params.get("allow_partial_search_results", "true")).lower() == "false":
+            raise EsApiError(
+                400,
+                "Invalid argument: Quickwit only supports scroll API with "
+                "allow_partial_search_results set to true",
+            )
+        ttl = _parse_ttl_secs(params["scroll"])
+        if ttl > MAX_SCROLL_TTL_SECS:
+            raise EsApiError(
+                400,
+                "Invalid argument: Quickwit only supports scroll TTL period "
+                f"up to {MAX_SCROLL_TTL_SECS} secs",
+            )
+        body = self._effective_body(params, body)
+        size = int(body.get("size", 10))
+        sort_spec = body.get("sort")
+        sort_field, desc, fmt = None, True, None
+        members: list[tuple] = []
+        total = 0
+        if names:
+            first = self.indexes[names[0]]
+            if sort_spec and not first._is_score_sort(sort_spec):
+                specs = first._parse_es_sort_full(sort_spec)
+                if len(specs) != 1:
+                    raise EsApiError(400, "scroll supports a single sort key")
+                sort_field, desc, fmt = specs[0]
+            for n in names:
+                s = self.indexes[n]
+                fetch = list(body.get("_source") or [])
+                if not fetch and s.config.stored_source:
+                    fetch = [s.config.stored_source]
+                members.append(
+                    (
+                        n,
+                        ScrollContext(
+                            s,
+                            s._es_ast(body),
+                            page_size=size,
+                            fetch=fetch,
+                            sort_field=sort_field,
+                            descending=desc,
+                        ),
+                    )
+                )
+                total += s.count(s._es_ast(body))
+        ctx = FederatedScrollContext(
+            members, page_size=size, sort_field=sort_field, descending=desc
+        )
+        create_scroll(ctx)
+        inc, exc = self._src_filters(params)
+        state = {
+            "ctx": ctx,
+            "searcher": None,
+            "members": {n: self.indexes[n] for n in names},
+            "total": total,
+            "aggs": self._aggs_shaped_many(names, body),
+            "inc": inc,
+            "exc": exc,
+            "fmt": fmt,
+            "explicit_src": list(body.get("_source") or []),
+        }
+        self._scrolls[ctx.scroll_id] = state
+        return self._scroll_response(state)
+
     def _scroll_page(self, params: dict, body: dict) -> dict:
         sid = body.get("scroll_id") or params.get("scroll_id")
         if params.get("scroll"):
@@ -363,11 +641,16 @@ class EsWireHandler:
         from quickwit_spark.search.engine import _es_sort_value
 
         ctx, searcher = state["ctx"], state["searcher"]
+        members = state.get("members") or {}
         rows = ctx.next_page()
         hits = []
-        src_col = searcher.config.stored_source
         for r in rows:
             d = r.asDict()
+            # federated rows carry `_index`; source column per member
+            row_searcher = members.get(d.get("_index"), searcher)
+            src_col = (
+                row_searcher.config.stored_source if row_searcher else None
+            )
             if state["explicit_src"]:
                 src = {c: d.get(c) for c in state["explicit_src"]}
             elif src_col and src_col in d:
@@ -381,6 +664,8 @@ class EsWireHandler:
                 "_score": d.get("score"),
                 "_source": src,
             }
+            if d.get("_index") is not None:
+                hit["_index"] = d["_index"]
             if "sort_value" in d:
                 hit["sort"] = [_es_sort_value(d["sort_value"], state["fmt"])]
             hits.append(hit)

@@ -221,6 +221,90 @@ def _dec_val(v):
     return v
 
 
+class FederatedScrollContext:
+    """Scroll across several indexes: a k-way merge of per-member
+    `ScrollContext` streams (the reference root merges sorted leaf hit
+    streams the same way, `root.rs` merge of per-index leaf responses).
+    Each member keeps its own cursor/batching correctness; the
+    federation only ORDERS the already-sorted streams, so cross-index
+    doc-key collisions can't poison a member's `search_after` cursor.
+
+    Rows gain an `_index` column (member name) and a federated global
+    rank. Registry-only (no `save()`): like the in-process registry
+    note above, a multi-driver deployment would serialize member states
+    keyed by index."""
+
+    def __init__(
+        self,
+        members: list[tuple],  # [(name, ScrollContext)]
+        page_size: int = 10,
+        sort_field: str | None = None,
+        descending: bool = True,
+    ):
+        self.members = list(members)
+        self.page_size = page_size
+        self.sort_field = sort_field
+        self.descending = descending
+        self.scroll_id = uuid.uuid4().hex
+        self._bufs: dict[str, list] = {n: [] for n, _ in members}
+        self._done: dict[str, bool] = {n: False for n, _ in members}
+        self._served = 0
+
+    def _fill(self, name: str, ctx: ScrollContext) -> None:
+        if not self._bufs[name] and not self._done[name]:
+            rows = ctx.next_page()
+            if rows:
+                self._bufs[name].extend(rows)
+            else:
+                self._done[name] = True
+
+    def _primary(self, row):
+        return row["score"] if self.sort_field is None else row["sort_value"]
+
+    def _before(self, name_a, row_a, name_b, row_b) -> bool:
+        """Strict stream order: primary value (score always desc; field
+        sort honors `descending`, missing-last either way), then member
+        name, then doc_key — the engine's own tie_by_key order extended
+        with the index name."""
+        va, vb = self._primary(row_a), self._primary(row_b)
+        if (va is None) != (vb is None):
+            return vb is None  # missing-last in both directions
+        if va is not None and va != vb:
+            try:
+                lt = va < vb
+            except TypeError:  # cross-index type drift: compare portably
+                lt = (type(va).__name__, str(va)) < (type(vb).__name__, str(vb))
+            desc = True if self.sort_field is None else self.descending
+            return (not lt) if desc else lt
+        if name_a != name_b:
+            return name_a < name_b
+        return str(row_a["doc_key"]) < str(row_b["doc_key"])
+
+    def next_page(self) -> list:
+        from pyspark.sql import Row
+
+        out = []
+        while len(out) < self.page_size:
+            best = None  # (name, head row)
+            for name, ctx in self.members:
+                self._fill(name, ctx)
+                if not self._bufs[name]:
+                    continue
+                head = self._bufs[name][0]
+                if best is None or self._before(name, head, *best):
+                    best = (name, head)
+            if best is None:
+                break
+            name, row = best
+            self._bufs[name].pop(0)
+            d = row.asDict()
+            d["_index"] = name
+            d["rank"] = self._served + len(out) + 1
+            out.append(Row(**d))
+        self._served += len(out)
+        return out
+
+
 # process-local scroll registry (the reference's cluster KV analog)
 _REGISTRY: dict[str, ScrollContext] = {}
 

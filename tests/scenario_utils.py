@@ -77,6 +77,55 @@ def resolve_previous(node, previous):
     return node
 
 
+def build_gharchive_searcher(spark, idx_dir: str):
+    """Build the es_compatibility corpus' 100-doc gharchive index (its
+    `_setup.quickwit.yaml` mapping: dynamic mode, created_at datetime
+    fast-ms timestamp field, repo.name raw) and return a searcher —
+    shared by corpora whose scenarios assume that parent index exists
+    on the server (multi-indices)."""
+    import gzip
+
+    from quickwit_spark.index.builder import build_index
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.dynamic import (
+        SOURCE_COLUMN,
+        dynamic_index_config,
+        flatten_dynamic,
+    )
+
+    bulk = os.path.join(SCEN_ROOT, "es_compatibility", "gharchive-bulk.json.gz")
+    lines = []
+    with gzip.open(bulk, "rt") as f:
+        for i, line in enumerate(f):
+            if i % 2 == 1:  # skip the `{"index": ...}` action lines
+                lines.append(line.strip())
+    wrapped = [
+        json.dumps({"_qw_key": i, "_qw_raw": l, "doc": json.loads(l)})
+        for i, l in enumerate(lines)
+    ]
+    raw = spark.read.json(spark.sparkContext.parallelize(wrapped, 1))
+    df = raw.select("_qw_key", "_qw_raw", "doc.*").withColumnRenamed(
+        "_qw_raw", SOURCE_COLUMN
+    )
+    flat, fields = flatten_dynamic(
+        df,
+        exclude=("_qw_key", SOURCE_COLUMN),
+        mapped={
+            "created_at": {"kind": "datetime", "precision": "milliseconds"},
+            "repo.name": {"normalizer": "raw"},
+        },
+    )
+    cfg = dynamic_index_config(
+        fields,
+        doc_key="_qw_key",
+        source_column=SOURCE_COLUMN,
+        time_field="created_at",
+        num_partitions=1,
+    )
+    build_index(spark, flat, idx_dir, cfg)
+    return IndexSearcher(spark, idx_dir)
+
+
 # ---------------------------------------------------------------- setup
 
 
