@@ -139,6 +139,8 @@ class EsWireHandler:
             # GET / — the ES cluster-info banner
             # (`rest_handler.rs:70-93` es_compat_cluster_info_handler)
             return self._cluster_info()
+        if method == "DELETE" and len(parts) == 1 and not parts[0].startswith("_"):
+            return self._delete_index(parts[0], params)
         if parts[-1] == "_bulk" and len(parts) <= 2:
             default = parts[0] if len(parts) == 2 else None
             return self._bulk(default, params, ndjson)
@@ -246,6 +248,32 @@ class EsWireHandler:
                 501, "_bulk requires an index-management facade (QuickwitSpark)"
             )
         return self.facade.bulk(ndjson or [], default_index=default_index)
+
+    def _delete_index(self, pattern: str, params: dict) -> dict:
+        """`DELETE /{index}` (`rest_handler.rs:541-553`): resolves the
+        comma/wildcard pattern, 404s on missing concrete names unless
+        `ignore_unavailable`, deletes every match, acknowledges."""
+        if self.facade is None:
+            raise EsApiError(
+                501,
+                "index deletion requires an index-management facade "
+                "(QuickwitSpark)",
+            )
+        ignore = str(params.get("ignore_unavailable", "false")).lower() == "true"
+        if ignore:
+            names: list[str] = []
+            for term in pattern.split(","):
+                try:
+                    names += self._resolve_es(term)
+                except EsApiError:
+                    continue
+            names = sorted(set(names))
+        else:
+            names = self._resolve_es(pattern)
+        for n in names:
+            self.facade.delete_index(n)
+            self.indexes.pop(n, None)
+        return {"acknowledged": True}
 
     # ------------------------------------------------------------- search
 

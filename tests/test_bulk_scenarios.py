@@ -107,6 +107,47 @@ def test_cluster_info_scenario(spark, tmp_path):
         check_result(result, step["expected"], path="info")
 
 
+def test_delete_indices_scenario(spark, tmp_path):
+    """Replay `es_compatibility/0024-delete_indices.yaml` (skipped by
+    the static-index replay because it mutates indexes mid-suite): ES
+    DELETE with comma patterns, 404 on missing concrete names,
+    `ignore_unavailable`, 404 on double-delete."""
+    from quickwit_spark.search.es_wire import EsApiError
+
+    es_compat = os.path.join(BULK_DIR, "..")
+    steps = load_steps(os.path.join(es_compat, "0024-delete_indices.yaml"))
+    assert steps
+    env = FacadeEnv(spark, str(tmp_path / "root"))
+    for i, step in enumerate(steps):
+        engines = step.get("engines")
+        if engines and "quickwit" not in engines:
+            continue
+        method = step.get("method", "GET")
+        method = method[0] if isinstance(method, list) else method
+        api_root = step.get("api_root", "")
+        expected_status = step.get("status_code", 200)
+        try:
+            if api_root.rstrip("/").endswith("api/v1"):
+                env.admin(method, step.get("endpoint", ""), step.get("json"))
+            else:
+                env.request(
+                    method,
+                    step.get("endpoint", ""),
+                    params=step.get("params"),
+                    body=step.get("json"),
+                )
+        except EsApiError as e:
+            assert expected_status == e.status, (
+                f"step {i}: got {e.status} ({e.reason!r}), "
+                f"wanted {expected_status}"
+            )
+        else:
+            assert expected_status in (None, 200), (
+                f"step {i}: expected {expected_status}, request succeeded"
+            )
+    assert env.qw.list_indexes() == []
+
+
 def test_template_auto_creation_end_to_end(spark, tmp_path):
     """A bulk write to a template-matching missing index auto-creates it
     and the docs are immediately searchable through the wire layer."""
