@@ -44,6 +44,31 @@ from pyspark.sql import types as T
 
 STATE_FILE = "_dynamic_state.json"
 
+_PERIOD_UNITS = {
+    "s": 1, "sec": 1, "secs": 1, "second": 1, "seconds": 1,
+    "m": 60, "min": 60, "mins": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+    "w": 604800, "week": 604800, "weeks": 604800,
+    "month": 2592000, "months": 2592000,
+    "y": 31536000, "year": 31536000, "years": 31536000,
+}
+
+
+def _parse_period_secs(period: str) -> int:
+    """Humantime-style retention periods ("7 days", "1week", "24h") —
+    the reference's RetentionPolicy period format."""
+    import re
+
+    total = 0
+    for n, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", str(period)):
+        if unit.lower() not in _PERIOD_UNITS:
+            raise ValueError(f"unknown retention period unit {unit!r}")
+        total += int(n) * _PERIOD_UNITS[unit.lower()]
+    if total == 0:
+        raise ValueError(f"invalid retention period {period!r}")
+    return total
+
 
 def merge_schemas(a: T.DataType, b: T.DataType) -> T.DataType:
     """Recursive schema union with the dynamic mapper's widening rules:
@@ -135,6 +160,9 @@ class QuickwitSpark:
             "doc_count": 0,
             "batches": 0,
         }
+        if config.get("retention") is not None:
+            _parse_period_secs(config["retention"]["period"])  # validate
+            state["retention"] = config["retention"]
         with open(state_path, "w") as f:
             json.dump(state, f)
         self._build(index_id, state, lines=None)  # empty publish
@@ -146,6 +174,89 @@ class QuickwitSpark:
             raise ValueError(f"index {index_id!r} not found")
         self._searchers.pop(index_id, None)
         shutil.rmtree(d)
+
+    def update_index(self, index_id: str, config: dict) -> dict:
+        """`PUT /indexes/{id}` (`index_resource.rs:287-352`,
+        `index_config/serialize.rs:73-141`): full-replace semantics —
+        doc_mapping / search_settings / retention are REPLACED by the
+        new config (an omitted retention deletes the policy); the
+        config's index_id must match; `doc_mapping.timestamp_field`
+        cannot change. The update governs FUTURE splits: existing
+        splits keep their data, previously-typed paths stay pinned, and
+        an update incompatible with them fails at the next ingest (the
+        builder's additive-extension check), leaving the index
+        readable."""
+        from quickwit_spark.sources.qw_config import (
+            parse_doc_mapping,
+            validate_search_settings,
+        )
+
+        state = self._state(index_id)
+        if config.get("index_id", index_id) != index_id:
+            raise ValueError(
+                f"`index_id` in config {config.get('index_id')!r} does not "
+                f"match updated index {index_id!r}"
+            )
+        dm = config.get("doc_mapping") or {}
+        parse_doc_mapping(dm)
+        validate_search_settings(dm, config.get("search_settings"))
+        old_ts = (state.get("doc_mapping") or {}).get("timestamp_field")
+        if old_ts != dm.get("timestamp_field"):
+            raise ValueError(
+                "`doc_mapping.timestamp_field` cannot be updated, current "
+                f"value {old_ts or '<none>'}, new expected value "
+                f"{dm.get('timestamp_field') or '<none>'}"
+            )
+        state["doc_mapping"] = dm
+        state["search_settings"] = config.get("search_settings") or {}
+        if config.get("retention") is not None:
+            state["retention"] = config["retention"]
+        else:
+            state.pop("retention", None)
+        self._save_state(index_id, state)
+        self._searchers.pop(index_id, None)
+        return {"index_id": index_id, "updated": True}
+
+    def clear_index(self, index_id: str) -> dict:
+        """`PUT /indexes/{id}/clear` (`index_resource.rs:355-390`):
+        drop every split and reset the ingest state, keep the index
+        configuration registered and searchable (empty)."""
+        state = self._state(index_id)
+        d = self.index_dir(index_id)
+        for name in os.listdir(d):
+            if name != STATE_FILE:
+                path = os.path.join(d, name)
+                shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        state.update(
+            {"schema": None, "mixed": [], "pinned_kinds": {},
+             "doc_count": 0, "batches": 0}
+        )
+        self._searchers.pop(index_id, None)
+        self._build(index_id, state, lines=None)  # re-publish empty
+        return {"index_id": index_id, "cleared": True}
+
+    def apply_retention(self, index_id: str, now_micros: int) -> list[str]:
+        """Run the index's retention policy (reference janitor
+        `retention_policy_execution.rs`): retire every split whose time
+        range ends before `now - period`. Returns retired segment ids;
+        no-op without a policy."""
+        from quickwit_spark.index.retention import apply_retention
+
+        state = self._state(index_id)
+        policy = state.get("retention")
+        if not policy:
+            return []
+        period_secs = _parse_period_secs(policy["period"])
+        retired = apply_retention(
+            self.index_dir(index_id), now_micros - period_secs * 1_000_000
+        )
+        self._searchers.pop(index_id, None)
+        return retired
+
+    def _save_state(self, index_id: str, state: dict) -> None:
+        path = os.path.join(self.index_dir(index_id), STATE_FILE)
+        with open(path, "w") as f:
+            json.dump(state, f)
 
     # -------------------------------------------------------- templates
     # reference index templates (`quickwit-config/src/index_template/

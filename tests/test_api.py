@@ -113,3 +113,105 @@ def test_create_validation_errors(qw):
         )
     with pytest.raises(ValueError):
         qw.create_index({"index_id": "../evil", "doc_mapping": {}})
+
+
+def test_update_index_replace_semantics(qw):
+    qw.create_index(
+        {
+            "index_id": "upd",
+            "doc_mapping": {"mode": "dynamic"},
+            "retention": {"period": "7 days"},
+        }
+    )
+    # full replace: new search settings, retention omitted → deleted
+    qw.update_index(
+        "upd",
+        {
+            "index_id": "upd",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [{"name": "msg", "type": "text"}],
+            },
+            "search_settings": {"default_search_fields": ["msg"]},
+        },
+    )
+    state = qw._state("upd")
+    assert "retention" not in state
+    assert state["search_settings"] == {"default_search_fields": ["msg"]}
+    # ingest under the updated mapping works, old data unaffected
+    qw.ingest("upd", [{"msg": "hello update"}])
+    r = qw.search("upd", {"query": {"match": {"msg": {"query": "update"}}}})
+    assert r["hits"]["total"]["value"] == 1
+    # mismatched index_id rejected
+    with pytest.raises(ValueError, match="does not match"):
+        qw.update_index("upd", {"index_id": "other", "doc_mapping": {}})
+    # timestamp_field change rejected (reference serialize.rs:126-141)
+    with pytest.raises(ValueError, match="timestamp_field"):
+        qw.update_index(
+            "upd",
+            {
+                "index_id": "upd",
+                "doc_mapping": {
+                    "timestamp_field": "ts",
+                    "field_mappings": [
+                        {"name": "ts", "type": "datetime", "fast": True}
+                    ],
+                },
+            },
+        )
+
+
+def test_clear_index_keeps_config(qw):
+    qw.create_index({"index_id": "clr", "doc_mapping": {"mode": "dynamic"}})
+    qw.ingest("clr", [{"a": "one"}, {"a": "two"}])
+    assert qw.search("clr", {"query": {"match_all": {}}})["hits"]["total"][
+        "value"
+    ] == 2
+    qw.clear_index("clr")
+    # still registered and searchable, but empty
+    assert "clr" in qw.list_indexes()
+    assert qw.search("clr", {"query": {"match_all": {}}})["hits"]["total"][
+        "value"
+    ] == 0
+    # re-ingest starts a fresh mapping epoch
+    qw.ingest("clr", [{"b": 7}])
+    assert qw.search("clr", {"query": {"match_all": {}}})["hits"]["total"][
+        "value"
+    ] == 1
+
+
+def test_facade_retention_policy(qw):
+    import datetime as dt
+
+    qw.create_index(
+        {
+            "index_id": "ret",
+            "doc_mapping": {
+                "timestamp_field": "ts",
+                "field_mappings": [
+                    {"name": "ts", "type": "datetime", "fast": True},
+                    {"name": "msg", "type": "text"},
+                ],
+            },
+            "retention": {"period": "7 days"},
+        }
+    )
+    qw.ingest("ret", [{"ts": "2024-01-01T00:00:00Z", "msg": "old doc"}])
+    qw.ingest("ret", [{"ts": "2024-03-01T00:00:00Z", "msg": "new doc"}])
+    now = dt.datetime(2024, 3, 2, tzinfo=dt.timezone.utc)
+    retired = qw.apply_retention("ret", int(now.timestamp() * 1_000_000))
+    assert retired  # the january split is past 7 days
+    r = qw.search("ret", {"query": {"match_all": {}}})
+    assert r["hits"]["total"]["value"] == 1
+    assert r["hits"]["hits"][0]["_source"]["msg"] == "new doc"
+
+
+def test_parse_period_forms():
+    from quickwit_spark.api import _parse_period_secs
+
+    assert _parse_period_secs("7 days") == 7 * 86400
+    assert _parse_period_secs("1week") == 604800
+    assert _parse_period_secs("24h") == 86400
+    assert _parse_period_secs("1 hour 30 minutes") == 5400
+    with pytest.raises(ValueError):
+        _parse_period_secs("forever")
