@@ -851,6 +851,21 @@ def _q_multi_index_terms_agg(spark, sf_dir):
     )
 
 
+def _q_multi_index_topk(spark, sf_dir):
+    """Federated BM25 top-k (reference root merge of per-index leaf
+    responses, `root.rs:162-168,561`): each member scores with ITS OWN
+    index statistics (no renormalization), members emit their own top-k
+    under the engine tie order, and the federation reranks the ≤ k×I
+    winners by (score desc, _index asc, doc_key asc)."""
+    m = _multi_searcher(spark, sf_dir)
+    res = m.search(FullText("text", "spark join", "or"), k=10, mode="oracle")
+    return res.select(
+        "doc_key",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_qs_compare_range(spark, sf_dir):
     """Query-string comparison shorthand (`field:>=v`, reference
     query-language §Half-Open bounds) through the full search path:
@@ -1972,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_qs_compare_range": _q_qs_compare_range,
         "multi_index_count": _q_multi_index_count,
         "multi_index_terms_agg": _q_multi_index_terms_agg,
+        "multi_index_topk": _q_multi_index_topk,
         "count_all": _q_count_all,
         "bulk_ingest_count": _q_bulk_count,
         "search_merged_topk": _q_merged_topk,
@@ -2138,6 +2154,55 @@ ORDER BY user_id ASC, value DESC, event_id ASC LIMIT 10
         "match_stream_term": _MATCH_TERM_SQL,
         "count_term": _COUNT_TERM_SQL,
         "multi_index_count": _COUNT_TERM_SQL,
+        # federated top-k: BM25 with PER-INDEX statistics (idx =
+        # doc_id % 2 mirrors the two-index split), member top-10 under
+        # the engine tie order (s9 desc, doc_id desc), then the root
+        # merge order (s9 desc, idx asc, doc_id asc)
+        "multi_index_topk": """
+WITH docs2 AS (SELECT doc_id, text, doc_id % 2 AS idx FROM documents),
+toks AS (
+  SELECT doc_id, idx, term FROM (
+    SELECT doc_id, idx, unnest(string_split(text, ' ')) AS term FROM docs2
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT d.idx, CAST(d.n AS DOUBLE) AS n, CAST(t.total AS DOUBLE) AS total
+  FROM (SELECT idx, COUNT(*) AS n FROM docs2 GROUP BY idx) d
+  JOIN (SELECT idx, COUNT(*) AS total FROM toks GROUP BY idx) t USING (idx)
+),
+tf AS (
+  SELECT doc_id, idx, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN ('spark', 'join') GROUP BY doc_id, idx, term
+),
+df AS (
+  SELECT idx, term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks WHERE term IN ('spark', 'join') GROUP BY idx, term
+),
+contrib AS (
+  SELECT tf.doc_id, tf.idx,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * 2.2
+           * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (s.total / s.n))) AS sc
+  FROM tf
+  JOIN df ON tf.idx = df.idx AND tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN stats s ON tf.idx = s.idx
+),
+scored AS (
+  SELECT doc_id, idx, ROUND(SUM(sc), 9) AS s9 FROM contrib GROUP BY doc_id, idx
+),
+member AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY idx ORDER BY s9 DESC, doc_id DESC
+  ) AS mr FROM scored
+)
+SELECT doc_id AS doc_key,
+       ROUND(s9, 6) AS score,
+       CAST(ROW_NUMBER() OVER (ORDER BY s9 DESC, idx ASC, doc_id ASC) AS BIGINT) AS rank
+FROM member WHERE mr <= 10
+ORDER BY s9 DESC, idx ASC, doc_id ASC
+LIMIT 10
+""",
         "multi_index_terms_agg": f"""
 WITH {_AGG_MATCH_CTE}
 SELECT CAST(lang AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
