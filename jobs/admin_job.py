@@ -1,0 +1,92 @@
+"""Index-administration job (the reference's `quickwit index
+create/ingest/delete/clear/update` + template CLI analog,
+`docs/reference/cli.md`), driving the QuickwitSpark facade:
+
+    spark-submit --py-files dist/quickwit_spark.zip jobs/admin_job.py \
+        --root /data/indexes create --config index_config.json
+        ... ingest --index logs --ndjson docs.ndjson
+        ... bulk --ndjson payload.ndjson
+        ... update --index logs --config new_config.json
+        ... clear --index logs
+        ... delete --index logs
+        ... template-create --config template.json
+        ... template-delete --template-id t1
+        ... list
+
+Config files are reference index-config / index-template JSON
+documents. `bulk` prints the ES bulk response envelope; `list` prints
+index ids one per line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from quickwit_spark.session import get_spark
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True, help="shared index root dir")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("create")
+    sp.add_argument("--config", required=True)
+    sp = sub.add_parser("ingest")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--ndjson", required=True)
+    sp = sub.add_parser("bulk")
+    sp.add_argument("--ndjson", required=True)
+    sp.add_argument("--default-index", default=None)
+    sp = sub.add_parser("update")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--config", required=True)
+    sp = sub.add_parser("clear")
+    sp.add_argument("--index", required=True)
+    sp = sub.add_parser("delete")
+    sp.add_argument("--index", required=True)
+    sp = sub.add_parser("template-create")
+    sp.add_argument("--config", required=True)
+    sp = sub.add_parser("template-delete")
+    sp.add_argument("--template-id", required=True)
+    sub.add_parser("list")
+    args = p.parse_args()
+
+    from quickwit_spark.api import QuickwitSpark
+
+    spark = get_spark("qws-admin")
+    qw = QuickwitSpark(spark, args.root)
+
+    if args.cmd == "create":
+        with open(args.config) as f:
+            print(json.dumps(qw.create_index(json.load(f))))
+    elif args.cmd == "ingest":
+        with open(args.ndjson) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        print(json.dumps(qw.ingest(args.index, lines)))
+    elif args.cmd == "bulk":
+        with open(args.ndjson) as f:
+            payload = f.read()
+        print(json.dumps(qw.bulk(payload, default_index=args.default_index)))
+    elif args.cmd == "update":
+        with open(args.config) as f:
+            print(json.dumps(qw.update_index(args.index, json.load(f))))
+    elif args.cmd == "clear":
+        print(json.dumps(qw.clear_index(args.index)))
+    elif args.cmd == "delete":
+        qw.delete_index(args.index)
+        print(json.dumps({"index_id": args.index, "deleted": True}))
+    elif args.cmd == "template-create":
+        with open(args.config) as f:
+            print(json.dumps(qw.create_template(json.load(f))))
+    elif args.cmd == "template-delete":
+        qw.delete_template(args.template_id)
+        print(json.dumps({"template_id": args.template_id, "deleted": True}))
+    elif args.cmd == "list":
+        for name in qw.list_indexes():
+            print(name)
+
+
+if __name__ == "__main__":
+    main()

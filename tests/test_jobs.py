@@ -133,3 +133,43 @@ def test_search_job_index_pattern(tmp_path_factory, corpus_path, monkeysession, 
     sj.main()
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert len(lines) == 3 and all('"_index"' in l for l in lines)
+
+
+def test_admin_job_lifecycle(tmp_path_factory, spark, monkeysession, capsys):
+    """create → bulk → list → update → clear → delete through the
+    spark-submit admin entry point (argv-patched main)."""
+    import jobs.admin_job as aj
+
+    root = str(tmp_path_factory.mktemp("cli_admin"))
+    cfg = tmp_path_factory.mktemp("cli_admin_cfg")
+    (cfg / "idx.json").write_text(json.dumps(
+        {"index_id": "cli-logs", "doc_mapping": {"mode": "dynamic"}}
+    ))
+    (cfg / "bulk.ndjson").write_text(
+        '{"index": {"_index": "cli-logs"}}\n{"msg": "hello cli"}\n'
+    )
+    (cfg / "upd.json").write_text(json.dumps(
+        {"index_id": "cli-logs", "doc_mapping": {
+            "mode": "dynamic",
+            "field_mappings": [{"name": "msg", "type": "text"}]}}
+    ))
+
+    def run(*argv):
+        monkeysession.setattr(sys, "argv", ["admin_job.py", "--root", root, *argv])
+        aj.main()
+        return capsys.readouterr().out
+
+    out = run("create", "--config", str(cfg / "idx.json"))
+    assert json.loads(out)["created"] is True
+    out = run("bulk", "--ndjson", str(cfg / "bulk.ndjson"))
+    resp = json.loads(out)
+    assert resp["errors"] is False
+    assert resp["items"][0]["index"]["status"] == 201
+    assert run("list").strip() == "cli-logs"
+    out = run("update", "--index", "cli-logs", "--config", str(cfg / "upd.json"))
+    assert json.loads(out)["updated"] is True
+    out = run("clear", "--index", "cli-logs")
+    assert json.loads(out)["cleared"] is True
+    out = run("delete", "--index", "cli-logs")
+    assert json.loads(out)["deleted"] is True
+    assert run("list").strip() == ""
