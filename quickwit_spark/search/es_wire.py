@@ -372,13 +372,24 @@ class EsWireHandler:
         total = 0
         relation = "eq"
         max_score = None
-        for n in names:
-            try:
-                resp = self.indexes[n].es_search_response(body)
-            except EsApiError:
-                raise
-            except (ValueError, TypeError, KeyError, NotImplementedError) as e:
-                raise EsApiError(400, str(e)) from e
+        # concurrent leaf fan-out (the reference root issues per-index
+        # leaf searches in parallel); Spark job submission is
+        # thread-safe and the searchers are stateless
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            with ThreadPoolExecutor(max_workers=min(8, len(names))) as ex:
+                responses = list(
+                    ex.map(
+                        lambda n: self.indexes[n].es_search_response(body),
+                        names,
+                    )
+                )
+        except EsApiError:
+            raise
+        except (ValueError, TypeError, KeyError, NotImplementedError) as e:
+            raise EsApiError(400, str(e)) from e
+        for n, resp in zip(names, responses):
             for h in resp["hits"]["hits"]:
                 h["_index"] = n
                 all_hits.append(h)
@@ -484,14 +495,17 @@ class EsWireHandler:
         }
 
     def _count_many(self, names: list[str], params: dict, body: dict) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
         body = self._effective_body(params, body)
-        total = 0
-        for n in names:
-            try:
-                total += int(self.indexes[n].es_count(body)["count"])
-            except (ValueError, TypeError, KeyError, NotImplementedError) as e:
-                raise EsApiError(400, str(e)) from e
-        return {"count": total}
+        try:
+            with ThreadPoolExecutor(max_workers=min(8, max(len(names), 1))) as ex:
+                counts = list(
+                    ex.map(lambda n: int(self.indexes[n].es_count(body)["count"]), names)
+                )
+        except (ValueError, TypeError, KeyError, NotImplementedError) as e:
+            raise EsApiError(400, str(e)) from e
+        return {"count": sum(counts)}
 
     def _msearch(self, ndjson: list, params: dict) -> dict:
         if len(ndjson) % 2:
