@@ -253,6 +253,41 @@ class QuickwitSpark:
         self._searchers.pop(index_id, None)
         return retired
 
+    def create_delete_task(self, index_id: str, delete_query: dict) -> dict:
+        """`POST /{index}/delete-tasks` (rest-api.md §Delete API): record
+        a delete-by-query; docs stay searchable until a rewrite applies
+        it (janitor semantics). `start_timestamp`/`end_timestamp` are
+        epoch seconds like the wire payload."""
+        from quickwit_spark.index.deletes import delete_by_query
+
+        searcher = self.searcher(index_id)
+        lo = delete_query.get("start_timestamp")
+        hi = delete_query.get("end_timestamp")
+        tr = None
+        if lo is not None or hi is not None:
+            tr = (
+                int(lo) * 1_000_000 if lo is not None else None,
+                int(hi) * 1_000_000 if hi is not None else None,
+            )
+        opstamp = delete_by_query(searcher, delete_query["query"], time_range=tr)
+        self._searchers.pop(index_id, None)
+        return {
+            "index_id": index_id,
+            "opstamp": opstamp,
+            "delete_query": delete_query,
+        }
+
+    def list_delete_tasks(self, index_id: str) -> list[dict]:
+        """`GET /{index}/delete-tasks` — pending (not yet fully applied)
+        delete ops, oldest first."""
+        from quickwit_spark.index.deletes import pending_deletes
+
+        self._state(index_id)
+        pend = pending_deletes(self.index_dir(index_id))
+        return [
+            {"opstamp": op, **(meta or {})} for op, meta in sorted(pend.items())
+        ]
+
     def _save_state(self, index_id: str, state: dict) -> None:
         path = os.path.join(self.index_dir(index_id), STATE_FILE)
         with open(path, "w") as f:

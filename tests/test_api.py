@@ -215,3 +215,16 @@ def test_parse_period_forms():
     assert _parse_period_secs("1 hour 30 minutes") == 5400
     with pytest.raises(ValueError):
         _parse_period_secs("forever")
+
+
+def test_facade_delete_tasks(qw):
+    qw.create_index({"index_id": "del", "doc_mapping": {"mode": "dynamic"}})
+    qw.ingest("del", [{"m": "spam message"}, {"m": "good message"}])
+    resp = qw.create_delete_task("del", {"query": "m:spam"})
+    assert resp["opstamp"] >= 1
+    tasks = qw.list_delete_tasks("del")
+    assert tasks and tasks[0]["opstamp"] == resp["opstamp"]
+    # reference semantics: doomed docs stay visible until a rewrite
+    # applies the delete (delete_by_query docstring)
+    r = qw.search("del", {"query": {"match": {"m": {"query": "message"}}}})
+    assert r["hits"]["total"]["value"] == 2
