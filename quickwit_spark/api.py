@@ -44,24 +44,30 @@ from pyspark.sql import types as T
 
 STATE_FILE = "_dynamic_state.json"
 
+# humantime's unit constants (month = 30.44 days, year = 365.25 days) —
+# the reference's RetentionPolicy period parser
 _PERIOD_UNITS = {
     "s": 1, "sec": 1, "secs": 1, "second": 1, "seconds": 1,
     "m": 60, "min": 60, "mins": 60, "minute": 60, "minutes": 60,
     "h": 3600, "hour": 3600, "hours": 3600,
     "d": 86400, "day": 86400, "days": 86400,
     "w": 604800, "week": 604800, "weeks": 604800,
-    "month": 2592000, "months": 2592000,
-    "y": 31536000, "year": 31536000, "years": 31536000,
+    "month": 2630016, "months": 2630016,
+    "y": 31557600, "year": 31557600, "years": 31557600,
 }
 
 
 def _parse_period_secs(period: str) -> int:
     """Humantime-style retention periods ("7 days", "1week", "24h") —
-    the reference's RetentionPolicy period format."""
+    the reference's RetentionPolicy period format. Strict: the whole
+    string must be number-unit pairs (no fractions, no trailing junk)."""
     import re
 
+    s = str(period).strip()
+    if not re.fullmatch(r"(?:\d+\s*[a-zA-Z]+[\s,]*)+", s):
+        raise ValueError(f"invalid retention period {period!r}")
     total = 0
-    for n, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", str(period)):
+    for n, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", s):
         if unit.lower() not in _PERIOD_UNITS:
             raise ValueError(f"unknown retention period unit {unit!r}")
         total += int(n) * _PERIOD_UNITS[unit.lower()]
@@ -210,6 +216,7 @@ class QuickwitSpark:
         state["doc_mapping"] = dm
         state["search_settings"] = config.get("search_settings") or {}
         if config.get("retention") is not None:
+            _parse_period_secs(config["retention"]["period"])  # validate
             state["retention"] = config["retention"]
         else:
             state.pop("retention", None)

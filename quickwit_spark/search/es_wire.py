@@ -51,6 +51,15 @@ class EsApiError(Exception):
 MAX_SCROLL_TTL_SECS = 1800  # reference scroll_context.rs TTL cap
 
 
+def _key_order(v) -> tuple:
+    """Tie-break key for a doc id: numeric ids compare numerically (the
+    engine's tie_by_key order), non-numeric lexicographically after."""
+    s = str(v)
+    if s.lstrip("-").isdigit():
+        return (0, int(s), "")
+    return (1, 0, s)
+
+
 def _parse_ttl_secs(s: str) -> int:
     m = re.fullmatch(r"(\d+)(ms|s|m|h|d)?", str(s).strip())
     if not m:
@@ -138,10 +147,14 @@ class EsWireHandler:
         if not parts:
             # GET / — the ES cluster-info banner
             # (`rest_handler.rs:70-93` es_compat_cluster_info_handler)
+            if method != "GET":
+                raise EsApiError(405, f"method {method} not allowed for /")
             return self._cluster_info()
         if method == "DELETE" and len(parts) == 1 and not parts[0].startswith("_"):
             return self._delete_index(parts[0], params)
         if parts[-1] == "_bulk" and len(parts) <= 2:
+            if method not in ("POST", "PUT"):
+                raise EsApiError(405, f"method {method} not allowed for _bulk")
             default = parts[0] if len(parts) == 2 else None
             return self._bulk(default, params, ndjson)
         if parts == ["_msearch"]:
@@ -247,7 +260,14 @@ class EsWireHandler:
             raise EsApiError(
                 501, "_bulk requires an index-management facade (QuickwitSpark)"
             )
-        return self.facade.bulk(ndjson or [], default_index=default_index)
+        resp = self.facade.bulk(ndjson or [], default_index=default_index)
+        # the handler's index map is a snapshot: bulk may have template-
+        # auto-created indexes and invalidated ingested searchers —
+        # rebuild from the facade so this handler stays a live view
+        self.indexes = {
+            n: self.facade.searcher(n) for n in self.facade.list_indexes()
+        }
+        return resp
 
     def _delete_index(self, pattern: str, params: dict) -> dict:
         """`DELETE /{index}` (`rest_handler.rs:541-553`): resolves the
@@ -259,10 +279,14 @@ class EsWireHandler:
                 "index deletion requires an index-management facade "
                 "(QuickwitSpark)",
             )
+        from urllib.parse import unquote
+
         ignore = str(params.get("ignore_unavailable", "false")).lower() == "true"
         if ignore:
+            # URL-decode BEFORE splitting so an encoded-comma group
+            # doesn't hide its resolvable names behind one missing one
             names: list[str] = []
-            for term in pattern.split(","):
+            for term in unquote(pattern).split(","):
                 try:
                     names += self._resolve_es(term)
                 except EsApiError:
@@ -374,14 +398,19 @@ class EsWireHandler:
         max_score = None
         # concurrent leaf fan-out (the reference root issues per-index
         # leaf searches in parallel); Spark job submission is
-        # thread-safe and the searchers are stateless
+        # thread-safe and the searchers are stateless. Aggregations are
+        # stripped from the member bodies — _aggs_shaped_many runs them
+        # ONCE over the union, so per-member agg work would be discarded
         from concurrent.futures import ThreadPoolExecutor
 
+        member_body = {
+            k: v for k, v in body.items() if k not in ("aggs", "aggregations")
+        }
         try:
             with ThreadPoolExecutor(max_workers=min(8, len(names))) as ex:
                 responses = list(
                     ex.map(
-                        lambda n: self.indexes[n].es_search_response(body),
+                        lambda n: self.indexes[n].es_search_response(member_body),
                         names,
                     )
                 )
@@ -422,7 +451,8 @@ class EsWireHandler:
                     return (1 if lt else -1) if desc else (-1 if lt else 1)
                 if a["_index"] != b["_index"]:
                     return -1 if a["_index"] < b["_index"] else 1
-                return -1 if str(a["_id"]) < str(b["_id"]) else 1
+                ka, kb = _key_order(a["_id"]), _key_order(b["_id"])
+                return -1 if ka < kb else (1 if ka > kb else 0)
 
             all_hits.sort(key=functools.cmp_to_key(cmp))
         else:
@@ -430,7 +460,7 @@ class EsWireHandler:
                 key=lambda h: (
                     -(h["_score"] if h["_score"] is not None else float("-inf")),
                     h["_index"],
-                    str(h["_id"]),
+                    _key_order(h["_id"]),
                 )
             )
         out = {
@@ -454,44 +484,91 @@ class EsWireHandler:
         agg_body = body.get("aggs") or body.get("aggregations")
         if not agg_body or not names:
             return None
+        from pyspark.sql import functions as F
+
         from quickwit_spark.search import aggs as _aggs
         from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
 
-        def field_refs(node: dict, acc: set) -> set:
-            for spec in node.values():
+        def field_walk(node: dict, fn) -> dict:
+            """Rewrite every {"field": ...} leaf in deterministic
+            traversal order; fn(old_field) -> new_field."""
+            out = {}
+            for name, spec in node.items():
+                out[name] = {}
                 for k, v in spec.items():
                     if k in ("aggs", "aggregations"):
-                        field_refs(v, acc)
+                        out[name][k] = field_walk(v, fn)
                     elif isinstance(v, dict) and "field" in v:
-                        acc.add(v["field"])
-            return acc
+                        out[name][k] = {**v, "field": fn(v["field"])}
+                    else:
+                        out[name][k] = v
+            return out
 
-        frames = []
-        body2 = None
+        # canonical federated body: the i-th field reference (traversal
+        # order) becomes __qw_fed_i — members may resolve the same field
+        # to DIFFERENT physical columns (declared vs dynamic vs absent),
+        # so alignment is by reference position, never by column name
+        order: list[str] = []
+        fed_body = field_walk(
+            agg_body, lambda f: (order.append(f), f"__qw_fed_{len(order)-1}")[1]
+        )
+        members = []  # (frame, member column per position, dtype-or-None)
         for n in names:
             s = self.indexes[n]
             m = _aggs.matches(s, s._es_ast(body))
-            # per-index field→column resolution (dot paths, normalizers)
-            # — alias assignment is traversal-ordered, so every member
-            # produces the SAME rewritten body and column names
-            m, b2 = s._agg_frame_and_body(m, agg_body)
-            body2 = b2 if body2 is None else body2
-            cols = [
-                c
-                for c in dict.fromkeys(
-                    ["segment_id", "doc_id", "doc_key", *field_refs(b2, set())]
-                )
-                if c in m.columns
-            ]
-            # project to just the agg inputs: member docmaps disagree on
-            # unrelated column types, and the union must not care
-            frames.append(m.select(*cols))
+            # per-index field→column resolution (dot paths, normalizers,
+            # absent fields → null literal)
+            m2, b2 = s._agg_frame_and_body(m, agg_body)
+            member_cols: list = []
+            field_walk(b2, lambda f: (member_cols.append(f), f)[1])
+            opts = s.config.field_options or {}
+            dtypes = dict(m2.dtypes)
+            dts = []
+            for i, c in enumerate(member_cols):
+                f = order[i]
+                if f in opts or s._fcol(f) in m.columns:
+                    dts.append(dtypes[c])
+                else:
+                    dts.append(None)  # absent here: null literal, no vote
+            members.append((m2, member_cols, dts))
+
+        def _numeric(dt: str) -> bool:
+            return dt in (
+                "bigint", "int", "smallint", "tinyint", "double", "float"
+            ) or dt.startswith("decimal")
+
+        # per-position union type from the members that HAVE the field:
+        # equal types keep, all-numeric widens to double, else string —
+        # never let ANSI casts fire on real values during the union
+        targets = []
+        for i in range(len(order)):
+            votes = {dts[i] for _, _, dts in members if dts[i] is not None}
+            if not votes:
+                targets.append("double")
+            elif len(votes) == 1:
+                targets.append(votes.pop())
+            elif all(_numeric(v) for v in votes):
+                targets.append("double")
+            else:
+                targets.append("string")
+        frames = [
+            m2.select(
+                "segment_id",
+                "doc_id",
+                "doc_key",
+                *[
+                    F.col(c).cast(targets[i]).alias(f"__qw_fed_{i}")
+                    for i, c in enumerate(member_cols)
+                ],
+            )
+            for m2, member_cols, _ in members
+        ]
         u = frames[0]
         for f in frames[1:]:
             u = u.unionByName(f, allowMissingColumns=True)
-        raw = run_es_aggs(u, body2)
+        raw = run_es_aggs(u, fed_body)
         return {
-            name: shape_es_agg(body2[name], df) for name, df in raw.items()
+            name: shape_es_agg(fed_body[name], df) for name, df in raw.items()
         }
 
     def _count_many(self, names: list[str], params: dict, body: dict) -> dict:
@@ -532,19 +609,7 @@ class EsWireHandler:
         from quickwit_spark.search.es_aggs import shape_es_agg
         from quickwit_spark.search.scroll import ScrollContext, create_scroll
 
-        if str(params.get("allow_partial_search_results", "true")).lower() == "false":
-            raise EsApiError(
-                400,
-                "Invalid argument: Quickwit only supports scroll API with "
-                "allow_partial_search_results set to true",
-            )
-        ttl = _parse_ttl_secs(params["scroll"])
-        if ttl > MAX_SCROLL_TTL_SECS:
-            raise EsApiError(
-                400,
-                "Invalid argument: Quickwit only supports scroll TTL period "
-                f"up to {MAX_SCROLL_TTL_SECS} secs",
-            )
+        self._scroll_validate(params)
         body = self._effective_body(params, body)
         size = int(body.get("size", 10))
         sort_spec = body.get("sort")
@@ -600,19 +665,7 @@ class EsWireHandler:
             create_scroll,
         )
 
-        if str(params.get("allow_partial_search_results", "true")).lower() == "false":
-            raise EsApiError(
-                400,
-                "Invalid argument: Quickwit only supports scroll API with "
-                "allow_partial_search_results set to true",
-            )
-        ttl = _parse_ttl_secs(params["scroll"])
-        if ttl > MAX_SCROLL_TTL_SECS:
-            raise EsApiError(
-                400,
-                "Invalid argument: Quickwit only supports scroll TTL period "
-                f"up to {MAX_SCROLL_TTL_SECS} secs",
-            )
+        self._scroll_validate(params)
         body = self._effective_body(params, body)
         size = int(body.get("size", 10))
         sort_spec = body.get("sort")
@@ -631,12 +684,13 @@ class EsWireHandler:
                 fetch = list(body.get("_source") or [])
                 if not fetch and s.config.stored_source:
                     fetch = [s.config.stored_source]
+                ast = s._es_ast(body)
                 members.append(
                     (
                         n,
                         ScrollContext(
                             s,
-                            s._es_ast(body),
+                            ast,
                             page_size=size,
                             fetch=fetch,
                             sort_field=sort_field,
@@ -644,7 +698,7 @@ class EsWireHandler:
                         ),
                     )
                 )
-                total += s.count(s._es_ast(body))
+                total += s.count(ast)
         ctx = FederatedScrollContext(
             members, page_size=size, sort_field=sort_field, descending=desc
         )
@@ -663,6 +717,23 @@ class EsWireHandler:
         }
         self._scrolls[ctx.scroll_id] = state
         return self._scroll_response(state)
+
+    @staticmethod
+    def _scroll_validate(params: dict) -> None:
+        """Shared scroll-start request validation (single + federated)."""
+        if str(params.get("allow_partial_search_results", "true")).lower() == "false":
+            raise EsApiError(
+                400,
+                "Invalid argument: Quickwit only supports scroll API with "
+                "allow_partial_search_results set to true",
+            )
+        ttl = _parse_ttl_secs(params["scroll"])
+        if ttl > MAX_SCROLL_TTL_SECS:
+            raise EsApiError(
+                400,
+                "Invalid argument: Quickwit only supports scroll TTL period "
+                f"up to {MAX_SCROLL_TTL_SECS} secs",
+            )
 
     def _scroll_page(self, params: dict, body: dict) -> dict:
         sid = body.get("scroll_id") or params.get("scroll_id")

@@ -24,6 +24,15 @@ import uuid
 SCROLL_BATCH_LEN = 1_000
 
 
+def _key_order(v) -> tuple:
+    """Tie-break key for a doc id: numeric ids compare numerically (the
+    engine's tie_by_key order), non-numeric lexicographically after."""
+    s = str(v)
+    if s.lstrip("-").isdigit():
+        return (0, int(s), "")
+    return (1, 0, s)
+
+
 class ScrollContext:
     def __init__(
         self,
@@ -278,7 +287,7 @@ class FederatedScrollContext:
             return (not lt) if desc else lt
         if name_a != name_b:
             return name_a < name_b
-        return str(row_a["doc_key"]) < str(row_b["doc_key"])
+        return _key_order(row_a["doc_key"]) < _key_order(row_b["doc_key"])
 
     def next_page(self) -> list:
         from pyspark.sql import Row

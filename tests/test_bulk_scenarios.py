@@ -184,3 +184,96 @@ def test_template_auto_creation_end_to_end(spark, tmp_path):
         body={"query": {"match": {"message": {"query": "hello"}}}},
     )
     assert hits["hits"]["total"]["value"] == 1
+
+
+def test_federated_agg_mixed_resolution(spark, tmp_path):
+    """An agg field that resolves differently per member (absent in one,
+    dynamic in another) must still aggregate the member that HAS it —
+    alignment is by reference position, not column name."""
+    env = FacadeEnv(spark, str(tmp_path / "root"))
+    env.qw.create_index({"index_id": "a-empty", "doc_mapping": {"mode": "dynamic"}})
+    env.qw.create_index({"index_id": "b-data", "doc_mapping": {"mode": "dynamic"}})
+    env.qw.ingest("b-data", [{"tag": "x"}, {"tag": "x"}, {"tag": "y"}])
+    r = env.request(
+        "POST",
+        "a-empty,b-data/_search",
+        body={
+            "query": {"match_all": {}},
+            "size": 0,
+            "aggs": {"tags": {"terms": {"field": "tag"}}},
+        },
+    )
+    buckets = r["aggregations"]["tags"]["buckets"]
+    assert {b["key"]: b["doc_count"] for b in buckets} == {"x": 2, "y": 1}
+
+
+def test_federated_tie_break_numeric(spark, tmp_path):
+    """Score ties across digit-count boundaries order by NUMERIC doc id
+    (engine tie order), not lexicographically."""
+    env = FacadeEnv(spark, str(tmp_path / "root"))
+    env.qw.create_index({"index_id": "t1", "doc_mapping": {"mode": "dynamic"}})
+    env.qw.create_index({"index_id": "t2", "doc_mapping": {"mode": "dynamic"}})
+    # identical docs → identical BM25 within each index
+    env.qw.ingest("t1", [{"m": "same text"} for _ in range(12)])
+    env.qw.ingest("t2", [{"m": "other words"}])
+    r = env.request(
+        "GET",
+        "t1,t2/_search",
+        body={"query": {"match": {"m": {"query": "same"}}}, "size": 12},
+    )
+    ids = [int(h["_id"]) for h in r["hits"]["hits"]]
+    assert ids == sorted(ids)  # 2 before 10, numerically
+
+
+def test_bulk_handler_stays_live_view(spark, tmp_path):
+    """A long-lived es() handler sees indexes auto-created by its own
+    bulk request and fresh data for ingested ones."""
+    env = FacadeEnv(spark, str(tmp_path / "root"))
+    env.qw.create_template(
+        {
+            "template_id": "t",
+            "index_id_patterns": ["live-*"],
+            "doc_mapping": {"mode": "dynamic"},
+        }
+    )
+    handler = env.qw.es()  # ONE handler for the whole exchange
+    handler.request(
+        "POST",
+        "_bulk",
+        ndjson=[{"index": {"_index": "live-1"}}, {"m": "first doc"}],
+    )
+    r = handler.request(
+        "GET", "live-1/_search", body={"query": {"match_all": {}}}
+    )
+    assert r["hits"]["total"]["value"] == 1
+    handler.request(
+        "POST",
+        "_bulk",
+        ndjson=[{"index": {"_index": "live-1"}}, {"m": "second doc"}],
+    )
+    r = handler.request(
+        "GET", "live-1/_search", body={"query": {"match_all": {}}}
+    )
+    assert r["hits"]["total"]["value"] == 2
+
+
+def test_delete_encoded_comma_ignore_unavailable(spark, tmp_path):
+    env = FacadeEnv(spark, str(tmp_path / "root"))
+    env.qw.create_index({"index_id": "keepme", "doc_mapping": {"mode": "dynamic"}})
+    r = env.request(
+        "DELETE", "keepme%2Cghost", params={"ignore_unavailable": "true"}
+    )
+    assert r == {"acknowledged": True}
+    assert env.qw.list_indexes() == []
+
+
+def test_bulk_method_gating(spark, tmp_path):
+    from quickwit_spark.search.es_wire import EsApiError
+
+    env = FacadeEnv(spark, str(tmp_path / "root"))
+    with pytest.raises(EsApiError) as e:
+        env.request("GET", "_bulk", ndjson=[{"index": {"_index": "x"}}, {}])
+    assert e.value.status == 405
+    with pytest.raises(EsApiError) as e:
+        env.request("DELETE", "/")
+    assert e.value.status == 405
