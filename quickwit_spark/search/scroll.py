@@ -239,9 +239,12 @@ class FederatedScrollContext:
     doc-key collisions can't poison a member's `search_after` cursor.
 
     Rows gain an `_index` column (member name) and a federated global
-    rank. Registry-only (no `save()`): like the in-process registry
-    note above, a multi-driver deployment would serialize member states
-    keyed by index."""
+    rank. Durable like the single-index context: because the merge
+    consumes each member's sorted stream IN ORDER, the rows emitted
+    from a member are always a prefix of its stream — so the resume
+    point per member is simply the cursor of its last EMITTED row
+    (buffered-but-unemitted rows refetch), and `save()`/`resume()`
+    serialize exactly that."""
 
     def __init__(
         self,
@@ -258,6 +261,9 @@ class FederatedScrollContext:
         self._bufs: dict[str, list] = {n: [] for n, _ in members}
         self._done: dict[str, bool] = {n: False for n, _ in members}
         self._served = 0
+        # per member: (sort_value-or-score, doc_key) of the last row the
+        # FEDERATION emitted — the durable per-member resume point
+        self._emitted: dict[str, tuple | None] = {n: None for n, _ in members}
 
     def _fill(self, name: str, ctx: ScrollContext) -> None:
         if not self._bufs[name] and not self._done[name]:
@@ -306,12 +312,78 @@ class FederatedScrollContext:
                 break
             name, row = best
             self._bufs[name].pop(0)
+            self._emitted[name] = (self._primary(row), row["doc_key"])
             d = row.asDict()
             d["_index"] = name
             d["rank"] = self._served + len(out) + 1
             out.append(Row(**d))
         self._served += len(out)
         return out
+
+    # -------------------------------------------------- durable state
+
+    def state(self) -> dict:
+        """Serializable federation state: per-member ScrollContext state
+        with the cursor overridden to the last row the federation
+        EMITTED from that member (its durable resume point), plus each
+        member's index dir so another driver can rebuild searchers."""
+        members = {}
+        for name, ctx in self.members:
+            st = ctx.state()
+            em = self._emitted[name]
+            st["served_cursor"] = (
+                [_enc_val(v) for v in em] if em is not None else None
+            )
+            members[name] = {
+                "index_dir": ctx.searcher.index_dir,
+                "state": st,
+            }
+        return {
+            "scroll_id": self.scroll_id,
+            "federated": True,
+            "page_size": self.page_size,
+            "sort_field": self.sort_field,
+            "descending": self.descending,
+            "served": self._served,
+            "members": members,
+        }
+
+    def save(self, path: str) -> str:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        fp = os.path.join(path, f"{self.scroll_id}.json")
+        with open(fp, "w") as f:
+            json.dump(self.state(), f)
+        return fp
+
+    @staticmethod
+    def resume(spark, state: dict) -> "FederatedScrollContext":
+        """Rebuild the federation in another driver process: each member
+        resumes from its emitted-row cursor; unemitted buffered rows are
+        refetched (prefix property, see class docstring)."""
+        from quickwit_spark.search.engine import IndexSearcher
+
+        members = []
+        for name in sorted(state["members"]):
+            ent = state["members"][name]
+            searcher = IndexSearcher(spark, ent["index_dir"])
+            members.append((name, ScrollContext.resume(searcher, ent["state"])))
+        ctx = FederatedScrollContext(
+            members,
+            page_size=state["page_size"],
+            sort_field=state["sort_field"],
+            descending=state["descending"],
+        )
+        ctx.scroll_id = state["scroll_id"]
+        ctx._served = state["served"]
+        for name, mctx in members:
+            ctx._emitted[name] = (
+                tuple(mctx._cursor) if mctx._cursor is not None else None
+            )
+        _REGISTRY[ctx.scroll_id] = ctx
+        return ctx
 
 
 # process-local scroll registry (the reference's cluster KV analog)

@@ -135,3 +135,95 @@ def test_durable_state_round_trips_datetime_cursor(searcher, tmp_path):
     assert ctx2._cursor == (when, "doc-9")
     assert ctx2.time_range == (when, when + dt.timedelta(days=1))
     assert ctx2._served == ctx._served
+
+
+@pytest.fixture(scope="module")
+def fed_members(spark, sf_dir):
+    """The corpus split over two indexes (even/odd doc ids)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+
+    root = tempfile.mkdtemp(prefix="qws_fedscroll_")
+    docs = web_corpus(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=2,
+        stored_columns=("n_chars",),
+    )
+    out = []
+    for name, par in (("even", 0), ("odd", 1)):
+        d = f"{root}/{name}"
+        build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == par), d, cfg, job_id=name
+        )
+        out.append((name, IndexSearcher(spark, d)))
+    return out
+
+
+def _fed_ctx(fed_members, page_size=5):
+    from quickwit_spark.query.ast import Term
+    from quickwit_spark.search.scroll import (
+        FederatedScrollContext,
+        ScrollContext,
+        create_scroll,
+    )
+
+    members = [
+        (n, ScrollContext(s, Term("text", "spark"), page_size=page_size,
+                          mode="oracle"))
+        for n, s in fed_members
+    ]
+    ctx = FederatedScrollContext(members, page_size=page_size)
+    create_scroll(ctx)
+    return ctx
+
+
+def test_federated_scroll_matches_single_stream(searcher, fed_members):
+    """The k-way merge over two member streams yields every hit exactly
+    once, globally score-ordered with continuing ranks."""
+    from quickwit_spark.query.ast import Term
+
+    single = searcher.scroll(Term("text", "spark"), page_size=1000,
+                             mode="oracle")
+    all_single = {r["doc_key"] for r in single.next_page()}
+    fed = _fed_ctx(fed_members, page_size=7)
+    seen, scores, ranks = [], [], []
+    while True:
+        page = fed.next_page()
+        if not page:
+            break
+        seen += [r["doc_key"] for r in page]
+        scores += [r["score"] for r in page]
+        ranks += [r["rank"] for r in page]
+    assert set(seen) == all_single and len(seen) == len(all_single)
+    assert scores == sorted(scores, reverse=True)
+    assert ranks == list(range(1, len(seen) + 1))
+
+
+def test_federated_scroll_durable_resume(spark, fed_members, tmp_path):
+    """A federated scroll saved after page 1 resumes in a 'fresh
+    process' and serves the same page 2 with continuing ranks."""
+    from quickwit_spark.search import scroll as sc
+
+    ref = _fed_ctx(fed_members, page_size=5)
+    ref.next_page()
+    p2_expected = [(r["_index"], r["doc_key"]) for r in ref.next_page()]
+
+    ctx = _fed_ctx(fed_members, page_size=5)
+    ctx.next_page()
+    state_path = str(tmp_path / "fedscroll")
+    ctx.save(state_path)
+    sid = ctx.scroll_id
+    sc._REGISTRY.clear()  # simulate a new driver process
+    import json
+    import os
+
+    with open(os.path.join(state_path, f"{sid}.json")) as f:
+        resumed = sc.FederatedScrollContext.resume(spark, json.load(f))
+    page = resumed.next_page()
+    assert [(r["_index"], r["doc_key"]) for r in page] == p2_expected
+    assert [r["rank"] for r in page] == [6, 7, 8, 9, 10]
