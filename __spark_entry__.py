@@ -912,6 +912,121 @@ def _q_input_routed_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "num_hits long")
 
 
+_streamed_searchers: dict[str, IndexSearcher] = {}
+
+
+def _searcher_streamed(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built THROUGH the Structured Streaming ingestion path
+    (reference ingest: unbounded source micro-batched by commit
+    timeout, `index_config/mod.rs:126-128`): the corpus lands as
+    multiple parquet files, `readStream` + maxFilesPerTrigger slices
+    them into several micro-batches, and `index_stream`'s foreachBatch
+    commits one split set per batch. Gates that micro-batched ingestion
+    answers BM25 byte-identically to the one-shot batch build."""
+    _ship(spark)
+    key = os.path.abspath(sf_dir)
+    if key in _streamed_searchers:
+        return _streamed_searchers[key]
+    from quickwit_spark.sources.corpus import web_corpus
+    from quickwit_spark.streaming.indexing import index_stream
+
+    base = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_stream_v1")
+    src_dir = os.path.join(base, "source")
+    idx_dir = os.path.join(base, "index")
+    df = web_corpus(spark, sf_dir)
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        df.repartition(4, "doc_id").write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 2)  # force >= 2 micro-batches
+        .parquet(src_dir)
+    )
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")],
+        doc_key="doc_id",
+        num_partitions=2,
+        stored_columns=("url",),
+    )
+    # availableNow: drain the backlog then stop — a resumed run replays
+    # nothing (checkpoint) and build_index skips committed batches.
+    q = index_stream(
+        stream, idx_dir, cfg,
+        checkpoint_dir=os.path.join(base, "ckpt"), name="entry-stream",
+    )
+    q.awaitTermination()
+    s = IndexSearcher(spark, idx_dir)
+    _streamed_searchers[key] = s
+    return s
+
+
+def _q_streamed_topk(spark, sf_dir):
+    """Hot-term BM25 top-k over the micro-batch-streamed index — same
+    oracle as the batch build (global stats are segmentation-invariant)."""
+    return _topk(_searcher_streamed(spark, sf_dir), Term("text", "spark"))
+
+
+_filesrc_searchers: dict[str, IndexSearcher] = {}
+
+
+def _searcher_filesrc(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index ingested from gzipped NDJSON files (reference file source,
+    `file_source.rs`: NDJSON possibly gzip → DocProcessor): the corpus
+    is exported to .json.gz, re-read with an explicit schema (strict
+    doc-mapping analog), and indexed. Gates the file-ingest path."""
+    _ship(spark)
+    key = os.path.abspath(sf_dir)
+    if key in _filesrc_searchers:
+        return _filesrc_searchers[key]
+    from quickwit_spark.sources.corpus import web_corpus
+
+    base = os.path.join(_IDX_ROOT, key.strip("/").replace("/", "_") + "_file_v1")
+    src_dir = os.path.join(base, "ndjson")
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        (
+            web_corpus(spark, sf_dir)
+            .select("doc_id", "text", "lang")
+            .repartition(3)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(src_dir)
+        )
+    raw = spark.read.schema("doc_id long, text string, lang string").json(src_dir)
+    cfg = IndexConfig(
+        fields=[FieldConfig("text"), FieldConfig("lang", tokenizer="raw")],
+        doc_key="doc_id",
+        num_partitions=2,
+    )
+    build_index(spark, raw, os.path.join(base, "index"), cfg, job_id="entry-file")
+    s = IndexSearcher(spark, os.path.join(base, "index"))
+    _filesrc_searchers[key] = s
+    return s
+
+
+def _q_file_source_count(spark, sf_dir):
+    s = _searcher_filesrc(spark, sf_dir)
+    n = s.count(Bool(must=[Term("text", "merge"), Term("lang", "fr")]))
+    return spark.createDataFrame([(n,)], "num_hits long")
+
+
+def _q_list_fields(spark, sf_dir):
+    """Field-capabilities listing (reference `list_fields.rs`): indexed
+    text fields from the index config + fast docmap columns. The result
+    is a pure function of the main index config, so the oracle is the
+    expected literal table."""
+    rows = _searcher(spark, sf_dir).list_fields()
+    data = [
+        (
+            r["name"], r["type"], bool(r["indexed"]),
+            r["tokenizer"] if r["tokenizer"] else "-", bool(r["fast"]),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        sorted(data),
+        "name string, type string, indexed boolean, tokenizer string, fast boolean",
+    )
+
+
 def _q_count_all(spark, sf_dir):
     n = _searcher(spark, sf_dir).count(MatchAll())
     return spark.createDataFrame([(n,)], "num_hits long")
@@ -1984,6 +2099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_stream_term": _q_match_stream,
         "count_term": _q_count_term,
         "search_input_routed": _q_input_routed_count,
+        "search_streamed_topk": _q_streamed_topk,
+        "search_file_source_count": _q_file_source_count,
+        "list_fields_caps": _q_list_fields,
         "search_qs_compare_range": _q_qs_compare_range,
         "multi_index_count": _q_multi_index_count,
         "multi_index_terms_agg": _q_multi_index_terms_agg,
@@ -2233,6 +2351,28 @@ SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM (
 SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents
 WHERE doc_id < 400 AND lang = 'en'
   AND list_contains(string_split(text, ' '), 'spark')
+""",
+        # streamed micro-batch build must be byte-identical to batch
+        "search_streamed_topk": _bm25_sql([("spark", 1.0)]),
+        "search_file_source_count": """
+SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents
+WHERE lang = 'fr' AND list_contains(string_split(text, ' '), 'merge')
+""",
+        # pure function of the main index config → literal expected table
+        "list_fields_caps": """
+SELECT * FROM (VALUES
+  ('all', 'text', TRUE, 'default', FALSE),
+  ('alt_title', 'text', TRUE, 'default', FALSE),
+  ('doc_key', 'bigint', FALSE, '-', TRUE),
+  ('ip_key', 'string', FALSE, '-', TRUE),
+  ('lang', 'text', TRUE, 'raw', FALSE),
+  ('n_chars', 'bigint', FALSE, '-', TRUE),
+  ('source', 'string', FALSE, '-', TRUE),
+  ('tags', 'text', TRUE, 'raw', FALSE),
+  ('text', 'text', TRUE, 'default', FALSE),
+  ('url', 'string', FALSE, '-', TRUE),
+  ('warc_ts', 'timestamp', FALSE, '-', TRUE)
+) AS t(name, type, indexed, tokenizer, fast)
 """,
         "search_merged_topk": _bm25_sql([("spark", 1.0)]),
         "search_stem_count": """
