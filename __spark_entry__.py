@@ -1770,6 +1770,77 @@ def _q_bpe_token_count(spark, sf_dir):
     return bpe_token_count(docs).select("doc_id", "bpe_tokens")
 
 
+def _messy_web_rows(docs):
+    """Deterministically 'messy' web-corpus rows for the URL-pipeline
+    gates: each doc gets one of five URL spellings of the same page
+    (clean / uppercased scheme+host / utm-tracking params / explicit
+    :443 port / another utm param), and every 10th doc additionally
+    appears under a SECOND spelling — the duplicate the URL dedup must
+    catch. Pure column expressions, mirrored 1:1 by the oracle CTE."""
+    base_rows = docs.select(
+        "doc_id", "text", (F.col("doc_id") * 2).alias("row_key"),
+        (F.col("doc_id") % 5).alias("m"),
+    )
+    extra_rows = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text", (F.col("doc_id") * 2 + 1).alias("row_key"),
+        ((F.col("doc_id") + 2) % 5).alias("m"),
+    )
+    rows = base_rows.unionByName(extra_rows)
+    n = (F.col("doc_id") % 23).cast("string")
+    i = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://site"), n, F.lit(".example/p/"), i)
+    url = (
+        F.when(F.col("m") == 1,
+               F.concat(F.lit("HTTPS://SITE"), n, F.lit(".EXAMPLE/p/"), i))
+        .when(F.col("m") == 2,
+              F.concat(base, F.lit("?utm_source=feed&utm_campaign=c")))
+        .when(F.col("m") == 3,
+              F.concat(F.lit("https://site"), n, F.lit(".example:443/p/"), i))
+        .when(F.col("m") == 4, F.concat(base, F.lit("?utm_medium=rss")))
+        .otherwise(base)
+    )
+    return rows.withColumn("url", url).drop("m")
+
+
+def _q_web_url_dedup(spark, sf_dir):
+    """URL-level dedup after canonicalization (webpipe.url_dedup) on
+    the messy corpus: the 20 first duplicate groups with row/dup
+    counts. Exercises fragment/tracking-param stripping, scheme+host
+    lowering, and default-port removal end-to-end."""
+    from quickwit_spark.datapipe.webpipe import url_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = url_dedup(_messy_web_rows(docs), "row_key")
+    return (
+        out.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("is_url_dup").cast("long")).alias("n_dups"),
+        )
+        .filter(F.col("n_rows") > 1)
+        .orderBy("canonical_url")
+        .limit(20)
+    )
+
+
+def _q_web_domain_stats(spark, sf_dir):
+    """Per-domain corpus stats (webpipe.domain_stats) over the messy
+    corpus: top 10 hosts by doc count (host extraction must see through
+    the uppercase/port/param variants)."""
+    from quickwit_spark.datapipe.webpipe import domain_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = domain_stats(_messy_web_rows(docs), "url", "text")
+    return (
+        out.select(
+            "host", "doc_count", "total_chars",
+            F.round("mean_chars", 6).alias("mean_chars"),
+        )
+        .orderBy(F.desc("doc_count"), "host")
+        .limit(10)
+    )
+
+
 _TOKS_SIMPLE = """
 toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
@@ -2073,6 +2144,84 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Oracle mirror of _messy_web_rows + webpipe._canonical_expr/_host_expr
+# (same split_part/substring/regexp arithmetic, staged as CTEs).
+_MESSY_WEB_SQL = """
+m0 AS (
+  SELECT doc_id, text, doc_id * 2 AS row_key, doc_id % 5 AS m FROM documents
+  UNION ALL
+  SELECT doc_id, text, doc_id * 2 + 1 AS row_key, (doc_id + 2) % 5 AS m
+  FROM documents WHERE doc_id % 10 = 0
+),
+mu AS (
+  SELECT row_key, text,
+    CASE m
+      WHEN 1 THEN 'HTTPS://SITE' || CAST(doc_id % 23 AS VARCHAR)
+                  || '.EXAMPLE/p/' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://site' || CAST(doc_id % 23 AS VARCHAR)
+                  || '.example/p/' || CAST(doc_id AS VARCHAR)
+                  || '?utm_source=feed&utm_campaign=c'
+      WHEN 3 THEN 'https://site' || CAST(doc_id % 23 AS VARCHAR)
+                  || '.example:443/p/' || CAST(doc_id AS VARCHAR)
+      WHEN 4 THEN 'https://site' || CAST(doc_id % 23 AS VARCHAR)
+                  || '.example/p/' || CAST(doc_id AS VARCHAR)
+                  || '?utm_medium=rss'
+      ELSE 'https://site' || CAST(doc_id % 23 AS VARCHAR)
+           || '.example/p/' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM m0
+),
+s1 AS (
+  SELECT row_key, text,
+    regexp_replace(regexp_replace(split_part(url, '#', 1), 'utm_[^&]*&', ''),
+                   '[?&]utm_[^&]*$', '') AS t2
+  FROM mu),
+s2 AS (
+  SELECT row_key, text, t2,
+    lower(split_part(t2, '://', 1)) AS scheme,
+    substring(t2, length(split_part(t2, '://', 1)) + 4) AS after_
+  FROM s1),
+s3 AS (
+  SELECT row_key, text, scheme,
+    lower(split_part(after_, '/', 1)) AS auth_lc,
+    substring(after_, length(split_part(after_, '/', 1)) + 1) AS rest
+  FROM s2),
+s4 AS (
+  SELECT row_key, text, scheme, rest,
+    CASE WHEN scheme = 'https' AND auth_lc LIKE '%:443'
+           THEN left(auth_lc, length(auth_lc) - 4)
+         WHEN scheme = 'http' AND auth_lc LIKE '%:80'
+           THEN left(auth_lc, length(auth_lc) - 3)
+         ELSE auth_lc END AS auth_np
+  FROM s3),
+canon AS (
+  SELECT row_key, text,
+    scheme || '://' || auth_np || rest AS canonical_url,
+    CASE WHEN split_part(auth_np, ':', 1) LIKE 'www.%'
+         THEN substring(split_part(auth_np, ':', 1), 5)
+         ELSE split_part(auth_np, ':', 1) END AS host
+  FROM s4)
+"""
+
+_WEB_URL_DEDUP_SQL = f"""
+WITH {_MESSY_WEB_SQL}
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+FROM canon GROUP BY canonical_url
+HAVING COUNT(*) > 1
+ORDER BY canonical_url LIMIT 20
+"""
+
+_WEB_DOMAIN_STATS_SQL = f"""
+WITH {_MESSY_WEB_SQL}
+SELECT host, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       ROUND(AVG(length(text)), 6) AS mean_chars
+FROM canon GROUP BY host
+ORDER BY doc_count DESC, host LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "search_term_topk": _q_term_topk,
@@ -2159,6 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "text_bpe_token_count": _q_bpe_token_count,
+        "web_url_dedup": _q_web_url_dedup,
+        "web_domain_stats": _q_web_domain_stats,
     }
 
 
@@ -2660,4 +2811,6 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
+        "web_url_dedup": _WEB_URL_DEDUP_SQL,
+        "web_domain_stats": _WEB_DOMAIN_STATS_SQL,
     }
