@@ -591,6 +591,15 @@ class EsWireHandler:
         for i in range(0, len(ndjson), 2):
             header, body = ndjson[i], ndjson[i + 1]
             name = header.get("index")
+            if not name:
+                # whole-request failure, like the reference
+                # (`rest_handler.rs:822-824`)
+                raise EsApiError(
+                    400,
+                    "`_msearch` request header must define at least one index",
+                )
+            if isinstance(name, list):
+                name = ",".join(name)
             try:
                 names = self._resolve_es(name)
                 if len(names) == 1:

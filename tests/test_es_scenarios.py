@@ -246,3 +246,29 @@ def test_scenario(gharchive_wire, fname):
         or (steps[i].get("engines") and "quickwit" not in steps[i]["engines"])
         for i in range(len(steps))
     )
+
+
+def test_msearch_header_must_name_an_index(gharchive_wire):
+    """The reference fails the WHOLE _msearch request when a header has
+    no index (`rest_handler.rs:822-824`), and accepts a JSON array of
+    indices in the header (`MultiSearchHeader.index: Vec<String>`)."""
+    from quickwit_spark.search.es_wire import EsApiError
+
+    with pytest.raises(EsApiError) as ei:
+        gharchive_wire.request(
+            "POST",
+            "_msearch",
+            ndjson=[{}, {"query": {"match_all": {}}, "size": 0}],
+        )
+    assert ei.value.status == 400
+    assert "at least one index" in ei.value.reason
+
+    res = gharchive_wire.request(
+        "POST",
+        "_msearch",
+        ndjson=[
+            {"index": ["gharchive", "empty_index"]},
+            {"query": {"match_all": {}}, "size": 0},
+        ],
+    )
+    assert res["responses"][0]["hits"]["total"]["value"] == 100
