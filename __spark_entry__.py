@@ -1841,10 +1841,168 @@ def _q_web_domain_stats(spark, sf_dir):
     )
 
 
+def _rep_web_text(docs):
+    """Deterministically injects line/paragraph breaks into the
+    single-line documents corpus (every ``' value '`` becomes a newline,
+    every ``' table '`` a blank line) so the Gopher dup-line/dup-para
+    families are genuinely exercised by the gate, not vacuously zero.
+    Mirrored 1:1 by the oracle's ``src`` CTE."""
+    return docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" value "), F.lit("\n")),
+            F.lit(" table "),
+            F.lit("\n\n"),
+        ).alias("text"),
+    )
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher repetition-stat family (Rae et al. 2021 Table A1) over the
+    break-injected corpus: dup line/para fractions (count- and
+    char-weighted), top-2/3-gram coverage, dup-5/6-gram coverage."""
+    from quickwit_spark.datapipe.repetition import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = repetition_stats(_rep_web_text(docs), top_ngrams=(2, 3), dup_ngrams=(5, 6))
+    cols = [
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "dup_5gram_char_frac", "dup_6gram_char_frac",
+    ]
+    return out.select("doc_id", *[F.round(c, 6).alias(c) for c in cols])
+
+
+def _q_repetition_filter(spark, sf_dir):
+    """Docs surviving the full default Gopher repetition filter (all 13
+    thresholds: dup line/para × count/char, top 2-4-gram, dup 5-10-gram)."""
+    from quickwit_spark.datapipe.repetition import repetition_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return repetition_filter(_rep_web_text(docs)).select("doc_id")
+
+
 _TOKS_SIMPLE = """
 toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
 )"""
+
+# ---- Gopher repetition oracles (mirror datapipe/repetition.py 1:1) ----
+
+# Hardcoded copy of repetition.GOPHER_THRESHOLDS (public Gopher Table
+# A1 values); tests/test_repetition.py asserts the two stay in sync.
+_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16, "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14, "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12, "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _rep_sql(top_ngrams, dup_ngrams, as_filter):
+    """DuckDB SQL reproducing repetition_stats over the break-injected
+    corpus (see `_rep_web_text`). as_filter=True instead returns the
+    doc_ids surviving every `_REP_THRESHOLDS` bound."""
+    parts = [
+        """src AS (
+  SELECT doc_id,
+         replace(replace(text, ' value ', chr(10)),
+                 ' table ', chr(10) || chr(10)) AS text
+  FROM documents
+)""",
+        r"""base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS l,
+         CAST(coalesce(list_sum(list_transform(
+           list_filter(string_split_regex(lower(text), '\s+'), t -> t != ''),
+           t -> length(t))), 0) AS DOUBLE) AS tc
+  FROM src
+)""",
+    ]
+    for name, sep in (("line", r"\n"), ("para", r"\n{2,}")):
+        parts.append(f"""{name}_parts AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '{sep}'), p -> trim(p) != '') AS parts
+  FROM src
+),
+{name}_tot AS (
+  SELECT doc_id, len(parts) AS n, len(list_distinct(parts)) AS nd,
+         CAST(coalesce(list_sum(list_transform(parts, p -> length(p))), 0)
+              AS DOUBLE) AS pc
+  FROM {name}_parts
+),
+{name}_dup AS (
+  SELECT doc_id, CAST(SUM((c - 1) * length(p)) AS DOUBLE) AS dupch
+  FROM (SELECT doc_id, p, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(parts) AS p FROM {name}_parts)
+        GROUP BY 1, 2)
+  GROUP BY 1
+)""")
+    for n in sorted(set(top_ngrams) | set(dup_ngrams)):
+        parts.append(f"""c{n} AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l) - {n} + 2),
+                  i -> array_to_string(list_slice(l, i, i + {n - 1}), ' '))) AS g
+    FROM base WHERE len(l) >= {n}
+  ) GROUP BY 1, 2
+)""")
+    for n in top_ngrams:
+        parts.append(
+            f"top{n} AS (SELECT doc_id, CAST(MAX(c * (length(g) - {n - 1})) "
+            f"AS DOUBLE) AS v FROM c{n} GROUP BY 1)"
+        )
+    for n in dup_ngrams:
+        parts.append(
+            f"dup{n} AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN "
+            f"c * (length(g) - {n - 1}) ELSE 0 END) AS DOUBLE) AS v "
+            f"FROM c{n} GROUP BY 1)"
+        )
+    cols, joins = [], []
+    for name in ("line", "para"):
+        cols.append(
+            f"CASE WHEN {name}_tot.n > 0 THEN LEAST(CAST({name}_tot.n - "
+            f"{name}_tot.nd AS DOUBLE) / {name}_tot.n, 1.0) ELSE 0.0 END "
+            f"AS dup_{name}_frac"
+        )
+        cols.append(
+            f"CASE WHEN {name}_tot.pc > 0 THEN LEAST(coalesce({name}_dup.dupch, "
+            f"0) / {name}_tot.pc, 1.0) ELSE 0.0 END AS dup_{name}_char_frac"
+        )
+        joins.append(f"LEFT JOIN {name}_tot USING (doc_id)")
+        joins.append(f"LEFT JOIN {name}_dup USING (doc_id)")
+    for kind, ns in (("top", top_ngrams), ("dup", dup_ngrams)):
+        for n in ns:
+            cols.append(
+                f"CASE WHEN base.tc > 0 THEN LEAST(coalesce({kind}{n}.v, 0) "
+                f"/ base.tc, 1.0) ELSE 0.0 END AS {kind}_{n}gram_char_frac"
+            )
+            joins.append(f"LEFT JOIN {kind}{n} USING (doc_id)")
+    stats = (
+        "stats AS (\n  SELECT base.doc_id,\n         "
+        + ",\n         ".join(cols)
+        + "\n  FROM base\n  " + "\n  ".join(joins) + "\n)"
+    )
+    parts.append(stats)
+    body = "WITH " + ",\n".join(parts)
+    if as_filter:
+        cond = " AND ".join(
+            f"{k} <= {v}" for k, v in sorted(_REP_THRESHOLDS.items())
+        )
+        return f"{body}\nSELECT doc_id FROM stats WHERE {cond}"
+    sel = ",\n       ".join(
+        f"ROUND({c.split(' AS ')[-1]}, 6) AS {c.split(' AS ')[-1]}"
+        for c in cols
+    )
+    return f"{body}\nSELECT doc_id,\n       {sel}\nFROM stats"
+
+
+_REPETITION_STATS_SQL = _rep_sql((2, 3), (5, 6), as_filter=False)
+_REPETITION_FILTER_SQL = _rep_sql((2, 3, 4), (5, 6, 7, 8, 9, 10), as_filter=True)
 
 _DEDUP_EXACT_SQL = """
 SELECT doc_id,
@@ -2303,6 +2461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_lsh_scale": _q_knn_lsh_scale,
         "knn_ivf_recall": _q_ivf_recall,
         "text_token_stats": _q_text_stats,
+        "repetition_stats": _q_repetition_stats,
+        "repetition_gopher_filter": _q_repetition_filter,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -2808,6 +2968,8 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "knn_cosine_bruteforce": _KNN_COSINE_SQL,
         "text_token_stats": _TEXT_STATS_SQL,
+        "repetition_stats": _REPETITION_STATS_SQL,
+        "repetition_gopher_filter": _REPETITION_FILTER_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
