@@ -1883,6 +1883,49 @@ def _q_repetition_filter(spark, sf_dir):
     return repetition_filter(_rep_web_text(docs)).select("doc_id")
 
 
+def _gq_web_text(docs):
+    """Injects bullets / line-ending ellipses / '#' symbols into the
+    plain word corpus so every Gopher quality rule family is exercised
+    non-vacuously. Mirrored 1:1 by the oracle's ``src`` CTE."""
+    txt = F.replace(F.col("text"), F.lit(" row "), F.lit("\n• "))
+    txt = F.replace(txt, F.lit(" scan "), F.lit("...\n"))
+    txt = F.replace(txt, F.lit(" hash "), F.lit(" # "))
+    return docs.select("doc_id", txt.alias("text"))
+
+
+def _q_gopher_quality_stats(spark, sf_dir):
+    """Gopher quality-stat family (Rae et al. 2021 Table A1): word
+    count/length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, required-stopword hits."""
+    from quickwit_spark.datapipe.gopher_quality import gopher_quality_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = gopher_quality_stats(_gq_web_text(docs))
+    return out.select(
+        "doc_id",
+        "word_count",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "stopword_hits",
+    )
+
+
+def _q_gopher_quality_filter(spark, sf_dir):
+    """Docs surviving the Gopher quality bounds; min_stopword_hits is
+    relaxed to 1 because the synthetic vocabulary contains only 'the'
+    from the required-stopword list (exercises the override path)."""
+    from quickwit_spark.datapipe.gopher_quality import gopher_quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = gopher_quality_filter(
+        _gq_web_text(docs), bounds={"min_stopword_hits": 1}
+    )
+    return out.select("doc_id")
+
+
 _TOKS_SIMPLE = """
 toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
@@ -2003,6 +2046,70 @@ def _rep_sql(top_ngrams, dup_ngrams, as_filter):
 
 _REPETITION_STATS_SQL = _rep_sql((2, 3), (5, 6), as_filter=False)
 _REPETITION_FILTER_SQL = _rep_sql((2, 3, 4), (5, 6, 7, 8, 9, 10), as_filter=True)
+
+# ---- Gopher quality oracles (mirror datapipe/gopher_quality.py 1:1) ----
+
+_GQ_STATS_BODY = r"""
+WITH src AS (
+  SELECT doc_id,
+         replace(replace(replace(text,
+                 ' row ', chr(10) || '• '),
+                 ' scan ', '...' || chr(10)),
+                 ' hash ', ' # ') AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS w,
+         list_filter(string_split_regex(text, '\n'), p -> trim(p) != '') AS l
+  FROM src
+),
+stats AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS word_count,
+    CASE WHEN len(w) > 0 THEN
+      CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS DOUBLE) / len(w)
+    ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(w) > 0 THEN
+      CAST((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '…', '')))
+         + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w)
+    ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN len(l) > 0 THEN
+      CAST(len(list_filter(l, p ->
+        list_contains(['•', '-', '*'], substr(ltrim(p), 1, 1)))) AS DOUBLE) / len(l)
+    ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN len(l) > 0 THEN
+      CAST(len(list_filter(l, p ->
+        ends_with(rtrim(p), '…') OR ends_with(rtrim(p), '...'))) AS DOUBLE) / len(l)
+    ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN len(w) > 0 THEN
+      CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(w)
+    ELSE 0.0 END AS alpha_word_frac,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         s -> list_contains(w, s))) AS BIGINT) AS stopword_hits
+  FROM base
+)"""
+
+_GOPHER_QUALITY_STATS_SQL = _GQ_STATS_BODY + """
+SELECT doc_id, word_count,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(symbol_word_ratio, 6) AS symbol_word_ratio,
+       ROUND(bullet_line_frac, 6) AS bullet_line_frac,
+       ROUND(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       ROUND(alpha_word_frac, 6) AS alpha_word_frac,
+       stopword_hits
+FROM stats"""
+
+_GOPHER_QUALITY_FILTER_SQL = _GQ_STATS_BODY + """
+SELECT doc_id FROM stats
+WHERE word_count >= 50 AND word_count <= 100000
+  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+  AND symbol_word_ratio <= 0.10
+  AND bullet_line_frac <= 0.90
+  AND ellipsis_line_frac <= 0.30
+  AND alpha_word_frac >= 0.80
+  AND stopword_hits >= 1"""
 
 _DEDUP_EXACT_SQL = """
 SELECT doc_id,
@@ -2463,6 +2570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
         "repetition_gopher_filter": _q_repetition_filter,
+        "gopher_quality_stats": _q_gopher_quality_stats,
+        "gopher_quality_filter": _q_gopher_quality_filter,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -2970,6 +3079,8 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "text_token_stats": _TEXT_STATS_SQL,
         "repetition_stats": _REPETITION_STATS_SQL,
         "repetition_gopher_filter": _REPETITION_FILTER_SQL,
+        "gopher_quality_stats": _GOPHER_QUALITY_STATS_SQL,
+        "gopher_quality_filter": _GOPHER_QUALITY_FILTER_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
