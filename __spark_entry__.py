@@ -1883,6 +1883,19 @@ def _q_repetition_filter(spark, sf_dir):
     return repetition_filter(_rep_web_text(docs)).select("doc_id")
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (RefinedWeb/CCNet stage) over the
+    break-injected corpus: rebuilt text + paragraph counts per doc.
+    Value-hashes the full rebuilt text, so winner choice, ordering,
+    normalization, and reassembly are all checked."""
+    from quickwit_spark.datapipe.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return paragraph_dedup(_rep_web_text(docs), "doc_id").select(
+        "doc_id", "text_dedup", "n_paras", "n_paras_kept"
+    )
+
+
 def _gq_web_text(docs):
     """Injects bullets / line-ending ellipses / '#' symbols into the
     plain word corpus so every Gopher quality rule family is exercised
@@ -2100,6 +2113,45 @@ SELECT doc_id, word_count,
        ROUND(alpha_word_frac, 6) AS alpha_word_frac,
        stopword_hits
 FROM stats"""
+
+_PARAGRAPH_DEDUP_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         replace(replace(text, ' value ', chr(10)),
+                 ' table ', chr(10) || chr(10)) AS text
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\n{2,}'), p -> trim(p) != '') AS parts
+  FROM src
+),
+ex AS (
+  SELECT doc_id, u.i AS pos, u.p AS para FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(parts) + 1),
+                  i -> struct_pack(i := i - 1, p := parts[i]))) AS u
+    FROM parts
+  )
+),
+rn AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY trim(lower(para))
+                            ORDER BY doc_id, pos) AS r
+  FROM ex
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup,
+         COUNT(*) AS n_kept
+  FROM rn WHERE r = 1 GROUP BY doc_id
+)
+SELECT p.doc_id,
+       coalesce(agg.text_dedup, '') AS text_dedup,
+       CAST(len(p.parts) AS BIGINT) AS n_paras,
+       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_paras_kept
+FROM parts p LEFT JOIN agg USING (doc_id)
+"""
 
 _GOPHER_QUALITY_FILTER_SQL = _GQ_STATS_BODY + """
 SELECT doc_id FROM stats
@@ -2572,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_gopher_filter": _q_repetition_filter,
         "gopher_quality_stats": _q_gopher_quality_stats,
         "gopher_quality_filter": _q_gopher_quality_filter,
+        "paragraph_dedup": _q_paragraph_dedup,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -3081,6 +3134,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "repetition_gopher_filter": _REPETITION_FILTER_SQL,
         "gopher_quality_stats": _GOPHER_QUALITY_STATS_SQL,
         "gopher_quality_filter": _GOPHER_QUALITY_FILTER_SQL,
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,

@@ -59,6 +59,64 @@ def exact_dedup(df: DataFrame, key: str, content_col: str = "text") -> DataFrame
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    key: str,
+    text_col: str = "text",
+    para_sep: str = r"\n{2,}",
+    joiner: str = "\n\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the RefinedWeb/CCNet
+    curation stage): every occurrence of a paragraph beyond the
+    globally FIRST one — ordered by (key, position), within-document
+    repeats included — is removed, and each document's text is rebuilt
+    from its surviving paragraphs in order.
+
+    → (key, text_dedup, n_paras, n_paras_kept); documents whose
+    paragraphs were all removed stay as rows with text_dedup = ''.
+    `normalize=True` matches paragraphs on trim(lower(...)) but emits
+    the original spelling of the first occurrence's document.
+
+    Scale: explode to one row per paragraph occurrence, then ONE
+    shuffle partitioned by the normalized paragraph (window `min`
+    picks the winner; partial aggregation keeps hot boilerplate
+    paragraphs from funneling rows), then a groupBy(key) reassembly
+    shuffle. At 10^12 docs, key the shuffle on xxhash64(norm) to cut
+    shuffle bytes — kept as the raw string here so the DuckDB
+    correctness oracle can reproduce values exactly.
+    """
+    parts = F.filter(F.split(F.col(text_col), para_sep), lambda p: F.trim(p) != "")
+    ex = df.select(F.col(key), F.posexplode(parts).alias("pos", "para"))
+    norm = F.trim(F.lower(F.col("para"))) if normalize else F.col("para")
+    w = Window.partitionBy("_norm")
+    kept = (
+        ex.withColumn("_norm", norm)
+        .withColumn("_first", F.min(F.struct(F.col(key), F.col("pos"))).over(w))
+        .filter(
+            (F.col(key) == F.col("_first")[key])
+            & (F.col("pos") == F.col("_first")["pos"])
+        )
+    )
+    rebuilt = kept.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            joiner,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    base = df.select(F.col(key), F.size(parts).cast("long").alias("n_paras"))
+    return base.join(rebuilt, key, "left").select(
+        key,
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        "n_paras",
+        F.coalesce("n_paras_kept", F.lit(0)).cast("long").alias("n_paras_kept"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     key: str,

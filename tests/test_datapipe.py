@@ -267,3 +267,34 @@ def test_connected_components_and_canonical(spark):
                                "doc_id long")
     kept = sorted(r["doc_id"] for r in dedup.dedup_canonical(df, pairs).collect())
     assert kept == [1, 10, 20, 99]  # one winner per cluster + unpaired doc
+
+
+def test_paragraph_dedup_semantics(spark):
+    """RefinedWeb-style paragraph dedup: globally-first occurrence by
+    (key, pos) wins, case/trim-normalized matching, within-doc repeats
+    removed, fully-deduped and empty docs survive as rows."""
+    rows = [
+        (0, "alpha beta\n\ngamma delta\n\nalpha beta"),
+        (1, "Gamma Delta\n\nunique one"),
+        (2, "totally new\n\n\n\nalso new"),
+        (3, "alpha beta"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict()
+           for r in dedup.paragraph_dedup(df, "doc_id").collect()}
+    assert got[0]["text_dedup"] == "alpha beta\n\ngamma delta"
+    assert got[0]["n_paras"] == 3 and got[0]["n_paras_kept"] == 2
+    # doc 1's "Gamma Delta" is a normalized dup of doc 0's paragraph
+    assert got[1]["text_dedup"] == "unique one"
+    # multi-blank separators collapse; both paragraphs novel
+    assert got[2]["text_dedup"] == "totally new\n\nalso new"
+    # fully-duplicated doc stays as a row with empty text
+    assert got[3] == {"doc_id": 3, "text_dedup": "", "n_paras": 1,
+                      "n_paras_kept": 0}
+    assert got[4]["n_paras"] == 0 and got[4]["text_dedup"] == ""
+    # normalize=False: case differences survive
+    raw = {r["doc_id"]: r["n_paras_kept"]
+           for r in dedup.paragraph_dedup(df, "doc_id",
+                                          normalize=False).collect()}
+    assert raw[1] == 2
