@@ -1896,6 +1896,18 @@ def _q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def _q_decontamination(spark, sf_dir):
+    """GPT-3-style benchmark decontamination marks: benchmark = every
+    25th document, n=8 word-grams. Benchmark members self-flag; any
+    other flagged doc shares a real 8-gram (corpus duplicates do)."""
+    from quickwit_spark.datapipe.decontam import contamination_marks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select("text")
+    out = contamination_marks(docs, bench, n=8, min_hits=1)
+    return out.select("doc_id", "contaminated_ngrams", "is_contaminated")
+
+
 def _gq_web_text(docs):
     """Injects bullets / line-ending ellipses / '#' symbols into the
     plain word corpus so every Gopher quality rule family is exercised
@@ -2151,6 +2163,35 @@ SELECT p.doc_id,
        CAST(len(p.parts) AS BIGINT) AS n_paras,
        CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_paras_kept
 FROM parts p LEFT JOIN agg USING (doc_id)
+"""
+
+_DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS l
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_distinct(list_transform(
+             range(1, len(l) - 6),
+             i -> array_to_string(list_slice(l, i, i + 7), ' ')))) AS g
+    FROM toks WHERE doc_id % 25 = 0 AND len(l) >= 8
+  )
+),
+docg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(l) - 6),
+           i -> array_to_string(list_slice(l, i, i + 7), ' ')))) AS g
+  FROM toks WHERE len(l) >= 8
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS c FROM docg JOIN bench USING (g) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(hits.c, 0) AS BIGINT) AS contaminated_ngrams,
+       coalesce(hits.c, 0) >= 1 AS is_contaminated
+FROM toks t LEFT JOIN hits USING (doc_id)
 """
 
 _GOPHER_QUALITY_FILTER_SQL = _GQ_STATS_BODY + """
@@ -2625,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_stats": _q_gopher_quality_stats,
         "gopher_quality_filter": _q_gopher_quality_filter,
         "paragraph_dedup": _q_paragraph_dedup,
+        "decontamination_marks": _q_decontamination,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -3135,6 +3177,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "gopher_quality_stats": _GOPHER_QUALITY_STATS_SQL,
         "gopher_quality_filter": _GOPHER_QUALITY_FILTER_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "decontamination_marks": _DECONTAM_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,

@@ -298,3 +298,48 @@ def test_paragraph_dedup_semantics(spark):
            for r in dedup.paragraph_dedup(df, "doc_id",
                                           normalize=False).collect()}
     assert raw[1] == 2
+
+
+def test_decontamination_marks_and_filter(spark):
+    """GPT-3-style n-gram decontamination: a doc sharing >= min_hits
+    distinct n-grams with the benchmark is flagged; short docs never."""
+    from quickwit_spark.datapipe import decontam
+
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated training text with novel words only"),
+            (2, "quick brown fox jumps over"),  # 5 tokens: < n, never flagged
+            (3, "THE QUICK BROWN FOX jumps over everything else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("eval question: the quick brown fox jumps over the lazy dog",)],
+        ["text"],
+    )
+    marked = {
+        r["doc_id"]: r.asDict()
+        for r in decontam.contamination_marks(
+            train, bench, n=6, min_hits=1
+        ).collect()
+    }
+    assert marked[0]["is_contaminated"]          # full 6-gram overlap
+    assert marked[0]["contaminated_ngrams"] >= 4
+    assert not marked[1]["is_contaminated"]
+    assert not marked[2]["is_contaminated"]      # shorter than n tokens
+    # lowercased matching: doc 3 shares 'the quick brown fox jumps over'
+    assert marked[3]["contaminated_ngrams"] == 1
+    # min_hits raises the bar
+    strict = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in decontam.contamination_marks(
+            train, bench, n=6, min_hits=2
+        ).collect()
+    }
+    assert strict[0] and not strict[3]
+    kept = {r["doc_id"]
+            for r in decontam.decontaminate(train, bench, n=6).collect()}
+    assert kept == {1, 2}
+    out = decontam.decontaminate(train, bench, n=6)
+    assert out.columns == ["doc_id", "text"]
