@@ -1908,6 +1908,30 @@ def _q_decontamination(spark, sf_dir):
     return out.select("doc_id", "contaminated_ngrams", "is_contaminated")
 
 
+def _q_pii_redaction(spark, sf_dir):
+    """PII scrub over docs with deterministic injected identifiers
+    (one email + one IPv4 + one phone per doc): redacted text is
+    value-hashed, so pattern boundaries and the email→ipv4→phone
+    staging order are fully checked."""
+    from quickwit_spark.datapipe.pii import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.lit(" from 10."), (did % 256).cast("string"),
+            F.lit(".0."), (did % 100).cast("string"),
+            F.lit(" call +1 (555) 010-"),
+            F.format_string("%04d", (did % 10000).cast("int")),
+        ).alias("text"),
+    )
+    out = redact_pii(injected)
+    return out.select("doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone")
+
+
 def _gq_web_text(docs):
     """Injects bullets / line-ending ellipses / '#' symbols into the
     plain word corpus so every Gopher quality rule family is exercised
@@ -2192,6 +2216,39 @@ SELECT t.doc_id,
        CAST(coalesce(hits.c, 0) AS BIGINT) AS contaminated_ngrams,
        coalesce(hits.c, 0) >= 1 AS is_contaminated
 FROM toks t LEFT JOIN hits USING (doc_id)
+"""
+
+_PII_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.' ||
+         (doc_id % 256) || '.0.' || (doc_id % 100) ||
+         ' call +1 (555) 010-' || printf('%04d', doc_id % 10000) AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM src
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t,
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t,
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t, '\+?[0-9][0-9()\-\s.]{6,}[0-9]', '<PHONE>', 'g')
+         AS text_redacted,
+       n_email, n_ipv4,
+       CAST(len(regexp_extract_all(t,
+         '\+?[0-9][0-9()\-\s.]{6,}[0-9]')) AS BIGINT) AS n_phone
+FROM s2
 """
 
 _GOPHER_QUALITY_FILTER_SQL = _GQ_STATS_BODY + """
@@ -2667,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter": _q_gopher_quality_filter,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontamination_marks": _q_decontamination,
+        "pii_redaction": _q_pii_redaction,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -3178,6 +3236,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "gopher_quality_filter": _GOPHER_QUALITY_FILTER_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontamination_marks": _DECONTAM_SQL,
+        "pii_redaction": _PII_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,

@@ -343,3 +343,29 @@ def test_decontamination_marks_and_filter(spark):
     assert kept == {1, 2}
     out = decontam.decontaminate(train, bench, n=6)
     assert out.columns == ["doc_id", "text"]
+
+
+def test_pii_redaction_counts_and_order(spark):
+    """Emails first, then IPv4, then phone-like runs — each stage on
+    the previous stage's output, counts = actual replacements."""
+    from quickwit_spark.datapipe.pii import redact_pii
+
+    rows = [
+        (0, "write bob.smith+x@mail.example.org or alice@ex.co now"),
+        (1, "server at 10.3.0.45 and 192.168.1.1 responded"),
+        (2, "call +1 (555) 010-1234 today"),
+        (3, "mixed: a@b.io from 8.8.8.8 call 555-123-4567 end"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert got[0]["n_email"] == 2 and "<EMAIL>" in got[0]["text_redacted"]
+    assert "@" not in got[0]["text_redacted"]
+    assert got[1]["n_ipv4"] == 2
+    assert got[1]["n_phone"] == 0  # IPs redacted before the phone pass
+    assert got[2]["n_phone"] == 1
+    assert got[2]["text_redacted"] == "call <PHONE> today"
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_phone"]) == (1, 1, 1)
+    assert got[3]["text_redacted"] == "mixed: <EMAIL> from <IPV4> call <PHONE> end"
+    assert got[4]["text_redacted"] == got[4]["text"]
+    assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (0, 0, 0)
