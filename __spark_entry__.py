@@ -1932,6 +1932,21 @@ def _q_pii_redaction(spark, sf_dir):
     return out.select("doc_id", "text_redacted", "n_email", "n_ipv4", "n_phone")
 
 
+def _q_token_shard_packing(spark, sf_dir):
+    """Token-budget shard packing (distributed two-pass prefix sum)
+    over doc_id order with n_chars as the token weight; the oracle is
+    the plain global-window cumulative sum the two-pass layout must
+    equal exactly."""
+    from quickwit_spark.datapipe.packing import pack_token_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = pack_token_shards(docs, "doc_id", "n_chars", budget=20000,
+                            num_partitions=8)
+    return out.select("doc_id", "cum_tokens_before", "shard_id")
+
+
 def _gq_web_text(docs):
     """Injects bullets / line-ending ellipses / '#' symbols into the
     plain word corpus so every Gopher quality rule family is exercised
@@ -2249,6 +2264,19 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(t,
          '\+?[0-9][0-9()\-\s.]{6,}[0-9]')) AS BIGINT) AS n_phone
 FROM s2
+"""
+
+_PACKING_SQL = """
+SELECT doc_id,
+       CAST(coalesce(SUM(greatest(coalesce(n_chars, 0), 0)) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_tokens_before,
+       CAST(floor(coalesce(SUM(greatest(coalesce(n_chars, 0), 0)) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 20000) AS BIGINT) AS shard_id
+FROM documents
 """
 
 _GOPHER_QUALITY_FILTER_SQL = _GQ_STATS_BODY + """
@@ -2725,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "decontamination_marks": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
+        "token_shard_packing": _q_token_shard_packing,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -3237,6 +3266,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontamination_marks": _DECONTAM_SQL,
         "pii_redaction": _PII_SQL,
+        "token_shard_packing": _PACKING_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,

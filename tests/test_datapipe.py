@@ -369,3 +369,56 @@ def test_pii_redaction_counts_and_order(spark):
     assert got[3]["text_redacted"] == "mixed: <EMAIL> from <IPV4> call <PHONE> end"
     assert got[4]["text_redacted"] == got[4]["text"]
     assert (got[4]["n_email"], got[4]["n_ipv4"], got[4]["n_phone"]) == (0, 0, 0)
+
+
+def test_token_shard_packing_matches_global_cumsum(spark):
+    """Distributed two-pass prefix sum == the single-partition global
+    window, at several forced partition counts; straddling docs start
+    in the shard where their first token lands."""
+    import pandas as pd
+    from quickwit_spark.datapipe.packing import pack_token_shards, shard_stats
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    pdf = pd.DataFrame(rows, columns=["doc_id", "tokens"]).sort_values("doc_id")
+    pdf["cum_before"] = pdf["tokens"].cumsum() - pdf["tokens"]
+    expected = dict(zip(pdf["doc_id"], pdf["cum_before"] // 500))
+    for nparts in (1, 3, 7):
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in pack_token_shards(
+                df, "doc_id", "tokens", 500, num_partitions=nparts
+            ).collect()
+        }
+        assert got == expected, nparts
+    packed = pack_token_shards(df, "doc_id", "tokens", 500, num_partitions=3)
+    st = {r["shard_id"]: r.asDict() for r in shard_stats(packed, "tokens").collect()}
+    assert sum(s["n_docs"] for s in st.values()) == 200
+    assert sum(s["n_tokens"] for s in st.values()) == int(pdf["tokens"].sum())
+    # nulls count as zero tokens
+    df2 = spark.createDataFrame([(0, None), (1, 10)], "doc_id long, tokens long")
+    got2 = {r["doc_id"]: r["cum_tokens_before"]
+            for r in pack_token_shards(df2, "doc_id", "tokens", 5).collect()}
+    assert got2 == {0: 0, 1: 0}
+
+
+def test_packing_plan_has_no_unpartitioned_window(spark):
+    """The two-pass prefix sum must never plan a global (unpartitioned)
+    window — that single task is exactly what the operator avoids."""
+    import contextlib
+    import io
+    import re
+    from quickwit_spark.datapipe.packing import pack_token_shards
+
+    df = spark.createDataFrame([(i, i % 7 + 1) for i in range(50)],
+                               ["doc_id", "tokens"])
+    out = pack_token_shards(df, "doc_id", "tokens", 10, num_partitions=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    for m in re.finditer(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", buf.getvalue()
+    ):
+        head = [p.strip() for p in m.group(1).split(",") if p.strip()]
+        assert head and not re.search(r"\b(ASC|DESC)\b", head[0]), (
+            f"unpartitioned Window: windowspecdefinition({m.group(1)}...)")
