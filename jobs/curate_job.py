@@ -1,0 +1,75 @@
+"""Corpus-curation job: the composed training-data pipeline as a
+spark-submit entry.
+
+    spark-submit --py-files dist/quickwit_spark.zip jobs/curate_job.py \
+        --input /data/raw_corpus --output /data/curated \
+        [--key doc_id] [--text-col text] [--url-col url] \
+        [--benchmark /data/eval_set] [--decontam-n 13] \
+        [--no-redact] [--no-near-dup] [--min-stopword-hits 2] \
+        [--report]
+
+Stages (see quickwit_spark/datapipe/curate.py): URL dedup → PII
+redaction → Gopher quality filter → Gopher repetition filter → exact
+dedup → MinHash-LSH near-dup removal → benchmark decontamination.
+Without --report the pipeline is one lazy plan straight into the
+parquet writer (the 100 TB shape); --report prints per-stage row
+counts (runs one count job per stage — sample-scale auditing only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from quickwit_spark.datapipe.curate import curate
+from quickwit_spark.session import get_spark
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--url-col", default=None)
+    p.add_argument("--benchmark", default=None,
+                   help="parquet path of the eval set to decontaminate against")
+    p.add_argument("--decontam-n", type=int, default=13)
+    p.add_argument("--no-redact", action="store_true")
+    p.add_argument("--no-near-dup", action="store_true")
+    p.add_argument("--min-stopword-hits", type=int, default=None,
+                   help="override the Gopher required-stopword bound")
+    p.add_argument("--report", action="store_true")
+    args = p.parse_args()
+
+    spark = get_spark("qws-curate")
+    df = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    bounds = (
+        {"min_stopword_hits": args.min_stopword_hits}
+        if args.min_stopword_hits is not None
+        else None
+    )
+    result = curate(
+        df,
+        key=args.key,
+        text_col=args.text_col,
+        url_col=args.url_col,
+        redact=not args.no_redact,
+        quality_bounds=bounds,
+        near_dup=not args.no_near_dup,
+        benchmark=bench,
+        decontam_n=args.decontam_n,
+        with_report=args.report,
+    )
+    if args.report:
+        out, report = result
+        print(json.dumps({"stages": report}))
+    else:
+        out = result
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"output": args.output, "done": True}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""The composed web-corpus curation pipeline.
+
+One call chaining the individual `datapipe` stages in the order the
+public training-data pipelines run them (C4/Gopher/RefinedWeb-style):
+
+1. URL dedup (when a `url` column is given) — cheapest filter first
+2. PII redaction (transform — happens before any content hashing so
+   identical pages with different injected identifiers still dedup)
+3. Gopher quality filter
+4. Gopher repetition filter
+5. exact content dedup (canonical row per identical text)
+6. near-dup removal via MinHash-LSH + connected components
+7. benchmark decontamination (when `benchmark` is given)
+
+Every stage is the already-tested operator from its own module; this
+composition adds stage gating, shared defaults, and an optional
+per-stage row report. With `with_report=False` (the default) the whole
+pipeline stays ONE lazy plan — no counts, no extra jobs — which is how
+you'd run it over 100 TB; `with_report=True` triggers a count per
+stage for auditing at sample scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quickwit_spark.datapipe import dedup as _dedup
+from quickwit_spark.datapipe.decontam import decontaminate
+from quickwit_spark.datapipe.gopher_quality import gopher_quality_filter
+from quickwit_spark.datapipe.pii import redact_pii
+from quickwit_spark.datapipe.repetition import repetition_filter
+from quickwit_spark.datapipe.webpipe import url_dedup
+
+
+def curate(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    *,
+    redact: bool = True,
+    quality_bounds: dict | None = None,
+    repetition_thresholds: dict | None = None,
+    near_dup: bool = True,
+    minhash_perms: int = 64,
+    minhash_bands: int = 16,
+    shingle_k: int = 3,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
+    with_report: bool = False,
+):
+    """→ curated DataFrame (input schema, text redacted in place when
+    `redact`), or (DataFrame, report) with `with_report=True` where
+    report = [(stage, rows_after), ...] starting from ("input", n)."""
+    orig = df.columns
+    report: list[tuple[str, int]] = []
+
+    def note(stage: str, d: DataFrame) -> DataFrame:
+        if with_report:
+            report.append((stage, d.count()))
+        return d
+
+    out = note("input", df)
+    if url_col is not None:
+        marked = url_dedup(out, key, url_col=url_col)
+        out = note(
+            "url_dedup",
+            marked.filter(~F.col("is_url_dup")).select(*orig),
+        )
+    if redact:
+        red = redact_pii(out, text_col, out_col="_red", with_counts=False)
+        out = note(
+            "pii_redact",
+            red.drop(text_col).withColumnRenamed("_red", text_col).select(*orig),
+        )
+    out = note("quality", gopher_quality_filter(out, text_col, quality_bounds))
+    out = note(
+        "repetition", repetition_filter(out, text_col, repetition_thresholds)
+    )
+    exact = _dedup.exact_dedup(out, key, text_col)
+    out = note(
+        "exact_dedup", exact.filter(~F.col("is_duplicate")).select(*orig)
+    )
+    if near_dup:
+        rows = max(minhash_perms // minhash_bands, 1)
+        sigs = _dedup.minhash_signatures(
+            out, key, text_col, k=shingle_k, num_perm=minhash_bands * rows
+        )
+        pairs = _dedup.minhash_lsh_pairs(
+            sigs, key, bands=minhash_bands, rows=rows
+        ).select("key_a", "key_b")
+        out = note("near_dup", _dedup.dedup_canonical(out, pairs, key=key))
+    if benchmark is not None:
+        out = note(
+            "decontam",
+            decontaminate(out, benchmark, key, text_col, n=decontam_n),
+        )
+    return (out, report) if with_report else out

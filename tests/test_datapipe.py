@@ -422,3 +422,45 @@ def test_packing_plan_has_no_unpartitioned_window(spark):
         head = [p.strip() for p in m.group(1).split(",") if p.strip()]
         assert head and not re.search(r"\b(ASC|DESC)\b", head[0]), (
             f"unpartitioned Window: windowspecdefinition({m.group(1)}...)")
+
+
+def test_curate_pipeline_stages(spark):
+    """Composed curation pipeline: each stage removes exactly the doc
+    constructed to trip it, PII is scrubbed before content hashing, and
+    the default run is one lazy plan returning the input schema."""
+    from quickwit_spark.datapipe.curate import curate
+
+    good = ("the data value pipeline of spark and arrow that we have "
+            "built with care holds fifty plus words " + " ".join(
+                f"w{i}" for i in range(40)))
+    rows = [
+        (0, good, "https://a.example/p/0"),
+        # same text modulo a different email → exact dup AFTER redaction
+        (1, good + " contact a@x.io", "https://a.example/p/1"),
+        (2, good + " contact b@y.io", "https://a.example/p/2"),
+        (3, "tiny doc", "https://a.example/p/3"),             # quality kill
+        (4, ("spam " * 60).strip() + " " + good, "https://a.example/p/4"),
+        (5, good, "HTTPS://A.EXAMPLE/p/0?utm_source=x"),      # url dup of 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    out, rep = curate(
+        df, url_col="url",
+        quality_bounds={"min_stopword_hits": 1},
+        near_dup=False, with_report=True,
+    )
+    stages = dict(rep)
+    assert stages["input"] == 6
+    assert stages["url_dedup"] == 5          # doc 5 is a canonical-URL dup
+    assert stages["quality"] < stages["pii_redact"]
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 0 in kept
+    assert 5 not in kept                      # url dup
+    assert 3 not in kept                      # quality
+    assert 4 not in kept                      # repetition (60x 'spam')
+    # docs 1,2 differ from 0 only by redacted emails + the word 'contact'
+    # → not exact dups of 0, but 1 vs 2 become byte-identical → one kept
+    assert len({1, 2} & kept) == 1
+    # default: single DataFrame, input schema
+    plain = curate(df, url_col="url",
+                   quality_bounds={"min_stopword_hits": 1}, near_dup=False)
+    assert plain.columns == ["doc_id", "text", "url"]

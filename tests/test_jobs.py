@@ -173,3 +173,25 @@ def test_admin_job_lifecycle(tmp_path_factory, spark, monkeysession, capsys):
     out = run("delete", "--index", "cli-logs")
     assert json.loads(out)["deleted"] is True
     assert run("list").strip() == ""
+
+
+def test_curate_job_writes_curated_parquet(
+    tmp_path_factory, corpus_path, spark, monkeysession, capsys
+):
+    out_dir = str(tmp_path_factory.mktemp("curated"))
+    import jobs.curate_job as cj
+
+    monkeysession.setattr(
+        sys, "argv",
+        ["curate_job.py", "--input", corpus_path, "--output", out_dir,
+         "--min-stopword-hits", "1", "--no-near-dup", "--report"],
+    )
+    cj.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    stages = dict(json.loads(lines[0])["stages"])
+    assert stages["input"] == 500
+    assert 0 < stages["exact_dedup"] < 500
+    assert json.loads(lines[1])["done"]
+    curated = spark.read.parquet(out_dir)
+    assert curated.count() == stages["exact_dedup"]
+    assert set(["doc_id", "text"]) <= set(curated.columns)
