@@ -2258,11 +2258,11 @@ s2 AS (
   FROM s1
 )
 SELECT doc_id,
-       regexp_replace(t, '\+?[0-9][0-9()\-\s.]{6,}[0-9]', '<PHONE>', 'g')
+       regexp_replace(t, '(?:\+?[0-9]{1,3}[-. (]{0,2})?[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]{0,2}[0-9]{2,4}', '<PHONE>', 'g')
          AS text_redacted,
        n_email, n_ipv4,
        CAST(len(regexp_extract_all(t,
-         '\+?[0-9][0-9()\-\s.]{6,}[0-9]')) AS BIGINT) AS n_phone
+         '(?:\+?[0-9]{1,3}[-. (]{0,2})?[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]{0,2}[0-9]{2,4}')) AS BIGINT) AS n_phone
 FROM s2
 """
 
@@ -2279,15 +2279,27 @@ SELECT doc_id,
 FROM documents
 """
 
-_GOPHER_QUALITY_FILTER_SQL = _GQ_STATS_BODY + """
-SELECT doc_id FROM stats
-WHERE word_count >= 50 AND word_count <= 100000
-  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-  AND symbol_word_ratio <= 0.10
-  AND bullet_line_frac <= 0.90
-  AND ellipsis_line_frac <= 0.30
-  AND alpha_word_frac >= 0.80
-  AND stopword_hits >= 1"""
+# Hardcoded copy of gopher_quality.GOPHER_QUALITY_BOUNDS with the
+# gate's min_stopword_hits override; tests/test_gopher_quality.py
+# asserts the two stay in sync.
+_GQ_BOUNDS = {
+    "min_word_count": 50, "max_word_count": 100_000,
+    "min_mean_word_len": 3.0, "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.10,
+    "max_bullet_line_frac": 0.90,
+    "max_ellipsis_line_frac": 0.30,
+    "min_alpha_word_frac": 0.80,
+    "min_stopword_hits": 1,  # gate override (corpus vocab has only 'the')
+}
+
+_GOPHER_QUALITY_FILTER_SQL = (
+    _GQ_STATS_BODY
+    + "\nSELECT doc_id FROM stats\nWHERE "
+    + "\n  AND ".join(
+        f"{k[4:]} {'>=' if k.startswith('min_') else '<='} {v}"
+        for k, v in sorted(_GQ_BOUNDS.items())
+    )
+)
 
 _DEDUP_EXACT_SQL = """
 SELECT doc_id,

@@ -47,6 +47,7 @@ def curate(
     minhash_bands: int = 16,
     shingle_k: int = 3,
     benchmark: DataFrame | None = None,
+    bench_text_col: str | None = None,
     decontam_n: int = 13,
     with_report: bool = False,
 ):
@@ -94,6 +95,9 @@ def curate(
     if benchmark is not None:
         out = note(
             "decontam",
-            decontaminate(out, benchmark, key, text_col, n=decontam_n),
+            decontaminate(
+                out, benchmark, key, text_col,
+                bench_text_col=bench_text_col or text_col, n=decontam_n,
+            ),
         )
     return (out, report) if with_report else out

@@ -78,26 +78,30 @@ def paragraph_dedup(
     `normalize=True` matches paragraphs on trim(lower(...)) but emits
     the original spelling of the first occurrence's document.
 
-    Scale: explode to one row per paragraph occurrence, then ONE
-    shuffle partitioned by the normalized paragraph (window `min`
-    picks the winner; partial aggregation keeps hot boilerplate
-    paragraphs from funneling rows), then a groupBy(key) reassembly
-    shuffle. At 10^12 docs, key the shuffle on xxhash64(norm) to cut
-    shuffle bytes — kept as the raw string here so the DuckDB
-    correctness oracle can reproduce values exactly.
+    Scale: explode to one row per paragraph occurrence; winners come
+    from `groupBy(norm).agg(min(key, pos))` — a TRUE partial
+    aggregation, so a boilerplate paragraph occurring 10^9 times
+    combines map-side instead of funneling through one task (a window
+    partitioned by the paragraph would). Survivors are selected with a
+    semi-join on (key, pos) — unique, skew-free join keys — then a
+    groupBy(key) reassembly shuffle. At 10^12 docs, key the winner
+    shuffle on xxhash64(norm) to cut shuffle bytes — kept as the raw
+    string here so the DuckDB correctness oracle can reproduce values
+    exactly. NULL text behaves as '' (0 paragraphs).
     """
-    parts = F.filter(F.split(F.col(text_col), para_sep), lambda p: F.trim(p) != "")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    parts = F.filter(F.split(txt, para_sep), lambda p: F.trim(p) != "")
     ex = df.select(F.col(key), F.posexplode(parts).alias("pos", "para"))
     norm = F.trim(F.lower(F.col("para"))) if normalize else F.col("para")
-    w = Window.partitionBy("_norm")
-    kept = (
+    winners = (
         ex.withColumn("_norm", norm)
-        .withColumn("_first", F.min(F.struct(F.col(key), F.col("pos"))).over(w))
-        .filter(
-            (F.col(key) == F.col("_first")[key])
-            & (F.col("pos") == F.col("_first")["pos"])
+        .groupBy("_norm")
+        .agg(F.min(F.struct(F.col(key), F.col("pos"))).alias("_first"))
+        .select(
+            F.col("_first")[key].alias(key), F.col("_first")["pos"].alias("pos")
         )
     )
+    kept = ex.join(winners, [key, "pos"], "left_semi")
     rebuilt = kept.groupBy(key).agg(
         F.array_join(
             F.transform(

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from quickwit_spark.datapipe.textstats import _tokens as _words  # shared
+
 # Gopher Table A1: "contain at least two of the following English
 # words: the, be, to, of, and, that, have, with"
 REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -54,9 +56,6 @@ GOPHER_QUALITY_BOUNDS: dict[str, float] = {
 }
 
 
-def _words(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
-
 
 def _count_occurrences(col: Column, needle: str) -> Column:
     """Non-overlapping occurrence count via length delta (identical
@@ -70,8 +69,9 @@ def _frac(num: Column, den: Column) -> Column:
 
 
 def gopher_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds the Gopher quality-stat columns (see module docstring)."""
-    txt = F.col(text_col)
+    """Adds the Gopher quality-stat columns (see module docstring).
+    NULL text behaves as ''."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     words = _words(txt)
     n = F.size(words)
     word_chars = F.aggregate(

@@ -19,11 +19,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# (kind, pattern, placeholder) — applied in this order.
+# (kind, pattern, placeholder) — applied in this order. The phone
+# pattern requires the 1-3 / 3 / 3 / 2-4 digit-group shape with at most
+# two separator chars between groups (space, dot, dash, parens — never
+# \s, so a match can't span lines), which leaves ISO dates
+# (2024-01-01: no 3-digit group follows a separator) and bare digit runs
+# shorter than 8 unmatched.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IPV4>"),
-    ("phone", r"\+?[0-9][0-9()\-\s.]{6,}[0-9]", "<PHONE>"),
+    (
+        "phone",
+        r"(?:\+?[0-9]{1,3}[-. (]{0,2})?[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]{0,2}[0-9]{2,4}",
+        "<PHONE>",
+    ),
 )
 
 
@@ -37,7 +46,9 @@ def redact_pii(
     kinds replaced by their placeholders, plus per-kind match counts
     (n_email, n_ipv4, n_phone) when `with_counts`."""
     out_col = out_col or f"{text_col}_redacted"
-    cur = F.col(text_col)
+    # NULL text behaves as '' (counts 0, redacted ''), not as NULL
+    # poisoning every downstream expression
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     counts = {}
     for kind, pat, token in PII_PATTERNS:
         if with_counts:

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from quickwit_spark.datapipe.textstats import _tokens  # shared tokenization
+
 # Gopher Table A1 thresholds (public): a doc is dropped when a stat
 # EXCEEDS its threshold.
 GOPHER_THRESHOLDS: dict[str, float] = {
@@ -57,10 +59,6 @@ GOPHER_THRESHOLDS: dict[str, float] = {
     "dup_10gram_char_frac": 0.10,
 }
 
-
-def _tokens(col: Column) -> Column:
-    # same semantics as textstats._tokens (lowercase, \s+ split)
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
 def _nonblank_parts(col: Column, sep: str) -> Column:
@@ -166,8 +164,8 @@ def repetition_stats(
     dup_ngrams: tuple = (5, 6, 7, 8, 9, 10),
 ) -> DataFrame:
     """Adds the full Gopher repetition-stat column family (see module
-    docstring for exact definitions)."""
-    txt = F.col(text_col)
+    docstring for exact definitions). NULL text behaves as ''."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     df = _part_stats(df, txt, line_sep, "line")
     df = _part_stats(df, txt, para_sep, "para")
     toks = _tokens(txt)

@@ -464,3 +464,40 @@ def test_curate_pipeline_stages(spark):
     plain = curate(df, url_col="url",
                    quality_bounds={"min_stopword_hits": 1}, near_dup=False)
     assert plain.columns == ["doc_id", "text", "url"]
+
+
+def test_pii_ignores_dates_and_newline_runs_and_null(spark):
+    """Review regressions: ISO dates and digit runs spanning lines must
+    NOT be redacted as phones; NULL text behaves as ''."""
+    from quickwit_spark.datapipe.pii import redact_pii
+
+    rows = [
+        (0, "released on 2024-01-01 worldwide"),
+        (1, "Room 101\n2024 attendees arrived"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert got[0]["text_redacted"] == got[0]["text"]
+    assert got[0]["n_phone"] == 0
+    assert got[1]["text_redacted"] == got[1]["text"]  # \n never inside a match
+    assert got[2]["text_redacted"] == ""
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+
+
+def test_curation_stats_null_text_rows_survive(spark):
+    """NULL text = '' across the curation stat families (review fix)."""
+    from quickwit_spark.datapipe.gopher_quality import gopher_quality_stats
+    from quickwit_spark.datapipe.repetition import repetition_stats
+
+    df = spark.createDataFrame([(0, None), (1, "a b")],
+                               "doc_id long, text string")
+    r = {x["doc_id"]: x.asDict()
+         for x in repetition_stats(df, top_ngrams=(2,), dup_ngrams=()).collect()}
+    assert r[0]["dup_line_frac"] == 0.0 and r[0]["top_2gram_char_frac"] == 0.0
+    q = {x["doc_id"]: x.asDict() for x in gopher_quality_stats(df).collect()}
+    assert q[0]["word_count"] == 0 and q[0]["mean_word_len"] == 0.0
+    p = {x["doc_id"]: x.asDict()
+         for x in dedup.paragraph_dedup(df, "doc_id").collect()}
+    assert p[0] == {"doc_id": 0, "text_dedup": "", "n_paras": 0,
+                    "n_paras_kept": 0}

@@ -96,3 +96,10 @@ def test_keep_stats_and_schema(spark):
         "max_bullet_line_frac", "max_ellipsis_line_frac",
         "min_alpha_word_frac", "min_stopword_hits",
     }
+
+
+def test_oracle_bounds_in_sync():
+    import __spark_entry__ as entry
+
+    assert entry._GQ_BOUNDS == {**GOPHER_QUALITY_BOUNDS,
+                                "min_stopword_hits": 1}
