@@ -83,6 +83,13 @@ def curate(
     out = note(
         "exact_dedup", exact.filter(~F.col("is_duplicate")).select(*orig)
     )
+    if near_dup or benchmark is not None:
+        # both dedup_canonical and decontaminate consume `out` in ≥2
+        # jobs (candidate generation + the join back); persist the
+        # filtered corpus so the filter chain isn't recomputed per
+        # consumer — the stage-boundary materialization any 100 TB run
+        # would do anyway (swap for a checkpoint/table write there)
+        out = out.persist()
     if near_dup:
         rows = max(minhash_perms // minhash_bands, 1)
         sigs = _dedup.minhash_signatures(

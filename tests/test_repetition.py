@@ -31,10 +31,12 @@ DOCS = [
 ]
 
 
-@pytest.fixture(scope="module")
-def stats(spark):
+@pytest.fixture(scope="module", params=["arrow", "column"])
+def stats(spark, request):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
-    out = repetition_stats(df, top_ngrams=(2, 3), dup_ngrams=(5,))
+    out = repetition_stats(
+        df, top_ngrams=(2, 3), dup_ngrams=(5,), impl=request.param
+    )
     return {r["doc_id"]: r.asDict() for r in out.collect()}
 
 
@@ -158,6 +160,24 @@ def test_against_pandas_oracle_on_corpus(spark, sf_dir):
         exp = _pandas_oracle(row["text"])
         for k, v in exp.items():
             assert math.isclose(row[k], v, abs_tol=1e-9), (doc_id, k, row[k], v)
+
+
+def test_arrow_equals_column_on_corpus(spark, sf_dir):
+    """The Arrow fast path and the Column-expression spec must agree
+    bit-for-bit on real corpus text (full default stat family)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    a = {r["doc_id"]: r.asDict()
+         for r in repetition_stats(docs, impl="arrow").collect()}
+    c = {r["doc_id"]: r.asDict()
+         for r in repetition_stats(docs, impl="column").collect()}
+    assert a.keys() == c.keys()
+    for k in a:
+        for col, v in a[k].items():
+            assert v == c[k][col], (k, col, v, c[k][col])
 
 
 def test_oracle_thresholds_in_sync():
