@@ -340,9 +340,55 @@ def scaling_report(replicate: int = 1600, pairs=(1, 4, 8, 32)) -> dict:
     return out
 
 
+def run_curate_bench(cores: int) -> dict:
+    """End-to-end curation-pipeline throughput (quality + repetition +
+    PII + exact & MinHash dedup) written to parquet — the training-data
+    side of the engine. Not part of the default bench phases; run with
+    `python bench.py --curate`."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.datapipe.curate import curate
+    from quickwit_spark.session import get_spark
+
+    spark = get_spark("qws_bench_curate", cores=cores, shuffle_partitions=cores)
+    # replicated corpus with a unique per-doc suffix: replicas become
+    # textually-distinct NEAR-duplicates, so the MinHash-LSH + CC stage
+    # does real 40-doc-cluster work instead of trivial exact matches
+    big, n = bench_corpus(spark, SF_DIR, REPLICATE)
+    docs = big.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" d"), F.col("doc_id").cast("string"))
+        .alias("text"),
+    ).persist()
+    n = docs.count()
+    mb = docs.select(F.sum(F.length("text"))).first()[0] / 1e6
+    out_dir = tempfile.mkdtemp(prefix="qws_bench_curated_")
+    t0 = time.perf_counter()
+    curate(docs, quality_bounds={"min_stopword_hits": 1}).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    secs = time.perf_counter() - t0
+    kept = spark.read.parquet(out_dir).count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+    return {
+        "cores": cores,
+        "docs": n,
+        "mb": round(mb, 2),
+        "kept": kept,
+        "secs": round(secs, 3),
+        "docs_per_sec": round(n / secs, 1),
+        "mb_per_sec": round(mb / secs, 3),
+    }
+
+
 def main():
     if "--scaling" in sys.argv:
         print(json.dumps(scaling_report(), indent=2))
+        return
+    if "--curate" in sys.argv:
+        load_info = wait_for_idle()
+        print(json.dumps({"curate": run_curate_bench(CPUS), **load_info}))
         return
     load_info = wait_for_idle()
     t_all = time.perf_counter()
