@@ -178,14 +178,19 @@ def _py_repetition_stats(
     """Pure-Python mirror of the column expressions (Arrow fast path).
 
     Parity notes: ``p.strip(" ")`` matches F.trim (spaces only, NOT all
-    whitespace); counts are exact integers so the double divisions are
-    bit-identical to the JVM's."""
+    whitespace); regexes run under re.ASCII because Java's ``\\s`` is
+    the ASCII class [ \\t\\n\\x0B\\f\\r] while Python's default is all
+    of Unicode whitespace (NBSP etc. would diverge); counts are exact
+    integers so the double divisions are bit-identical to the JVM's."""
     import re as _re
     from collections import Counter
 
     out: dict[str, float] = {}
     for prefix, sep in (("line", line_sep), ("para", para_sep)):
-        parts = [p for p in _re.split(sep, text) if p.strip(" ") != ""]
+        parts = [
+            p for p in _re.split(sep, text, flags=_re.ASCII)
+            if p.strip(" ") != ""
+        ]
         n = len(parts)
         chars = sum(map(len, parts))
         c = Counter(parts)
@@ -194,7 +199,7 @@ def _py_repetition_stats(
         out[f"dup_{prefix}_char_frac"] = (
             min(dupch / chars, 1.0) if chars else 0.0
         )
-    toks = [t for t in _re.split(r"\s+", text.lower()) if t]
+    toks = [t for t in _re.split(r"\s+", text.lower(), flags=_re.ASCII) if t]
     # prefix sums of token lengths: chars(gram i..i+n) = pre[i+n]-pre[i]
     pre = [0]
     for t in toks:

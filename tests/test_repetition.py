@@ -184,3 +184,34 @@ def test_oracle_thresholds_in_sync():
     import __spark_entry__ as entry
 
     assert entry._REP_THRESHOLDS == GOPHER_THRESHOLDS
+
+
+def test_arrow_equals_column_property(spark):
+    """Hypothesis: arrow == column bit-for-bit on adversarial text —
+    unicode whitespace (NBSP must NOT split: Java \\s is ASCII-only),
+    tabs, newlines, repeated runs, empty/blank strings."""
+    from hypothesis import given, settings, strategies as st
+
+    pieces = st.sampled_from(
+        ["a", "b", "aa", " ", "  ", "\n", "\n\n", "\t", ".", "#",
+         "\u00e9", "\u00a0", "\u0130"]
+    )
+    texts = st.lists(
+        st.lists(pieces, min_size=0, max_size=40).map("".join),
+        min_size=1, max_size=12,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts)
+    def check(batch):
+        df = spark.createDataFrame(
+            list(enumerate(batch)), "doc_id long, text string"
+        )
+        kw = dict(top_ngrams=(2,), dup_ngrams=(3,))
+        a = {r["doc_id"]: r.asDict()
+             for r in repetition_stats(df, impl="arrow", **kw).collect()}
+        c = {r["doc_id"]: r.asDict()
+             for r in repetition_stats(df, impl="column", **kw).collect()}
+        assert a == c
+
+    check()
