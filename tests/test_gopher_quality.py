@@ -23,10 +23,11 @@ DOCS = [
 ]
 
 
-@pytest.fixture(scope="module")
-def stats(spark):
+@pytest.fixture(scope="module", params=["arrow", "column"])
+def stats(spark, request):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
-    return {r["doc_id"]: r.asDict() for r in gopher_quality_stats(df).collect()}
+    out = gopher_quality_stats(df, impl=request.param)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
 
 
 def test_word_count_and_mean_len(stats):
@@ -103,3 +104,45 @@ def test_oracle_bounds_in_sync():
 
     assert entry._GQ_BOUNDS == {**GOPHER_QUALITY_BOUNDS,
                                 "min_stopword_hits": 1}
+
+
+def test_arrow_equals_column_on_corpus(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    a = {r["doc_id"]: r.asDict()
+         for r in gopher_quality_stats(docs, impl="arrow").collect()}
+    c = {r["doc_id"]: r.asDict()
+         for r in gopher_quality_stats(docs, impl="column").collect()}
+    assert a == c
+
+
+def test_arrow_equals_column_property(spark):
+    """Hypothesis: arrow == column on adversarial text (NBSP must not
+    split words: Java \\s is ASCII; bullets, ellipses, symbols)."""
+    from hypothesis import given, settings, strategies as st
+
+    pieces = st.sampled_from(
+        ["a", "the", "aa", " ", "\n", "\n\n", "\t", ".", "...", "#",
+         "• ", "- ", "…", "é", " ", "12"]
+    )
+    texts = st.lists(
+        st.lists(pieces, min_size=0, max_size=30).map("".join),
+        min_size=1, max_size=10,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts)
+    def check(batch):
+        df = spark.createDataFrame(
+            list(enumerate(batch)), "doc_id long, text string"
+        )
+        a = {r["doc_id"]: r.asDict()
+             for r in gopher_quality_stats(df, impl="arrow").collect()}
+        c = {r["doc_id"]: r.asDict()
+             for r in gopher_quality_stats(df, impl="column").collect()}
+        assert a == c
+
+    check()
