@@ -1710,6 +1710,30 @@ def _q_ivf_recall(spark, sf_dir):
     return spark.createDataFrame([(bool(recall >= 0.9),)], "recall_ge_090 boolean")
 
 
+def _q_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ ANN (coarse cells + product-quantized residual codes +
+    ADC shortlist + exact re-rank) must reach recall@10 ≥ 0.85 vs
+    brute force on uniform-random unit vectors — ANN's hardest input.
+    k-means isn't SQL-expressible, so like `knn_ivf_recall` the oracle
+    checks the recall CRITERION."""
+    from quickwit_spark.datapipe.similarity import brute_force_topk, ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = brute_force_topk(emb, q, k=10, rank_round=9).select(
+        "query_id", "neighbor_id"
+    )
+    pq = ivfpq_topk(
+        emb, q, k=10, nlist=16, nprobe=12, m=16, ksub=32, seed=7, refine=10
+    ).select("query_id", "neighbor_id")
+    n_bf = bf.count()
+    n_hit = bf.join(pq, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = n_hit / max(n_bf, 1)
+    return spark.createDataFrame(
+        [(bool(recall >= 0.85),)], "recall_ge_085 boolean"
+    )
+
+
 def _q_text_stats(spark, sf_dir):
     from quickwit_spark.datapipe.textstats import token_stats
 
@@ -2757,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_lsh": _q_knn_lsh,
         "knn_cosine_lsh_scale": _q_knn_lsh_scale,
         "knn_ivf_recall": _q_ivf_recall,
+        "knn_ivfpq_recall": _q_ivfpq_recall,
         "text_token_stats": _q_text_stats,
         "repetition_stats": _q_repetition_stats,
         "repetition_gopher_filter": _q_repetition_filter,
@@ -3267,6 +3292,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "knn_cosine_lsh": _knn_lsh_sql(planes=4, k=10),
         "knn_cosine_lsh_scale": _knn_lsh_multi_sql(planes=12, tables=2, k=10),
         "knn_ivf_recall": "SELECT CAST(TRUE AS BOOLEAN) AS recall_ge_090",
+        "knn_ivfpq_recall": "SELECT CAST(TRUE AS BOOLEAN) AS recall_ge_085",
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _DEDUP_JACCARD_SQL,
         "knn_cosine_bruteforce": _KNN_COSINE_SQL,

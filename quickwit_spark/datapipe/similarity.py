@@ -265,3 +265,228 @@ def ivf_topk(
             "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+# --------------------------------------------------------------- IVF-PQ
+
+
+def _kmeans_np(X, k: int, seed: int, iters: int = 20):
+    """Deterministic Lloyd k-means (numpy): seeded spread-out init
+    (greedy farthest-point from a seeded start), empty clusters
+    reseeded to the farthest point. Good enough for codebook training
+    on a sample — the faiss-style practice at 10^12 scale."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    if n <= k:
+        reps = np.concatenate([X] * (k // max(n, 1) + 1))[:k]
+        return reps
+    cents = [X[rng.integers(n)]]
+    d2 = ((X - cents[0]) ** 2).sum(1)
+    for _ in range(k - 1):
+        cents.append(X[int(d2.argmax())])
+        d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(1))
+    C = np.stack(cents)
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        newC = C.copy()
+        for j in range(k):
+            m = a == j
+            if m.any():
+                newC[j] = X[m].mean(0)
+            else:
+                newC[j] = X[int(d.min(1).argmax())]
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 7,
+    train_size: int = 10_000,
+    refine: int = 3,
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): coarse k-means routes vectors to `nlist`
+    cells; each RESIDUAL (vector − its centroid) is compressed to `m`
+    byte codes from per-subspace `ksub`-entry codebooks. A query probes
+    `nprobe` cells and scores candidates with an ADC lookup table (m ×
+    ksub distances computed once per query-cell) — no original vectors
+    touched until the optional exact re-rank of the `refine`·k ADC
+    shortlist.
+
+    The true 10^12-document shape: codebooks train on a driver sample
+    (what faiss does), the encoded corpus is m bytes + a cell id per
+    vector (64-dim float32 → 8 bytes is 32×), candidate scoring reads
+    only codes. Returns (query_id, neighbor_id, cosine, rank) when
+    refine > 0 (exact re-rank of the shortlist, cosine in f64), else
+    (query_id, neighbor_id, adc_dist, rank) by ascending approximate
+    L2² — identical ranking to cosine for unit-norm embeddings. Not
+    SQL-expressible (k-means); evidence = recall-vs-brute-force tests,
+    like `ivf_topk`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sample = np.array(
+        [
+            r["v"]
+            for r in corpus.select(
+                F.transform(F.col(vec), lambda x: x.cast("double")).alias("v")
+            )
+            .limit(train_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    C = _kmeans_np(sample, nlist, seed)  # nlist × dim
+    d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    resid = sample - C[d2.argmin(1)]
+    B = np.stack(
+        [
+            _kmeans_np(resid[:, j * sub : (j + 1) * sub], ksub, seed + 1 + j)
+            for j in range(m)
+        ]
+    )  # m × ksub × sub
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", corpus.schema[key].dataType),
+            T.StructField("_cell", T.IntegerType()),
+            T.StructField("_codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec].apply(np.asarray).values).astype(np.float64)
+            cell = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            R = V - C[cell]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                Rj = R[:, j * sub : (j + 1) * sub]
+                codes[:, j] = (
+                    ((Rj[:, None, :] - B[j][None, :, :]) ** 2).sum(-1).argmin(1)
+                )
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[key].values,
+                    "_cell": cell.astype("int32"),
+                    "_codes": list(codes),
+                }
+            )
+
+    encoded = corpus.select(key, vec).mapInPandas(encode, enc_schema)
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[key].dataType),
+            T.StructField("_cell", T.IntegerType()),
+            T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            Q = np.stack(pdf[vec].apply(np.asarray).values).astype(np.float64)
+            d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            cells = np.argsort(d, axis=1)[:, :nprobe]
+            rows = {"query_id": [], "_cell": [], "_qvec": []}
+            for i in range(len(Q)):
+                for c in cells[i]:
+                    rows["query_id"].append(pdf[key].values[i])
+                    rows["_cell"].append(int(c))
+                    rows["_qvec"].append(Q[i])
+            yield pd.DataFrame(rows)
+
+    probed = queries.select(key, vec).mapInPandas(probe, probe_schema)
+
+    joined = encoded.join(F.broadcast(probed), "_cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[key].dataType),
+            T.StructField("neighbor_id", corpus.schema[key].dataType),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def adc(pdf):
+        # one (query, cell) group: LUT once, score all codes via gather
+        q = np.asarray(pdf["_qvec"].iloc[0], dtype=np.float64)
+        cell = int(pdf["_cell"].iloc[0])
+        r = q - C[cell]
+        lut = np.stack(
+            [
+                ((r[j * sub : (j + 1) * sub][None, :] - B[j]) ** 2).sum(-1)
+                for j in range(m)
+            ]
+        )  # m × ksub
+        codes = np.stack(pdf["_codes"].apply(np.asarray).values)
+        dist = lut[np.arange(m)[None, :], codes].sum(1)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].values,
+                "neighbor_id": pdf["neighbor_id"].values,
+                "adc_dist": dist,
+            }
+        )
+
+    scored = joined.groupBy("query_id", "_cell").applyInPandas(adc, adc_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * max(refine, 1))
+    )
+    if not refine:
+        return short.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "adc_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    # exact re-rank of the shortlist: fetch true vectors for ≤ refine·k
+    # candidates per query (winners ≪ corpus → broadcast-join shape)
+    cvecs = corpus.select(
+        F.col(key).alias("neighbor_id"), F.col(vec).alias("_cv")
+    )
+    qvecs = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("_qv"))
+    exact = (
+        short.select("query_id", "neighbor_id")
+        .join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -501,3 +501,53 @@ def test_curation_stats_null_text_rows_survive(spark):
          for x in dedup.paragraph_dedup(df, "doc_id").collect()}
     assert p[0] == {"doc_id": 0, "text_dedup": "", "n_paras": 0,
                     "n_paras_kept": 0}
+
+
+def test_ivfpq_planted_neighbor_and_recall(spark, emb):
+    """IVF-PQ: a planted near-duplicate must be retrieved at rank 1
+    through the coded path; recall@10 >= 0.85 vs brute force on
+    uniform-random unit vectors (with exact re-rank of the ADC
+    shortlist); the refine path dominates ADC-only; deterministic."""
+    import numpy as np
+
+    base = emb.limit(1).toPandas().iloc[0]
+    noisy = np.asarray(base["embedding"], dtype=np.float64)
+    noisy = noisy + np.full_like(noisy, 0.01)
+    noisy /= np.sqrt((noisy ** 2).sum())
+    corpus = emb.select("vec_id", "embedding").union(
+        spark.createDataFrame(
+            [(999991, [float(x) for x in noisy])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    q = corpus.filter(F.col("vec_id") == 999991)
+    res = similarity.ivfpq_topk(
+        corpus, q, k=5, nlist=8, nprobe=4, m=16, ksub=16, seed=7, refine=5
+    ).toPandas()
+    top = res[res["rank"] == 1].iloc[0]
+    assert top["neighbor_id"] == base["vec_id"]
+    assert top["cosine"] > 0.99
+
+    queries = emb.filter(F.col("vec_id") < 15)
+    bf = similarity.brute_force_topk(emb, queries, k=10, rank_round=9).select(
+        "query_id", "neighbor_id"
+    )
+    total = bf.count()
+
+    def recall(**kw):
+        r = similarity.ivfpq_topk(emb, queries, k=10, nlist=16, nprobe=12,
+                                  seed=7, **kw).select("query_id", "neighbor_id")
+        return bf.join(r, ["query_id", "neighbor_id"], "left_semi").count() / total
+
+    r_refined = recall(m=16, ksub=32, refine=10)
+    r_adc = recall(m=16, ksub=32, refine=0)
+    assert r_refined >= 0.85
+    assert r_refined >= r_adc
+    # determinism: same seed, same results
+    a = similarity.ivfpq_topk(emb, queries, k=5, nlist=16, nprobe=8, m=16,
+                              ksub=16, seed=7).toPandas()
+    b = similarity.ivfpq_topk(emb, queries, k=5, nlist=16, nprobe=8, m=16,
+                              ksub=16, seed=7).toPandas()
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert a[cols].sort_values(cols).values.tolist() == \
+        b[cols].sort_values(cols).values.tolist()
