@@ -1971,6 +1971,17 @@ def _q_token_shard_packing(spark, sf_dir):
     return out.select("doc_id", "cum_tokens_before", "shard_id")
 
 
+def _q_span_dedup_stats(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. token-window approximation):
+    per-doc window counts, duplicated-window marks, merged-span counts
+    and tokens removed, vs a gaps-and-islands SQL oracle. window=8 so
+    the corpus' verbatim repeats light it up non-vacuously."""
+    from quickwit_spark.datapipe.span_dedup import duplicate_span_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return duplicate_span_stats(docs, "doc_id", window=8)
+
+
 def _gq_web_text(docs):
     """Injects bullets / line-ending ellipses / '#' symbols into the
     plain word corpus so every Gopher quality rule family is exercised
@@ -2301,6 +2312,70 @@ SELECT doc_id,
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             / 20000) AS BIGINT) AS shard_id
 FROM documents
+"""
+
+_SPAN_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t != '') AS l
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, u.s AS wstart, u.w AS wstr FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l) - 6),
+                  i -> struct_pack(s := i - 1,
+                       w := array_to_string(list_slice(l, i, i + 7), ' ')))) AS u
+    FROM toks WHERE len(l) >= 8
+  )
+),
+firsts AS (
+  SELECT wstr, doc_id AS fk, wstart AS fs FROM (
+    SELECT wstr, doc_id, wstart,
+           ROW_NUMBER() OVER (PARTITION BY wstr ORDER BY doc_id, wstart) AS rn,
+           COUNT(*) OVER (PARTITION BY wstr) AS c
+    FROM wins
+  ) WHERE rn = 1 AND c > 1
+),
+marked AS (
+  SELECT w.doc_id, w.wstart
+  FROM wins w JOIN firsts USING (wstr)
+  WHERE NOT (w.doc_id = firsts.fk AND w.wstart = firsts.fs)
+),
+isl AS (
+  SELECT doc_id, wstart,
+         CASE WHEN wstart >= coalesce(MAX(wstart + 8) OVER (
+                PARTITION BY doc_id ORDER BY wstart
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newi
+  FROM marked
+),
+isl2 AS (
+  SELECT doc_id, wstart,
+         SUM(newi) OVER (PARTITION BY doc_id ORDER BY wstart
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MIN(wstart) AS a, MAX(wstart) + 8 AS b
+  FROM isl2 GROUP BY 1, 2
+),
+markcnt AS (
+  SELECT doc_id, COUNT(*) AS n_dup_windows FROM marked GROUP BY 1
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_spans_cut, SUM(b - a) AS tokens_removed
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.l) - 7, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(m.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(p.n_spans_cut, 0) AS BIGINT) AS n_spans_cut,
+       CAST(coalesce(p.tokens_removed, 0) AS BIGINT) AS tokens_removed
+FROM toks t
+LEFT JOIN markcnt m USING (doc_id)
+LEFT JOIN perdoc p USING (doc_id)
 """
 
 # Hardcoded copy of gopher_quality.GOPHER_QUALITY_BOUNDS with the
@@ -2791,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_marks": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
         "token_shard_packing": _q_token_shard_packing,
+        "span_dedup_stats": _q_span_dedup_stats,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -3305,6 +3381,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "decontamination_marks": _DECONTAM_SQL,
         "pii_redaction": _PII_SQL,
         "token_shard_packing": _PACKING_SQL,
+        "span_dedup_stats": _SPAN_DEDUP_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,

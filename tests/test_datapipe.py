@@ -551,3 +551,44 @@ def test_ivfpq_planted_neighbor_and_recall(spark, emb):
     cols = ["query_id", "neighbor_id", "rank"]
     assert a[cols].sort_values(cols).values.tolist() == \
         b[cols].sort_values(cols).values.tolist()
+
+
+def test_duplicate_span_dedup_semantics(spark):
+    """Lee-et-al exact-substring dedup (token-window form): the global
+    first occurrence keeps its text, later occurrences lose the merged
+    span char-exactly, within-doc repeats are cut, short docs and NULL
+    text are untouched."""
+    from quickwit_spark.datapipe.span_dedup import (
+        duplicate_span_dedup,
+        duplicate_span_stats,
+    )
+
+    boiler = "this license text is repeated verbatim in many documents exactly"
+    rows = [
+        (0, f"unique alpha content {boiler} trailing words here"),
+        (1, f"other document intro {boiler} and a different ending"),
+        (2, f"{boiler} {boiler} double trouble"),
+        (3, "completely original text with no duplicated windows at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r["doc_id"]: r.asDict()
+          for r in duplicate_span_stats(df, "doc_id", window=5).collect()}
+    # doc 0 holds the first occurrence: marked nowhere
+    assert st[0]["n_dup_windows"] == 0 and st[0]["tokens_removed"] == 0
+    # boiler = 10 tokens -> 6 marked windows merge into ONE 10-token span
+    assert st[1] == {"doc_id": 1, "n_windows": 13, "n_dup_windows": 6,
+                     "n_spans_cut": 1, "tokens_removed": 10}
+    # both copies in doc 2 are cut (junction windows are unique)
+    assert st[2]["tokens_removed"] == 20
+    assert st[4] == {"doc_id": 4, "n_windows": 0, "n_dup_windows": 0,
+                     "n_spans_cut": 0, "tokens_removed": 0}
+
+    out = {r["doc_id"]: r.asDict()
+           for r in duplicate_span_dedup(df, "doc_id", window=5).collect()}
+    assert out[0]["text_dedup"] == rows[0][1]          # first copy intact
+    assert out[1]["text_dedup"] == "other document intro and a different ending"
+    assert out[2]["text_dedup"] == "double trouble"
+    assert out[3]["text_dedup"] == rows[3][1]
+    assert out[4]["text_dedup"] == ""
+    assert out[1]["n_spans_cut"] == 1 and out[1]["tokens_removed"] == 10
