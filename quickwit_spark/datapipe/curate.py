@@ -11,6 +11,9 @@ public training-data pipelines run them (C4/Gopher/RefinedWeb-style):
 5. exact content dedup (canonical row per identical text)
 6. near-dup removal via MinHash-LSH + connected components
 7. benchmark decontamination (when `benchmark` is given)
+8. optional text surgery: corpus-wide paragraph dedup
+   (`para_dedup=True`) and exact-substring span cuts
+   (`span_window=N`) — both rewrite the text column in place
 
 Every stage is the already-tested operator from its own module; this
 composition adds stage gating, shared defaults, and an optional
@@ -49,11 +52,18 @@ def curate(
     benchmark: DataFrame | None = None,
     bench_text_col: str | None = None,
     decontam_n: int = 13,
+    para_dedup: bool = False,
+    span_window: int | None = None,
     with_report: bool = False,
 ):
     """→ curated DataFrame (input schema, text redacted in place when
     `redact`), or (DataFrame, report) with `with_report=True` where
-    report = [(stage, rows_after), ...] starting from ("input", n)."""
+    report = [(stage, rows_after), ...] starting from ("input", n).
+
+    `para_dedup` / `span_window` enable the text-SURGERY stages after
+    the document-level passes: corpus-wide paragraph dedup
+    (RefinedWeb) and exact-substring span cuts (Lee et al.,
+    `span_window` tokens); both rewrite `text_col` in place."""
     orig = df.columns
     report: list[tuple[str, int]] = []
 
@@ -106,5 +116,25 @@ def curate(
                 out, benchmark, key, text_col,
                 bench_text_col=bench_text_col or text_col, n=decontam_n,
             ),
+        )
+    if para_dedup:
+        rebuilt = _dedup.paragraph_dedup(out, key, text_col).select(
+            key, F.col("text_dedup").alias("_t")
+        )
+        out = note(
+            "para_dedup",
+            out.drop(text_col).join(rebuilt, key)
+            .withColumnRenamed("_t", text_col).select(*orig),
+        )
+    if span_window:
+        from quickwit_spark.datapipe.span_dedup import duplicate_span_dedup
+
+        cutd = duplicate_span_dedup(out, key, text_col, span_window).select(
+            key, F.col("text_dedup").alias("_t")
+        )
+        out = note(
+            "span_dedup",
+            out.drop(text_col).join(cutd, key)
+            .withColumnRenamed("_t", text_col).select(*orig),
         )
     return (out, report) if with_report else out

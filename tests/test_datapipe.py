@@ -592,3 +592,29 @@ def test_duplicate_span_dedup_semantics(spark):
     assert out[3]["text_dedup"] == rows[3][1]
     assert out[4]["text_dedup"] == ""
     assert out[1]["n_spans_cut"] == 1 and out[1]["tokens_removed"] == 10
+
+
+def test_curate_text_surgery_stages(spark):
+    """Opt-in paragraph-dedup and span-cut stages rewrite text in place
+    after the document-level passes."""
+    from quickwit_spark.datapipe.curate import curate
+
+    filler = " ".join(f"w{i}" for i in range(60))
+    para = "shared paragraph that appears in both documents verbatim"
+    rows = [
+        (0, f"the of and {filler}\n\n{para}"),
+        (1, f"the to with {filler} different\n\n{para}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out, rep = curate(
+        df, quality_bounds={"min_stopword_hits": 1},
+        repetition_thresholds={"top_2gram_char_frac": 1.0},
+        near_dup=False, para_dedup=True, span_window=8,
+        with_report=True,
+    )
+    stages = [s for s, _ in rep]
+    assert stages[-2:] == ["para_dedup", "span_dedup"]
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert para in got[0]          # first occurrence keeps the paragraph
+    assert para not in got[1]      # later occurrence loses it
+    assert got[1].startswith("the to with")
