@@ -54,6 +54,7 @@ def curate(
     decontam_n: int = 13,
     para_dedup: bool = False,
     span_window: int | None = None,
+    persist_intermediate: bool = True,
     with_report: bool = False,
 ):
     """→ curated DataFrame (input schema, text redacted in place when
@@ -93,12 +94,18 @@ def curate(
     out = note(
         "exact_dedup", exact.filter(~F.col("is_duplicate")).select(*orig)
     )
-    if near_dup or benchmark is not None:
-        # both dedup_canonical and decontaminate consume `out` in ≥2
-        # jobs (candidate generation + the join back); persist the
-        # filtered corpus so the filter chain isn't recomputed per
-        # consumer — the stage-boundary materialization any 100 TB run
-        # would do anyway (swap for a checkpoint/table write there)
+    if persist_intermediate and (
+        near_dup or benchmark is not None or para_dedup or span_window
+    ):
+        # every remaining stage consumes `out` in ≥2 jobs (candidate
+        # generation / operator + the join back); persist the filtered
+        # corpus so the filter chain isn't recomputed per consumer —
+        # the stage-boundary materialization any 100 TB run would do
+        # anyway (swap for a checkpoint/table write there). The cache
+        # lives until the session ends or the caller clears it: a
+        # long-lived app curating many corpora should either pass
+        # persist_intermediate=False (accepting the recompute) or run
+        # per-corpus sessions like jobs/curate_job.py does.
         out = out.persist()
     if near_dup:
         rows = max(minhash_perms // minhash_bands, 1)

@@ -175,11 +175,12 @@ def minhash_signatures(
     """MinHash signature per doc: sig[i] = min over shingles of a
     permuted shingle hash. → (key, sig: array<bigint>).
 
-    Default hash is xxhash64(shingle, seed=i) (fast JVM path).
-    `portable=True` switches to the engine-portable arithmetic in
-    `portable.py` (sig_i = (A_i·PH(shingle) + B_i) mod 2^31−1) so an
-    independent SQL engine reproduces the signatures bit-for-bit — the
-    correctness-oracle path."""
+    Default: ONE xxhash64 per shingle seeds the permutation family
+    sig_i = (A_i·(h mod 2^31−1) + B_i) mod 2^31−1 (fast JVM path; see
+    the note at the mins below). `portable=True` replaces the seed
+    hash with `portable.portable_hash` so an independent SQL engine
+    reproduces the signatures bit-for-bit — the correctness-oracle
+    path."""
     sh = shingles(df.select(key, text_col), text_col, k)
     if portable:
         from quickwit_spark.datapipe.portable import P31, perm_constants, portable_hash

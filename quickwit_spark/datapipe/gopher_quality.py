@@ -97,7 +97,8 @@ def _py_gopher_stats(text: str) -> tuple:
         if p.rstrip(" ").endswith("…") or p.rstrip(" ").endswith("...")
     )
     alpha = sum(1 for w in words if _re.search(r"[a-z]", w))
-    stop_hits = sum(1 for s in REQUIRED_STOPWORDS if s in words)
+    wordset = set(words)
+    stop_hits = sum(1 for s in REQUIRED_STOPWORDS if s in wordset)
     return (
         n,
         word_chars / n if n else 0.0,
@@ -124,8 +125,11 @@ def gopher_quality_stats(
         from pyspark.sql import types as T
 
         longs = {"word_count", "stopword_hits"}
+        # overwrite semantics like the column impl's withColumn: an
+        # input already carrying a stat column must not yield
+        # duplicate fields
         schema = T.StructType(
-            list(df.schema.fields)
+            [f for f in df.schema.fields if f.name not in _STAT_NAMES]
             + [
                 T.StructField(
                     nm, T.LongType() if nm in longs else T.DoubleType()
@@ -133,6 +137,7 @@ def gopher_quality_stats(
                 for nm in _STAT_NAMES
             ]
         )
+        out_cols = [f.name for f in schema.fields]
 
         def gen(batches):
             for pdf in batches:
@@ -142,7 +147,7 @@ def gopher_quality_stats(
                 ]
                 for i, nm in enumerate(_STAT_NAMES):
                     pdf[nm] = [st[i] for st in stats]
-                yield pdf
+                yield pdf[out_cols]
 
         return df.mapInPandas(gen, schema)
     if impl != "column":

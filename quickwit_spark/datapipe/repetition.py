@@ -266,10 +266,13 @@ def repetition_stats(
     from pyspark.sql import types as T
 
     names = _stat_names(top_ngrams, dup_ngrams)
+    # overwrite semantics like the column impl's withColumn: an input
+    # already carrying a stat column must not yield duplicate fields
     schema = T.StructType(
-        list(df.schema.fields)
+        [f for f in df.schema.fields if f.name not in names]
         + [T.StructField(nm, T.DoubleType()) for nm in names]
     )
+    out_cols = [f.name for f in schema.fields]
 
     def gen(batches):
         for pdf in batches:
@@ -282,7 +285,7 @@ def repetition_stats(
             ]
             for nm in names:
                 pdf[nm] = [st[nm] for st in stats]
-            yield pdf
+            yield pdf[out_cols]
 
     return df.mapInPandas(gen, schema)
 

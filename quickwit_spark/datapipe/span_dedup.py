@@ -26,10 +26,13 @@ stats; char-level surgery is pytest-verified):
   last token's end of each span plus any whitespace run immediately
   after (so two cuts never leave doubled separators).
 
-Scale: one shuffle keyed by the window string for winner selection
-(map-side partial min collapses hot boilerplate windows), a skew-free
-(key, start) semi-join to mark occurrences, then a per-document
-groupBy to collect spans; the char surgery is an Arrow batch pass.
+Scale: winner selection is a groupBy on the window string (map-side
+partial min collapses hot boilerplate windows before the shuffle); the
+occurrence-marking join is also keyed by the window string, so a
+mega-hot window concentrates its occurrence rows in one join partition
+— AQE skew-join splitting (enabled in `session.get_spark`) is the
+mitigation there; spans then collect per document (skew-free key) and
+the char surgery is an Arrow batch pass.
 Window strings are ~window·5 bytes of shuffle key — at 10^12 docs,
 shuffle an 8-byte hash of the window instead (collisions only cause
 over-removal; Lee et al. accept this) — kept as the raw string here so
@@ -205,8 +208,11 @@ def duplicate_span_dedup(
                 for a, b in spans:
                     cut_from = toks[a].start()
                     cut_to = toks[b - 1].end()
-                    # swallow the following whitespace run
-                    while cut_to < len(text) and text[cut_to].isspace():
+                    # swallow the following ASCII-whitespace run ONLY —
+                    # a Unicode space (NBSP etc.) is a token character
+                    # under the ASCII \s+ tokenization, so str.isspace()
+                    # here would eat the first chars of a KEPT token
+                    while cut_to < len(text) and text[cut_to] in " \t\n\r\f\v":
                         cut_to += 1
                     pieces.append(text[pos:cut_from])
                     pos = cut_to

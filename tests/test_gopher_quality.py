@@ -146,3 +146,15 @@ def test_arrow_equals_column_property(spark):
         assert a == c
 
     check()
+
+
+def test_restats_of_stats_no_duplicate_columns(spark):
+    """Re-running stats on an output that already carries the stat
+    columns must overwrite (like withColumn), not duplicate fields."""
+    df = spark.createDataFrame([(0, "the of and words here")],
+                               ["doc_id", "text"])
+    for impl in ("arrow", "column"):
+        once = gopher_quality_stats(df, impl=impl)
+        twice = gopher_quality_stats(once, impl=impl)
+        assert len(twice.columns) == len(set(twice.columns))
+        assert twice.select("word_count").count() == 1
