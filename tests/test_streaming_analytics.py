@@ -88,3 +88,29 @@ def test_sessionize_stateful(spark, tmp_path):
     if len(a) == 2:
         assert a.iloc[1]["n_docs"] == 2
     assert set(got["key"]) <= {"a", "b"}
+
+
+def test_streaming_quality_and_pii_stages(spark, sf_dir, tmp_path):
+    """The stateless curation stages (Gopher quality/repetition filters,
+    PII redaction — Arrow mapInPandas + column expressions) compose
+    directly onto a readStream and match the batch result exactly."""
+    from quickwit_spark.datapipe.gopher_quality import gopher_quality_filter
+    from quickwit_spark.datapipe.pii import redact_pii
+    from quickwit_spark.datapipe.repetition import repetition_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def stages(d):
+        d = redact_pii(d, "text", out_col="_red", with_counts=False)
+        d = d.drop("text").withColumnRenamed("_red", "text")
+        d = gopher_quality_filter(d, bounds={"min_stopword_hits": 1})
+        return repetition_filter(d)
+
+    stream = _file_stream(spark, tmp_path, docs, "curq")
+    _run_to_memory(stages(stream), "curq_res")
+    got = spark.sql("SELECT doc_id FROM curq_res").toPandas()
+    batch = stages(docs).select("doc_id").toPandas()
+    assert sorted(got["doc_id"]) == sorted(batch["doc_id"])
+    assert len(batch) > 0
