@@ -33,3 +33,55 @@ def test_corpus_deterministic_columns(spark, sf_dir):
     assert c[0]["url"] == "https://site0.example/p/0"
     assert c[1]["url"] == "https://site1.example/p/1"
     assert str(c[1]["warc_ts"]).startswith("2024-01-01 00:01:37")
+
+
+def test_warc_round_trip_byte_identical(spark, sf_dir, tmp_path):
+    """corpus → WARC response records → read_warc → extract_text is
+    byte-identical per url (the north-rule invariant through the real
+    Common Crawl container format), timestamps included."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.sources.corpus import extract_text, web_corpus
+    from quickwit_spark.sources.warc import read_warc, write_warc
+
+    corpus = web_corpus(spark, sf_dir, with_html=True)
+    d = str(tmp_path / "warcs")
+    n = write_warc(corpus.repartition(3), d)
+    assert n == corpus.count()
+    back = read_warc(spark, d)
+    assert back.count() == n
+    assert back.select("http_status").distinct().collect()[0][0] == 200
+    cmp = corpus.select("url", "text", "warc_ts").join(
+        extract_text(back).select(
+            "url", "extracted_text", F.col("warc_ts").alias("ts2")
+        ),
+        "url",
+    )
+    assert cmp.filter(F.col("text") != F.col("extracted_text")).count() == 0
+    assert cmp.filter(F.col("warc_ts") != F.col("ts2")).count() == 0
+
+
+def test_warc_gzip_and_foreign_records(spark, tmp_path):
+    """read_warc handles .warc.gz blobs and skips warcinfo/request
+    records like real CC files contain."""
+    import gzip
+
+    from quickwit_spark.sources.warc import _parse_warc, _record_bytes
+
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+        b"isPartOf:\r\n\r\n"
+    )
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://x.example/\r\nContent-Length: 18\r\n\r\n"
+        b"GET / HTTP/1.1\r\n\r\n\r\n\r\n"
+    )
+    resp = _record_bytes(
+        "https://x.example/", "2024-01-01T00:00:00Z", b"<p>hi</p>"
+    )
+    blob = info + req + resp
+    got = list(_parse_warc(blob))
+    assert got == [("https://x.example/", "2024-01-01T00:00:00Z", 200,
+                    b"<p>hi</p>")]
+    assert list(_parse_warc(gzip.compress(blob))) == got
