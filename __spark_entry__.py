@@ -1982,6 +1982,26 @@ def _q_span_dedup_stats(spark, sf_dir):
     return duplicate_span_stats(docs, "doc_id", window=8)
 
 
+def _q_warc_round_trip(spark, sf_dir):
+    """Ingestion through the real Common Crawl container: corpus →
+    WARC response records on disk → read_warc → pinned extractor. The
+    oracle recreates (url, text) straight from the parquet derivation,
+    so a single flipped byte anywhere in the serialize/parse/extract
+    chain hash-mismatches."""
+    import tempfile
+
+    from quickwit_spark.sources.corpus import extract_text, web_corpus
+    from quickwit_spark.sources.warc import read_warc, write_warc
+
+    corpus = web_corpus(spark, sf_dir, with_html=True)
+    d = tempfile.mkdtemp(prefix="qws_gate_warc_")
+    write_warc(corpus.repartition(4), d)
+    back = read_warc(spark, d)
+    return extract_text(back).select(
+        "url", F.col("extracted_text").alias("text")
+    )
+
+
 def _gq_web_text(docs):
     """Injects bullets / line-ending ellipses / '#' symbols into the
     plain word corpus so every Gopher quality rule family is exercised
@@ -2867,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "token_shard_packing": _q_token_shard_packing,
         "span_dedup_stats": _q_span_dedup_stats,
+        "warc_round_trip": _q_warc_round_trip,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -3382,6 +3403,10 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "pii_redaction": _PII_SQL,
         "token_shard_packing": _PACKING_SQL,
         "span_dedup_stats": _SPAN_DEDUP_SQL,
+        "warc_round_trip": (
+            "SELECT 'https://site' || (doc_id % 1000) || '.example/p/' || "
+            "doc_id AS url, text FROM documents"
+        ),
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
