@@ -2002,6 +2002,23 @@ def _q_warc_round_trip(spark, sf_dir):
     )
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality: add-one char-trigram model trained on
+    every 20th document, perplexity scored for all — the oracle
+    retrains the same model in SQL, so smoothing constants, unseen
+    handling, and the per-doc averages are all hash-checked."""
+    from quickwit_spark.datapipe.lm_quality import lm_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 20 == 0)
+    out = lm_perplexity(docs, train)
+    return out.select(
+        "doc_id",
+        F.round("lp_mean", 6).alias("lp_mean"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
 def _gq_web_text(docs):
     """Injects bullets / line-ending ellipses / '#' symbols into the
     plain word corpus so every Gopher quality rule family is exercised
@@ -2332,6 +2349,30 @@ SELECT doc_id,
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             / 20000) AS BIGINT) AS shard_id
 FROM documents
+"""
+
+_LM_PERPLEXITY_SQL = """
+WITH tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(lower(text)) - 1),
+                i -> substr(lower(text), i, 3))) AS trigram
+  FROM documents WHERE length(text) >= 3
+),
+trainc AS (
+  SELECT trigram, COUNT(*) AS c FROM tg WHERE doc_id % 20 = 0 GROUP BY 1
+),
+const AS (SELECT CAST(SUM(c) + COUNT(*) + 1 AS DOUBLE) AS denom FROM trainc),
+scored AS (
+  SELECT tg.doc_id,
+         AVG(ln((coalesce(trainc.c, 0) + 1) / (SELECT denom FROM const)))
+           AS lp
+  FROM tg LEFT JOIN trainc USING (trigram)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       ROUND(coalesce(s.lp, 0.0), 6) AS lp_mean,
+       ROUND(exp(-coalesce(s.lp, 0.0)), 6) AS perplexity
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 _SPAN_DEDUP_SQL = r"""
@@ -2888,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shard_packing": _q_token_shard_packing,
         "span_dedup_stats": _q_span_dedup_stats,
         "warc_round_trip": _q_warc_round_trip,
+        "lm_perplexity": _q_lm_perplexity,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -3407,6 +3449,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
             "SELECT 'https://site' || (doc_id % 1000) || '.example/p/' || "
             "doc_id AS url, text FROM documents"
         ),
+        "lm_perplexity": _LM_PERPLEXITY_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,

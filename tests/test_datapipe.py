@@ -618,3 +618,30 @@ def test_curate_text_surgery_stages(spark):
     assert para in got[0]          # first occurrence keeps the paragraph
     assert para not in got[1]      # later occurrence loses it
     assert got[1].startswith("the to with")
+
+
+def test_lm_perplexity_quality_ordering(spark, docs):
+    """CCNet-style trigram perplexity: identical texts score equally,
+    junk scores worse than in-distribution text, short/NULL docs score
+    perplexity 1, and self-training is the default."""
+    from quickwit_spark.datapipe.lm_quality import lm_perplexity
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),
+        (2, "zzqx jjkk wwvv qqpp zzzz"),
+        (3, "ab"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = df.filter(F.col("doc_id") < 2)
+    out = {r["doc_id"]: r.asDict() for r in lm_perplexity(df, train).collect()}
+    assert out[0]["lp_mean"] == out[1]["lp_mean"]
+    assert out[2]["perplexity"] > out[0]["perplexity"]
+    assert out[3]["perplexity"] == 1.0 and out[4]["perplexity"] == 1.0
+    # self-trained over the real corpus: finite scores, junk-free docs
+    # cluster well under the max
+    scored = lm_perplexity(docs.select("doc_id", "text").limit(100))
+    pdf = scored.select("perplexity").toPandas()
+    assert (pdf["perplexity"] > 1.0).all()
+    assert pdf["perplexity"].median() < pdf["perplexity"].max() * 2
