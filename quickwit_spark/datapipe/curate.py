@@ -6,7 +6,8 @@ public training-data pipelines run them (C4/Gopher/RefinedWeb-style):
 1. URL dedup (when a `url` column is given) — cheapest filter first
 2. PII redaction (transform — happens before any content hashing so
    identical pages with different injected identifiers still dedup)
-3. Gopher quality filter
+3. Gopher quality filter (+ optional CCNet-style LM perplexity bound
+   via `max_perplexity` / `lm_train`)
 4. Gopher repetition filter
 5. exact content dedup (canonical row per identical text)
 6. near-dup removal via MinHash-LSH + connected components
@@ -54,6 +55,8 @@ def curate(
     decontam_n: int = 13,
     para_dedup: bool = False,
     span_window: int | None = None,
+    max_perplexity: float | None = None,
+    lm_train: DataFrame | None = None,
     persist_intermediate: bool = True,
     with_report: bool = False,
 ):
@@ -87,6 +90,14 @@ def curate(
             red.drop(text_col).withColumnRenamed("_red", text_col).select(*orig),
         )
     out = note("quality", gopher_quality_filter(out, text_col, quality_bounds))
+    if max_perplexity is not None:
+        from quickwit_spark.datapipe.lm_quality import lm_perplexity
+
+        scored = lm_perplexity(out, lm_train, key, text_col)
+        out = note(
+            "lm_quality",
+            scored.filter(F.col("perplexity") <= max_perplexity).select(*orig),
+        )
     out = note(
         "repetition", repetition_filter(out, text_col, repetition_thresholds)
     )

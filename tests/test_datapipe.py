@@ -645,3 +645,34 @@ def test_lm_perplexity_quality_ordering(spark, docs):
     pdf = scored.select("perplexity").toPandas()
     assert (pdf["perplexity"] > 1.0).all()
     assert pdf["perplexity"].median() < pdf["perplexity"].max() * 2
+
+
+def test_curate_lm_perplexity_stage(spark, docs):
+    """max_perplexity adds the LM bucket filter between quality and
+    repetition, dropping the out-of-distribution doc."""
+    from quickwit_spark.datapipe.curate import curate
+
+    base = docs.select("doc_id", "text").limit(60)
+    junk = spark.createDataFrame(
+        [(999991, "zzqx " * 60)], "doc_id long, text string"
+    )
+    df = base.union(junk)
+    out, rep = curate(
+        df, quality_bounds={"min_stopword_hits": 0,
+                            "min_alpha_word_frac": 0.0,
+                            "min_mean_word_len": 1.0},
+        repetition_thresholds={"top_2gram_char_frac": 1.0,
+                               "dup_5gram_char_frac": 1.0,
+                               "dup_6gram_char_frac": 1.0,
+                               "dup_7gram_char_frac": 1.0,
+                               "dup_8gram_char_frac": 1.0,
+                               "dup_9gram_char_frac": 1.0,
+                               "dup_10gram_char_frac": 1.0},
+        max_perplexity=1000.0, lm_train=base,
+        near_dup=False, with_report=True,
+    )
+    stages = dict(rep)
+    assert "lm_quality" in stages
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 999991 not in kept
+    assert len(kept) > 0
