@@ -37,6 +37,15 @@ def main() -> None:
     p.add_argument("--decontam-n", type=int, default=13)
     p.add_argument("--no-redact", action="store_true")
     p.add_argument("--no-near-dup", action="store_true")
+    p.add_argument("--para-dedup", action="store_true",
+                   help="corpus-wide paragraph dedup (text surgery)")
+    p.add_argument("--span-window", type=int, default=None,
+                   help="exact-substring span cuts at this token window")
+    p.add_argument("--max-perplexity", type=float, default=None,
+                   help="drop docs above this trigram-LM perplexity")
+    p.add_argument("--lm-train", default=None,
+                   help="parquet path of clean text to train the LM on "
+                        "(default: self-trained)")
     p.add_argument("--min-stopword-hits", type=int, default=None,
                    help="override the Gopher required-stopword bound")
     p.add_argument("--report", action="store_true")
@@ -60,6 +69,12 @@ def main() -> None:
         near_dup=not args.no_near_dup,
         benchmark=bench,
         decontam_n=args.decontam_n,
+        para_dedup=args.para_dedup,
+        span_window=args.span_window,
+        max_perplexity=args.max_perplexity,
+        lm_train=(
+            spark.read.parquet(args.lm_train) if args.lm_train else None
+        ),
         with_report=args.report,
     )
     if args.report:
