@@ -1988,13 +1988,18 @@ def _q_warc_round_trip(spark, sf_dir):
     oracle recreates (url, text) straight from the parquet derivation,
     so a single flipped byte anywhere in the serialize/parse/extract
     chain hash-mismatches."""
+    import shutil
     import tempfile
 
     from quickwit_spark.sources.corpus import extract_text, web_corpus
     from quickwit_spark.sources.warc import read_warc, write_warc
 
     corpus = web_corpus(spark, sf_dir, with_html=True)
-    d = tempfile.mkdtemp(prefix="qws_gate_warc_")
+    # fixed path (cleared first): the returned plan reads these files
+    # lazily, so they can't be deleted here — a fresh mkdtemp per run
+    # would leak one corpus copy per gate invocation
+    d = os.path.join(tempfile.gettempdir(), "qws_gate_warc")
+    shutil.rmtree(d, ignore_errors=True)
     write_warc(corpus.repartition(4), d)
     back = read_warc(spark, d)
     return extract_text(back).select(

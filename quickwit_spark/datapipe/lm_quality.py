@@ -43,23 +43,31 @@ def _trigrams(text_col: str):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def char_trigram_model(train_df: DataFrame, text_col: str = "text") -> DataFrame:
-    """→ (trigram, logp) plus the unseen-bucket row (trigram = NULL is
-    NOT used; unseen probability is derivable from the constants, see
-    `lm_perplexity`). Cached small table, broadcast by the scorer."""
-    grams = train_df.select(
-        F.explode(_trigrams(text_col)).alias("trigram")
+def char_trigram_model(
+    train_df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, float]:
+    """→ (model DataFrame of (trigram, logp), denom = N + V + 1).
+
+    Training runs as exactly ONE Spark job (the groupBy collected to
+    the driver — the model is ≤ charset³ rows); the returned model
+    DataFrame is locally created, so downstream joins never re-execute
+    the training lineage. An empty training corpus gives denom = 1:
+    every trigram is unseen with P = 1 ⇒ perplexity 1, matching the
+    documented formula and the SQL oracle."""
+    import math
+
+    spark = train_df.sparkSession
+    counts = (
+        train_df.select(F.explode(_trigrams(text_col)).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
-    counts = grams.groupBy("trigram").agg(F.count(F.lit(1)).alias("c"))
-    totals = counts.agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
-    ).first()
-    n_total, v = int(totals["n"] or 0), int(totals["v"] or 0)
-    denom = float(n_total + v + 1)
-    model = counts.select(
-        "trigram", F.log((F.col("c") + 1) / F.lit(denom)).alias("logp")
-    )
-    return model.withColumn("_denom", F.lit(denom))
+    n_total = sum(r["c"] for r in counts)
+    denom = float(n_total + len(counts) + 1)
+    rows = [(r["trigram"], math.log((r["c"] + 1) / denom)) for r in counts]
+    model = spark.createDataFrame(rows, "trigram string, logp double")
+    return model, denom
 
 
 def lm_perplexity(
@@ -70,12 +78,11 @@ def lm_perplexity(
 ) -> DataFrame:
     """Adds (lp_mean, perplexity). `train_df` defaults to `df` itself
     (self-trained — the common bootstrap when no clean LM corpus is
-    at hand; pass a curated subset for the CCNet-faithful setup)."""
-    model = char_trigram_model(
+    at hand; pass a curated subset for the CCNet-faithful setup).
+    NB: model training runs one eager Spark job at plan-build time."""
+    model, denom = char_trigram_model(
         train_df if train_df is not None else df, text_col
     )
-    denom = model.select("_denom").first()
-    denom = float(denom["_denom"]) if denom is not None else 2.0
     unseen = F.log(F.lit(1.0) / F.lit(denom))
     grams = df.select(
         F.col(key), F.explode(_trigrams(text_col)).alias("trigram")

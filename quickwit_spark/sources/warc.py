@@ -34,7 +34,12 @@ _CRLF = b"\r\n"
 def _record_bytes(url: str, ts, html: bytes) -> bytes:
     """One WARC/1.0 response record with an HTTP/1.1 200 block."""
     if isinstance(ts, datetime):
-        ts = ts.replace(tzinfo=ts.tzinfo or timezone.utc)
+        # naive timestamps are treated as UTC (the session default);
+        # aware ones are CONVERTED — replace() would relabel the wall
+        # time and shift the instant
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        ts = ts.astimezone(timezone.utc)
         wdate = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
     else:
         wdate = str(ts)
@@ -70,7 +75,11 @@ def write_warc(
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    cols = df.select(url_col, ts_col, html_col)
+    # a NULL url or html cannot be serialized as a response record —
+    # skip such rows rather than crash the job mid-file
+    cols = df.select(url_col, ts_col, html_col).where(
+        F.col(url_col).isNotNull() & F.col(html_col).isNotNull()
+    )
 
     def dump(pid, it):
         path = os.path.join(out_dir, f"part-{pid:05d}.warc")
@@ -105,6 +114,12 @@ def _parse_warc(blob: bytes):
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
         length = int(headers[b"content-length"])
+        if hdr_end + 4 + length > n:
+            raise ValueError(
+                "truncated WARC record: Content-Length "
+                f"{length} overruns the file by "
+                f"{hdr_end + 4 + length - n} bytes"
+            )
         body = blob[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length
         if headers.get(b"warc-type") == b"response":
@@ -135,23 +150,32 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         ]
     )
 
-    def parse(batches):
+    def parse(batches, _chunk=512):
+        # yield in bounded chunks — a CC-sized WARC holds GBs of
+        # payloads; buffering the whole file's records in one pandas
+        # frame would hold 2-3x the decompressed size per task
+        rows = {"url": [], "warc_date": [], "http_status": [], "html": []}
         for pdf in batches:
-            rows = {"url": [], "warc_date": [], "http_status": [], "html": []}
             for blob in pdf["content"]:
                 for url, wd, status, html in _parse_warc(bytes(blob)):
                     rows["url"].append(url)
                     rows["warc_date"].append(wd)
                     rows["http_status"].append(status)
                     rows["html"].append(html)
+                    if len(rows["url"]) >= _chunk:
+                        yield pd.DataFrame(rows)
+                        rows = {k: [] for k in rows}
+        if rows["url"]:
             yield pd.DataFrame(rows)
 
     out = files.select("content").mapInPandas(parse, schema)
     return out.select(
         "url",
-        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
-            "warc_ts"
-        ),
+        F.to_timestamp(
+            # tolerate WARC/1.1 fractional seconds by stripping them
+            F.regexp_replace(F.col("warc_date"), r"\.[0-9]+Z$", "Z"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ).alias("warc_ts"),
         "http_status",
         "html",
     )

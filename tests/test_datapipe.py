@@ -639,12 +639,21 @@ def test_lm_perplexity_quality_ordering(spark, docs):
     assert out[0]["lp_mean"] == out[1]["lp_mean"]
     assert out[2]["perplexity"] > out[0]["perplexity"]
     assert out[3]["perplexity"] == 1.0 and out[4]["perplexity"] == 1.0
-    # self-trained over the real corpus: finite scores, junk-free docs
-    # cluster well under the max
-    scored = lm_perplexity(docs.select("doc_id", "text").limit(100))
-    pdf = scored.select("perplexity").toPandas()
-    assert (pdf["perplexity"] > 1.0).all()
-    assert pdf["perplexity"].median() < pdf["perplexity"].max() * 2
+    # self-trained over the real corpus + one junk doc: every real doc
+    # must beat the planted junk, and scores are finite
+    corpus = docs.select("doc_id", "text").limit(100).union(
+        spark.createDataFrame([(999992, "zzqx " * 60)],
+                              "doc_id long, text string")
+    )
+    scored = lm_perplexity(corpus).select("doc_id", "perplexity").toPandas()
+    junk_p = scored.loc[scored["doc_id"] == 999992, "perplexity"].iloc[0]
+    real = scored[scored["doc_id"] != 999992]["perplexity"]
+    assert (real > 1.0).all()
+    assert (real < junk_p).all()
+    # empty training corpus: formula gives denom 1 -> perplexity 1.0
+    empty_train = docs.select("doc_id", "text").limit(0)
+    p1 = lm_perplexity(docs.select("doc_id", "text").limit(5), empty_train)
+    assert all(r["perplexity"] == 1.0 for r in p1.collect())
 
 
 def test_curate_lm_perplexity_stage(spark, docs):
