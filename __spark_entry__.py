@@ -2007,6 +2007,22 @@ def _q_warc_round_trip(spark, sf_dir):
     )
 
 
+def _q_sq8_topk(spark, sf_dir):
+    """Cosine top-k over the SQ8-dequantized corpus (global-range 8-bit
+    codes, 4x memory cut): the oracle reproduces the quantize →
+    dequantize → rank arithmetic exactly, so range computation,
+    rounding, and decode all value-hash."""
+    from quickwit_spark.datapipe.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = sq8_topk(emb, q, k=10, rank_round=9)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"), "rank",
+    )
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality: add-one char-trigram model trained on
     every 20th document, perplexity scored for all — the oracle
@@ -2354,6 +2370,33 @@ SELECT doc_id,
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             / 20000) AS BIGINT) AS shard_id
 FROM documents
+"""
+
+_SQ8_TOPK_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+mm AS (SELECT MIN(list_min(e)) AS mn, MAX(list_max(e)) AS mx FROM v),
+dec AS (
+  SELECT vec_id,
+         list_transform(
+           list_transform(e, x -> round((x - mm.mn) / (mm.mx - mm.mn) * 255)),
+           y -> y / 255.0 * (mm.mx - mm.mn) + mm.mn) AS d
+  FROM v, mm
+),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, dec.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv, dec.d), 9) AS s9
+  FROM q CROSS JOIN dec WHERE dec.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, s9,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s9 DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(s9, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
 """
 
 _LM_PERPLEXITY_SQL = """
@@ -2935,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_stats": _q_span_dedup_stats,
         "warc_round_trip": _q_warc_round_trip,
         "lm_perplexity": _q_lm_perplexity,
+        "knn_sq8_topk": _q_sq8_topk,
         "text_quality_score": _q_text_quality,
         "text_language_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -3455,6 +3499,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
             "doc_id AS url, text FROM documents"
         ),
         "lm_perplexity": _LM_PERPLEXITY_SQL,
+        "knn_sq8_topk": _SQ8_TOPK_SQL,
         "text_quality_score": _TEXT_QUALITY_SQL,
         "text_language_id": _LANG_ID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,

@@ -490,3 +490,77 @@ def ivfpq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ------------------------------------------------------ SQ8 quantization
+
+
+def sq8_quantize(
+    df: DataFrame, vec: str = "embedding", out: str = "sq8"
+) -> tuple[DataFrame, tuple[float, float]]:
+    """Global-range 8-bit scalar quantization: code = round((x − mn) /
+    (mx − mn) · 255) with (mn, mx) the corpus-wide component range —
+    4× smaller than float32 (the middle memory tier between raw
+    vectors and IVF-PQ's m bytes). → (df + `out` array<int>, (mn, mx)).
+    Pure column arithmetic, reproducible in any SQL engine."""
+    d = F.transform(F.col(vec), lambda x: x.cast("double"))
+    mm = df.agg(
+        F.min(F.array_min(d)).alias("mn"), F.max(F.array_max(d)).alias("mx")
+    ).first()
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+    scale = (mx - mn) or 1.0
+    codes = F.transform(
+        d, lambda x: F.round((x - F.lit(mn)) / F.lit(scale) * 255, 0).cast("int")
+    )
+    return df.withColumn(out, codes), (mn, mx)
+
+
+def sq8_dequantize(codes, mn: float, mx: float):
+    """Column expression decoding SQ8 codes back to doubles."""
+    scale = (mx - mn) or 1.0
+    return F.transform(
+        codes, lambda c: c.cast("double") / 255.0 * F.lit(scale) + F.lit(mn)
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 10,
+    rank_round: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k over the SQ8-DEQUANTIZED corpus against
+    raw queries — the accuracy/memory trade measured end-to-end
+    (same partial/final collector shape as `brute_force_topk`)."""
+    enc, (mn, mx) = sq8_quantize(corpus, vec)
+    c = enc.select(
+        F.col(key).alias("neighbor_id"),
+        sq8_dequantize(F.col("sq8"), mn, mx).alias("_cv"),
+    )
+    q = queries.select(
+        F.col(key).alias("query_id"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("_qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    if rank_round is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", rank_round))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

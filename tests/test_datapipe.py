@@ -685,3 +685,30 @@ def test_curate_lm_perplexity_stage(spark, docs):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 999991 not in kept
     assert len(kept) > 0
+
+
+def test_sq8_quantization_recall_and_roundtrip(spark, emb):
+    """SQ8: codes land in [0,255]; dequantized brute force agrees with
+    exact brute force on >=9/10 of top-10 on unit-random vectors
+    (quantization error is tiny at 8 bits over a bounded range)."""
+    from quickwit_spark.datapipe.similarity import (
+        brute_force_topk, sq8_quantize, sq8_topk,
+    )
+
+    enc, (mn, mx) = sq8_quantize(emb)
+    stats = enc.select(
+        F.min(F.array_min("sq8")), F.max(F.array_max("sq8"))
+    ).first()
+    assert stats[0] >= 0 and stats[1] <= 255
+    assert mn < 0 < mx  # unit-normalized random components straddle 0
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=10, rank_round=9).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sq8_topk(emb, q, k=10, rank_round=9).select(
+        "query_id", "neighbor_id"
+    )
+    total = exact.count()
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / total >= 0.9
