@@ -67,10 +67,97 @@ def bitpack_decode(buf: bytes, count: int) -> np.ndarray:
     return out
 
 
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
 def bitpack_encode_grouped(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
-    """Per-group bitpacked blobs (same contract as varint_encode_grouped)."""
+    """Per-group bitpacked blobs (same contract as varint_encode_grouped).
+
+    Vectorized across every term of the segment: block boundaries, widths
+    and output offsets come from reduceat/cumsum over the concatenated
+    postings; the bit streams are produced per width class with one
+    ``unpackbits``/``packbits`` pair per (class, chunk) — no per-term and
+    no per-block Python. Byte-identical to per-group
+    :func:`bitpack_encode`.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
     gs = np.asarray(group_starts, dtype=np.int64)
-    bounds = np.append(gs, len(values))
-    return [
-        bitpack_encode(values[bounds[i] : bounds[i + 1]]) for i in range(len(gs))
-    ]
+    ngroups = len(gs)
+    n = len(v)
+    if ngroups == 0:
+        return []
+    if n == 0:
+        return [b""] * ngroups
+    gends = np.append(gs[1:], n)
+    glens = gends - gs
+    nblocks = (glens + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nblocks.sum())
+    block_group = np.repeat(np.arange(ngroups, dtype=np.int64), nblocks)
+    excl = np.zeros(ngroups, dtype=np.int64)
+    np.cumsum(nblocks[:-1], out=excl[1:])
+    within = np.arange(total_blocks, dtype=np.int64) - excl[block_group]
+    bstart = gs[block_group] + within * BLOCK_SIZE
+    bend = np.minimum(bstart + BLOCK_SIZE, gends[block_group])
+    blens = bend - bstart
+    bmax = np.maximum.reduceat(v, bstart)
+    # bit_length(x) == number of powers of two <= x (0 for x == 0)
+    widths = np.searchsorted(_POW2, bmax, side="right").astype(np.int64)
+    nbytes = (blens * widths + 7) >> 3
+    out_sizes = 1 + nbytes
+    out_offs = np.zeros(total_blocks, dtype=np.int64)
+    np.cumsum(out_sizes[:-1], out=out_offs[1:])
+    buf = np.zeros(int(out_offs[-1] + out_sizes[-1]), dtype=np.uint8)
+    buf[out_offs] = widths.astype(np.uint8)
+    col = np.arange(BLOCK_SIZE, dtype=np.int64)
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.flatnonzero(widths == w)
+        # narrowest power-of-two storage that holds w bits: unpackbits
+        # then touches 8/16/32 bits per value instead of always 64
+        sbits = 8 if w <= 8 else 16 if w <= 16 else 32 if w <= 32 else 64
+        sdtype = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}[sbits]
+        # bound the (chunk, BLOCK_SIZE, sbits)-bit intermediate to ~64 MiB
+        chunk = max(1, (1 << 26) // (BLOCK_SIZE * sbits))
+        full = blens[sel] == BLOCK_SIZE
+        for s_all, is_full in ((sel[full], True), (sel[~full], False)):
+            for lo in range(0, len(s_all), chunk):
+                s = s_all[lo : lo + chunk]
+                m = len(s)
+                if m == 0:
+                    continue
+                idx = bstart[s, None] + col[None, :]
+                if is_full:
+                    vals = v[idx].astype(sdtype)
+                else:
+                    live = col[None, :] < blens[s, None]
+                    vals = np.where(
+                        live, v[np.minimum(idx, n - 1)], np.uint64(0)
+                    ).astype(sdtype)
+                # little-endian view -> per-value bits 0..sbits-1 in order
+                allbits = np.unpackbits(
+                    vals.view(np.uint8).reshape(m, BLOCK_SIZE * (sbits >> 3)),
+                    axis=1,
+                    bitorder="little",
+                ).reshape(m, BLOCK_SIZE, sbits)
+                packed = np.packbits(
+                    np.ascontiguousarray(allbits[:, :, :w]).reshape(
+                        m, BLOCK_SIZE * w
+                    ),
+                    axis=1,
+                    bitorder="little",
+                )
+                bytecol = np.arange(packed.shape[1], dtype=np.int64)
+                tgt = out_offs[s, None] + 1 + bytecol[None, :]
+                if is_full:
+                    buf[tgt.ravel()] = packed.ravel()
+                else:
+                    keep = bytecol[None, :] < nbytes[s, None]
+                    buf[tgt[keep]] = packed[keep]
+    gsizes = np.zeros(ngroups, dtype=np.int64)
+    np.add.at(gsizes, block_group, out_sizes)
+    gbounds = np.zeros(ngroups + 1, dtype=np.int64)
+    np.cumsum(gsizes, out=gbounds[1:])
+    blob = buf.tobytes()
+    return [blob[gbounds[i] : gbounds[i + 1]] for i in range(ngroups)]
