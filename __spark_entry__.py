@@ -2083,6 +2083,92 @@ def _q_gopher_quality_filter(spark, sf_dir):
     return out.select("doc_id")
 
 
+def _c4_web_text(docs):
+    """Deterministically injects C4-relevant structure into the
+    single-line corpus so every C4 rule fires non-vacuously: ``' scan '``
+    becomes a sentence end + line break, ``' vector '`` a javascript
+    mention (line drop), ``' slow query '`` a policy phrase (line drop),
+    ``' small hash '`` lorem ipsum (page drop, ~6% of docs),
+    ``' big table '`` a curly brace (page drop, ~5%). Mirrored 1:1 by
+    the oracle's ``src`` CTE — replacement order matters and matches."""
+    from pyspark.sql import functions as F
+
+    t = F.col("text")
+    for pat, rep in (
+        (" scan ", ".\n"),
+        (" vector ", " javascript "),
+        (" slow query ", " privacy policy "),
+        (" small hash ", " lorem ipsum "),
+        (" big table ", " x { y "),
+    ):
+        t = F.replace(t, F.lit(pat), F.lit(rep))
+    return docs.select("doc_id", t.alias("text"))
+
+
+def _q_c4_filter(spark, sf_dir):
+    """Full C4 clean (Raffel et al. 2020 §2.2) over the structure-
+    injected corpus: line rules (terminal punctuation, ≥5 words, no
+    javascript, no policy boilerplate) rewrite the text; page rules
+    (lorem ipsum, curly brace, ≥3 sentences) decide `kept`. Returns
+    ALL pages with the cleaned text AND the keep flag, so the hash
+    checks the full rewrite on every doc, not just survivors (23/500
+    at sf0.01 — `c4_filter` itself returns only those and is asserted
+    equal to the kept=true slice in tests/test_c4_filters.py)."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.datapipe.c4_filters import (
+        c4_clean_lines,
+        c4_page_predicate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    cleaned = c4_clean_lines(_c4_web_text(docs), "text", "text_clean")
+    return cleaned.select(
+        "doc_id",
+        "text_clean",
+        c4_page_predicate(F.col("text"), F.col("text_clean")).alias("kept"),
+    ).orderBy("doc_id")
+
+
+_C4_LINE_KEEP = """regexp_matches(l, '[.!?"]$')
+         AND len(string_split_regex(l, '[ \t]+')) >= 5
+         AND NOT contains(lower(l), 'javascript')
+         AND NOT contains(lower(l), 'terms of use')
+         AND NOT contains(lower(l), 'privacy policy')
+         AND NOT contains(lower(l), 'cookie policy')
+         AND NOT contains(lower(l), 'uses cookies')
+         AND NOT contains(lower(l), 'use of cookies')
+         AND NOT contains(lower(l), 'use cookies')"""
+
+_C4_FILTER_SQL = f"""
+WITH src AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(text,
+      ' scan ', '.' || chr(10)),
+      ' vector ', ' javascript '),
+      ' slow query ', ' privacy policy '),
+      ' small hash ', ' lorem ipsum '),
+      ' big table ', ' x {{ y ') AS text
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, text,
+    -- coalesce: DuckDB's array_to_string is NULL on an empty list,
+    -- Spark's array_join is ''
+    coalesce(array_to_string(
+      list_filter(
+        list_transform(string_split(text, chr(10)), l -> trim(l)),
+        l -> {_C4_LINE_KEEP}
+      ), chr(10)), '') AS text_clean
+  FROM src)
+SELECT doc_id, text_clean,
+  (NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{{')
+   AND len(regexp_extract_all(text_clean, '[.!?]')) >= 3) AS kept
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
 _TOKS_SIMPLE = """
 toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
@@ -2971,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_gopher_filter": _q_repetition_filter,
         "gopher_quality_stats": _q_gopher_quality_stats,
         "gopher_quality_filter": _q_gopher_quality_filter,
+        "c4_filter": _q_c4_filter,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontamination_marks": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
@@ -3489,6 +3576,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "repetition_gopher_filter": _REPETITION_FILTER_SQL,
         "gopher_quality_stats": _GOPHER_QUALITY_STATS_SQL,
         "gopher_quality_filter": _GOPHER_QUALITY_FILTER_SQL,
+        "c4_filter": _C4_FILTER_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontamination_marks": _DECONTAM_SQL,
         "pii_redaction": _PII_SQL,

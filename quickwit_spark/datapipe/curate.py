@@ -6,6 +6,8 @@ public training-data pipelines run them (C4/Gopher/RefinedWeb-style):
 1. URL dedup (when a `url` column is given) — cheapest filter first
 2. PII redaction (transform — happens before any content hashing so
    identical pages with different injected identifiers still dedup)
+2b. optional C4 line clean + page filters (`c4=True`; Raffel et al.
+   2020 §2.2) — rewrites the text before any quality scoring
 3. Gopher quality filter (+ optional CCNet-style LM perplexity bound
    via `max_perplexity` / `lm_train`)
 4. Gopher repetition filter
@@ -44,6 +46,8 @@ def curate(
     url_col: str | None = None,
     *,
     redact: bool = True,
+    c4: bool = False,
+    c4_blocklist: tuple[str, ...] | None = None,
     quality_bounds: dict | None = None,
     repetition_thresholds: dict | None = None,
     near_dup: bool = True,
@@ -88,6 +92,12 @@ def curate(
         out = note(
             "pii_redact",
             red.drop(text_col).withColumnRenamed("_red", text_col).select(*orig),
+        )
+    if c4:
+        from quickwit_spark.datapipe.c4_filters import c4_filter
+
+        out = note(
+            "c4", c4_filter(out, text_col, blocklist=c4_blocklist)
         )
     out = note("quality", gopher_quality_filter(out, text_col, quality_bounds))
     if max_perplexity is not None:
