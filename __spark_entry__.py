@@ -2130,6 +2130,94 @@ def _q_c4_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_dsir_logweights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023) in portable-hash
+    mode: target = docs with doc_id % 7 == 0, raw = all docs, hashed
+    uni+bigram buckets (B=4096), alpha=1e-4. The oracle replays the
+    whole pipeline — tokenize, portable hash, bucket counts, smoothed
+    log-ratio, per-doc sum — in SQL."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.datapipe.dsir import dsir_logweights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    out = dsir_logweights(docs, target, num_buckets=4096, portable=True)
+    return out.select(
+        "doc_id", F.round("dsir_logw", 6).alias("dsir_logw")
+    ).orderBy("doc_id")
+
+
+def _q_dsir_resample(spark, sf_dir):
+    """Gumbel top-k resample (k=50, seed=0) under the same portable
+    DSIR scoring — checks the deterministic Gumbel mix + selection."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.datapipe.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    out = dsir_resample(
+        docs, target, k=50, seed=0, num_buckets=4096, portable=True
+    )
+    return out.select(
+        "doc_id", F.round("dsir_logw", 6).alias("dsir_logw")
+    ).orderBy("doc_id")
+
+
+def _dsir_sql(resample: bool) -> str:
+    """DuckDB replay of portable-mode DSIR (see datapipe/dsir.py)."""
+    from quickwit_spark.datapipe.portable import (
+        P31,
+        perm_constants,
+        sql_portable_hash,
+    )
+
+    ph = sql_portable_hash("s")
+    nb = 4096
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t != '') AS l
+  FROM documents),
+grams AS (
+  SELECT doc_id, flatten([l,
+    CASE WHEN len(l) >= 2
+         THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+         ELSE CAST([] AS VARCHAR[]) END]) AS g
+  FROM toks),
+bkt AS (
+  SELECT doc_id, unnest(list_transform(g, s -> ({ph}) % {nb})) AS b
+  FROM grams),
+tc AS (SELECT b, count(*)::DOUBLE AS c FROM bkt WHERE doc_id % 7 = 0 GROUP BY b),
+qc AS (SELECT b, count(*)::DOUBLE AS c FROM bkt GROUP BY b),
+tt AS (SELECT sum(c) AS t FROM tc),
+qt AS (SELECT sum(c) AS t FROM qc),
+delta AS (
+  SELECT qc.b,
+    (ln(coalesce(tc.c, 0) + 0.0001) - ln((SELECT t FROM tt) + 0.0001*{nb}))
+    - (ln(qc.c + 0.0001) - ln((SELECT t FROM qt) + 0.0001*{nb})) AS d
+  FROM qc LEFT JOIN tc ON qc.b = tc.b),
+scores AS (
+  SELECT bkt.doc_id, sum(delta.d) AS s
+  FROM bkt JOIN delta ON bkt.b = delta.b
+  GROUP BY bkt.doc_id),
+logw AS (
+  SELECT d.doc_id, coalesce(s.s, 0.0) AS w
+  FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id)
+"""
+    if not resample:
+        return base + "SELECT doc_id, round(w, 6) AS dsir_logw FROM logw ORDER BY doc_id"
+    a, b = perm_constants(1)[0]
+    return base + f""",
+picked AS (
+  SELECT doc_id, w,
+    w + (- ln(- ln(((({a} * (doc_id % {P31}) + {b}) % {P31}) + 1.0)
+                   / {float(P31 + 2)}))) AS pick
+  FROM logw
+  ORDER BY pick DESC, doc_id LIMIT 50)
+SELECT doc_id, round(w, 6) AS dsir_logw FROM picked ORDER BY doc_id"""
+
+
 _C4_LINE_KEEP = """regexp_matches(l, '[.!?"]$')
          AND len(string_split_regex(l, '[ \t]+')) >= 5
          AND NOT contains(lower(l), 'javascript')
@@ -3058,6 +3146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_stats": _q_gopher_quality_stats,
         "gopher_quality_filter": _q_gopher_quality_filter,
         "c4_filter": _q_c4_filter,
+        "dsir_logweights": _q_dsir_logweights,
+        "dsir_resample_topk": _q_dsir_resample,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontamination_marks": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
@@ -3577,6 +3667,8 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "gopher_quality_stats": _GOPHER_QUALITY_STATS_SQL,
         "gopher_quality_filter": _GOPHER_QUALITY_FILTER_SQL,
         "c4_filter": _C4_FILTER_SQL,
+        "dsir_logweights": _dsir_sql(resample=False),
+        "dsir_resample_topk": _dsir_sql(resample=True),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontamination_marks": _DECONTAM_SQL,
         "pii_redaction": _PII_SQL,
