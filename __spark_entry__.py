@@ -2165,6 +2165,72 @@ def _q_dsir_resample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """Linear quality-classifier scoring + deterministic Pareto keep
+    (GPT-3 curation rule) in portable-hash mode. The weight vector is a
+    fixed integer-mix formula of the bucket id (so the oracle can
+    rebuild it inline); the SPARK side runs the real scoring path
+    (featurize → broadcast gather → sigmoid → pareto_keep)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.datapipe.quality_classifier import (
+        pareto_keep,
+        quality_score,
+    )
+
+    nb = 4096
+    b = np.arange(nb, dtype=np.int64)
+    w = np.empty(nb + 1, dtype=np.float64)
+    w[:nb] = ((b * 1103515245 + 12345) % 10007) / 10007.0 - 0.5
+    w[nb] = 0.1
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    scored = quality_score(docs, w, num_buckets=nb, portable=True)
+    return scored.select(
+        "doc_id",
+        F.round("quality_score", 6).alias("quality_score"),
+        pareto_keep(F.col("doc_id"), F.col("quality_score")).alias("kept"),
+    ).orderBy("doc_id")
+
+
+def _quality_classifier_sql() -> str:
+    from quickwit_spark.datapipe.portable import (
+        P31,
+        perm_constants,
+        sql_portable_hash,
+    )
+
+    ph = sql_portable_hash("s")
+    a, c = perm_constants(1)[0]
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t != '') AS l
+  FROM documents),
+grams AS (
+  SELECT doc_id, flatten([l,
+    CASE WHEN len(l) >= 2
+         THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+         ELSE CAST([] AS VARCHAR[]) END]) AS g
+  FROM toks),
+bkt AS (
+  SELECT doc_id, unnest(list_transform(g, s -> ({ph}) % 4096)) AS b
+  FROM grams),
+per AS (
+  SELECT doc_id,
+    sum(((b * 1103515245 + 12345) % 10007) / 10007.0 - 0.5) AS s,
+    count(*) AS n
+  FROM bkt GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id,
+    1.0 / (1.0 + exp(-(coalesce(per.s / per.n, 0.0) + 0.1))) AS q
+  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
+SELECT doc_id, round(q, 6) AS quality_score,
+  q > 1.0 - (pow(((({a} * (doc_id % {P31}) + {c}) % {P31}) + 1.0)
+                 / {float(P31 + 2)}, -1.0/9.0) - 1.0) AS kept
+FROM scored ORDER BY doc_id
+"""
+
+
 def _dsir_sql(resample: bool) -> str:
     """DuckDB replay of portable-mode DSIR (see datapipe/dsir.py)."""
     from quickwit_spark.datapipe.portable import (
@@ -3148,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": _q_c4_filter,
         "dsir_logweights": _q_dsir_logweights,
         "dsir_resample_topk": _q_dsir_resample,
+        "quality_classifier_score": _q_quality_classifier,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontamination_marks": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
@@ -3669,6 +3736,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "c4_filter": _C4_FILTER_SQL,
         "dsir_logweights": _dsir_sql(resample=False),
         "dsir_resample_topk": _dsir_sql(resample=True),
+        "quality_classifier_score": _quality_classifier_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontamination_marks": _DECONTAM_SQL,
         "pii_redaction": _PII_SQL,

@@ -9,7 +9,9 @@ public training-data pipelines run them (C4/Gopher/RefinedWeb-style):
 2b. optional C4 line clean + page filters (`c4=True`; Raffel et al.
    2020 §2.2) — rewrites the text before any quality scoring
 3. Gopher quality filter (+ optional CCNet-style LM perplexity bound
-   via `max_perplexity` / `lm_train`)
+   via `max_perplexity` / `lm_train`, + optional trained linear
+   classifier via `classifier_weights` — hard `classifier_threshold`
+   or GPT-3 Pareto acceptance when the threshold is None)
 4. Gopher repetition filter
 5. exact content dedup (canonical row per identical text)
 6. near-dup removal via MinHash-LSH + connected components
@@ -61,6 +63,8 @@ def curate(
     span_window: int | None = None,
     max_perplexity: float | None = None,
     lm_train: DataFrame | None = None,
+    classifier_weights=None,
+    classifier_threshold: float | None = None,
     persist_intermediate: bool = True,
     with_report: bool = False,
 ):
@@ -107,6 +111,16 @@ def curate(
         out = note(
             "lm_quality",
             scored.filter(F.col("perplexity") <= max_perplexity).select(*orig),
+        )
+    if classifier_weights is not None:
+        from quickwit_spark.datapipe.quality_classifier import quality_filter
+
+        out = note(
+            "classifier",
+            quality_filter(
+                out, classifier_weights, key, text_col,
+                threshold=classifier_threshold,
+            ).select(*orig),
         )
     out = note(
         "repetition", repetition_filter(out, text_col, repetition_thresholds)
