@@ -372,6 +372,137 @@ class QuickwitSpark:
     def describe_index(self, index_id: str) -> dict:
         return self.searcher(index_id).describe_index()
 
+    # --------------------------------------------------------- sources
+    # reference surface: POST/GET/DELETE /indexes/{id}/sources[/{sid}],
+    # PUT .../toggle, PUT .../reset-checkpoint
+    # (`qw/quickwit-serve/src/index_api/rest_handler.rs:759-1380`).
+    # Reserved source ids are protected exactly as there (403 analog).
+
+    RESERVED_SOURCES = ("_ingest-api-source", "_ingest-cli-source")
+    SOURCE_TYPES = ("vec", "file", "void")
+
+    def create_source(self, index_id: str, config: dict) -> dict:
+        """Register a source on an index. Supported Spark-native types:
+        `vec` (inline docs, params {docs, batch_num_docs}), `file`
+        (NDJSON path/glob, params {filepath}), `void` (no-op)."""
+        state = self._state(index_id)
+        sid = config.get("source_id") or ""
+        stype = config.get("source_type")
+        if not sid or "/" in sid or sid.startswith("."):
+            raise ValueError(f"invalid source_id {sid!r}")
+        if sid in self.RESERVED_SOURCES:
+            raise PermissionError(f"source {sid!r} is managed internally")
+        if stype not in self.SOURCE_TYPES:
+            raise ValueError(
+                f"unsupported source_type {stype!r}; supported: "
+                f"{self.SOURCE_TYPES} (broker connectors are out of scope "
+                "— use Structured Streaming readers directly)"
+            )
+        params = config.get("params") or {}
+        if stype == "vec" and not isinstance(params.get("docs"), list):
+            raise ValueError("vec source params need a 'docs' list")
+        if stype == "file" and not params.get("filepath"):
+            raise ValueError("file source params need a 'filepath'")
+        sources = state.setdefault("sources", {})
+        if sid in sources:
+            raise ValueError(f"source {sid!r} already exists")
+        sources[sid] = {
+            "source_id": sid,
+            "source_type": stype,
+            "params": params,
+            "enabled": True,
+            "checkpoint": {},
+        }
+        self._save_state(index_id, state)
+        return dict(sources[sid])
+
+    def list_sources(self, index_id: str) -> list[dict]:
+        return sorted(
+            (dict(s) for s in self._state(index_id).get("sources", {}).values()),
+            key=lambda s: s["source_id"],
+        )
+
+    def get_source(self, index_id: str, source_id: str) -> dict:
+        src = self._state(index_id).get("sources", {}).get(source_id)
+        if src is None:
+            raise ValueError(f"source {source_id!r} not found")
+        return dict(src)
+
+    def delete_source(self, index_id: str, source_id: str) -> None:
+        if source_id in self.RESERVED_SOURCES:
+            raise PermissionError(f"source {source_id!r} is managed internally")
+        state = self._state(index_id)
+        if source_id not in state.get("sources", {}):
+            raise ValueError(f"source {source_id!r} not found")
+        del state["sources"][source_id]
+        self._save_state(index_id, state)
+
+    def toggle_source(self, index_id: str, source_id: str, enable: bool) -> dict:
+        if source_id in self.RESERVED_SOURCES:
+            raise PermissionError(f"source {source_id!r} is managed internally")
+        state = self._state(index_id)
+        src = state.get("sources", {}).get(source_id)
+        if src is None:
+            raise ValueError(f"source {source_id!r} not found")
+        src["enabled"] = bool(enable)
+        self._save_state(index_id, state)
+        return dict(src)
+
+    def reset_source_checkpoint(self, index_id: str, source_id: str) -> None:
+        """Forget the source's consumed offsets — the next `run_source`
+        re-ingests from the beginning (reference reset-checkpoint)."""
+        state = self._state(index_id)
+        src = state.get("sources", {}).get(source_id)
+        if src is None:
+            raise ValueError(f"source {source_id!r} not found")
+        src["checkpoint"] = {}
+        self._save_state(index_id, state)
+
+    def run_source(self, index_id: str, source_id: str) -> dict:
+        """One ingestion pass (the analog of attaching the reference's
+        indexing pipeline to the source): consumes whatever the source
+        has beyond its checkpoint, commits splits through the ordinary
+        ingest path, and advances the checkpoint. Idempotent when
+        nothing new arrived."""
+        state = self._state(index_id)
+        src = state.get("sources", {}).get(source_id)
+        if src is None:
+            raise ValueError(f"source {source_id!r} not found")
+        if not src["enabled"]:
+            return {"source_id": source_id, "num_docs": 0, "disabled": True}
+        ingested = 0
+        if src["source_type"] == "vec":
+            docs = src["params"]["docs"]
+            offset = int(src["checkpoint"].get("offset", 0))
+            batch = int(src["params"].get("batch_num_docs") or len(docs) or 1)
+            while offset < len(docs):
+                chunk = docs[offset : offset + batch]
+                ingested += self.ingest(index_id, chunk)["num_docs"]
+                offset += len(chunk)
+                # re-read state: ingest() rewrote it; keep our cursor
+                state = self._state(index_id)
+                src = state["sources"][source_id]
+                src["checkpoint"]["offset"] = offset
+                self._save_state(index_id, state)
+        elif src["source_type"] == "file":
+            import glob as _glob
+
+            consumed = set(src["checkpoint"].get("consumed", []))
+            for path in sorted(_glob.glob(src["params"]["filepath"])):
+                if path in consumed:
+                    continue
+                with open(path) as f:
+                    lines = [ln for ln in f.read().splitlines() if ln.strip()]
+                if lines:
+                    ingested += self.ingest(index_id, lines)["num_docs"]
+                consumed.add(path)
+                state = self._state(index_id)
+                src = state["sources"][source_id]
+                src["checkpoint"]["consumed"] = sorted(consumed)
+                self._save_state(index_id, state)
+        # void: nothing to do
+        return {"source_id": source_id, "num_docs": ingested}
+
     # ---------------------------------------------------------- ingest
 
     def ingest(self, index_id: str, docs: list) -> dict:
