@@ -2231,6 +2231,75 @@ FROM scored ORDER BY doc_id
 """
 
 
+_SEMDEDUP_K, _SEMDEDUP_THR = 4, 0.9
+
+
+def _semdedup_centroids():
+    """Fixed formula centroids (k=4, dim=64) so the oracle can inline
+    the exact same float64 values."""
+    import numpy as np
+
+    k, dim = _SEMDEDUP_K, 64
+    return np.array(
+        [
+            [
+                (((j * 8191 + d) * 1103515245 + 12345) % 1000) / 1000.0 - 0.5
+                for d in range(dim)
+            ]
+            for j in range(k)
+        ]
+    )
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table with
+    deterministic formula centroids: cluster assignment (argmax
+    cosine), far-first intra-cluster rank, and the upper-triangular
+    near-pair drop test, all value-checked."""
+    from quickwit_spark.datapipe.semdedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = semdedup(
+        emb, threshold=_SEMDEDUP_THR, centroids=_semdedup_centroids()
+    )
+    return out.orderBy("vec_id")
+
+
+def _semdedup_sql() -> str:
+    import math
+
+    C = _semdedup_centroids().tolist()
+    sims = []
+    for j in range(_SEMDEDUP_K):
+        lit = "[" + ",".join(repr(x) for x in C[j]) + "]"
+        sims.append(f"round(list_cosine_similarity(ev, {lit}), 9)")
+    l = "[" + ", ".join(sims) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+assigned AS (
+  SELECT vec_id, ev,
+    CAST(array_position({l}, list_max({l})) - 1 AS INTEGER) AS cluster,
+    list_max({l}) AS cs
+  FROM e),
+ranked AS (
+  SELECT vec_id, ev, cluster, cs,
+    row_number() OVER (PARTITION BY cluster ORDER BY cs ASC, vec_id) AS rk
+  FROM assigned),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a JOIN ranked b
+    ON a.cluster = b.cluster AND a.rk < b.rk
+   AND round(list_cosine_similarity(a.ev, b.ev), 9) > {_SEMDEDUP_THR})
+SELECT r.vec_id, r.cluster, round(r.cs, 6) AS cent_sim,
+       (d.vec_id IS NOT NULL) AS is_semdup
+FROM ranked r LEFT JOIN dups d ON r.vec_id = d.vec_id
+ORDER BY r.vec_id
+"""
+
+
 def _dsir_sql(resample: bool) -> str:
     """DuckDB replay of portable-mode DSIR (see datapipe/dsir.py)."""
     from quickwit_spark.datapipe.portable import (
@@ -3215,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logweights": _q_dsir_logweights,
         "dsir_resample_topk": _q_dsir_resample,
         "quality_classifier_score": _q_quality_classifier,
+        "semdedup_marks": _q_semdedup,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontamination_marks": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
@@ -3737,6 +3807,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "dsir_logweights": _dsir_sql(resample=False),
         "dsir_resample_topk": _dsir_sql(resample=True),
         "quality_classifier_score": _quality_classifier_sql(),
+        "semdedup_marks": _semdedup_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontamination_marks": _DECONTAM_SQL,
         "pii_redaction": _PII_SQL,

@@ -9,8 +9,10 @@ spark-submit entry.
         [--report]
 
 Stages (see quickwit_spark/datapipe/curate.py): URL dedup → PII
-redaction → Gopher quality filter → Gopher repetition filter → exact
-dedup → MinHash-LSH near-dup removal → benchmark decontamination.
+redaction → optional C4 clean (--c4) → Gopher quality filter
+(+ optional LM perplexity bound and/or trained linear classifier via
+--classifier-model) → Gopher repetition filter → exact dedup →
+MinHash-LSH near-dup removal → benchmark decontamination.
 Without --report the pipeline is one lazy plan straight into the
 parquet writer (the 100 TB shape); --report prints per-stage row
 counts (runs one count job per stage — sample-scale auditing only).
@@ -48,6 +50,13 @@ def main() -> None:
                         "(default: self-trained)")
     p.add_argument("--min-stopword-hits", type=int, default=None,
                    help="override the Gopher required-stopword bound")
+    p.add_argument("--c4", action="store_true",
+                   help="C4 line clean + page filters before quality")
+    p.add_argument("--classifier-model", default=None,
+                   help=".npy weight vector from "
+                        "train_quality_classifier (num_buckets+1)")
+    p.add_argument("--classifier-threshold", type=float, default=None,
+                   help="hard score cut; omit for GPT-3 Pareto keep")
     p.add_argument("--report", action="store_true")
     args = p.parse_args()
 
@@ -65,7 +74,13 @@ def main() -> None:
         text_col=args.text_col,
         url_col=args.url_col,
         redact=not args.no_redact,
+        c4=args.c4,
         quality_bounds=bounds,
+        classifier_weights=(
+            __import__("numpy").load(args.classifier_model)
+            if args.classifier_model else None
+        ),
+        classifier_threshold=args.classifier_threshold,
         near_dup=not args.no_near_dup,
         benchmark=bench,
         decontam_n=args.decontam_n,

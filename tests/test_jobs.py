@@ -195,3 +195,65 @@ def test_curate_job_writes_curated_parquet(
     curated = spark.read.parquet(out_dir)
     assert curated.count() == stages["exact_dedup"]
     assert set(["doc_id", "text"]) <= set(curated.columns)
+
+
+def test_train_classifier_job_and_curate_with_model(
+    tmp_path_factory, spark, monkeysession, capsys
+):
+    """train_classifier_job writes an .npy model whose holdout accuracy
+    prints; curate_job consumes it via --classifier-model."""
+    import random
+
+    import numpy as np
+
+    import jobs.curate_job as cj
+    import jobs.train_classifier_job as tj
+
+    rng = random.Random(3)
+    A = "spark shuffle executor broadcast join stage".split()
+    B = "butter flour oven sugar bake whisk".split()
+
+    def doc(v):
+        return "the " + " ".join(rng.choice(v) for _ in range(30))
+
+    d = tmp_path_factory.mktemp("clf")
+    pos_p, neg_p = str(d / "pos"), str(d / "neg")
+    spark.createDataFrame(
+        [(i, doc(A)) for i in range(60)], ["doc_id", "text"]
+    ).write.parquet(pos_p)
+    spark.createDataFrame(
+        [(i, doc(B)) for i in range(60)], ["doc_id", "text"]
+    ).write.parquet(neg_p)
+    model = str(d / "model.npy")
+    monkeysession.setattr(
+        sys, "argv",
+        ["train_classifier_job.py", "--positive", pos_p, "--negative",
+         neg_p, "--model-out", model, "--num-buckets", "2048",
+         "--iters", "25", "--holdout-frac", "0.2"],
+    )
+    tj.main()
+    rep = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rep["holdout"]["accuracy"] >= 0.9
+    w = np.load(model)
+    assert w.shape == (2049,)
+
+    mixed_p = str(d / "mixed")
+    spark.createDataFrame(
+        [(i, doc(A if i % 2 == 0 else B)) for i in range(40)],
+        ["doc_id", "text"],
+    ).write.parquet(mixed_p)
+    out_dir = str(d / "curated")
+    monkeysession.setattr(
+        sys, "argv",
+        ["curate_job.py", "--input", mixed_p, "--output", out_dir,
+         "--min-stopword-hits", "1", "--no-near-dup", "--no-redact",
+         "--classifier-model", model, "--classifier-threshold", "0.5",
+         "--report"],
+    )
+    cj.main()
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    stages = dict(json.loads(lines[0])["stages"])
+    assert stages["classifier"] <= 25
+    kept = spark.read.parquet(out_dir)
+    assert all(r["doc_id"] % 2 == 0 for r in kept.select("doc_id").collect())
