@@ -1635,6 +1635,25 @@ def _q_dedup_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+def _q_dedup_anchor(spark, sf_dir):
+    """Anchor-edge LSH dedup (the O(bucket) scale mode): star edges per
+    band bucket instead of pair cliques, then the same min-label
+    components. The DuckDB oracle rebuilds the identical star edges
+    (per-band GROUP BY bucket → MIN anchor) and closes them with a
+    recursive CTE — and, because a star on a clique preserves
+    connectivity, the result also equals `dedup_components`."""
+    from quickwit_spark.datapipe.dedup import (
+        connected_components,
+        minhash_lsh_edges,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", num_perm=32, portable=True)
+    edges = minhash_lsh_edges(sigs, "doc_id", bands=8, rows=4)
+    return connected_components(edges)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs, portable 62-bit fingerprint. bands=9 >
     max_hamming=8 ⇒ banding is exhaustive (pigeonhole), so the result
@@ -2228,6 +2247,54 @@ SELECT doc_id, round(q, 6) AS quality_score,
   q > 1.0 - (pow(((({a} * (doc_id % {P31}) + {c}) % {P31}) + 1.0)
                  / {float(P31 + 2)}, -1.0/9.0) - 1.0) AS kept
 FROM scored ORDER BY doc_id
+"""
+
+
+_MIX_WEIGHTS = (("en", 0.5), ("de", 0.25), ("fr", 0.25))
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling (The Pile / DoReMi-style data mixing):
+    per-domain keep probabilities hit the target language mix with the
+    largest feasible corpus; per-doc decisions are the portable hash,
+    so the oracle replays every row's is_kept bit."""
+    from quickwit_spark.datapipe.mixing import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(
+        docs, dict(_MIX_WEIGHTS), domain_col="lang", marks=True
+    ).orderBy("doc_id")
+
+
+def _mixture_sql() -> str:
+    from quickwit_spark.datapipe.portable import (
+        P31,
+        perm_constants,
+        sql_portable_hash,
+    )
+
+    vals = ", ".join(f"('{d}', {w})" for d, w in _MIX_WEIGHTS)
+    a, b = perm_constants(1)[0]
+    ph = (
+        f"((({sql_portable_hash(chr(39) + chr(39) + ' || doc_id || ' + chr(39) + ':0' + chr(39))})"
+        f" % {P31}) * {a} + {b}) % {P31}"
+    )
+    return f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+w(d, wt) AS (VALUES {vals}),
+t AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS tt FROM cnt JOIN w ON cnt.lang = w.d),
+p AS (
+  SELECT cnt.lang,
+         ROUND(LEAST(COALESCE(w.wt, 0) * (SELECT tt FROM t)
+                     / CAST(cnt.n AS DOUBLE), 1.0), 9) AS kp
+  FROM cnt LEFT JOIN w ON cnt.lang = w.d),
+u AS (SELECT doc_id, lang,
+             CAST(({ph}) % {P31} AS DOUBLE) / {float(P31)} AS uu
+      FROM documents)
+SELECT u.doc_id, u.lang AS domain, ROUND(p.kp, 9) AS keep_prob,
+       (u.uu < p.kp) AS is_kept
+FROM u JOIN p ON p.lang = u.lang
+ORDER BY u.doc_id
 """
 
 
@@ -2989,6 +3056,54 @@ FROM pairs JOIN sig sa ON sa.doc_id = key_a JOIN sig sb ON sb.doc_id = key_b
 """
 
 
+def _minhash_anchor_sql(num_perm: int = 32, bands: int = 8, rows: int = 4) -> str:
+    """DuckDB replay of minhash_lsh_edges + connected_components:
+    identical portable signatures, per-band star edges (bucket MIN as
+    anchor), recursive-CTE transitive closure."""
+    from quickwit_spark.datapipe.portable import P31, perm_constants, sql_portable_hash
+
+    mins = ",\n       ".join(
+        f"MIN((p * {a} + {b}) % {P31}) AS h{i}"
+        for i, (a, b) in enumerate(perm_constants(num_perm))
+    )
+    band_edges = "\n  UNION\n".join(
+        "  SELECT m.a AS key_a, s.doc_id AS key_b FROM sig s JOIN (\n"
+        f"    SELECT {', '.join(f'h{bd * rows + r}' for r in range(rows))},"
+        " MIN(doc_id) AS a FROM sig GROUP BY "
+        + ", ".join(f"h{bd * rows + r}" for r in range(rows))
+        + ") m\n    ON "
+        + " AND ".join(f"s.h{bd * rows + r} = m.h{bd * rows + r}" for r in range(rows))
+        + " AND s.doc_id > m.a"
+        for bd in range(bands)
+    )
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+           i -> array_to_string(list_slice(string_split(lower(text),' '), i, i+2), ' ')
+         ))) AS s
+  FROM documents
+  WHERE len(string_split(lower(text),' ')) >= 3
+),
+ph AS (SELECT doc_id, CAST({sql_portable_hash("s")} AS BIGINT) % {P31} AS p FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ph GROUP BY doc_id),
+edges AS (
+{band_edges}
+),
+cedges AS (
+  SELECT key_a AS u, key_b AS v FROM edges
+  UNION
+  SELECT key_b, key_a FROM edges
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM cedges) t
+  UNION
+  SELECT e.u, r.lbl FROM cedges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
+"""
+
+
 def _simhash_sql(max_hamming: int = 8, bits: int = 62) -> str:
     # bands=9 > max_hamming=8 in the Spark query ⇒ banding is exhaustive
     # (pigeonhole), so brute-force Hamming is the exact oracle.
@@ -3269,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_components": _q_dedup_components,
+        "dedup_minhash_anchor": _q_dedup_anchor,
         "dedup_simhash": _q_dedup_simhash,
         "knn_cosine_bruteforce": _q_knn_cosine,
         "knn_cosine_lsh": _q_knn_lsh,
@@ -3285,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample_topk": _q_dsir_resample,
         "quality_classifier_score": _q_quality_classifier,
         "semdedup_marks": _q_semdedup,
+        "mixture_sample_marks": _q_mixture_sample,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontamination_marks": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
@@ -3790,6 +3907,7 @@ reach(u, lbl) AS (
 )
 SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
 """,
+        "dedup_minhash_anchor": _minhash_anchor_sql(num_perm=32, bands=8, rows=4),
         "dedup_simhash": _simhash_sql(max_hamming=8, bits=62),
         "knn_cosine_lsh": _knn_lsh_sql(planes=4, k=10),
         "knn_cosine_lsh_scale": _knn_lsh_multi_sql(planes=12, tables=2, k=10),
@@ -3808,6 +3926,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "dsir_resample_topk": _dsir_sql(resample=True),
         "quality_classifier_score": _quality_classifier_sql(),
         "semdedup_marks": _semdedup_sql(),
+        "mixture_sample_marks": _mixture_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontamination_marks": _DECONTAM_SQL,
         "pii_redaction": _PII_SQL,

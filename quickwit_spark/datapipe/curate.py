@@ -53,6 +53,7 @@ def curate(
     quality_bounds: dict | None = None,
     repetition_thresholds: dict | None = None,
     near_dup: bool = True,
+    near_dup_mode: str = "anchor",
     minhash_perms: int = 64,
     minhash_bands: int = 16,
     shingle_k: int = 3,
@@ -143,13 +144,24 @@ def curate(
         # per-corpus sessions like jobs/curate_job.py does.
         out = out.persist()
     if near_dup:
+        if near_dup_mode not in ("anchor", "pairs"):
+            raise ValueError("near_dup_mode must be 'anchor' or 'pairs'")
         rows = max(minhash_perms // minhash_bands, 1)
         sigs = _dedup.minhash_signatures(
             out, key, text_col, k=shingle_k, num_perm=minhash_bands * rows
         )
-        pairs = _dedup.minhash_lsh_pairs(
-            sigs, key, bands=minhash_bands, rows=rows
-        ).select("key_a", "key_b")
+        if near_dup_mode == "anchor":
+            # O(bucket) star edges — connectivity-identical to the
+            # O(bucket²) pair cliques (see minhash_lsh_edges), and the
+            # default because a hot LSH bucket at corpus scale makes
+            # the pair join quadratic
+            pairs = _dedup.minhash_lsh_edges(
+                sigs, key, bands=minhash_bands, rows=rows
+            )
+        else:
+            pairs = _dedup.minhash_lsh_pairs(
+                sigs, key, bands=minhash_bands, rows=rows
+            ).select("key_a", "key_b")
         out = note("near_dup", _dedup.dedup_canonical(out, pairs, key=key))
     if benchmark is not None:
         out = note(

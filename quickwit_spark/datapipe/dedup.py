@@ -264,6 +264,54 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_edges(
+    sig_df: DataFrame, key: str, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Anchor (star) edges from LSH buckets: per (band, bucket), link
+    every member to the bucket's smallest key. → (key_a, key_b) with
+    key_a = bucket anchor < key_b.
+
+    Scale design — this is the 10^12-doc shape for LSH DEDUP (as
+    opposed to pair scoring): a bucket of m docs emits m−1 edges
+    instead of m(m−1)/2 pairs, so a hot bucket costs O(m), not O(m²).
+    Because every LSH bucket is a CLIQUE in the candidate-pair graph,
+    a star rooted at any bucket member preserves connectivity exactly:
+    `connected_components(minhash_lsh_edges(sigs))` equals
+    `connected_components(minhash_lsh_pairs(sigs))` for the same
+    (bands, rows) — verified by the `dedup_minhash_anchor` oracle gate
+    and tests/test_dedup equivalence test. The trade: no per-pair
+    `est_jaccard` (there are no pairs), so precision is governed
+    solely by the (bands, rows) collision probability — the
+    public fuzzy-dedup recipe used by large web-corpus pipelines.
+    Use `minhash_lsh_pairs` when downstream needs pair similarity.
+    """
+    banded = sig_df.select(
+        F.col(key).alias("k"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "bb.band", "bb.bucket")
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_anchor", F.min("k").over(w))
+        .filter(F.col("k") != F.col("_anchor"))
+        .select(
+            F.col("_anchor").alias("key_a"), F.col("k").alias("key_b")
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     key: str = "vec_id",

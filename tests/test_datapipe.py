@@ -269,6 +269,55 @@ def test_connected_components_and_canonical(spark):
     assert kept == [1, 10, 20, 99]  # one winner per cluster + unpaired doc
 
 
+def test_anchor_edges_equal_pair_components(spark, docs):
+    """minhash_lsh_edges (O(bucket) star edges) must give the SAME
+    connected components as minhash_lsh_pairs (O(bucket²) cliques) for
+    the same (bands, rows), with no more edges than pairs — on real
+    corpus signatures plus a planted 3-doc near-dup clique."""
+    base = docs.limit(60).select("doc_id", "text")
+    near = docs.limit(2).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    df = base.unionByName(near)
+    sigs = dedup.minhash_signatures(df, "doc_id", num_perm=64).persist()
+    pairs = dedup.minhash_lsh_pairs(sigs, "doc_id", bands=16, rows=4)
+    edges = dedup.minhash_lsh_edges(sigs, "doc_id", bands=16, rows=4)
+    n_pairs, n_edges = pairs.count(), edges.count()
+    assert 0 < n_edges <= n_pairs
+    cp = {r["key"]: r["component"]
+          for r in dedup.connected_components(pairs).collect()}
+    ce = {r["key"]: r["component"]
+          for r in dedup.connected_components(edges).collect()}
+    assert cp == ce
+    # every anchor is the min of its own component
+    assert all(r["key_a"] < r["key_b"] for r in edges.collect())
+    sigs.unpersist()
+
+
+def test_curate_anchor_mode_matches_pairs_mode(spark, docs):
+    """curate(near_dup_mode='anchor') keeps exactly the same documents
+    as the pair-clique mode (star edges preserve connectivity)."""
+    from quickwit_spark.datapipe.curate import curate
+
+    base = docs.limit(80).select("doc_id", "text")
+    dup = docs.limit(10).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    df = base.unionByName(dup)
+    kw = dict(redact=False, quality_bounds={"min_stopword_hits": 0,
+                                            "min_word_count": 1},
+              repetition_thresholds={})
+    a = curate(df, near_dup_mode="anchor", **kw)
+    p = curate(df, near_dup_mode="pairs", **kw)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in p.collect()
+    )
+    with pytest.raises(ValueError, match="anchor"):
+        curate(df, near_dup_mode="bogus", **kw)
+
+
 def test_paragraph_dedup_semantics(spark):
     """RefinedWeb-style paragraph dedup: globally-first occurrence by
     (key, pos) wins, case/trim-normalized matching, within-doc repeats
