@@ -1813,6 +1813,44 @@ def _q_bpe_token_count(spark, sf_dir):
     return bpe_token_count(docs).select("doc_id", "bpe_tokens")
 
 
+def _q_bpe_word_histogram(spark, sf_dir):
+    """BPE stage 1 — the corpus-collapse pre-token histogram (GPT-2
+    regex pre-tokenizer), top 200 by (n desc, word asc): the input the
+    distributed trainer iterates on. Deterministic total order, so the
+    limit boundary can't flap between engines."""
+    from quickwit_spark.datapipe.bpe import word_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    return (
+        word_histogram(docs)
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(200)
+    )
+
+
+def _q_bpe_top_pairs(spark, sf_dir):
+    """BPE training round 1 — adjacent character-pair counts weighted
+    by word frequency, top 50 by (cnt desc, a asc, b asc). This is the
+    exact arg-max statistic `train_bpe` shuffles each round; the
+    DuckDB oracle recomputes it from character positions. (Later
+    rounds depend on the sequential arg-max, which one SQL statement
+    can't express — training equality vs a golden implementation is
+    covered in tests/test_bpe.py.)"""
+    from quickwit_spark.datapipe.bpe import _adjacent_pairs, word_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    hist = word_histogram(docs)
+    return (
+        hist.select(F.split("word", "").alias("syms"), "n")
+        .filter(F.size("syms") >= 2)
+        .select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "n")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(50)
+    )
+
+
 def _messy_web_rows(docs):
     """Deterministically 'messy' web-corpus rows for the URL-pipeline
     gates: each doc gets one of five URL spellings of the same page
@@ -3415,6 +3453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "text_bpe_token_count": _q_bpe_token_count,
+        "bpe_word_histogram": _q_bpe_word_histogram,
+        "bpe_top_pairs": _q_bpe_top_pairs,
         "web_url_dedup": _q_web_url_dedup,
         "web_domain_stats": _q_web_domain_stats,
     }
@@ -3889,6 +3929,32 @@ SELECT doc_id,
          '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'
        )) AS BIGINT) AS bpe_tokens
 FROM documents
+""",
+        "bpe_word_histogram": """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'
+  )) AS word
+  FROM documents
+)
+SELECT word, COUNT(*) AS n FROM w WHERE len(word) > 0
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 200
+""",
+        "bpe_top_pairs": """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'
+  )) AS word
+  FROM documents
+),
+h AS (SELECT word, COUNT(*) AS n FROM w WHERE len(word) > 0 GROUP BY word),
+idx AS (
+  SELECT word, n, unnest(range(1, len(word))) AS i
+  FROM h WHERE len(word) >= 2
+)
+SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+       CAST(SUM(n) AS BIGINT) AS cnt
+FROM idx GROUP BY a, b ORDER BY cnt DESC, a ASC, b ASC LIMIT 50
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(num_perm=32, bands=8, rows=4),
         "dedup_components": f"""

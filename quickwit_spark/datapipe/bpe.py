@@ -1,0 +1,234 @@
+"""Distributed BPE tokenizer training — learn merge rules from a
+corpus, then encode documents with the learned vocabulary.
+
+The public byte-pair-encoding recipe (Sennrich et al. 2016; the GPT-2
+variant pre-tokenizes with a regex so merges never cross pre-token
+boundaries). The classic implementations train on a driver-local word
+histogram; at 100 TB the histogram itself (one row per DISTINCT
+pre-token) is a DataFrame, so training must stay distributed:
+
+1. **Histogram collapse** — `word_histogram`: one
+   `regexp_extract_all` + explode + groupBy(word).count(). This is the
+   whole-corpus pass; everything after runs on the histogram (~1e8
+   distinct pre-tokens at web scale, ~1e4 at test scale), a 1e4–1e6×
+   reduction. Map-side partial aggregation absorbs Zipf skew (hot
+   words collapse before the shuffle).
+2. **Iterative merge learning** — `train_bpe`: each round counts
+   adjacent symbol pairs weighted by word frequency (arrays_zip of two
+   shifted slices → explode → groupBy(pair).sum — a tiny shuffle over
+   the histogram), picks the (count desc, pair asc) arg-max with
+   `orderBy().limit(1)` (TakeOrderedAndProject — no global sort
+   materialization), and applies the merge JVM-side with a left fold
+   (`F.aggregate`): `last(acc)==a AND x==b → replace last with a||b`.
+   The fold reproduces the canonical left-to-right non-overlapping
+   scan exactly (a merged symbol `a||b` can never equal `a`, so no
+   accidental cascade). No Python touches the hot path.
+   Lineage is truncated every `checkpoint_every` rounds with
+   `localCheckpoint` — 100s of chained withColumns would otherwise
+   blow up the plan.
+3. **Encoding** — `bpe_encode`: a document's tokens are the
+   concatenation of its pre-tokens' piece sequences, so encoding is
+   posexplode(pre-tokens) → join against the trained word→pieces
+   table → re-assemble in order. The join is keyed by the word
+   histogram (broadcast when small; a plain shuffle join at scale —
+   never per-row Python re-deriving merges). Out-of-vocabulary words
+   (absent from the training histogram) fall back to character
+   symbols, the standard base-alphabet backstop.
+
+No reference analog (`/root/reference` is a search engine); this is
+the LLM-training-data surface (SURVEY.md "LLM-data-pipeline
+operators"). Verified against a pure-Python golden BPE in
+tests/test_bpe.py; the histogram + first-round pair counts are
+oracle-gated in `__spark_entry__` (`bpe_word_histogram`,
+`bpe_top_pairs` — the iterative arg-max itself is not expressible in
+one SQL statement, so training equality is pytest-golden evidence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quickwit_spark.datapipe.textstats import BPE_PRETOKEN_RE
+
+
+def word_histogram(
+    df: DataFrame, text_col: str = "text", pattern: str | None = None
+) -> DataFrame:
+    """(word, n) pre-token histogram — the corpus-collapse pass.
+
+    `pattern` defaults to the GPT-2 pre-tokenizer regex
+    (textstats.BPE_PRETOKEN_RE). Empty matches are dropped.
+    """
+    pat = f"({pattern or BPE_PRETOKEN_RE})"
+    return (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+            ).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _adjacent_pairs(syms_col):
+    """array<struct<a,b>> of adjacent symbol pairs in `syms_col`."""
+    sz = F.size(syms_col)
+    return F.arrays_zip(
+        F.slice(syms_col, 1, sz - 1).alias("a"),
+        F.slice(syms_col, 2, sz - 1).alias("b"),
+    )
+
+
+def _apply_merge(syms_col, a: str, b: str):
+    """Left-to-right non-overlapping replacement of (a, b) → a||b,
+    as a JVM left fold. Equivalent to the canonical scan: the fold
+    merges exactly when the previous KEPT symbol is `a` and the
+    current is `b`; since `a||b != a` for non-empty b, a fresh merge
+    result never re-triggers on the next element, matching the
+    i += 2 skip of the scan."""
+    merged = a + b
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    hist: DataFrame,
+    num_merges: int = 100,
+    *,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 16,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn `num_merges` BPE merge rules from a (word, n) histogram.
+
+    Returns (merges, word_pieces) where merges is the ordered rule
+    list and word_pieces is a DataFrame (word, n, pieces:array<string>)
+    holding every training word's final symbol sequence — the
+    encoding table for `bpe_encode`. Training stops early when the
+    best pair's weighted count drops below `min_pair_count`.
+
+    Ties on pair count break lexicographically on (a, b) so training
+    is deterministic regardless of partitioning.
+    """
+    work = hist.select(
+        "word",
+        "n",
+        F.split(F.col("word"), "").alias("syms"),
+    ).persist()
+    work.count()  # materialize before the loop
+    merges: list[tuple[str, str]] = []
+    prev = work
+    for i in range(num_merges):
+        best = (
+            prev.filter(F.size("syms") >= 2)
+            .select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "n")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        nxt = prev.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        prev = nxt
+    pieces = prev.select("word", "n", F.col("syms").alias("pieces"))
+    pieces = pieces.localCheckpoint(eager=True)
+    work.unpersist()
+    return merges, pieces
+
+
+def vocab(merges: list[tuple[str, str]], hist: DataFrame) -> DataFrame:
+    """Token vocabulary: all single characters seen in training words
+    plus one token per merge rule. → (token, token_id), ids dense,
+    characters first (sorted), then merges in rule order."""
+    chars = sorted(
+        r[0]
+        for r in hist.select(
+            F.explode(F.split("word", "")).alias("c")
+        )
+        .filter(F.length("c") > 0)
+        .distinct()
+        .collect()
+    )
+    toks = list(chars) + [a + b for a, b in merges]
+    spark = hist.sparkSession
+    return spark.createDataFrame(
+        [(t, i) for i, t in enumerate(toks)], ["token", "token_id"]
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    word_pieces: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    pattern: str | None = None,
+    *,
+    broadcast_table: bool = True,
+) -> DataFrame:
+    """Encode documents with a trained piece table → (key, tokens
+    array<string>, n_tokens). Document token order = pre-token order;
+    OOV pre-tokens fall back to character symbols.
+
+    Scale: posexplode keeps (key, pos) so the final
+    `array_sort(collect_list(struct(pos, …)))` re-assembly is exact;
+    the piece join broadcasts when the table fits (default) and falls
+    back to a shuffle hash join otherwise — set
+    `broadcast_table=False` for web-scale vocab histograms."""
+    pat = f"({pattern or BPE_PRETOKEN_RE})"
+    words = df.select(
+        F.col(key),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+        ).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    table = word_pieces.select("word", "pieces")
+    if broadcast_table:
+        table = F.broadcast(table)
+    joined = words.join(table, "word", "left").select(
+        key,
+        "pos",
+        F.coalesce(F.col("pieces"), F.split(F.col("word"), "")).alias("pieces"),
+    )
+    per_doc = (
+        joined.groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "pieces"))
+            ).alias("ordered")
+        )
+        .select(
+            key,
+            F.flatten(F.col("ordered.pieces")).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+    # docs whose text produced zero pre-tokens still appear, empty
+    return (
+        df.select(key)
+        .join(per_doc, key, "left")
+        .select(
+            key,
+            F.coalesce(
+                "tokens", F.array().cast("array<string>")
+            ).alias("tokens"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )

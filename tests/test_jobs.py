@@ -257,3 +257,47 @@ def test_train_classifier_job_and_curate_with_model(
     assert stages["classifier"] <= 25
     kept = spark.read.parquet(out_dir)
     assert all(r["doc_id"] % 2 == 0 for r in kept.select("doc_id").collect())
+
+
+def test_bpe_job_train_then_encode(
+    tmp_path_factory, corpus_path, spark, monkeysession, capsys
+):
+    d = tmp_path_factory.mktemp("bpe")
+    model, out = str(d / "model"), str(d / "tokens")
+    import jobs.bpe_job as bj
+
+    monkeysession.setattr(
+        sys, "argv",
+        ["bpe_job.py", "train", "--input", corpus_path, "--model", model,
+         "--num-merges", "20"],
+    )
+    bj.main()
+    trained = json.loads(
+        [l for l in capsys.readouterr().out.splitlines()
+         if l.startswith("{")][-1]
+    )
+    assert 0 < trained["merges"] <= 20
+    with open(f"{model}/merges.json", encoding="utf-8") as f:
+        merges = json.load(f)
+    assert len(merges) == trained["merges"]
+    v = spark.read.parquet(f"{model}/vocab")
+    assert v.count() > len(merges)
+
+    monkeysession.setattr(
+        sys, "argv",
+        ["bpe_job.py", "encode", "--input", corpus_path, "--model", model,
+         "--output", out],
+    )
+    bj.main()
+    enc = spark.read.parquet(out)
+    docs = spark.read.parquet(corpus_path)
+    assert enc.count() == docs.count()
+    assert enc.filter("n_tokens <= 0").count() == 0
+    # every emitted token is either a vocab token or a raw character
+    from pyspark.sql import functions as F
+
+    toks = enc.select(F.explode("tokens").alias("t")).distinct()
+    unknown = toks.join(
+        v.select(F.col("token").alias("t")), "t", "left_anti"
+    ).filter(F.length("t") > 1)
+    assert unknown.count() == 0
