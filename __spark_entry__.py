@@ -2336,6 +2336,38 @@ ORDER BY u.doc_id
 """
 
 
+def _q_shard_shuffle(spark, sf_dir):
+    """Deterministic global shuffle into training shards: shard_id =
+    portable mix mod 8, pos = rank of the mix within the shard. The
+    oracle replays every row's placement from the same arithmetic."""
+    from quickwit_spark.datapipe.sharding import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return shuffle_shards(docs, 8, marks=True).orderBy("doc_id")
+
+
+def _shard_shuffle_sql(num_shards: int = 8) -> str:
+    from quickwit_spark.datapipe.portable import (
+        P31,
+        perm_constants,
+        sql_portable_hash,
+    )
+
+    a, b = perm_constants(1)[0]
+    ph = (
+        f"((({sql_portable_hash(chr(39) + chr(39) + ' || doc_id || ' + chr(39) + ':0' + chr(39))})"
+        f" % {P31}) * {a} + {b}) % {P31}"
+    )
+    return f"""
+WITH u AS (SELECT doc_id, ({ph}) AS m FROM documents)
+SELECT doc_id, CAST(m % {num_shards} AS INT) AS shard_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY m % {num_shards} ORDER BY m, doc_id
+       ) - 1 AS INT) AS pos
+FROM u ORDER BY doc_id
+"""
+
+
 _SEMDEDUP_K, _SEMDEDUP_THR = 4, 0.9
 
 
@@ -3440,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_score": _q_quality_classifier,
         "semdedup_marks": _q_semdedup,
         "mixture_sample_marks": _q_mixture_sample,
+        "shard_shuffle_marks": _q_shard_shuffle,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontamination_marks": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
@@ -3993,6 +4026,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "quality_classifier_score": _quality_classifier_sql(),
         "semdedup_marks": _semdedup_sql(),
         "mixture_sample_marks": _mixture_sql(),
+        "shard_shuffle_marks": _shard_shuffle_sql(num_shards=8),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontamination_marks": _DECONTAM_SQL,
         "pii_redaction": _PII_SQL,
