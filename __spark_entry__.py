@@ -2028,6 +2028,44 @@ def _q_token_shard_packing(spark, sf_dir):
     return out.select("doc_id", "cum_tokens_before", "shard_id")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Fixed-length context-window packing (concat-and-chunk): every
+    document's token stream mapped into 1000-token training sequences;
+    the oracle replays offsets with a global-window cumsum and the
+    span arithmetic with generate_series."""
+    from quickwit_spark.datapipe.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_chars", seq_len=1000, num_partitions=8
+    ).orderBy("doc_id", "seq_id")
+
+
+_PACK_SEQ_SQL = """
+WITH o AS (
+  SELECT doc_id, greatest(coalesce(n_chars, 0), 0) AS n,
+         CAST(coalesce(SUM(greatest(coalesce(n_chars, 0), 0)) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS off
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, off,
+         unnest(range(off // 1000, (off + n - 1) // 1000 + 1)) AS seq_id
+  FROM o WHERE n > 0
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(seq_id * 1000 - off, 0) AS BIGINT) AS doc_tok_start,
+       CAST(least((seq_id + 1) * 1000 - off, n) AS BIGINT) AS doc_tok_end,
+       CAST((off + greatest(seq_id * 1000 - off, 0)) % 1000 AS BIGINT)
+         AS seq_pos_start
+FROM s ORDER BY doc_id, seq_id
+"""
+
+
 def _q_span_dedup_stats(spark, sf_dir):
     """Exact-substring dedup (Lee et al. token-window approximation):
     per-doc window counts, duplicated-window marks, merged-span counts
@@ -3477,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_marks": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
         "token_shard_packing": _q_token_shard_packing,
+        "pack_sequences_spans": _q_pack_sequences,
         "span_dedup_stats": _q_span_dedup_stats,
         "warc_round_trip": _q_warc_round_trip,
         "lm_perplexity": _q_lm_perplexity,
@@ -4031,6 +4070,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "decontamination_marks": _DECONTAM_SQL,
         "pii_redaction": _PII_SQL,
         "token_shard_packing": _PACKING_SQL,
+        "pack_sequences_spans": _PACK_SEQ_SQL,
         "span_dedup_stats": _SPAN_DEDUP_SQL,
         "warc_round_trip": (
             "SELECT 'https://site' || (doc_id % 1000) || '.example/p/' || "

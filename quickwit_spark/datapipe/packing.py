@@ -118,3 +118,63 @@ def shard_stats(packed: DataFrame, token_col: str) -> DataFrame:
             F.greatest(F.coalesce(F.col(token_col), F.lit(0)), F.lit(0))
         ).cast("long").alias("n_tokens"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    seq_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-length context-window packing: lay the corpus out as one
+    token stream in key order and split it into training sequences of
+    exactly `seq_len` tokens. Each output row maps one contiguous
+    token span of one document into one sequence:
+
+        (seq_id, key, doc_tok_start, doc_tok_end, seq_pos_start)
+
+    with `doc_tok_end` exclusive and
+    `seq_pos_start = (global span start) mod seq_len`. A document
+    whose tokens straddle a boundary emits one row per touched
+    sequence (the standard concat-and-chunk pretraining packer —
+    downstream slices token arrays by these spans; attention-mask
+    resets at each span start are the reader's choice). Zero-token
+    docs emit nothing.
+
+    Scale: offsets come from `pack_token_shards`' distributed prefix
+    sum (no global window); the span fan-out is `explode(sequence(
+    first_seq, last_seq))` — a document adds ⌈n/seq_len⌉ rows, all
+    arithmetic JVM-side.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    packed = pack_token_shards(
+        df, key, token_col, budget=seq_len, num_partitions=num_partitions
+    ).drop("shard_id")
+    toks = F.greatest(F.coalesce(F.col(token_col), F.lit(0)), F.lit(0)).cast(
+        "long"
+    )
+    off = F.col("cum_tokens_before")
+    first_seq = F.floor(off / seq_len)
+    last_seq = F.floor((off + toks - 1) / seq_len)
+    out = (
+        packed.withColumn("_n", toks)
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "seq_id", F.explode(F.sequence(first_seq, last_seq))
+        )
+    )
+    span_start = F.greatest(F.col("seq_id") * seq_len - off, F.lit(0))
+    span_end = F.least(
+        (F.col("seq_id") + 1) * seq_len - off, F.col("_n")
+    )
+    return out.select(
+        F.col("seq_id").cast("long"),
+        key,
+        span_start.cast("long").alias("doc_tok_start"),
+        span_end.cast("long").alias("doc_tok_end"),
+        F.pmod(off + span_start, F.lit(seq_len))
+        .cast("long")
+        .alias("seq_pos_start"),
+    )

@@ -761,3 +761,52 @@ def test_sq8_quantization_recall_and_roundtrip(spark, emb):
     total = exact.count()
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
     assert hits / total >= 0.9
+
+
+def test_pack_sequences_covers_and_chunks(spark):
+    from quickwit_spark.datapipe.packing import pack_sequences
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(1, 60)] + [(60, 0), (61, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    L = 100
+    spans = pack_sequences(df, "doc_id", "tokens", seq_len=L,
+                           num_partitions=3).collect()
+    n_by_doc = {i: max(t or 0, 0) for i, t in rows}
+    # 1) per doc: spans concatenate to exactly [0, n)
+    per_doc = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == {i for i, _ in rows if n_by_doc[i] > 0}
+    for d, rs in per_doc.items():
+        rs.sort(key=lambda r: r["doc_tok_start"])
+        assert rs[0]["doc_tok_start"] == 0
+        assert rs[-1]["doc_tok_end"] == n_by_doc[d]
+        for a, b in zip(rs, rs[1:]):
+            assert a["doc_tok_end"] == b["doc_tok_start"]
+    # 2) per sequence: spans tile [0, L) exactly (last sequence ragged)
+    per_seq = {}
+    for r in spans:
+        per_seq.setdefault(r["seq_id"], []).append(r)
+    total = sum(n_by_doc.values())
+    last_seq = (total - 1) // L
+    for s, rs in per_seq.items():
+        rs.sort(key=lambda r: r["seq_pos_start"])
+        assert rs[0]["seq_pos_start"] == 0
+        pos = 0
+        for r in rs:
+            assert r["seq_pos_start"] == pos
+            pos += r["doc_tok_end"] - r["doc_tok_start"]
+        assert pos == (L if s < last_seq else total - last_seq * L)
+    # 3) equals a single-partition run (partitioning-invariant)
+    one = pack_sequences(df, "doc_id", "tokens", seq_len=L,
+                         num_partitions=1).collect()
+    assert sorted(map(tuple, spans)) == sorted(map(tuple, one))
+
+
+def test_pack_sequences_rejects_bad_len(spark):
+    import pytest as _pytest
+    from quickwit_spark.datapipe.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "tokens"])
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "tokens", seq_len=0)
