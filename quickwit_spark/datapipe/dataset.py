@@ -1,0 +1,109 @@
+"""End-to-end tokenized-dataset export: text → BPE tokens →
+fixed-length sequences → deterministically shuffled shards.
+
+The final mile of a training-data pipeline, composed from the
+operators in this package:
+
+    1. `bpe.bpe_encode`         docs → token arrays (join against a
+                                trained word→pieces table)
+    2. `packing.pack_sequences` concat-and-chunk the token stream into
+                                seq_len-sized context windows
+                                (distributed prefix sum, span rows)
+    3. span assembly            slice each doc's tokens by its span,
+                                group by sequence, stitch in
+                                seq_pos order (one shuffle, keyed by
+                                seq_id — uniform by construction)
+    4. `sharding.shuffle_shards` place sequences pseudo-randomly into
+                                num_shards shards, deterministically
+                                (a training reader then consumes
+                                shards in parallel and sees mixed data)
+
+Every stage is deterministic in (input, seed): a rerun — or a retried
+task — reproduces byte-identical shards. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quickwit_spark.datapipe.bpe import bpe_encode
+from quickwit_spark.datapipe.packing import pack_sequences
+from quickwit_spark.datapipe.sharding import shuffle_shards
+
+
+def assemble_sequences(
+    encoded: DataFrame,
+    seq_len: int,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(key, tokens) → (seq_id, tokens, n_docs): the corpus token
+    stream in key order, chunked into sequences of exactly `seq_len`
+    tokens (the final sequence may be shorter). `n_docs` counts the
+    documents contributing to each sequence (attention-reset info)."""
+    enc = encoded.withColumn("n_tokens", F.size(tokens_col))
+    spans = pack_sequences(
+        enc.select(key, "n_tokens"),
+        key,
+        "n_tokens",
+        seq_len=seq_len,
+        num_partitions=num_partitions,
+    )
+    sliced = spans.join(enc.select(key, tokens_col), key).select(
+        "seq_id",
+        "seq_pos_start",
+        F.slice(
+            F.col(tokens_col),
+            (F.col("doc_tok_start") + 1).cast("int"),
+            (F.col("doc_tok_end") - F.col("doc_tok_start")).cast("int"),
+        ).alias("piece"),
+    )
+    return (
+        sliced.groupBy("seq_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("seq_pos_start", "piece"))
+            ).alias("parts")
+        )
+        .select(
+            "seq_id",
+            F.flatten(F.col("parts.piece")).alias("tokens"),
+            F.size("parts").alias("n_docs"),
+        )
+    )
+
+
+def build_token_dataset(
+    docs: DataFrame,
+    word_pieces: DataFrame,
+    out_dir: str,
+    *,
+    seq_len: int = 2048,
+    num_shards: int = 16,
+    seed: int = 0,
+    key: str = "doc_id",
+    text_col: str = "text",
+    broadcast_pieces: bool = True,
+) -> None:
+    """Tokenize `docs` with a trained BPE piece table, pack into
+    `seq_len` context windows, and write `num_shards` deterministically
+    shuffled shards under `out_dir` (shard_id=<i>/ parquet dirs, rows
+    in pos order; columns seq_id, tokens, n_docs, shard_id, pos)."""
+    enc = bpe_encode(
+        docs,
+        word_pieces,
+        key=key,
+        text_col=text_col,
+        broadcast_table=broadcast_pieces,
+    )
+    seqs = assemble_sequences(enc, seq_len, key=key)
+    placed = shuffle_shards(seqs, num_shards, key="seq_id", seed=seed)
+    (
+        placed.repartition(num_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )

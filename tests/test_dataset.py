@@ -1,0 +1,106 @@
+"""End-to-end tokenized-dataset export (datapipe/dataset.py)."""
+
+import json
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.datapipe.bpe import bpe_encode, train_bpe, word_histogram
+from quickwit_spark.datapipe.dataset import (
+    assemble_sequences,
+    build_token_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+
+
+@pytest.fixture(scope="module")
+def pieces(docs):
+    _, p = train_bpe(word_histogram(docs), num_merges=30)
+    return p
+
+
+def test_assemble_sequences_reconstructs_the_stream(docs, pieces):
+    L = 512
+    enc = bpe_encode(docs, pieces)
+    seqs = assemble_sequences(enc, L).orderBy("seq_id").collect()
+    total = enc.agg(F.sum(F.size("tokens"))).first()[0]
+    # every sequence full except the last; ids dense from 0
+    assert [r["seq_id"] for r in seqs] == list(range(len(seqs)))
+    for r in seqs[:-1]:
+        assert len(r["tokens"]) == L
+    assert len(seqs[-1]["tokens"]) == total - (len(seqs) - 1) * L
+    # concatenating sequences == concatenating docs in key order
+    stream = [t for r in seqs for t in r["tokens"]]
+    doc_stream = [
+        t
+        for r in enc.orderBy("doc_id").collect()
+        for t in r["tokens"]
+    ]
+    assert stream == doc_stream
+    # n_docs: at least one per sequence, sums to >= doc span rows
+    assert all(r["n_docs"] >= 1 for r in seqs)
+
+
+def test_build_token_dataset_writes_shuffled_shards(
+    docs, pieces, spark, tmp_path
+):
+    out = str(tmp_path / "ds")
+    build_token_dataset(
+        docs, pieces, out, seq_len=256, num_shards=4, seed=3
+    )
+    back = spark.read.parquet(out)
+    n_seqs = back.count()
+    assert n_seqs > 4
+    # deterministic: a rerun writes the identical dataset
+    out2 = str(tmp_path / "ds2")
+    build_token_dataset(
+        docs, pieces, out2, seq_len=256, num_shards=4, seed=3
+    )
+    a = sorted(
+        (r["seq_id"], r["shard_id"], r["pos"], tuple(r["tokens"]))
+        for r in back.collect()
+    )
+    b = sorted(
+        (r["seq_id"], r["shard_id"], r["pos"], tuple(r["tokens"]))
+        for r in spark.read.parquet(out2).collect()
+    )
+    assert a == b
+    # every sequence present exactly once across shards
+    assert back.select("seq_id").distinct().count() == n_seqs
+    # within-shard pos dense
+    for s in range(4):
+        poss = sorted(
+            r["pos"] for r in back.filter(F.col("shard_id") == s).collect()
+        )
+        assert poss == list(range(len(poss)))
+
+
+def test_dataset_job_cli(docs, pieces, spark, tmp_path, monkeypatch, capsys):
+    src = str(tmp_path / "corpus")
+    docs.write.parquet(src)
+    model = str(tmp_path / "model")
+    pieces.write.parquet(f"{model}/word_pieces")
+    out = str(tmp_path / "out")
+    import jobs.dataset_job as dj
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["dataset_job.py", "--input", src, "--model", model, "--output",
+         out, "--seq-len", "256", "--num-shards", "2"],
+    )
+    dj.main()
+    info = json.loads(
+        [l for l in capsys.readouterr().out.splitlines()
+         if l.startswith("{")][-1]
+    )
+    assert info["sequences"] == spark.read.parquet(out).count() > 0
