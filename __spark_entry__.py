@@ -2367,9 +2367,10 @@ p AS (
 u AS (SELECT doc_id, lang,
              CAST(({ph}) % {P31} AS DOUBLE) / {float(P31)} AS uu
       FROM documents)
-SELECT u.doc_id, u.lang AS domain, ROUND(p.kp, 9) AS keep_prob,
-       (u.uu < p.kp) AS is_kept
-FROM u JOIN p ON p.lang = u.lang
+SELECT u.doc_id, u.lang AS domain,
+       ROUND(COALESCE(p.kp, 0), 9) AS keep_prob,
+       (u.uu < COALESCE(p.kp, 0)) AS is_kept
+FROM u LEFT JOIN p ON p.lang = u.lang
 ORDER BY u.doc_id
 """
 

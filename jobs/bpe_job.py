@@ -60,7 +60,9 @@ def main() -> None:
         pieces.write.mode("overwrite").parquet(
             os.path.join(args.model, "word_pieces")
         )
-        vocab(merges, hist).write.mode("overwrite").parquet(
+        # chars come from the checkpointed pieces table, NOT hist —
+        # re-deriving hist would re-scan the whole corpus
+        vocab(merges, pieces).write.mode("overwrite").parquet(
             os.path.join(args.model, "vocab")
         )
         merges_path = os.path.join(args.model, "merges.json")

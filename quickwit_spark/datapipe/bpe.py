@@ -154,21 +154,31 @@ def train_bpe(
     return merges, pieces
 
 
-def vocab(merges: list[tuple[str, str]], hist: DataFrame) -> DataFrame:
+def vocab(merges: list[tuple[str, str]], words_df: DataFrame) -> DataFrame:
     """Token vocabulary: all single characters seen in training words
     plus one token per merge rule. → (token, token_id), ids dense,
-    characters first (sorted), then merges in rule order."""
+    characters first (sorted), then merges in first-rule order.
+    `words_df` is any DataFrame with a `word` column — pass the
+    trainer's returned `word_pieces` table (already checkpointed) to
+    avoid re-scanning the corpus. Two merge rules can concatenate to
+    the same string (('a','bc') and ('ab','c')); the token keeps its
+    first id so the (token → id) lookup stays unique."""
     chars = sorted(
         r[0]
-        for r in hist.select(
+        for r in words_df.select(
             F.explode(F.split("word", "")).alias("c")
         )
         .filter(F.length("c") > 0)
         .distinct()
         .collect()
     )
-    toks = list(chars) + [a + b for a, b in merges]
-    spark = hist.sparkSession
+    toks: list[str] = list(chars)
+    seen = set(chars)
+    for a, b in merges:
+        if a + b not in seen:
+            seen.add(a + b)
+            toks.append(a + b)
+    spark = words_df.sparkSession
     return spark.createDataFrame(
         [(t, i) for i, t in enumerate(toks)], ["token", "token_id"]
     )

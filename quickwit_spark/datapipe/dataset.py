@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from quickwit_spark.datapipe.bpe import bpe_encode
 from quickwit_spark.datapipe.packing import pack_sequences
-from quickwit_spark.datapipe.sharding import shuffle_shards
+from quickwit_spark.datapipe.sharding import write_shards
 
 
 def assemble_sequences(
@@ -91,19 +91,18 @@ def build_token_dataset(
     `seq_len` context windows, and write `num_shards` deterministically
     shuffled shards under `out_dir` (shard_id=<i>/ parquet dirs, rows
     in pos order; columns seq_id, tokens, n_docs, shard_id, pos)."""
+    # persist the encode result: pack_sequences runs two driver
+    # actions (quantile sketch + bucket totals) before the final
+    # write — without the cache each one re-tokenizes the corpus
     enc = bpe_encode(
         docs,
         word_pieces,
         key=key,
         text_col=text_col,
         broadcast_table=broadcast_pieces,
-    )
-    seqs = assemble_sequences(enc, seq_len, key=key)
-    placed = shuffle_shards(seqs, num_shards, key="seq_id", seed=seed)
-    (
-        placed.repartition(num_shards, "shard_id")
-        .sortWithinPartitions("shard_id", "pos")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(out_dir)
-    )
+    ).persist()
+    try:
+        seqs = assemble_sequences(enc, seq_len, key=key)
+        write_shards(seqs, out_dir, num_shards, key="seq_id", seed=seed)
+    finally:
+        enc.unpersist()

@@ -212,18 +212,22 @@ def minhash_signatures(
     return agg.select(key, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 
-def minhash_lsh_pairs(
-    sig_df: DataFrame, key: str, bands: int = 16, rows: int = 4
+def lsh_band_buckets(
+    sig_df: DataFrame,
+    key: str,
+    bands: int = 16,
+    rows: int = 4,
+    *,
+    keep_sig: bool = False,
 ) -> DataFrame:
-    """LSH candidate pairs from signatures: docs agreeing on ALL `rows`
-    components of any band collide. → (key_a, key_b, est_jaccard) where
-    est_jaccard = fraction of agreeing signature components. The band
-    bucket is the raw joined component string (engine-portable — no
-    re-hash), so the same banding is reproducible in SQL."""
-    num_perm = bands * rows
-    banded = sig_df.select(
-        F.col(key).alias("k"),
-        F.col("sig"),
+    """THE banding expression — (key, [sig,] band, bucket), one row per
+    doc per band; bucket = comma-joined raw signature components
+    (engine-portable, no re-hash). Single definition shared by
+    `minhash_lsh_pairs`, `minhash_lsh_edges`, and the streaming bucket
+    store so batch and streaming can never disagree on buckets."""
+    head = [F.col(key)] + ([F.col("sig")] if keep_sig else [])
+    return sig_df.select(
+        *head,
         F.explode(
             F.array(
                 *[
@@ -237,7 +241,24 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("k", "sig", "bb.band", "bb.bucket")
+    ).select(
+        F.col(key).alias("k"),
+        *(["sig"] if keep_sig else []),
+        "bb.band",
+        "bb.bucket",
+    )
+
+
+def minhash_lsh_pairs(
+    sig_df: DataFrame, key: str, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """LSH candidate pairs from signatures: docs agreeing on ALL `rows`
+    components of any band collide. → (key_a, key_b, est_jaccard) where
+    est_jaccard = fraction of agreeing signature components. The band
+    bucket is the raw joined component string (engine-portable — no
+    re-hash), so the same banding is reproducible in SQL."""
+    num_perm = bands * rows
+    banded = lsh_band_buckets(sig_df, key, bands, rows, keep_sig=True)
     # Signatures ride through the in-bucket join: measured 53 s vs
     # 83 s for the keys-only-join + re-attach-sigs variant at 200k
     # docs / 40-doc cliques (two extra pair-table shuffles cost more
@@ -285,22 +306,7 @@ def minhash_lsh_edges(
     public fuzzy-dedup recipe used by large web-corpus pipelines.
     Use `minhash_lsh_pairs` when downstream needs pair similarity.
     """
-    banded = sig_df.select(
-        F.col(key).alias("k"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("k", "bb.band", "bb.bucket")
+    banded = lsh_band_buckets(sig_df, key, bands, rows)
     w = Window.partitionBy("band", "bucket")
     return (
         banded.withColumn("_anchor", F.min("k").over(w))

@@ -58,6 +58,13 @@ def shuffle_shards(
     oracle checks."""
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
+    clash = {"shard_id", "pos", "_mix"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)}; rename them "
+            "— shuffle_shards writes shard_id/pos and would silently "
+            "overwrite"
+        )
     mixed = _mix(F.col(key), seed)
     w = Window.partitionBy("shard_id").orderBy("_mix", key)
     out = (

@@ -9,15 +9,22 @@ the store — any hit means a near-duplicate of an earlier doc; novel
 docs' keys are appended. On Spark this is `foreachBatch`:
 
     per micro-batch
-      1. MinHash signatures + banded bucket keys (datapipe.dedup —
-         same arithmetic as the batch path, so batch and streaming
-         agree on what "near-duplicate" means)
+      1. MinHash signatures + banded bucket keys
+         (`datapipe.dedup.lsh_band_buckets` — the ONE banding
+         definition, so batch and streaming agree on buckets)
       2. drop docs with any bucket already in the store
          (left-semi join store → distinct hit keys)
-      3. drop within-batch non-anchors (minhash_lsh_edges star rule —
-         bucket-mates of a smaller-keyed batch doc)
-      4. write survivors to `out_dir/batch=<id>` and their buckets to
+      3. drop within-batch non-anchors (the star rule: bucket-mates
+         of a smaller-keyed batch doc)
+      4. write survivors to `out_dir/batch=<id>` and ALL the batch's
+         bucket keys — dropped docs' included — to
          `store_dir/batch=<id>`, both dynamic-overwrite by batch id
+
+    Storing dropped docs' buckets matters for recall: a dropped doc B
+    may own buckets its killer A does not (B is a near-dup of A via
+    one band only); a later doc C near-duplicating B through those
+    other buckets must still be caught — the same transitivity the
+    batch operator gets from connected components.
 
 Exactly-once under replay: Structured Streaming re-runs a failed
 micro-batch with the SAME batch_id; both writes overwrite their own
@@ -37,33 +44,10 @@ touched it, not one per member doc.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from quickwit_spark.datapipe.dedup import minhash_lsh_edges, minhash_signatures
-
-
-def _bucket_keys(
-    sig_df: DataFrame, key: str, bands: int, rows: int
-) -> DataFrame:
-    """(key, band, bucket) — one row per doc per band."""
-    return sig_df.select(
-        F.col(key),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[F.col("sig")[b * rows + r] for r in range(rows)],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(key, "bb.band", "bb.bucket")
+from quickwit_spark.datapipe.dedup import lsh_band_buckets, minhash_signatures
 
 
 class NearDedupStream:
@@ -104,8 +88,12 @@ class NearDedupStream:
             self.text_col,
             k=self.shingle_k,
             num_perm=self.num_perm,
-        ).persist()
-        buckets = _bucket_keys(sigs, key, self.bands, self.rows)
+        )
+        buckets = (
+            lsh_band_buckets(sigs, key, self.bands, self.rows)
+            .withColumnRenamed("k", key)
+            .persist()
+        )
 
         from pyspark.errors import AnalysisException
 
@@ -129,27 +117,30 @@ class NearDedupStream:
             store_hits = None
 
         # within-batch: non-anchors of any shared bucket are dropped
-        intra = minhash_lsh_edges(
-            sigs, key, bands=self.bands, rows=self.rows
-        ).select(F.col("key_b").alias(key)).distinct()
+        # (star rule over the already-built buckets frame)
+        w = Window.partitionBy("band", "bucket")
+        intra = (
+            buckets.withColumn("_anchor", F.min(key).over(w))
+            .filter(F.col(key) != F.col("_anchor"))
+            .select(key)
+            .distinct()
+        )
         dropped = intra if store_hits is None else intra.union(store_hits).distinct()
 
         kept = batch_df.join(dropped, key, "left_anti")
         kept.write.mode("overwrite").parquet(
             f"{self.out_dir}/batch={batch_id:06d}"
         )
-        # store grows by the SURVIVORS' bucket keys only: dropped docs
-        # are represented by whatever earlier doc already claimed the
-        # bucket, so the store stays one row per (band,bucket,batch)
-        kept_buckets = (
-            buckets.join(kept.select(key), key, "left_semi")
-            .select("band", "bucket")
-            .distinct()
-        )
-        kept_buckets.write.mode("overwrite").parquet(
+        # the store grows by ALL of the batch's bucket keys — dropped
+        # docs' too: a dropped near-dup may own buckets its killer
+        # does not, and later docs matching only those must still be
+        # caught (transitive recall; see module docstring). Distinct
+        # keys only, so a hot bucket is one row per touching batch.
+        batch_buckets = buckets.select("band", "bucket").distinct()
+        batch_buckets.write.mode("overwrite").parquet(
             f"{self.store_dir}/batch={batch_id:06d}"
         )
-        sigs.unpersist()
+        buckets.unpersist()
 
     # ------------------------------------------------------- stream
     def attach(

@@ -132,14 +132,20 @@ def test_empty_and_zero_token_docs(docs, spark):
 
 def test_vocab_is_dense_and_ordered(docs):
     hist = word_histogram(docs)
-    merges, _ = train_bpe(hist, num_merges=8)
-    v = vocab(merges, hist).collect()
+    merges, pieces = train_bpe(hist, num_merges=8)
+    v = vocab(merges, pieces).collect()
     ids = sorted(r["token_id"] for r in v)
     assert ids == list(range(len(v)))
+    # token strings are unique (dup merge-concats keep their first id)
+    assert len({r["token"] for r in v}) == len(v)
     by_id = {r["token_id"]: r["token"] for r in v}
-    # merge tokens occupy the tail in rule order
-    tail = [by_id[i] for i in range(len(v) - len(merges), len(v))]
-    assert tail == [a + b for a, b in merges]
+    chars = sorted({c for w in {r["word"] for r in pieces.collect()} for c in w})
+    expect, seen = list(chars), set(chars)
+    for a, b in merges:
+        if a + b not in seen:
+            seen.add(a + b)
+            expect.append(a + b)
+    assert [by_id[i] for i in range(len(v))] == expect
 
 
 def test_min_pair_count_stops_training(spark):

@@ -83,18 +83,41 @@ def test_replay_same_batch_id_is_idempotent(spark, tmp_path):
     assert batches == {0}
 
 
-def test_store_only_grows_with_survivors(spark, tmp_path):
+def test_transitive_chain_across_batches(spark, tmp_path):
+    """A kept, B dropped as near-dup of A, C near-dup of B ONLY:
+    C must still be dropped — the dropped doc's buckets enter the
+    store (transitive recall, like batch connected components)."""
+    words = [f"w{i:03d}" for i in range(100)]
+    a_text = " ".join(words)
+    b_text = " ".join(words[:-10] + [f"x{i}" for i in range(10)])
+    c_text = " ".join([f"y{i}" for i in range(10)] + words[10:-10]
+                      + [f"x{i}" for i in range(10)])
     nd = NearDedupStream(
         _stream(tmp_path, "store"), _stream(tmp_path, "out")
     )
-    nd.process_batch(_mk(spark, [(1, BASE)]), 0)
-    n0 = spark.read.parquet(nd.store_dir).count()
-    # a batch that is ALL duplicates adds nothing to the store
-    nd.process_batch(_mk(spark, [(2, BASE), (3, VARIANT)]), 1)
-    assert spark.read.parquet(nd.out_dir).count() == 1
-    n1 = spark.read.parquet(nd.store_dir).filter("batch = 1").count()
-    assert n1 == 0
-    assert spark.read.parquet(nd.store_dir).count() == n0
+    nd.process_batch(_mk(spark, [(1, a_text)]), 0)
+    nd.process_batch(_mk(spark, [(2, b_text)]), 1)
+    nd.process_batch(_mk(spark, [(3, c_text)]), 2)
+    kept = {r["doc_id"] for r in nd.kept(spark).collect()}
+    assert kept == {1}
+    # sanity: C really does NOT collide with A directly — only via B
+    from quickwit_spark.datapipe.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    def bucket_set(text):
+        df = _mk(spark, [(9, text)])
+        sigs = minhash_signatures(df, "doc_id", num_perm=32)
+        return {
+            (r["band"], r["bucket"])
+            for r in lsh_band_buckets(sigs, "doc_id", 8, 4).collect()
+        }
+
+    assert not (bucket_set(a_text) & bucket_set(c_text))
+    assert bucket_set(b_text) & bucket_set(c_text)
+    # and the dropped doc's buckets are in the store (batch=1 rows)
+    assert spark.read.parquet(nd.store_dir).filter("batch = 1").count() > 0
 
 
 def test_attached_file_stream_end_to_end(spark, tmp_path):
