@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--key", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--no-broadcast", action="store_true")
+    ap.add_argument(
+        "--ids",
+        action="store_true",
+        help="write dense token_ids (model vocab) instead of strings",
+    )
     args = ap.parse_args()
 
     from quickwit_spark.datapipe.dataset import build_token_dataset
@@ -38,6 +43,11 @@ def main() -> None:
     spark = get_spark("qws-dataset")
     docs = spark.read.parquet(args.input)
     pieces = spark.read.parquet(os.path.join(args.model, "word_pieces"))
+    vocab_df = (
+        spark.read.parquet(os.path.join(args.model, "vocab"))
+        if args.ids
+        else None
+    )
     build_token_dataset(
         docs,
         pieces,
@@ -48,6 +58,7 @@ def main() -> None:
         key=args.key,
         text_col=args.text_col,
         broadcast_pieces=not args.no_broadcast,
+        vocab_df=vocab_df,
     )
     out = spark.read.parquet(args.output)
     print(

@@ -75,6 +75,48 @@ def assemble_sequences(
     )
 
 
+def map_tokens_to_ids(
+    seqs: DataFrame,
+    vocab_df: DataFrame,
+    tokens_col: str = "tokens",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Replace each sequence's token strings with dense vocabulary ids
+    (→ same schema with `tokens_col` swapped for `out_col`:
+    array<int>). Tokens outside the vocabulary (characters never seen
+    in training) map to -1, the conventional unk sentinel.
+
+    Scale: posexplode → broadcast join against the vocab (a BPE vocab
+    is ~10⁴–10⁵ rows — always broadcastable) → re-assemble in position
+    order. One shuffle, keyed by seq_id (uniform by construction)."""
+    other = [c for c in seqs.columns if c != tokens_col]
+    ex = seqs.select(
+        *other, F.posexplode(tokens_col).alias("_p", "token")
+    )
+    mapped = ex.join(
+        F.broadcast(vocab_df.select("token", "token_id")), "token", "left"
+    )
+    return (
+        mapped.groupBy(*other)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "_p",
+                        F.coalesce(
+                            F.col("token_id"), F.lit(-1)
+                        ).alias("tid"),
+                    )
+                )
+            ).alias("_parts")
+        )
+        .select(
+            *other,
+            F.col("_parts.tid").cast("array<int>").alias(out_col),
+        )
+    )
+
+
 def build_token_dataset(
     docs: DataFrame,
     word_pieces: DataFrame,
@@ -86,11 +128,15 @@ def build_token_dataset(
     key: str = "doc_id",
     text_col: str = "text",
     broadcast_pieces: bool = True,
+    vocab_df: DataFrame | None = None,
 ) -> None:
     """Tokenize `docs` with a trained BPE piece table, pack into
     `seq_len` context windows, and write `num_shards` deterministically
     shuffled shards under `out_dir` (shard_id=<i>/ parquet dirs, rows
-    in pos order; columns seq_id, tokens, n_docs, shard_id, pos)."""
+    in pos order; columns seq_id, tokens, n_docs, shard_id, pos).
+    With `vocab_df` (the trainer's token→token_id table), sequences
+    are written as dense int ids (`token_ids`) instead of strings —
+    the form a training reader consumes."""
     # persist the encode result: pack_sequences runs two driver
     # actions (quantile sketch + bucket totals) before the final
     # write — without the cache each one re-tokenizes the corpus
@@ -103,6 +149,8 @@ def build_token_dataset(
     ).persist()
     try:
         seqs = assemble_sequences(enc, seq_len, key=key)
+        if vocab_df is not None:
+            seqs = map_tokens_to_ids(seqs, vocab_df)
         write_shards(seqs, out_dir, num_shards, key="seq_id", seed=seed)
     finally:
         enc.unpersist()

@@ -104,3 +104,30 @@ def test_dataset_job_cli(docs, pieces, spark, tmp_path, monkeypatch, capsys):
          if l.startswith("{")][-1]
     )
     assert info["sequences"] == spark.read.parquet(out).count() > 0
+
+
+def test_map_tokens_to_ids_roundtrip(docs, pieces, spark, tmp_path):
+    from quickwit_spark.datapipe.bpe import vocab
+    from quickwit_spark.datapipe.dataset import (
+        assemble_sequences,
+        map_tokens_to_ids,
+    )
+
+    from quickwit_spark.datapipe.bpe import train_bpe, word_histogram
+
+    merges, p2 = train_bpe(word_histogram(docs), num_merges=30)
+    v = vocab(merges, p2)
+    enc = bpe_encode(docs, p2)
+    seqs = assemble_sequences(enc, 256)
+    ids = map_tokens_to_ids(seqs, v)
+    assert "token_ids" in ids.columns and "tokens" not in ids.columns
+    id2tok = {r["token_id"]: r["token"] for r in v.collect()}
+    toks = {r["seq_id"]: list(r["tokens"]) for r in seqs.collect()}
+    for r in ids.collect():
+        back = [id2tok.get(i, "<unk>") for i in r["token_ids"]]
+        assert back == toks[r["seq_id"]]
+        assert all(i >= 0 for i in r["token_ids"])  # no OOV here
+    # OOV sentinel: a vocab missing some chars maps them to -1
+    small_v = v.filter(F.col("token_id") < 5)
+    some = map_tokens_to_ids(seqs, small_v).first()
+    assert min(some["token_ids"]) == -1
