@@ -57,8 +57,20 @@ def main() -> None:
                         "train_quality_classifier (num_buckets+1)")
     p.add_argument("--classifier-threshold", type=float, default=None,
                    help="hard score cut; omit for GPT-3 Pareto keep")
+    p.add_argument("--mix", default=None,
+                   help="target domain mixture, e.g. 'en=0.5,de=0.25,"
+                        "fr=0.25' — final deterministic downsample")
+    p.add_argument("--mix-domain", default="lang")
+    p.add_argument("--mix-seed", type=int, default=0)
     p.add_argument("--report", action="store_true")
     args = p.parse_args()
+    mixture = None
+    if args.mix:
+        mixture = {
+            part.split("=", 1)[0]: float(part.split("=", 1)[1])
+            for part in args.mix.split(",")
+            if part
+        }
 
     spark = get_spark("qws-curate")
     df = spark.read.parquet(args.input)
@@ -90,6 +102,9 @@ def main() -> None:
         lm_train=(
             spark.read.parquet(args.lm_train) if args.lm_train else None
         ),
+        mixture=mixture,
+        mixture_domain_col=args.mix_domain,
+        mixture_seed=args.mix_seed,
         with_report=args.report,
     )
     if args.report:

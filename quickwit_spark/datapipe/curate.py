@@ -66,6 +66,9 @@ def curate(
     lm_train: DataFrame | None = None,
     classifier_weights=None,
     classifier_threshold: float | None = None,
+    mixture: dict[str, float] | None = None,
+    mixture_domain_col: str = "lang",
+    mixture_seed: int = 0,
     persist_intermediate: bool = True,
     with_report: bool = False,
 ):
@@ -76,7 +79,10 @@ def curate(
     `para_dedup` / `span_window` enable the text-SURGERY stages after
     the document-level passes: corpus-wide paragraph dedup
     (RefinedWeb) and exact-substring span cuts (Lee et al.,
-    `span_window` tokens); both rewrite `text_col` in place."""
+    `span_window` tokens); both rewrite `text_col` in place.
+    `mixture` (a domain→weight dict) appends a final deterministic
+    downsample to that target mix over `mixture_domain_col`
+    (datapipe/mixing.py), computed on the CLEANED corpus."""
     orig = df.columns
     report: list[tuple[str, int]] = []
 
@@ -190,5 +196,22 @@ def curate(
             "span_dedup",
             out.drop(text_col).join(cutd, key)
             .withColumnRenamed("_t", text_col).select(*orig),
+        )
+    if mixture:
+        # final stage: downsample the CLEAN corpus to the target
+        # domain mix (dedup/filters first — mixture ratios computed on
+        # dirty data would drift once duplicates are removed). Counts
+        # need an action, so the cleaned frame is persisted for the
+        # plan + keep pass when intermediates aren't already cached.
+        from quickwit_spark.datapipe.mixing import mixture_sample
+
+        if not persist_intermediate:
+            out = out.persist()
+        out = note(
+            "mixture",
+            mixture_sample(
+                out, mixture, domain_col=mixture_domain_col, key=key,
+                seed=mixture_seed,
+            ),
         )
     return (out, report) if with_report else out

@@ -60,3 +60,29 @@ def test_errors(corpus):
         mixture_plan(corpus, {"a": 0.0}, "dom")
     with pytest.raises(ValueError, match="no rows"):
         mixture_plan(corpus, {"zz": 1.0}, "dom")
+
+
+def test_curate_with_mixture_stage(spark, sf_dir):
+    from quickwit_spark.datapipe.curate import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out, report = curate(
+        docs,
+        redact=False,
+        near_dup=False,
+        # the Gopher stopword rule is English-centric; zero it so the
+        # de/fr domains survive to the mixture stage on this corpus
+        quality_bounds={"min_stopword_hits": 0},
+        mixture={"en": 0.5, "de": 0.25, "fr": 0.25},
+        with_report=True,
+        persist_intermediate=False,
+    )
+    stages = dict(report)
+    assert "mixture" in stages and 0 < stages["mixture"] < stages["input"]
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert set(counts) == {"en", "de", "fr"}  # unweighted domains dropped
+    # en should be roughly twice de and fr
+    assert abs(counts["en"] / (counts["de"] + counts["fr"]) - 1.0) < 0.35
+    assert set(out.columns) == {"doc_id", "text", "lang"}
