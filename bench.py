@@ -399,6 +399,46 @@ def run_curate_bench(cores: int) -> dict:
     }
 
 
+def run_dataset_bench(cores: int) -> dict:
+    """Tokenized-dataset export throughput: BPE train (histogram +
+    64 merges) then encode → pack → shuffle → write shards. Run with
+    `python bench.py --dataset`."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.datapipe.bpe import train_bpe, word_histogram
+    from quickwit_spark.datapipe.dataset import build_token_dataset
+    from quickwit_spark.session import get_spark
+
+    spark = get_spark("qws_bench_dataset", cores=cores, shuffle_partitions=cores)
+    docs, n = bench_corpus(spark, SF_DIR, REPLICATE)
+    docs = docs.persist()
+    n = docs.count()
+    mb = docs.select(F.sum(F.length("text"))).first()[0] / 1e6
+    t0 = time.perf_counter()
+    merges, pieces = train_bpe(word_histogram(docs, "text"), num_merges=64)
+    train_secs = time.perf_counter() - t0
+    out_dir = tempfile.mkdtemp(prefix="qws_bench_ds_")
+    t1 = time.perf_counter()
+    build_token_dataset(
+        docs, pieces, out_dir, seq_len=2048, num_shards=max(cores, 4)
+    )
+    export_secs = time.perf_counter() - t1
+    seqs = spark.read.parquet(out_dir).count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+    return {
+        "cores": cores,
+        "docs": n,
+        "mb": round(mb, 2),
+        "merges": len(merges),
+        "sequences": seqs,
+        "train_secs": round(train_secs, 3),
+        "export_secs": round(export_secs, 3),
+        "export_docs_per_sec": round(n / export_secs, 1),
+        "export_mb_per_sec": round(mb / export_secs, 3),
+    }
+
+
 def main():
     if "--scaling" in sys.argv:
         print(json.dumps(scaling_report(), indent=2))
@@ -406,6 +446,10 @@ def main():
     if "--curate" in sys.argv:
         load_info = wait_for_idle()
         print(json.dumps({"curate": run_curate_bench(CPUS), **load_info}))
+        return
+    if "--dataset" in sys.argv:
+        load_info = wait_for_idle()
+        print(json.dumps({"dataset": run_dataset_bench(CPUS), **load_info}))
         return
     load_info = wait_for_idle()
     t_all = time.perf_counter()
