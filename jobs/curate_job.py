@@ -66,11 +66,20 @@ def main() -> None:
     args = p.parse_args()
     mixture = None
     if args.mix:
-        mixture = {
-            part.split("=", 1)[0]: float(part.split("=", 1)[1])
-            for part in args.mix.split(",")
-            if part
-        }
+        mixture = {}
+        for part in args.mix.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if "=" not in part:
+                p.error(f"--mix segment {part!r} is not domain=weight")
+            d, w = part.split("=", 1)
+            try:
+                mixture[d.strip()] = float(w)
+            except ValueError:
+                p.error(f"--mix weight {w!r} for {d.strip()!r} not a number")
+        if not mixture:
+            p.error("--mix given but parsed to no domain=weight pairs")
 
     spark = get_spark("qws-curate")
     df = spark.read.parquet(args.input)

@@ -184,6 +184,46 @@ def vocab(merges: list[tuple[str, str]], words_df: DataFrame) -> DataFrame:
     )
 
 
+def pieces_with_ids(word_pieces: DataFrame, vocab_df: DataFrame) -> DataFrame:
+    """(word, piece_ids: array<int>) — the encode table with every
+    piece string replaced by its vocabulary id (-1 for tokens missing
+    from the vocab). Computed at WORD-TABLE scale (explode the pieces
+    of each distinct training word, broadcast-join the vocab,
+    re-assemble) — the corpus never pays a per-token id join."""
+    ex = word_pieces.select(
+        "word", F.posexplode("pieces").alias("_p", "token")
+    )
+    j = ex.join(F.broadcast(vocab_df.select("token", "token_id")), "token", "left")
+    return (
+        j.groupBy("word")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "_p",
+                        F.coalesce(F.col("token_id"), F.lit(-1)).alias("tid"),
+                    )
+                )
+            ).alias("_parts")
+        )
+        .select("word", F.col("_parts.tid").cast("array<int>").alias("piece_ids"))
+    )
+
+
+def _char_id_map(vocab_df: DataFrame):
+    """Literal char→id map for OOV character fallback (single-char
+    vocab rows only — the base alphabet, a bounded driver collect)."""
+    rows = (
+        vocab_df.filter(F.length("token") == 1)
+        .select("token", "token_id")
+        .collect()
+    )
+    kv = []
+    for r in rows:
+        kv += [F.lit(r["token"]), F.lit(r["token_id"])]
+    return F.create_map(*kv) if kv else F.create_map()
+
+
 def bpe_encode(
     df: DataFrame,
     word_pieces: DataFrame,
@@ -192,10 +232,16 @@ def bpe_encode(
     pattern: str | None = None,
     *,
     broadcast_table: bool = True,
+    vocab_df: DataFrame | None = None,
 ) -> DataFrame:
     """Encode documents with a trained piece table → (key, tokens
     array<string>, n_tokens). Document token order = pre-token order;
-    OOV pre-tokens fall back to character symbols.
+    OOV pre-tokens fall back to character symbols. With `vocab_df`
+    (the trainer's token→token_id table) the output column is
+    `token_ids` (array<int>, -1 = unknown) instead of strings — ids
+    are attached to the WORD table up front (`pieces_with_ids`) and to
+    OOV characters via a literal map, so the id path costs no extra
+    token-scale shuffle.
 
     Scale: posexplode keeps (key, pos) so the final
     `array_sort(collect_list(struct(pos, …)))` re-assembly is exact;
@@ -209,13 +255,26 @@ def bpe_encode(
             F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
         ).alias("pos", "word"),
     ).filter(F.length("word") > 0)
-    table = word_pieces.select("word", "pieces")
+    if vocab_df is None:
+        table = word_pieces.select("word", "pieces")
+        fallback = F.split(F.col("word"), "")
+        piece_col, out_col, empty_type = "pieces", "tokens", "array<string>"
+    else:
+        table = pieces_with_ids(word_pieces, vocab_df).withColumnRenamed(
+            "piece_ids", "pieces"
+        )
+        cmap = _char_id_map(vocab_df)
+        fallback = F.transform(
+            F.split(F.col("word"), ""),
+            lambda c: F.coalesce(cmap[c], F.lit(-1)),
+        )
+        piece_col, out_col, empty_type = "pieces", "token_ids", "array<int>"
     if broadcast_table:
         table = F.broadcast(table)
     joined = words.join(table, "word", "left").select(
         key,
         "pos",
-        F.coalesce(F.col("pieces"), F.split(F.col("word"), "")).alias("pieces"),
+        F.coalesce(F.col(piece_col), fallback).alias("pieces"),
     )
     per_doc = (
         joined.groupBy(key)
@@ -226,9 +285,9 @@ def bpe_encode(
         )
         .select(
             key,
-            F.flatten(F.col("ordered.pieces")).alias("tokens"),
+            F.flatten(F.col("ordered.pieces")).alias(out_col),
         )
-        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn("n_tokens", F.size(out_col))
     )
     # docs whose text produced zero pre-tokens still appear, empty
     return (
@@ -237,8 +296,8 @@ def bpe_encode(
         .select(
             key,
             F.coalesce(
-                "tokens", F.array().cast("array<string>")
-            ).alias("tokens"),
+                out_col, F.array().cast(empty_type)
+            ).alias(out_col),
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         )
     )

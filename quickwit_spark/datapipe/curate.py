@@ -25,7 +25,10 @@ composition adds stage gating, shared defaults, and an optional
 per-stage row report. With `with_report=False` (the default) the whole
 pipeline stays ONE lazy plan — no counts, no extra jobs — which is how
 you'd run it over 100 TB; `with_report=True` triggers a count per
-stage for auditing at sample scale.
+stage for auditing at sample scale. Exception: `mixture=...` needs the
+per-domain counts to size its keep probabilities, so that one stage
+runs a driver-side `groupBy(domain).count()` job at call time even
+without a report.
 """
 
 from __future__ import annotations
@@ -200,12 +203,14 @@ def curate(
     if mixture:
         # final stage: downsample the CLEAN corpus to the target
         # domain mix (dedup/filters first — mixture ratios computed on
-        # dirty data would drift once duplicates are removed). Counts
-        # need an action, so the cleaned frame is persisted for the
-        # plan + keep pass when intermediates aren't already cached.
+        # dirty data would drift once duplicates are removed). The
+        # domain counts are a driver action, so the cleaned frame is
+        # persisted for the count + keep double pass — unless the
+        # caller opted out of caching entirely (persist_intermediate=
+        # False documents "accepting the recompute").
         from quickwit_spark.datapipe.mixing import mixture_sample
 
-        if not persist_intermediate:
+        if persist_intermediate:
             out = out.persist()
         out = note(
             "mixture",

@@ -39,10 +39,12 @@ def assemble_sequences(
     tokens_col: str = "tokens",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """(key, tokens) → (seq_id, tokens, n_docs): the corpus token
-    stream in key order, chunked into sequences of exactly `seq_len`
-    tokens (the final sequence may be shorter). `n_docs` counts the
-    documents contributing to each sequence (attention-reset info)."""
+    """(key, tokens) → (seq_id, <tokens_col>, n_docs): the corpus
+    token stream in key order, chunked into sequences of exactly
+    `seq_len` tokens (the final sequence may be shorter). `n_docs`
+    counts the documents contributing to each sequence
+    (attention-reset info). Works over any array element type — the
+    output column keeps the input's name (`tokens` or `token_ids`)."""
     enc = encoded.withColumn("n_tokens", F.size(tokens_col))
     spans = pack_sequences(
         enc.select(key, "n_tokens"),
@@ -69,7 +71,7 @@ def assemble_sequences(
         )
         .select(
             "seq_id",
-            F.flatten(F.col("parts.piece")).alias("tokens"),
+            F.flatten(F.col("parts.piece")).alias(tokens_col),
             F.size("parts").alias("n_docs"),
         )
     )
@@ -86,17 +88,25 @@ def map_tokens_to_ids(
     array<int>). Tokens outside the vocabulary (characters never seen
     in training) map to -1, the conventional unk sentinel.
 
-    Scale: posexplode → broadcast join against the vocab (a BPE vocab
-    is ~10⁴–10⁵ rows — always broadcastable) → re-assemble in position
-    order. One shuffle, keyed by seq_id (uniform by construction)."""
+    This is the STANDALONE mapper (token-scale posexplode + broadcast
+    vocab join + positional re-assembly — one extra shuffle). The
+    dataset exporter does NOT use it: `bpe_encode(vocab_df=...)`
+    attaches ids at the word-table level for free. Prefer that path
+    when you control the encode step; use this one to convert
+    already-materialized string-token frames."""
     other = [c for c in seqs.columns if c != tokens_col]
+    if not other:
+        raise ValueError(
+            "seqs needs at least one identifying column besides "
+            f"{tokens_col!r} to group rows by"
+        )
     ex = seqs.select(
         *other, F.posexplode(tokens_col).alias("_p", "token")
     )
     mapped = ex.join(
         F.broadcast(vocab_df.select("token", "token_id")), "token", "left"
     )
-    return (
+    grouped = (
         mapped.groupBy(*other)
         .agg(
             F.array_sort(
@@ -113,6 +123,16 @@ def map_tokens_to_ids(
         .select(
             *other,
             F.col("_parts.tid").cast("array<int>").alias(out_col),
+        )
+    )
+    # rows with empty token arrays emit nothing from posexplode —
+    # restore them with an empty id array rather than dropping them
+    return (
+        seqs.select(*other)
+        .join(grouped, other, "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col(out_col), F.array().cast("array<int>")),
         )
     )
 
@@ -136,7 +156,21 @@ def build_token_dataset(
     in pos order; columns seq_id, tokens, n_docs, shard_id, pos).
     With `vocab_df` (the trainer's token→token_id table), sequences
     are written as dense int ids (`token_ids`) instead of strings —
-    the form a training reader consumes."""
+    the form a training reader consumes; ids are attached inside the
+    encode join (word-table scale, no extra token-scale shuffle).
+
+    `key` must be a NUMERIC unique column — the packer's deterministic
+    range bucketing (packing.pack_token_shards) quantile-sketches it."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(docs.schema[key].dataType, NumericType):
+        raise TypeError(
+            f"build_token_dataset needs a numeric key column, got "
+            f"{key}: {docs.schema[key].dataType} — add a numeric "
+            "surrogate (e.g. monotonically increasing id + "
+            "zipWithIndex-style dense rank) before exporting"
+        )
+    tokens_col = "tokens" if vocab_df is None else "token_ids"
     # persist the encode result: pack_sequences runs two driver
     # actions (quantile sketch + bucket totals) before the final
     # write — without the cache each one re-tokenizes the corpus
@@ -146,11 +180,10 @@ def build_token_dataset(
         key=key,
         text_col=text_col,
         broadcast_table=broadcast_pieces,
+        vocab_df=vocab_df,
     ).persist()
     try:
-        seqs = assemble_sequences(enc, seq_len, key=key)
-        if vocab_df is not None:
-            seqs = map_tokens_to_ids(seqs, vocab_df)
+        seqs = assemble_sequences(enc, seq_len, key=key, tokens_col=tokens_col)
         write_shards(seqs, out_dir, num_shards, key="seq_id", seed=seed)
     finally:
         enc.unpersist()

@@ -106,28 +106,79 @@ def test_dataset_job_cli(docs, pieces, spark, tmp_path, monkeypatch, capsys):
     assert info["sequences"] == spark.read.parquet(out).count() > 0
 
 
-def test_map_tokens_to_ids_roundtrip(docs, pieces, spark, tmp_path):
-    from quickwit_spark.datapipe.bpe import vocab
+def test_token_id_paths_agree(docs, pieces, spark, tmp_path):
+    from quickwit_spark.datapipe.bpe import train_bpe, vocab, word_histogram
     from quickwit_spark.datapipe.dataset import (
         assemble_sequences,
         map_tokens_to_ids,
     )
 
-    from quickwit_spark.datapipe.bpe import train_bpe, word_histogram
-
     merges, p2 = train_bpe(word_histogram(docs), num_merges=30)
     v = vocab(merges, p2)
-    enc = bpe_encode(docs, p2)
-    seqs = assemble_sequences(enc, 256)
-    ids = map_tokens_to_ids(seqs, v)
-    assert "token_ids" in ids.columns and "tokens" not in ids.columns
     id2tok = {r["token_id"]: r["token"] for r in v.collect()}
-    toks = {r["seq_id"]: list(r["tokens"]) for r in seqs.collect()}
-    for r in ids.collect():
-        back = [id2tok.get(i, "<unk>") for i in r["token_ids"]]
-        assert back == toks[r["seq_id"]]
-        assert all(i >= 0 for i in r["token_ids"])  # no OOV here
-    # OOV sentinel: a vocab missing some chars maps them to -1
+
+    # path 1: encode-time ids (word-table join, the exporter path)
+    enc_ids = bpe_encode(docs, p2, vocab_df=v)
+    assert "token_ids" in enc_ids.columns
+    # path 2: string encode + standalone mapper
+    enc_str = bpe_encode(docs, p2)
+    mapped = map_tokens_to_ids(
+        enc_str.drop("n_tokens"), v, tokens_col="tokens"
+    )
+    a = {r["doc_id"]: list(r["token_ids"]) for r in enc_ids.collect()}
+    b = {r["doc_id"]: list(r["token_ids"]) for r in mapped.collect()}
+    assert a == b
+    # ids decode back to the string tokens
+    toks = {r["doc_id"]: list(r["tokens"]) for r in enc_str.collect()}
+    for d, ids in a.items():
+        assert [id2tok[i] for i in ids] == toks[d]
+        assert all(i >= 0 for i in ids)  # in-vocab corpus: no OOV
+
+    # sequences assemble identically over int arrays
+    seqs = assemble_sequences(enc_ids, 256, tokens_col="token_ids")
+    stream = [
+        t
+        for r in seqs.orderBy("seq_id").collect()
+        for t in r["token_ids"]
+    ]
+    doc_stream = [t for d in sorted(a) for t in a[d]]
+    assert stream == doc_stream
+
+    # OOV sentinel: a vocab missing chars maps them to -1 on both paths
     small_v = v.filter(F.col("token_id") < 5)
-    some = map_tokens_to_ids(seqs, small_v).first()
-    assert min(some["token_ids"]) == -1
+    r1 = bpe_encode(docs.limit(3), p2, vocab_df=small_v).collect()
+    assert min(min(r["token_ids"]) for r in r1 if r["token_ids"]) == -1
+
+    # mapper guards: empty-token rows survive; no-id-column frame raises
+    empt = spark.createDataFrame(
+        [(1, ["a"]), (2, [])], ["k", "tokens"]
+    )
+    kept = {r["k"]: list(r["token_ids"])
+            for r in map_tokens_to_ids(empt, v).collect()}
+    assert set(kept) == {1, 2} and kept[2] == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        map_tokens_to_ids(empt.select("tokens"), v)
+
+
+def test_build_token_dataset_ids_mode(docs, pieces, spark, tmp_path):
+    from quickwit_spark.datapipe.bpe import train_bpe, vocab, word_histogram
+
+    merges, p2 = train_bpe(word_histogram(docs), num_merges=20)
+    v = vocab(merges, p2)
+    out = str(tmp_path / "ids_ds")
+    build_token_dataset(
+        docs, p2, out, seq_len=256, num_shards=2, vocab_df=v
+    )
+    back = spark.read.parquet(out)
+    assert "token_ids" in back.columns and "tokens" not in back.columns
+    assert back.filter(F.size("token_ids") <= 0).count() == 0
+    # non-numeric key rejected up front
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        build_token_dataset(
+            docs.withColumn("sid", F.col("doc_id").cast("string")),
+            p2, out, seq_len=256, num_shards=2, key="sid",
+        )
