@@ -3165,6 +3165,82 @@ FROM pairs JOIN sig sa ON sa.doc_id = key_a JOIN sig sb ON sb.doc_id = key_b
 """
 
 
+def _q_stream_near_dedup(spark, sf_dir):
+    """Streaming incremental near-dedup, oracle-gated end-to-end: the
+    corpus split into two micro-batches by doc_id parity, run through
+    the NearDedupStream foreachBatch protocol (portable hashes), kept
+    keys returned. The DuckDB oracle replays both batches' star rule
+    and the bucket-store lookup from the same signature arithmetic."""
+    import tempfile
+
+    from quickwit_spark.streaming.near_dedup import NearDedupStream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = tempfile.mkdtemp(prefix="qws_stream_nd_")
+    nd = NearDedupStream(
+        f"{base}/store", f"{base}/out", num_perm=32, bands=8, portable=True
+    )
+    nd.process_batch(docs.filter("doc_id % 2 = 0"), 0)
+    nd.process_batch(docs.filter("doc_id % 2 = 1"), 1)
+    return nd.kept(spark).select("doc_id").orderBy("doc_id")
+
+
+def _stream_near_dedup_sql(num_perm: int = 32, bands: int = 8, rows: int = 4) -> str:
+    """Replays NearDedupStream over two parity batches: batch-0 drops
+    = star-rule losers within batch 0; batch-1 drops = any bucket hit
+    against batch 0 (the store holds ALL batch-0 buckets) plus batch-1
+    star-rule losers. Docs too short to shingle have no signature and
+    are always kept — same on both engines."""
+    from quickwit_spark.datapipe.portable import P31, perm_constants, sql_portable_hash
+
+    mins = ",\n       ".join(
+        f"MIN((p * {a} + {b}) % {P31}) AS h{i}"
+        for i, (a, b) in enumerate(perm_constants(num_perm))
+    )
+
+    def band_hits(cond_a: str, cond_b: str) -> str:
+        return "\n  UNION\n".join(
+            "  SELECT a.doc_id FROM sig a JOIN sig b\n    ON "
+            + " AND ".join(
+                f"a.h{bd * rows + r} = b.h{bd * rows + r}" for r in range(rows)
+            )
+            + f" AND {cond_a} AND {cond_b}"
+            for bd in range(bands)
+        )
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text),' ')) - 1, 1)),
+           i -> array_to_string(list_slice(string_split(lower(text),' '), i, i+2), ' ')
+         ))) AS s
+  FROM documents
+  WHERE len(string_split(lower(text),' ')) >= 3
+),
+ph AS (SELECT doc_id, CAST({sql_portable_hash("s")} AS BIGINT) % {P31} AS p FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ph GROUP BY doc_id),
+drop0 AS (
+{band_hits("a.doc_id % 2 = 0 AND b.doc_id % 2 = 0", "b.doc_id < a.doc_id")}
+),
+drop1_store AS (
+{band_hits("a.doc_id % 2 = 1", "b.doc_id % 2 = 0")}
+),
+drop1_intra AS (
+{band_hits("a.doc_id % 2 = 1 AND b.doc_id % 2 = 1", "b.doc_id < a.doc_id")}
+),
+dropped AS (
+  SELECT doc_id FROM drop0
+  UNION SELECT doc_id FROM drop1_store
+  UNION SELECT doc_id FROM drop1_intra
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
+"""
+
+
 def _minhash_anchor_sql(num_perm: int = 32, bands: int = 8, rows: int = 4) -> str:
     """DuckDB replay of minhash_lsh_edges + connected_components:
     identical portable signatures, per-band star edges (bucket MIN as
@@ -3494,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_components": _q_dedup_components,
         "dedup_minhash_anchor": _q_dedup_anchor,
+        "stream_near_dedup_kept": _q_stream_near_dedup,
         "dedup_simhash": _q_dedup_simhash,
         "knn_cosine_bruteforce": _q_knn_cosine,
         "knn_cosine_lsh": _q_knn_lsh,
@@ -4047,6 +4124,9 @@ reach(u, lbl) AS (
 SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
 """,
         "dedup_minhash_anchor": _minhash_anchor_sql(num_perm=32, bands=8, rows=4),
+        "stream_near_dedup_kept": _stream_near_dedup_sql(
+            num_perm=32, bands=8, rows=4
+        ),
         "dedup_simhash": _simhash_sql(max_hamming=8, bits=62),
         "knn_cosine_lsh": _knn_lsh_sql(planes=4, k=10),
         "knn_cosine_lsh_scale": _knn_lsh_multi_sql(planes=12, tables=2, k=10),

@@ -66,9 +66,14 @@ class NearDedupStream:
         shingle_k: int = 3,
         num_perm: int = 32,
         bands: int = 8,
+        portable: bool = False,
     ):
         if num_perm % bands:
             raise ValueError("num_perm must be divisible by bands")
+        # portable=True swaps xxhash64 for the engine-portable hash so
+        # an independent SQL engine replays the signatures bit-for-bit
+        # (the correctness-oracle mode, as in datapipe.dedup)
+        self.portable = portable
         self.store_dir = store_dir
         self.out_dir = out_dir
         self.key = key
@@ -88,6 +93,7 @@ class NearDedupStream:
             self.text_col,
             k=self.shingle_k,
             num_perm=self.num_perm,
+            portable=self.portable,
         )
         buckets = (
             lsh_band_buckets(sigs, key, self.bands, self.rows)
