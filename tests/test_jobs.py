@@ -301,3 +301,42 @@ def test_bpe_job_train_then_encode(
         v.select(F.col("token").alias("t")), "t", "left_anti"
     ).filter(F.length("t") > 1)
     assert unknown.count() == 0
+
+
+def test_stream_dedup_job_drains_and_resumes(
+    tmp_path_factory, spark, monkeysession, capsys
+):
+    d = tmp_path_factory.mktemp("sdj")
+    src = str(d / "in"); (d / "in").mkdir()
+    text_a = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, text_a), (2, "totally different words " * 8)],
+        ["doc_id", "text"],
+    )
+    seed = str(d / "seed.parquet")
+    df.limit(1).write.parquet(seed)
+    df.coalesce(1).write.mode("append").parquet(src)
+    import jobs.stream_dedup_job as sdj
+
+    argv = ["stream_dedup_job.py", "--input", src, "--schema-from", seed,
+            "--store", str(d / "store"), "--output", str(d / "out"),
+            "--checkpoint", str(d / "ckpt")]
+    monkeysession.setattr(sys, "argv", argv)
+    sdj.main()
+    out1 = json.loads(
+        [l for l in capsys.readouterr().out.splitlines()
+         if l.startswith("{")][-1]
+    )
+    assert out1["kept_total"] == 2
+    # second drop: one near-dup of doc 1, one new — rerun drains only it
+    spark.createDataFrame(
+        [(3, text_a.replace("w59", "zz")), (4, "fresh new content here " * 6)],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    monkeysession.setattr(sys, "argv", argv)
+    sdj.main()
+    out2 = json.loads(
+        [l for l in capsys.readouterr().out.splitlines()
+         if l.startswith("{")][-1]
+    )
+    assert out2["kept_total"] == 3  # doc 3 deduped against the store
