@@ -100,3 +100,68 @@ def write_shards(
         .partitionBy("shard_id")
         .parquet(out_dir)
     )
+
+
+def surrogate_key(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "doc_id",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Dense 1-based numeric surrogate key in `order_cols` order —
+    WITHOUT a global window. The first order column must be numeric
+    (use a hash); remaining columns break ties.
+
+    The distributed rank is the same two-pass shape as
+    `packing.pack_token_shards`: deterministic bucket boundaries from
+    a `percentile_approx` sketch of the first column (mergeable, no
+    row sampling — identical boundaries on every pass), per-bucket
+    counts prefix-summed on the driver (#buckets rows), then a
+    row_number window PARTITIONED BY bucket. Bounded state per task;
+    never one task ranking the whole corpus."""
+    lead = order_cols[0]
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[lead].dataType, NumericType):
+        raise TypeError(
+            f"surrogate_key needs a numeric first order column, got "
+            f"{lead}: {df.schema[lead].dataType}"
+        )
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        bounds = df.select(
+            F.percentile_approx(lead, qs, 100_000).alias("b")
+        ).first()["b"] or []
+    else:
+        bounds = []
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(lead) > F.lit(b)).cast("int")
+    part = df.withColumn("_bkt", bucket).repartition(max(n, 1), "_bkt")
+    totals = {
+        r["_bkt"]: r["c"]
+        for r in part.groupBy("_bkt").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for bkt in sorted(totals):
+        offsets[bkt] = acc
+        acc += totals[bkt]
+    if offsets:
+        off = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+                ),
+                F.col("_bkt"),
+            ),
+            F.lit(0),
+        )
+    else:
+        off = F.lit(0)
+    w = Window.partitionBy("_bkt").orderBy(*order_cols)
+    return (
+        part.withColumn(
+            out, (F.row_number().over(w) + off).cast("long")
+        ).drop("_bkt")
+    )

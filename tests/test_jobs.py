@@ -340,3 +340,49 @@ def test_stream_dedup_job_drains_and_resumes(
          if l.startswith("{")][-1]
     )
     assert out2["kept_total"] == 3  # doc 3 deduped against the store
+
+
+def test_web_pipeline_job_end_to_end(
+    tmp_path_factory, spark, sf_dir, monkeysession, capsys
+):
+    """WARC → extract → curate → index → tokenized dataset, one entry."""
+    from quickwit_spark.sources.corpus import web_corpus
+    from quickwit_spark.sources.warc import write_warc
+
+    d = tmp_path_factory.mktemp("webpipe")
+    warc_dir = str(d / "warc")
+    corpus = web_corpus(spark, sf_dir, with_html=True)
+    n_in = write_warc(corpus.repartition(3), warc_dir)
+    assert n_in == corpus.count()
+
+    import jobs.web_pipeline_job as wj
+
+    work = str(d / "work")
+    monkeysession.setattr(
+        sys, "argv",
+        ["web_pipeline_job.py", "--warc", warc_dir, "--work", work,
+         "--index", "--dataset", "--seq-len", "256", "--num-shards", "2",
+         "--num-merges", "16", "--min-stopword-hits", "0",
+         "--partitions", "4", "--report"],
+    )
+    wj.main()
+    report = json.loads(
+        [l for l in capsys.readouterr().out.splitlines()
+         if l.startswith("{")][-1]
+    )
+    assert 0 < report["curated_docs"] <= n_in
+    assert report["sequences"] > 0 and report["merges"] == 16
+    assert json.load(open(f"{work}/report.json")) == report
+
+    # the index answers queries over the curated corpus
+    from quickwit_spark.search.engine import IndexSearcher
+
+    s = IndexSearcher(spark, report["index_dir"])
+    assert s.count("*") == report["curated_docs"]
+    hits = s.search("spark OR data", k=5).collect()
+    assert len(hits) > 0
+
+    # the dataset shards hold dense ids
+    ds = spark.read.parquet(report["dataset_dir"])
+    assert "token_ids" in ds.columns
+    assert ds.count() == report["sequences"]

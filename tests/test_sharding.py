@@ -91,3 +91,30 @@ def test_no_python_in_plan(docs):
 def test_bad_num_shards(docs):
     with pytest.raises(ValueError):
         shuffle_shards(docs, 0)
+
+
+def test_surrogate_key_is_a_dense_deterministic_rank(spark):
+    from quickwit_spark.datapipe.sharding import surrogate_key
+
+    rows = [(i * 7919 % 1000, f"u{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["h", "u"]).repartition(7)
+    out = surrogate_key(df, ["h", "u"], out="sk", num_buckets=5)
+    got = [(r["h"], r["u"], r["sk"]) for r in out.collect()]
+    expect = {
+        (h, u): i + 1
+        for i, (h, u) in enumerate(sorted(rows))
+    }
+    assert len(got) == 500
+    for h, u, sk in got:
+        assert sk == expect[(h, u)]
+    # single bucket degenerates to the plain rank too
+    one = surrogate_key(df, ["h", "u"], out="sk", num_buckets=1)
+    assert {(r["h"], r["u"], r["sk"]) for r in one.collect()} == set(got)
+
+
+def test_surrogate_key_rejects_non_numeric_lead(spark):
+    from quickwit_spark.datapipe.sharding import surrogate_key
+
+    df = spark.createDataFrame([("a", 1)], ["s", "n"])
+    with pytest.raises(TypeError):
+        surrogate_key(df, ["s", "n"])
