@@ -2407,6 +2407,27 @@ FROM u ORDER BY doc_id
 """
 
 
+def _q_surrogate_key(spark, sf_dir):
+    """Distributed dense rank (two-pass bucketed prefix sum, no global
+    window) vs the plain ROW_NUMBER oracle it must equal exactly."""
+    from quickwit_spark.datapipe.sharding import surrogate_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    return surrogate_key(
+        docs, ["n_chars", "doc_id"], out="rank_key", num_buckets=8
+    ).select("doc_id", "rank_key").orderBy("doc_id")
+
+
+_SURROGATE_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+         AS rank_key
+FROM documents ORDER BY doc_id
+"""
+
+
 _SEMDEDUP_K, _SEMDEDUP_THR = 4, 0.9
 
 
@@ -3589,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_marks": _q_semdedup,
         "mixture_sample_marks": _q_mixture_sample,
         "shard_shuffle_marks": _q_shard_shuffle,
+        "surrogate_key_rank": _q_surrogate_key,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontamination_marks": _q_decontamination,
         "pii_redaction": _q_pii_redaction,
@@ -4147,6 +4169,7 @@ SELECT u AS key, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY u
         "semdedup_marks": _semdedup_sql(),
         "mixture_sample_marks": _mixture_sql(),
         "shard_shuffle_marks": _shard_shuffle_sql(num_shards=8),
+        "surrogate_key_rank": _SURROGATE_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontamination_marks": _DECONTAM_SQL,
         "pii_redaction": _PII_SQL,
