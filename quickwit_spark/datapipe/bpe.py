@@ -90,6 +90,12 @@ def _apply_merge(syms_col, a: str, b: str):
     result never re-triggers on the next element, matching the
     i += 2 skip of the scan."""
     merged = a + b
+    # NB: reference syms_col exactly ONCE. The chained withColumns
+    # between checkpoints inline the previous iteration's expression
+    # at every reference site, so a "skip unaffected words" guard like
+    # when(exists(pairs(col), …), fold(col)).otherwise(col) triples
+    # the references and blows the plan up 3^checkpoint_every-fold
+    # (measured: 40-merge training went from ~30 s to a timeout).
     return F.aggregate(
         syms_col,
         F.array().cast("array<string>"),
