@@ -85,10 +85,13 @@ def test_build_token_dataset_writes_shuffled_shards(
 
 
 def test_dataset_job_cli(docs, pieces, spark, tmp_path, monkeypatch, capsys):
+    from quickwit_spark.datapipe.bpe import vocab
+
     src = str(tmp_path / "corpus")
     docs.write.parquet(src)
     model = str(tmp_path / "model")
     pieces.write.parquet(f"{model}/word_pieces")
+    vocab([], pieces).write.parquet(f"{model}/vocab")
     out = str(tmp_path / "out")
     import jobs.dataset_job as dj
 
@@ -104,6 +107,19 @@ def test_dataset_job_cli(docs, pieces, spark, tmp_path, monkeypatch, capsys):
          if l.startswith("{")][-1]
     )
     assert info["sequences"] == spark.read.parquet(out).count() > 0
+
+    # --ids mode reads the model vocab and writes dense int arrays
+    out2 = str(tmp_path / "out_ids")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["dataset_job.py", "--input", src, "--model", model, "--output",
+         out2, "--seq-len", "256", "--num-shards", "2", "--ids"],
+    )
+    dj.main()
+    back = spark.read.parquet(out2)
+    assert "token_ids" in back.columns and "tokens" not in back.columns
+    assert back.count() == info["sequences"]
 
 
 def test_token_id_paths_agree(docs, pieces, spark, tmp_path):
