@@ -15,19 +15,32 @@ Executor re-expresses the reference's MergeExecutor
 (`quickwit-indexing/src/actors/merge_executor.rs:230-460`: stack
 directories, merge tantivy segments, re-base docids) as DataFrame jobs:
 
-  docid re-basing   inputs ordered by segment_id; segment i's docids
-                    shift by the cumulative num_docs before it
+  docid re-basing   a PERMUTATION, not a shift: merged docids are
+                    assigned in doc_key-ascending order (sidecar
+                    parquet (segment_id, old_id, new_id), computed by
+                    one distributed sort + zipWithIndex over the live
+                    docmap rows). This preserves the builder invariant
+                    "doc_id ascending == doc_key ascending" that the
+                    kernel's per-segment top-k tie-break and the
+                    engine's match-all truncation rely on — a plain
+                    concat-shift breaks it whenever input segments'
+                    key ranges interleave (they always do under hash
+                    routing), returning wrong tied-score top-k.
   postings merge    groupBy(field, term, salt).applyInPandas — SALTED:
                     each input segment belongs to one of B buckets, so a
                     hot term (Zipfian web text!) is merged by B parallel
-                    tasks, each emitting a CHUNK row covering a disjoint
-                    docid range; the searcher concatenates chunks. No
-                    single task ever materializes a full hot posting
-                    list — this is the explicit skew handling the
-                    1000-executor design requires.
+                    tasks, each emitting CHUNK rows; the searcher
+                    merge-sorts chunks (their docid ranges interleave
+                    under the permutation). No single task ever
+                    materializes a full hot posting list — this is the
+                    explicit skew handling the 1000-executor design
+                    requires.
   block-max         recomputed with the MERGED segment's avgdl (known
                     driver-side from the manifest before the job runs)
-  norms/docmap      order-preserving concat / shifted rewrite
+  norms             one dedicated group per field gathers the dense
+                    per-doc arrays through the permutation (num_docs
+                    bytes per field — no skew concern) and re-chunks
+  docmap            permutation lookup per row (drops doomed docs)
   commit            one manifest commit publishes the merged segment and
                     marks inputs replaced (atomic, resumable: rerunning
                     a crashed merge op overwrites its own batch
@@ -45,7 +58,6 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from quickwit_spark.codec.norms import id_to_fieldnorm
 from quickwit_spark.codec.postings import (
     block_metadata,
     decode_positions,
@@ -178,6 +190,105 @@ def _merged_tags(index_dir: str, inputs: list[mf.SegmentRecord]) -> list[str]:
     return out
 
 
+# merged norms are re-chunked in contiguous runs of this many docs
+_NORMS_CHUNK = 1 << 20
+
+_PERM_CACHE: dict = {}
+
+
+def load_permutation(path: str) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Executor-side lazy load of a merge's docid permutation sidecar:
+    {segment_id: (old_ids sorted asc, new_ids aligned)}. Doomed docs
+    are absent. Cached per python worker process like
+    deletes.load_tombstones."""
+    cached = _PERM_CACHE.get(path)
+    if cached is not None:
+        return cached
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if os.path.isdir(path):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path).to_pandas()
+        for sid, g in tbl.groupby("segment_id", sort=False):
+            old = g["old_id"].to_numpy(np.int64)
+            new = g["new_id"].to_numpy(np.int64)
+            o = np.argsort(old, kind="stable")
+            out[sid] = (old[o], new[o])
+    _PERM_CACHE[path] = out
+    return out
+
+
+def _perm_lookup(
+    perm: dict, sid: str, ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Map original docids of `sid` through the permutation.
+    → (live_mask over `ids`, new ids for the live entries)."""
+    ent = perm.get(sid)
+    if ent is None:
+        return np.zeros(len(ids), dtype=bool), np.zeros(0, np.int64)
+    old, new = ent
+    pos = np.searchsorted(old, ids)
+    live = (pos < len(old)) & (old[np.minimum(pos, len(old) - 1)] == ids)
+    return live, new[pos[live]]
+
+
+def _write_permutation(
+    spark: SparkSession,
+    index_dir: str,
+    op_id: str,
+    input_ids: list[str],
+    tomb_path: str,
+) -> str:
+    """Docid permutation for a merge: new_id = rank of doc_key
+    ascending over the LIVE docs of all inputs (ties impossible —
+    doc_key is unique; (segment_id, doc_id) appended for determinism
+    anyway). One distributed range-sort + zipWithIndex over slim
+    (segment_id, old_id, doc_key) rows; written as a parquet sidecar
+    under the deletes compaction dir so the janitor GCs it with the
+    op."""
+    from quickwit_spark.index.builder import _INV_COLUMNS as _IC
+
+    docs = (
+        spark.read.parquet(f"{index_dir}/docs")
+        .drop(*[c for c in _IC if c != "segment_id"])
+        .filter(F.col("segment_id").isin(input_ids))
+        .select("segment_id", "doc_id", "doc_key")
+    )
+    if tomb_path:
+
+        def drop_doomed(batches):
+            from quickwit_spark.index.deletes import load_tombstones
+
+            tomb = load_tombstones(tomb_path)
+            for pdf in batches:
+                parts = []
+                for sid, g in pdf.groupby("segment_id", sort=False):
+                    dele = tomb.get(sid)
+                    if dele is not None and len(dele):
+                        ids = g["doc_id"].to_numpy()
+                        pos = np.searchsorted(dele, ids)
+                        is_del = (pos < len(dele)) & (
+                            dele[np.minimum(pos, len(dele) - 1)] == ids
+                        )
+                        g = g[~is_del]
+                    parts.append(g)
+                yield pd.concat(parts) if parts else pdf.iloc[0:0]
+
+        docs = docs.mapInPandas(drop_doomed, docs.schema)
+    ordered = docs.orderBy("doc_key", "segment_id", "doc_id")
+    indexed = ordered.rdd.zipWithIndex().map(
+        lambda t: (t[0]["segment_id"], int(t[0]["doc_id"]), int(t[1]))
+    )
+    perm_df = spark.createDataFrame(
+        indexed, "segment_id string, old_id long, new_id long"
+    )
+    from quickwit_spark.index.deletes import COMPACT_DIR
+
+    path = f"{index_dir}/{COMPACT_DIR}/{op_id}_perm"
+    perm_df.write.mode("overwrite").parquet(path)
+    return path
+
+
 def execute_merge(
     spark: SparkSession,
     index_dir: str,
@@ -201,7 +312,7 @@ def execute_merge(
     # tombstones stay distributed: a Spark job compacts them into a
     # per-op parquet sidecar; merge tasks lazily load it executor-side
     # (deletes.load_tombstones, per-process cached). Only the per-segment
-    # COUNTS reach the driver (needed for docid re-basing offsets).
+    # COUNTS reach the driver (needed for the merged num_docs).
     tomb_path = ""
     tomb_counts: dict[str, int] = {}
     corrections: dict = {}
@@ -220,14 +331,16 @@ def execute_merge(
             tomb_path = path
         corrections = corrections_for(index_dir, [s.segment_id for s in inputs])
 
-    # docid offsets per input segment (re-basing over LIVE doc counts),
-    # merged stats — all known from the manifest before any executor work
-    offsets: dict[str, int] = {}
-    acc = 0
-    for s in inputs:
-        offsets[s.segment_id] = acc
-        acc += s.num_docs - tomb_counts.get(s.segment_id, 0)
-    num_docs = acc
+    # merged live doc count — known from the manifest before any
+    # executor work; docid assignment itself is the doc_key-order
+    # permutation sidecar (see module docstring)
+    num_docs = sum(
+        s.num_docs - tomb_counts.get(s.segment_id, 0) for s in inputs
+    )
+    input_ids = [s.segment_id for s in inputs]
+    perm_path = _write_permutation(
+        spark, index_dir, op.op_id, input_ids, tomb_path
+    )
     field_stats: dict[str, dict] = {}
     for s in inputs:
         corr = corrections.get(s.segment_id, {})
@@ -245,8 +358,11 @@ def execute_merge(
     if ranges:
         time_range = [min(r[0] for r in ranges), max(r[1] for r in ranges)]
 
-    # salt: contiguous buckets of input segments → chunk rows stay in
-    # disjoint ascending docid ranges per bucket
+    # salt: contiguous buckets of input segments — a hot term is still
+    # merged by B parallel tasks. NB: under the doc_key permutation the
+    # buckets' OUTPUT chunk rows no longer cover disjoint docid ranges;
+    # the readers (kernel SegmentData.from_rows, and the chunk handling
+    # below for re-merges) merge-sort chunks instead of concatenating.
     buckets = {
         s.segment_id: (i * num_salt_buckets) // max(len(inputs), 1)
         for i, s in enumerate(inputs)
@@ -255,69 +371,60 @@ def execute_merge(
     k1, b = 1.2, 0.75
 
     inv = spark.read.parquet(f"{index_dir}/inv").filter(
-        F.col("segment_id").isin(list(offsets))
+        F.col("segment_id").isin(input_ids)
     )
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from quickwit_spark.index.deletes import load_tombstones
-
         fld, term = key[0], key[1]
         pdf = pdf.sort_values("segment_id")
-        tomb = load_tombstones(tomb_path) if tomb_path else {}
-        # split by KIND, not by majority: a chunked norms row's term is a
-        # 20-digit start marker that can collide with a real numeric
-        # text term in the same (field, term, salt) group — both kinds
-        # must be processed, never inferred from each other
+        perm = load_permutation(perm_path)
+        # norms rows are routed to their own dedicated group per field
+        # (salt = -1 in the pre-projection), because the permutation
+        # scatters each input chunk across the merged docid space: the
+        # whole field's norms must be gathered into ONE dense array
+        # (num_docs bytes — trivially fits one task) before re-chunking
         norms_pdf = pdf[pdf["kind"] == KIND_NORMS]
-        norms_out = None
         if len(norms_pdf):
-            # norms rows may be CHUNKED (a prior merge's output): the term
-            # column carries the chunk's docid start within its input
-            # segment ("" == 0). Emit one rebased chunk row per input row —
-            # start marker = segment offset + old start − deletions below it
+            merged_ids = np.zeros(num_docs, dtype=np.uint8)
+            merged_lens = np.zeros(num_docs, dtype=np.int64)
+            for sid, g in norms_pdf.groupby("segment_id", sort=False):
+                # reconstruct the segment's dense arrays from its
+                # (possibly chunked) rows: term column = chunk start
+                for _, r in g.iterrows():
+                    chunk_start = int(r["term"]) if r["term"] else 0
+                    ids_r = np.frombuffer(r["payload1"], dtype=np.uint8)
+                    lens_r = varint_decode(r["payload2"], r["doc_freq"])
+                    orig = chunk_start + np.arange(len(ids_r), dtype=np.int64)
+                    live, new_ids = _perm_lookup(perm, sid, orig)
+                    merged_ids[new_ids] = ids_r[live]
+                    merged_lens[new_ids] = lens_r[live]
             out_rows = []
-            for _, r in norms_pdf.sort_values(["segment_id", "term"]).iterrows():
-                sid = r["segment_id"]
-                chunk_start = int(r["term"]) if r["term"] else 0
-                ids_r = np.frombuffer(r["payload1"], dtype=np.uint8)
-                lens_r = varint_decode(r["payload2"], r["doc_freq"])
-                dele = tomb.get(sid)
-                new_start = offsets[sid] + chunk_start
-                if dele is not None and len(dele):
-                    abs_ids = chunk_start + np.arange(len(ids_r), dtype=np.int64)
-                    posn = np.searchsorted(dele, abs_ids)
-                    is_del = (posn < len(dele)) & (
-                        dele[np.minimum(posn, len(dele) - 1)] == abs_ids
-                    )
-                    ids_r, lens_r = ids_r[~is_del], lens_r[~is_del]
-                    new_start -= int(np.searchsorted(dele, chunk_start))
-                if len(ids_r) == 0:
-                    continue
+            for lo in range(0, num_docs, _NORMS_CHUNK):
+                hi = min(lo + _NORMS_CHUNK, num_docs)
                 out_rows.append(
                     {
                         "segment_id": new_segment_id,
                         "kind": KIND_NORMS,
                         "field": fld,
-                        "term": f"{new_start:020d}",
-                        "doc_freq": len(ids_r),
-                        "payload1": ids_r.tobytes(),
-                        "payload2": varint_encode(lens_r),
+                        "term": f"{lo:020d}",
+                        "doc_freq": hi - lo,
+                        "payload1": merged_ids[lo:hi].tobytes(),
+                        "payload2": varint_encode(merged_lens[lo:hi]),
                         "block_last": b"",
                         "block_max": b"",
                         "meta": "",
                     }
                 )
-            norms_out = pd.DataFrame(
+            return pd.DataFrame(
                 out_rows,
                 columns="segment_id kind field term doc_freq payload1 payload2 block_last block_max meta".split(),
             )
-            if len(norms_pdf) == len(pdf):
-                return norms_out
         # postings (+ positions): decode each input segment's chunk rows,
         # order chunks by first docid WITHIN the segment, pair position
         # chunks 1:1 by the same order (mirrors SegmentData.from_rows),
-        # apply tombstones, re-base, concat (segments processed in sorted
-        # order ⇒ ascending rebased docids), re-encode in chunks
+        # apply tombstones, permute docids, concat, then ONE global
+        # argsort puts the merged list in ascending docid order
+        # (positions gathered by the same order), re-encode in chunks
         post_pdf = pdf[pdf["kind"] == KIND_POSTINGS]
         pos_pdf = pdf[pdf["kind"] == KIND_POS]
         have_pos = len(pos_pdf) > 0
@@ -351,31 +458,41 @@ def execute_merge(
                     decode_positions(blob, chunks[i][1])
                     for i, blob in enumerate(pg["payload1"])
                 ]
-            dele = tomb.get(sid)
             for (d, t), p_abs in zip(chunks, pos_decoded):
-                if dele is not None and len(dele):
-                    # drop doomed docids; shift survivors down by the number
-                    # of deleted docids below them (compaction)
-                    posn = np.searchsorted(dele, d)
-                    is_del = (posn < len(dele)) & (
-                        dele[np.minimum(posn, len(dele) - 1)] == d
-                    )
-                    if p_abs is not None:
-                        p_abs = p_abs[np.repeat(~is_del, t)]
-                    d, t, posn = d[~is_del], t[~is_del], posn[~is_del]
-                    d = d - posn
-                docs_parts.append(d + offsets[sid])
-                tf_parts.append(t)
+                # the permutation lookup drops doomed docids itself
+                # (they're absent from the sidecar)
+                live, new_d = _perm_lookup(perm, sid, d)
+                if p_abs is not None:
+                    p_abs = p_abs[np.repeat(live, t)]
+                docs_parts.append(new_d)
+                tf_parts.append(t[live])
                 if p_abs is not None:
                     pos_parts.append(p_abs)
         docids = np.concatenate(docs_parts) if docs_parts else np.zeros(0, np.int64)
         tfs = np.concatenate(tf_parts) if tf_parts else np.zeros(0, np.uint32)
         pos_all = np.concatenate(pos_parts) if have_pos and pos_parts else None
         if len(docids) == 0:
-            empty = pd.DataFrame(
+            return pd.DataFrame(
                 columns="segment_id kind field term doc_freq payload1 payload2 block_last block_max meta".split()
             )
-            return norms_out if norms_out is not None else empty
+        # permuted docids interleave across input segments — one stable
+        # argsort restores ascending order; positions gather by the
+        # same per-doc order (vectorized slice gather, no Python loop)
+        order = np.argsort(docids, kind="stable")
+        if pos_all is not None:
+            starts = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=starts[1:])
+            l_new = tfs[order].astype(np.int64)
+            ends_new = np.cumsum(l_new)
+            begins_new = ends_new - l_new
+            idx = (
+                np.arange(int(ends_new[-1]) if len(ends_new) else 0, dtype=np.int64)
+                - np.repeat(begins_new, l_new)
+                + np.repeat(starts[:-1][order], l_new)
+            )
+            pos_all = pos_all[idx]
+        docids = docids[order]
+        tfs = tfs[order]
         avgdl = np.float32(avgdls.get(fld, 1.0))
         # block-max needs merged-doc lengths: recovered lazily from the
         # per-doc norm ids of the inputs is expensive here; instead use
@@ -425,16 +542,30 @@ def execute_merge(
                         "meta": f"{int(docids[sl.start]):020d}",
                     }
                 )
-        out = pd.DataFrame(rows)
-        return pd.concat([norms_out, out]) if norms_out is not None else out
+        return pd.DataFrame(rows)
 
     salt_map = F.create_map(
         *[x for sid, bkt in bucket_of.items() for x in (F.lit(sid), F.lit(bkt))]
     )
+    # norms route to one dedicated group per field (term key blanked,
+    # salt -1): the permutation scatters every input chunk, so the
+    # field's dense array must be assembled in one place — num_docs
+    # bytes per field, no skew concern. Postings keep (term, salt).
     merged = (
         inv.filter(F.col("kind").isin([KIND_POSTINGS, KIND_NORMS, KIND_POS]))
-        .withColumn("_salt", salt_map[F.col("segment_id")])
-        .groupBy("field", "term", "_salt")
+        .withColumn(
+            "_salt",
+            F.when(F.col("kind") == KIND_NORMS, F.lit(-1)).otherwise(
+                salt_map[F.col("segment_id")]
+            ),
+        )
+        .withColumn(
+            "_gterm",
+            F.when(F.col("kind") == KIND_NORMS, F.lit("")).otherwise(
+                F.col("term")
+            ),
+        )
+        .groupBy("field", "_gterm", "_salt")
         .applyInPandas(lambda key, pdf: merge_group(key, pdf), INV_SCHEMA)
     )
     stats_rows = [
@@ -481,8 +612,8 @@ def execute_merge(
         .parquet(f"{index_dir}/inv")
     )
 
-    # docmap rewrite: drop doomed rows, compact + shift doc_ids, stamp
-    # the merged segment id
+    # docmap rewrite: permutation lookup drops doomed rows and assigns
+    # the doc_key-order docids; stamp the merged segment id
     from quickwit_spark.index.builder import _INV_COLUMNS as _IC
 
     # builder-written docmap files carry the (all-null) inverted-index
@@ -491,40 +622,24 @@ def execute_merge(
     docs = (
         spark.read.parquet(f"{index_dir}/docs")
         .drop(*[c for c in _IC if c != "segment_id"])
-        .filter(F.col("segment_id").isin(list(offsets)))
+        .filter(F.col("segment_id").isin(input_ids))
     )
-    if any(tomb_counts.values()):
 
-        def remap(batches):
-            from quickwit_spark.index.deletes import load_tombstones
+    def remap(batches):
+        from quickwit_spark.index.merge import _perm_lookup, load_permutation
 
-            tomb = load_tombstones(tomb_path) if tomb_path else {}
-            for pdf in batches:
-                parts = []
-                for sid, g in pdf.groupby("segment_id", sort=False):
-                    ids = g["doc_id"].to_numpy()
-                    dele = tomb.get(sid)
-                    if dele is not None and len(dele):
-                        pos = np.searchsorted(dele, ids)
-                        is_del = (pos < len(dele)) & (
-                            dele[np.minimum(pos, len(dele) - 1)] == ids
-                        )
-                        g = g[~is_del].copy()
-                        g["doc_id"] = ids[~is_del] - pos[~is_del] + offsets[sid]
-                    else:
-                        g = g.copy()
-                        g["doc_id"] = ids + offsets[sid]
-                    parts.append(g)
-                yield pd.concat(parts) if parts else pdf.iloc[0:0]
+        perm = load_permutation(perm_path)
+        for pdf in batches:
+            parts = []
+            for sid, g in pdf.groupby("segment_id", sort=False):
+                ids = g["doc_id"].to_numpy(np.int64)
+                live, new_ids = _perm_lookup(perm, sid, ids)
+                g = g[live].copy()
+                g["doc_id"] = new_ids.astype(np.int32)
+                parts.append(g)
+            yield pd.concat(parts) if parts else pdf.iloc[0:0]
 
-        docs = docs.mapInPandas(remap, docs.schema)
-    else:
-        off_expr = F.create_map(
-            *[x for sid, o in offsets.items() for x in (F.lit(sid), F.lit(o))]
-        )
-        docs = docs.withColumn(
-            "doc_id", F.col("doc_id") + off_expr[F.col("segment_id")]
-        )
+    docs = docs.mapInPandas(remap, docs.schema)
     (
         docs.withColumn("segment_id", F.lit(new_segment_id))
         .withColumn("batch_id", F.lit(op.op_id))

@@ -125,6 +125,7 @@ class SegmentData:
             elif kind == "stats":
                 seg.stats[r["field"]] = json.loads(r["meta"])
         chunk_tfs: dict = {}
+        chunk_order: dict = {}
         for key, chunks in post_chunks.items():
             if len(chunks) == 1:
                 seg.postings[key] = chunks[0]
@@ -134,24 +135,51 @@ class SegmentData:
                 docids = np.concatenate([c[0] for c in chunks])
                 tfs = np.concatenate([c[1] for c in chunks])
                 chunk_tfs[key] = [c[1] for c in chunks]
+                # merged-segment chunks come from parallel salt tasks
+                # whose docid ranges INTERLEAVE (doc_key-permutation
+                # merge) — merge-sort the concatenation; remember the
+                # order so the positions stream is gathered identically
+                order = None
+                if len(docids) > 1 and np.any(docids[1:] <= docids[:-1]):
+                    order = np.argsort(docids, kind="stable")
+                    docids = docids[order]
+                    tfs_sorted = tfs[order]
+                else:
+                    tfs_sorted = tfs
+                chunk_order[key] = (order, tfs)
                 # chunk boundaries break the uniform 128-doc block layout
                 # the WAND kernel assumes — rebuild block metadata with the
                 # norm-free upper bound tf/(tf + k1*(1-b)) (always valid)
-                tf32 = tfs.astype(np.float32)
+                tf32 = tfs_sorted.astype(np.float32)
                 comp = tf32 / (tf32 + np.float32(1.2 * (1.0 - 0.75)))
                 bl, bm = _block_meta(docids, comp)
-                seg.postings[key] = (docids, tfs, bl, bm)
+                seg.postings[key] = (docids, tfs_sorted, bl, bm)
         for key, pchunks in pos_chunks.items():
             tf_list = chunk_tfs.get(key)
             if tf_list is None or len(pchunks) != len(tf_list):
                 continue  # positions without matching postings: ignore
             pchunks.sort(key=lambda c: c[0])
-            seg.positions[key] = np.concatenate(
+            stream = np.concatenate(
                 [
                     decode_positions(blob, tfs_i)
                     for (_, blob, _n), tfs_i in zip(pchunks, tf_list)
                 ]
             )
+            order, tfs_pre = chunk_order.get(key, (None, None))
+            if order is not None:
+                # permute the per-doc position slices by the same sort
+                starts = np.zeros(len(tfs_pre) + 1, dtype=np.int64)
+                np.cumsum(tfs_pre, out=starts[1:])
+                l_new = tfs_pre[order].astype(np.int64)
+                ends = np.cumsum(l_new)
+                begins = ends - l_new
+                idx = (
+                    np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64)
+                    - np.repeat(begins, l_new)
+                    + np.repeat(starts[:-1][order], l_new)
+                )
+                stream = stream[idx]
+            seg.positions[key] = stream
         for fld, chunks in norm_chunks.items():
             chunks.sort(key=lambda c: c[0])
             seg.norms[fld] = (

@@ -308,3 +308,43 @@ def test_norms_marker_term_collision(spark, tmp_path):
     assert len(hits) == 68
     scores = {r["doc_key"]: r["score"] for r in hits}
     assert scores[100] > scores[0]  # shorter doc scores higher
+
+
+def test_merge_preserves_doc_key_order_for_tied_topk(spark, tmp_path):
+    """Regression: inputs whose key ranges interleave (always true
+    under hash routing) must still rank tied-score/match-all top-k by
+    doc_key after a merge — the permutation rebasing, not the old
+    concat-shift, guarantees doc_id asc == doc_key asc."""
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+
+    idx = str(tmp_path / "interleaved")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", record="position")],
+        doc_key="doc_id", num_partitions=1,
+    )
+    # batch 1 holds the HIGH keys, batch 2 the LOW keys
+    b1 = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma") for i in range(100, 200)],
+        ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma") for i in range(0, 100)],
+        ["doc_id", "text"])
+    build_index(spark, b1, idx, cfg, job_id="j1")
+    build_index(spark, b2, idx, cfg, job_id="j2")
+    merged = run_merges(
+        spark, idx, MergePolicy(merge_factor=2, min_level_num_docs=10)
+    )
+    assert len(merged) == 1
+    s = IndexSearcher(spark, idx)
+    # match-all fast path truncates per segment by doc_id — only valid
+    # because the merged segment is key-ascending again
+    assert [r["doc_key"] for r in s.search("*", k=5).collect()] == [
+        199, 198, 197, 196, 195]
+    # every doc scores identically for 'alpha' → pure tie-break order
+    assert [r["doc_key"] for r in s.search("alpha", k=5).collect()] == [
+        199, 198, 197, 196, 195]
+    assert s.count("alpha") == 200
+    # positions survived the permutation gather
+    assert s.count('"alpha beta"') == 200
+    assert [r["doc_key"] for r in s.search('"beta doc150"', k=3).collect()] == [150]
