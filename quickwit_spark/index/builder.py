@@ -72,6 +72,9 @@ RESERVED_COLUMNS = frozenset(
         "segment_id", "kind", "field", "term", "doc_freq", "payload1",
         "payload2", "block_last", "block_max", "meta", "doc_id", "doc_key",
         "batch_id", "_pid",
+        # query-output columns: a stored column with one of these names
+        # would collide with the searcher's result frame at fetch time
+        "score", "rank", "sort_value", "sort_value2", "_mr",
     )
 )
 
@@ -483,6 +486,15 @@ def _rows_to_batch(rows: list[dict], extra_types=()):
 _DOCMAP_CHUNK = 1 << 16  # rows per emitted docmap batch (bounds Arrow IPC memory)
 
 
+def _key_bound(v):
+    """Manifest min/max doc-key bound: int for numeric keys, the raw
+    string otherwise (string doc keys must not crash the build)."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return str(v)
+
+
 def _docmap_batches(segment_id: str, seg, doc_key: str, extra_types):
     """Docmap rows for one segment, emitted from the SAME mapInArrow pass
     as the postings (the reference's doc store is likewise written by the
@@ -683,8 +695,11 @@ def _make_build_fn_arrow(config: IndexConfig, job_id: str):
                 "field_stats": field_stats,
                 "time_range": time_range,
                 "tags": sorted(tags),
-                "min_key": int(keys[0].as_py()),
-                "max_key": int(keys[-1].as_py()),
+                # numeric keys record int bounds; string keys (e.g. a
+                # url doc_key) record the raw strings — the manifest
+                # values are informational, so the type follows the key
+                "min_key": _key_bound(keys[0].as_py()),
+                "max_key": _key_bound(keys[-1].as_py()),
                 "build_secs": round(time.perf_counter() - t0, 4),
             }
             all_rows.append(
@@ -774,6 +789,23 @@ def build_index(
             f"tag_fields {bad} are indexed with an analyzing tokenizer; "
             "tag pruning requires unindexed or raw-tokenizer fields"
         )
+    # validate the config BEFORE persisting it: a rejected config must
+    # never reach index_config.json (it would brick subsequent builds —
+    # the stored config would no longer match any valid retry)
+    if config.routing not in ("hash", "input"):
+        raise ValueError(
+            f"unknown routing {config.routing!r}; expected 'hash' or 'input'"
+        )
+    bad_cols = [
+        c
+        for c in (*config.stored_columns, config.time_column or "")
+        if c in RESERVED_COLUMNS
+    ]
+    if bad_cols:
+        raise ValueError(
+            f"stored/time columns {bad_cols} collide with reserved "
+            f"index column names {sorted(RESERVED_COLUMNS)}"
+        )
     # building into an existing index MUST reuse the identical config —
     # otherwise new segments would be tokenized/encoded under one config
     # while searchers read another (checked BEFORE any segment publishes)
@@ -819,23 +851,6 @@ def build_index(
         df = df.filter(F.col(config.time_column).isNotNull())
     inv_dir = f"{index_dir}/inv"
     docs_dir = f"{index_dir}/docs"
-
-    # the docmap rides the inverted-index write (unified schema), so its
-    # columns may not shadow the index columns
-    if config.routing not in ("hash", "input"):
-        raise ValueError(
-            f"unknown routing {config.routing!r}; expected 'hash' or 'input'"
-        )
-    bad_cols = [
-        c
-        for c in (*config.stored_columns, config.time_column or "")
-        if c in RESERVED_COLUMNS
-    ]
-    if bad_cols:
-        raise ValueError(
-            f"stored/time columns {bad_cols} collide with reserved "
-            f"index column names {sorted(RESERVED_COLUMNS)}"
-        )
 
     done = mf.committed_checkpoints(index_dir, kind="build")
     if config.routing == "input":

@@ -86,6 +86,7 @@ def _es_strptime(value: str, fmt: str):
 
     py = []
     i = 0
+    ns_digits = 0  # fraction digits beyond %f's 6-digit maximum
     tokens = (
         ("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("dd", "%d"),
         ("HH", "%H"), ("mm", "%M"), ("ss", "%S"),
@@ -100,11 +101,20 @@ def _es_strptime(value: str, fmt: str):
         for tok, rep in tokens:
             if fmt.startswith(tok, i):
                 py.append(rep)
+                if tok == "SSSSSSSSS":
+                    ns_digits = 3
                 i += len(tok)
                 break
         else:
             py.append(fmt[i])
             i += 1
+    if ns_digits:
+        # %f parses at most 6 fraction digits — truncate a nanosecond
+        # fraction to micros (sub-micro precision is below the engine's
+        # timestamp resolution anyway)
+        value = _re.sub(
+            r"(\.\d{6})\d{%d}" % ns_digits, r"\1", value, count=1
+        )
     out = _dt.datetime.strptime(value, "".join(py))
     return out.replace(tzinfo=_dt.timezone.utc) if out.tzinfo is None else out
 
@@ -310,6 +320,9 @@ class IndexSearcher:
             if getattr(self, "_hot", None) is not None:
                 self._hot[1].unpersist()
             self._hot = None
+            if getattr(self, "_early_m1", None) is not None:
+                self._early_m1.unpersist()
+                self._early_m1 = None
             self._dfreq = {}
             self._dfreq_fetched = set()
             return
@@ -341,6 +354,10 @@ class IndexSearcher:
         if getattr(self, "_hot", None) is not None:
             self._hot[1].unpersist()
         self._hot = None
+        # ...as does search_early's persisted phase-1 frame
+        if getattr(self, "_early_m1", None) is not None:
+            self._early_m1.unpersist()
+            self._early_m1 = None
         # driver-side term-stats cache (the reference's hotcache analog:
         # term-dictionary doc_freqs are fetched once per TERM, not once
         # per query) — invalidates with the segment set
@@ -398,6 +415,11 @@ class IndexSearcher:
         if getattr(self, "_hot", None) is not None:
             self._hot[1].unpersist()
             self._hot = None
+        # search_early's persisted phase-1 frame pins blocks from the
+        # CURRENT segment set — release it alongside the hot cache
+        if getattr(self, "_early_m1", None) is not None:
+            self._early_m1.unpersist()
+            self._early_m1 = None
 
     def _hot_base(self, tvals, seg_ids, needs_positions: bool):
         """The cached inverted-index frame when it covers this query
@@ -571,7 +593,7 @@ class IndexSearcher:
                 return node
             o = opts.get(node.field, {})
 
-            def conv(v):
+            def conv(v, lower=False):
                 if v is None:
                     return None
                 if dtype.startswith("timestamp"):
@@ -580,7 +602,18 @@ class IndexSearcher:
                         o.get("datetime_precision"),
                     )
                 if dtype in ("bigint", "int", "smallint", "tinyint"):
-                    return int(v)
+                    # fractional bounds on an integer column: a LOWER
+                    # bound rounds UP, an upper bound rounds DOWN —
+                    # plain int() truncation would widen gte/narrow lt
+                    # (gte=10.5 must not match 10); float-looking
+                    # strings ('10.5') go through float first
+                    f = float(v)
+                    n = int(f)
+                    if f != n:
+                        import math
+
+                        n = math.ceil(f) if lower else math.floor(f)
+                    return n
                 if dtype.startswith("decimal"):
                     # u64 columns: full-precision bounds (a 20-digit
                     # gte through float would round ~3 low digits away)
@@ -594,12 +627,16 @@ class IndexSearcher:
                     return s.lower() if o.get("normalizer") == "lowercase" else s
                 return v
 
+            # NB integer columns: a fractional gt lowers to gte of the
+            # next int (gt 10.5 ≡ gte 11) and a fractional lt to lte of
+            # the previous (lt 10.5 ≡ lte 10); conv's ceil/floor yields
+            # exactly that once the strictness stays on the bound
             return Range(
                 field=node.field,
-                gte=conv(node.gte),
+                gte=conv(node.gte, lower=True),
                 lte=conv(node.lte),
                 gt=conv(node.gt),
-                lt=conv(node.lt),
+                lt=conv(node.lt, lower=True),
             )
 
         def walk(node):
@@ -1025,7 +1062,9 @@ class IndexSearcher:
                 )
         return self._matches(ast, seg_ids, None, "parity", fast_filter).count()
 
-    def count_up_to(self, query, n: int, time_range=None) -> tuple[int, bool]:
+    def count_up_to(
+        self, query, n: int, time_range=None, _resolved=None
+    ) -> tuple[int, bool]:
         """Count accurately up to `n` hits, then stop — the ES
         `track_total_hits: <int>` semantics the reference lowers to
         `CountHits::Underestimate` (`rest_handler.rs:364-367`,
@@ -1036,7 +1075,9 @@ class IndexSearcher:
         fleet. Returns `(count, exhausted)`: `exhausted=True` means
         every live segment was counted and the value is exact (wire
         relation `eq`), else it is a lower bound (`gte`)."""
-        resolved = self._resolve(query, time_range)
+        resolved = (
+            _resolved if _resolved is not None else self._resolve(query, time_range)
+        )
         _ast, _ff, seg_ids = resolved
         total = 0
         batch = 8
@@ -1221,7 +1262,11 @@ class IndexSearcher:
             else:
                 bounded = False
         snippet_fields = list(snippet_fields or [])
-        fetch_cols = list(fetch or [])
+        # doc_key is always selected positionally — fetching it again
+        # would duplicate the column (same guard as sort_by_field)
+        fetch_cols = list(
+            dict.fromkeys(c for c in (fetch or []) if c != "doc_key")
+        )
         raw_cols = fetch_cols + [c for c in snippet_fields if c not in fetch_cols]
         docs = self.docs().select(
             "segment_id", "doc_id", "doc_key",
@@ -1432,7 +1477,7 @@ class IndexSearcher:
             )
             return {
                 "hits": hits,
-                "num_hits": self.count(query, time_range),
+                "num_hits": self.count(query, time_range, _resolved=resolved),
                 "phase1": seg_ids, "phase2": [], "demoted": [],
                 "bounds": {},
             }
@@ -1494,10 +1539,11 @@ class IndexSearcher:
             # count only the splits actually searched; demoted segments
             # contribute nothing, so the total may undercount.
             num_hits = self.count(
-                query, time_range, segments=list(phase1) + list(phase2)
+                query, time_range, segments=list(phase1) + list(phase2),
+                _resolved=resolved,
             )
         else:
-            num_hits = self.count(query, time_range)
+            num_hits = self.count(query, time_range, _resolved=resolved)
         return {
             "hits": hits,
             "num_hits": num_hits,
@@ -1869,17 +1915,30 @@ class IndexSearcher:
         count_all = tth is True or (
             isinstance(tth, int) and not isinstance(tth, bool) and tth > size
         )
-        if count_all:
-            total = {"value": self.count(self._es_ast(body)), "relation": "eq"}
-        elif tth is False:
+        if tth is False:
             # no counting work at all — the returned hits are the bound
             total = {"value": len(hits_rows), "relation": "gte"}
         else:
-            n = tth if isinstance(tth, int) and not isinstance(tth, bool) else size
-            v, exhausted = self.count_up_to(
-                self._es_ast(body), max(n, len(hits_rows), 1)
-            )
-            total = {"value": v, "relation": "eq" if exhausted else "gte"}
+            # resolve the body's AST ONCE for the counting pass —
+            # re-resolving would re-run wildcard/regex expansion jobs
+            count_ast = self._es_ast(body)
+            count_resolved = self._resolve(count_ast, None)
+            if count_all:
+                total = {
+                    "value": self.count(count_ast, _resolved=count_resolved),
+                    "relation": "eq",
+                }
+            else:
+                n = (
+                    tth
+                    if isinstance(tth, int) and not isinstance(tth, bool)
+                    else size
+                )
+                v, exhausted = self.count_up_to(
+                    count_ast, max(n, len(hits_rows), 1),
+                    _resolved=count_resolved,
+                )
+                total = {"value": v, "relation": "eq" if exhausted else "gte"}
         out = {
             "took": int((_time.perf_counter() - t0) * 1000),
             "timed_out": False,
