@@ -1,0 +1,385 @@
+"""Differential fuzz: the segment kernel vs an independent per-doc model.
+
+Hypothesis generates random corpora and random QueryAst trees (nested
+bools with minimum_should_match, boosts, full-text and/or, term sets,
+phrases with slop, phrase-prefix expansion, exists, match-all/none);
+every case is evaluated twice:
+
+  * engine path — ``_build_field_rows`` → codec round-trip →
+    ``SegmentData`` → ``evaluate_segment`` (dense-mask algebra,
+    block-max WAND when it applies);
+  * model path — a from-the-formula reimplementation over the RAW
+    texts: per-doc python dict counting, scalar float32 arithmetic in
+    the documented op order (`search/bm25.py` formulas, reference
+    `quickwit-search/src/tests.rs:616-700` semantics). It shares only
+    the tokenizer and the fieldnorm quantization table with the engine
+    — postings codecs, boolean algebra, WAND pruning, phrase chaining
+    and top-k are all re-derived independently.
+
+Asserted: identical match sets, bitwise-equal f32 scores, and
+rank-identical (score desc, docid desc) top-k — the north rule's
+"rank-identical BM25 scores" criterion, stress-tested instead of
+spot-checked. Duplicate query tokens, absent terms, empty documents,
+msm > |should|, filter-only bools and zero-expansion prefixes are all
+reachable by the strategies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from quickwit_spark.analysis import get_tokenizer
+from quickwit_spark.codec.norms import fieldnorm_to_id, id_to_fieldnorm
+from quickwit_spark.index.builder import FieldConfig, _build_field_rows
+from quickwit_spark.query.ast import (
+    Bool,
+    Boost,
+    Exists,
+    FullText,
+    MatchAll,
+    MatchNone,
+    Phrase,
+    PhrasePrefix,
+    Term,
+    TermSet,
+)
+from quickwit_spark.search.kernel import SegmentData, evaluate_segment
+
+F32 = np.float32
+TOKENIZE = get_tokenizer("default")
+TOK = lambda f: TOKENIZE  # noqa: E731
+
+# small vocabulary so collisions, duplicates and absent terms all occur;
+# the z-words share prefixes for PhrasePrefix expansion
+VOCAB = [f"t{i}" for i in range(8)] + ["zeal", "zebra", "zoo"]
+FIELDS = {"body": "position", "title": "freq", "flags": "basic"}
+
+
+# --------------------------------------------------------------------------
+# independent model
+# --------------------------------------------------------------------------
+
+
+class NaiveSegment:
+    """Raw-text view of the corpus: token lists per (field, doc)."""
+
+    def __init__(self, docs: dict[str, list[str]]):
+        self.toks = {f: [TOKENIZE(t) for t in texts] for f, texts in docs.items()}
+        self.n_docs = max(len(v) for v in self.toks.values())
+
+    def stats(self, field):
+        """(N, avgdl_f32) — same scope/order as kernel field_stats."""
+        toks = self.toks.get(field)
+        if toks is None:
+            return self.n_docs, F32(0)
+        total = sum(len(t) for t in toks)
+        return len(toks), F32(total) / F32(max(len(toks), 1))
+
+    def dl(self, field, d):
+        """Quantized doc length (the kernel's parity-mode doc_lens)."""
+        exact = np.array([len(self.toks[field][d])], np.int64)
+        return F32(id_to_fieldnorm(fieldnorm_to_id(exact))[0])
+
+    def df(self, field, term):
+        return sum(1 for t in self.toks.get(field, ()) if term in t)
+
+    def tf(self, field, d, term):
+        c = self.toks[field][d].count(term)
+        return min(c, 1) if FIELDS.get(field) == "basic" else c
+
+    def positions(self, field, d, term):
+        return [i for i, t in enumerate(self.toks[field][d]) if t == term]
+
+
+def _weight(df, n, boost):
+    """idf * (k1+1) * boost in f32, mirroring bm25_weight's op order."""
+    x = (F32(n) - F32(df) + F32(0.5)) / (F32(df) + F32(0.5))
+    return F32(F32(np.log1p(x)) * F32(1.0 + 1.2) * F32(boost))
+
+
+def _tf_comp(tf, dl, avgdl):
+    """tf / (tf + k1*(1-b+b*dl/avgdl)) in f32 (k1=1.2, b=0.75)."""
+    tf = F32(tf)
+    norm = F32(1.2) * (F32(1.0 - 0.75) + F32(0.75) * dl / F32(avgdl))
+    return tf / (tf + norm)
+
+
+def _term_score(seg: NaiveSegment, field, term, d, boost):
+    df = seg.df(field, term)
+    tf = seg.tf(field, d, term)
+    if df == 0 or tf == 0:
+        return None
+    n, avgdl = seg.stats(field)
+    return F32(_weight(df, n, boost) * _tf_comp(tf, seg.dl(field, d), avgdl))
+
+
+def _phrase_count(pos_lists: list[list[int]], slop: int) -> int:
+    """#chain-surviving last-term positions (the tantivy convention the
+    kernel vectorizes): consecutive terms' positions must satisfy
+    prev+1-slop <= next <= prev+1+slop; count distinct final positions."""
+    reachable = pos_lists[0]
+    for nxt in pos_lists[1:]:
+        reachable = [
+            q for q in nxt if any(p + 1 - slop <= q <= p + 1 + slop for p in reachable)
+        ]
+        if not reachable:
+            return 0
+    return len(reachable)
+
+
+def _doc_phrase_count(seg: NaiveSegment, field, fixed, last_terms, slop, dd):
+    """Phrase frequency of one doc (0 when any chain link is missing)."""
+    pos_lists = [seg.positions(field, dd, t) for t in fixed]
+    pos_lists.append(
+        sorted({p for t in last_terms for p in seg.positions(field, dd, t)})
+    )
+    if any(not p for p in pos_lists):
+        return 0
+    return _phrase_count(pos_lists, slop)
+
+
+def _model_phrase(seg: NaiveSegment, node, d, boost):
+    """(match, score) of a Phrase/PhrasePrefix for one doc."""
+    toks = TOKENIZE(node.text)
+    if not toks:
+        return False, F32(0)
+    is_prefix = isinstance(node, PhrasePrefix)
+    slop = 0 if is_prefix else node.slop
+    fixed = toks[:-1]
+    last_terms = list(node.expansions or ()) if is_prefix else toks[-1:]
+    field = node.field
+    # a fixed term absent from the whole segment, or no expansions → no match
+    if any(seg.df(field, t) == 0 for t in fixed) or not any(
+        seg.df(field, t) for t in last_terms
+    ):
+        return False, F32(0)
+    if len(fixed) == 0 and len(last_terms) == 1 and not is_prefix:
+        s = _term_score(seg, field, last_terms[0], d, boost)
+        return (s is not None), (s if s is not None else F32(0))
+    count = _doc_phrase_count(seg, field, fixed, last_terms, slop, d)
+    if count == 0:
+        return False, F32(0)
+    # parity phrase-df = #matching docs in the segment
+    df = sum(
+        1
+        for dd in range(seg.n_docs)
+        if _doc_phrase_count(seg, field, fixed, last_terms, slop, dd) > 0
+    )
+    n, avgdl = seg.stats(field)
+    return True, F32(_weight(df, n, boost) * _tf_comp(count, seg.dl(field, d), avgdl))
+
+
+def model_eval(seg: NaiveSegment, node, d: int, boost: float = 1.0):
+    """(match, score_f32) for one doc — the kernel's _eval, per-doc."""
+    if isinstance(node, MatchAll):
+        return True, F32(0)
+    if isinstance(node, MatchNone):
+        return False, F32(0)
+    if isinstance(node, Boost):
+        return model_eval(seg, node.query, d, boost * node.boost)
+    if isinstance(node, (Term, TermSet, FullText)):
+        if isinstance(node, Term):
+            terms, op = [(node.field, node.value)], "or"
+        elif isinstance(node, TermSet):
+            terms, op = [(node.field, v) for v in node.values], "or"
+        else:
+            toks = TOKENIZE(node.text)
+            if not toks:
+                return (True, F32(0)) if node.zero_terms_match_all else (False, F32(0))
+            terms, op = [(node.field, t) for t in toks], node.operator
+        score = F32(0)
+        count = 0
+        for f, t in terms:
+            s = _term_score(seg, f, t, d, boost)
+            if s is not None:
+                score = F32(score + s)
+                count += 1
+        match = count >= (len(terms) if op == "and" else 1)
+        return match, score
+    if isinstance(node, (Phrase, PhrasePrefix)):
+        return _model_phrase(seg, node, d, boost)
+    if isinstance(node, Exists):
+        toks = seg.toks.get(node.field)
+        return (toks is not None and len(toks[d]) > 0), F32(0)
+    if isinstance(node, Bool):
+        match = None
+        score = F32(0)
+        for cl in node.must:
+            m, s = model_eval(seg, cl, d, boost)
+            score = F32(score + s)  # kernel adds must scores unconditionally
+            match = m if match is None else (match and m)
+        for cl in node.filter:
+            m, _ = model_eval(seg, cl, d, boost)
+            match = m if match is None else (match and m)
+        if node.should:
+            scount = 0
+            for cl in node.should:
+                m, s = model_eval(seg, cl, d, boost)
+                if m:
+                    score = F32(score + s)
+                    scount += 1
+            msm = node.minimum_should_match
+            if match is None:
+                match = (scount >= msm) if msm else (scount > 0)
+            elif msm:
+                match = match and scount >= msm
+        if match is None:
+            match = bool(node.must_not)  # must_not-only anchors on match-all
+        for cl in node.must_not:
+            m, _ = model_eval(seg, cl, d, 0.0)
+            match = match and not m
+        return match, score
+    raise AssertionError(node)
+
+
+def model_topk(seg: NaiveSegment, ast, k):
+    hits = []
+    for d in range(seg.n_docs):
+        m, s = model_eval(seg, ast, d)
+        if m:
+            hits.append((d, s))
+    hits.sort(key=lambda ds: (-float(ds[1]), -ds[0]))
+    if k is not None:
+        hits = hits[:k]
+    return [d for d, _ in hits], np.array([s for _, s in hits], F32)
+
+
+# --------------------------------------------------------------------------
+# strategies
+# --------------------------------------------------------------------------
+
+word = st.sampled_from(VOCAB)
+# fieldnorms are stored EXACTLY up to 40 tokens and quantized above
+# (tantivy's table) — long docs must be reachable or quantization is
+# never exercised; short docs keep phrase chains dense
+text = st.one_of(
+    st.lists(word, min_size=0, max_size=10),
+    st.lists(word, min_size=41, max_size=55),
+).map(" ".join)
+corpus_st = st.integers(min_value=2, max_value=18).flatmap(
+    lambda n: st.fixed_dictionaries(
+        {f: st.lists(text, min_size=n, max_size=n) for f in FIELDS}
+    )
+)
+
+fields_st = st.sampled_from(list(FIELDS))
+leaf = st.one_of(
+    st.builds(Term, fields_st, word),
+    st.builds(TermSet, fields_st, st.lists(word, min_size=1, max_size=3)),
+    st.builds(
+        FullText,
+        fields_st,
+        st.lists(word, min_size=0, max_size=3).map(" ".join),
+        st.sampled_from(["or", "and"]),
+        st.booleans(),
+    ),
+    st.builds(
+        Phrase,
+        st.just("body"),
+        st.lists(word, min_size=1, max_size=3).map(" ".join),
+        st.integers(min_value=0, max_value=2),
+    ),
+    st.builds(
+        PhrasePrefix,
+        st.just("body"),
+        st.lists(word, min_size=1, max_size=2).map(" ".join).map(lambda t: t or "z"),
+    ),
+    st.builds(Exists, fields_st),
+    st.just(MatchAll()),
+    st.just(MatchNone()),
+)
+
+
+def _extend(children):
+    return st.one_of(
+        st.builds(
+            Bool,
+            st.lists(children, max_size=2),  # must
+            st.lists(children, max_size=2),  # must_not
+            st.lists(children, max_size=3),  # should
+            st.lists(children, max_size=1),  # filter
+            st.sampled_from([None, 1, 2]),
+        ),
+        st.builds(Boost, children, st.sampled_from([0.0, 0.5, 2.0, 4.0])),
+    )
+
+
+query_st = st.recursive(leaf, _extend, max_leaves=6)
+
+
+def _resolve_prefixes(node, dictionary: list[str]):
+    """Fill PhrasePrefix.expansions from the segment dictionary, the
+    engine's planning step (sorted order, capped at max_expansions)."""
+    if isinstance(node, PhrasePrefix):
+        toks = TOKENIZE(node.text)
+        prefix = toks[-1] if toks else ""
+        exp = tuple(t for t in dictionary if t.startswith(prefix))
+        return PhrasePrefix(node.field, node.text, node.max_expansions,
+                            exp[: node.max_expansions])
+    if isinstance(node, Bool):
+        return Bool(
+            [_resolve_prefixes(c, dictionary) for c in node.must],
+            [_resolve_prefixes(c, dictionary) for c in node.must_not],
+            [_resolve_prefixes(c, dictionary) for c in node.should],
+            [_resolve_prefixes(c, dictionary) for c in node.filter],
+            node.minimum_should_match,
+        )
+    if isinstance(node, Boost):
+        return Boost(_resolve_prefixes(node.query, dictionary), node.boost)
+    return node
+
+
+def build_segment(docs: dict[str, list[str]]) -> SegmentData:
+    rows = []
+    for fld_name, texts in docs.items():
+        fld = FieldConfig(name=fld_name, record=FIELDS[fld_name])
+        r, _ = _build_field_rows("seg0", fld, pd.Series(texts), 1.2, 0.75)
+        rows.extend(r)
+    return SegmentData.from_rows("seg0", rows)
+
+
+# --------------------------------------------------------------------------
+# the differential property
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(corpus=corpus_st, query=query_st, k=st.sampled_from([None, 1, 3, 10]))
+def test_kernel_matches_naive_model(corpus, query, k):
+    seg = build_segment(corpus)
+    body_dict = sorted({t for toks in corpus["body"] for t in TOKENIZE(toks)})
+    ast = _resolve_prefixes(query, body_dict)
+    naive = NaiveSegment(corpus)
+
+    d_m, s_m = model_topk(naive, ast, k)
+    for use_wand in (True, False):
+        d_k, s_k = evaluate_segment(seg, ast, TOK, k=k, use_wand=use_wand)
+        assert list(d_k) == d_m, (ast, k, use_wand)
+        assert np.array_equal(np.asarray(s_k, F32), s_m), (ast, k, use_wand)
+
+
+@settings(max_examples=40, deadline=None)
+@given(corpus=corpus_st, query=query_st)
+def test_kernel_partition_union(corpus, query):
+    """Splitting the corpus into two segments and merging per-segment
+    MATCH SETS equals the single-segment match set (BM25 *scores* are
+    segment-statistics-dependent by design — the reference's per-split
+    Searcher — so only membership is partition-invariant)."""
+    n = len(corpus["body"])
+    cut = n // 2
+    if cut == 0:
+        return
+    ast = _resolve_prefixes(
+        query, sorted({t for toks in corpus["body"] for t in TOKENIZE(toks)})
+    )
+    whole = build_segment(corpus)
+    left = build_segment({f: v[:cut] for f, v in corpus.items()})
+    right = build_segment({f: v[cut:] for f, v in corpus.items()})
+    dw, _ = evaluate_segment(whole, ast, TOK, k=None)
+    dl_, _ = evaluate_segment(left, ast, TOK, k=None)
+    dr, _ = evaluate_segment(right, ast, TOK, k=None)
+    union = sorted(set(dl_.tolist()) | {d + cut for d in dr.tolist()})
+    assert sorted(dw.tolist()) == union, ast
