@@ -175,6 +175,10 @@ class _Parser:
 
     def parse_leaf(self) -> QueryAst:
         t = self.next()
+        if t is None:
+            # `NOT`/`-` with nothing after them (the reference's grammar
+            # rejects a trailing unary operator with a 400, like `a OR`)
+            raise ValueError("unexpected end of query")
         if t == "*":
             return MatchAll()
         field = None

@@ -361,6 +361,52 @@ def test_kernel_matches_naive_model(corpus, query, k):
         assert np.array_equal(np.asarray(s_k, F32), s_m), (ast, k, use_wand)
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    corpus=corpus_st,
+    query=query_st,
+    k=st.sampled_from([None, 1, 3]),
+    rank=st.integers(min_value=0, max_value=4),
+    allow=st.one_of(st.none(), st.sets(st.integers(min_value=0, max_value=25))),
+)
+def test_kernel_cutoff_and_allowed(corpus, query, k, rank, allow):
+    """The search_after pushdown (`score_cutoff`) and the docid filter
+    (`allowed`) against the model: the kernel must return the filtered
+    ranking truncated at k + #ties-at-cutoff (the driver re-applies the
+    exact cursor predicate, so ties at the cutoff must all survive)."""
+    seg = build_segment(corpus)
+    ast = _resolve_prefixes(
+        query, sorted({t for toks in corpus["body"] for t in TOKENIZE(toks)})
+    )
+    naive = NaiveSegment(corpus)
+    d_all, s_all = model_topk(naive, ast, None)
+
+    allowed = None
+    if allow is not None:
+        # include out-of-range ids on purpose: the kernel must ignore them
+        allowed = np.array(sorted(allow), np.int64)
+        hits = [(d, s) for d, s in zip(d_all, s_all) if d in allow]
+        d_all = [d for d, _ in hits]
+        s_all = np.array([s for _, s in hits], F32)
+
+    cutoff = None
+    if rank < len(d_all):
+        cutoff = float(s_all[rank])
+        kept = [(d, s) for d, s in zip(d_all, s_all) if s <= F32(cutoff)]
+        ties = sum(1 for _, s in kept if s >= F32(cutoff))
+        kk = (k + ties) if k is not None else None
+        d_all = [d for d, _ in kept][:kk]
+        s_all = np.array([s for _, s in kept], F32)[:kk]
+    elif k is not None:
+        d_all, s_all = d_all[:k], s_all[:k]
+
+    d_k, s_k = evaluate_segment(
+        seg, ast, TOK, k=k, allowed=allowed, score_cutoff=cutoff
+    )
+    assert list(d_k) == list(d_all), (ast, k, cutoff, allowed)
+    assert np.array_equal(np.asarray(s_k, F32), s_all), (ast, k, cutoff, allowed)
+
+
 @settings(max_examples=40, deadline=None)
 @given(corpus=corpus_st, query=query_st)
 def test_kernel_partition_union(corpus, query):
@@ -383,3 +429,36 @@ def test_kernel_partition_union(corpus, query):
     dr, _ = evaluate_segment(right, ast, TOK, k=None)
     union = sorted(set(dl_.tolist()) | {d + cut for d in dr.tolist()})
     assert sorted(dw.tolist()) == union, ast
+
+
+# --------------------------------------------------------------------------
+# query-string parser robustness
+# --------------------------------------------------------------------------
+
+_QS_ATOMS = [
+    "(", ")", '"', ":", "[", "]", "{", "}", "TO", "AND", "OR", "NOT",
+    "*", "-", "+", "~1", "^2", "body:", "title:", "zeb*", "t1", "zoo",
+    "IN", " ", "\t", "\\", "'", ">=", "<", "2021-01-01", "*:*", "_exists_:",
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.one_of(
+        st.text(max_size=40),
+        st.lists(st.sampled_from(_QS_ATOMS), max_size=12).map("".join),
+        st.lists(st.sampled_from(_QS_ATOMS), max_size=12).map(" ".join),
+    )
+)
+def test_parser_never_crashes(q):
+    """parse_query on arbitrary input either yields a QueryAst or raises
+    ValueError — never IndexError/KeyError/AttributeError (the engine
+    surfaces ValueError as a 400; anything else would be a 500)."""
+    from quickwit_spark.query.parser import parse_query
+    from quickwit_spark.query.ast import QueryAst
+
+    try:
+        ast = parse_query(q, default_fields=["body"], position_fields={"body"})
+    except ValueError:
+        return
+    assert isinstance(ast, QueryAst), q
