@@ -462,3 +462,158 @@ def test_parser_never_crashes(q):
     except ValueError:
         return
     assert isinstance(ast, QueryAst), q
+
+
+# --------------------------------------------------------------------------
+# oracle mode (f64, global statistics) — the scoring mode every DuckDB
+# gate depends on; its defining property is PARTITION INVARIANCE
+# --------------------------------------------------------------------------
+
+F64 = float  # python floats are IEEE f64 — same ops as the kernel's np.float64
+
+
+def _global_stats(corpus):
+    fields, terms = {}, {}
+    for f, texts in corpus.items():
+        toklists = [TOKENIZE(t) for t in texts]
+        fields[f] = {
+            "doc_count": len(toklists),
+            "total_tokens": sum(map(len, toklists)),
+        }
+        for t in {t for tl in toklists for t in tl}:
+            terms[(f, t)] = sum(1 for tl in toklists if t in tl)
+    return {"fields": fields, "terms": terms}
+
+
+def _oracle_term_score(seg, gs, field, term, d, boost):
+    df = gs["terms"].get((field, term), 0)
+    tf = seg.tf(field, d, term) if df else 0
+    if df == 0 or tf == 0:
+        return None
+    fs = gs["fields"][field]
+    n = fs["doc_count"]
+    avgdl = fs["total_tokens"] / max(n, 1)
+    dl = float(len(seg.toks[field][d]))  # oracle uses EXACT lengths
+    w = np.log1p((n - df + 0.5) / (df + 0.5)) * (1.0 + 1.2) * boost
+    tc = tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    return w * tc
+
+
+def model_eval_oracle(seg, gs, node, d, boost=1.0):
+    """f64 per-doc (match, score) with global stats — mirrors the
+    kernel's mode='oracle' semantics (phrase df = rarest component's
+    global df, partition-invariant by construction)."""
+    if isinstance(node, MatchAll):
+        return True, 0.0
+    if isinstance(node, MatchNone):
+        return False, 0.0
+    if isinstance(node, Boost):
+        return model_eval_oracle(seg, gs, node.query, d, boost * node.boost)
+    if isinstance(node, (Term, TermSet, FullText)):
+        if isinstance(node, Term):
+            terms, op = [(node.field, node.value)], "or"
+        elif isinstance(node, TermSet):
+            terms, op = [(node.field, v) for v in node.values], "or"
+        else:
+            toks = TOKENIZE(node.text)
+            if not toks:
+                return (True, 0.0) if node.zero_terms_match_all else (False, 0.0)
+            terms, op = [(node.field, t) for t in toks], node.operator
+        score, count = 0.0, 0
+        for f, t in terms:
+            s = _oracle_term_score(seg, gs, f, t, d, boost)
+            if s is not None:
+                score += s
+                count += 1
+        return count >= (len(terms) if op == "and" else 1), score
+    if isinstance(node, Phrase):
+        toks = TOKENIZE(node.text)
+        if not toks:
+            return False, 0.0
+        field, slop = node.field, node.slop
+        fixed, last = toks[:-1], toks[-1:]
+        if len(toks) == 1:
+            s = _oracle_term_score(seg, gs, field, toks[0], d, boost)
+            return (s is not None), (s or 0.0)
+        cnt = _doc_phrase_count(seg, field, fixed, last, slop, d)
+        if cnt == 0:
+            return False, 0.0
+        dfs = [gs["terms"].get((field, t), 0) for t in toks]
+        df = min(dfs)
+        fs = gs["fields"][field]
+        n = fs["doc_count"]
+        avgdl = fs["total_tokens"] / max(n, 1)
+        dl = float(len(seg.toks[field][d]))
+        w = np.log1p((n - df + 0.5) / (df + 0.5)) * (1.0 + 1.2) * boost
+        return True, w * (cnt / (cnt + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    if isinstance(node, Exists):
+        toks = seg.toks.get(node.field)
+        return (toks is not None and len(toks[d]) > 0), 0.0
+    if isinstance(node, Bool):
+        match, score = None, 0.0
+        for cl in node.must:
+            m, s = model_eval_oracle(seg, gs, cl, d, boost)
+            score += s
+            match = m if match is None else (match and m)
+        for cl in node.filter:
+            m, _ = model_eval_oracle(seg, gs, cl, d, boost)
+            match = m if match is None else (match and m)
+        if node.should:
+            scount = 0
+            for cl in node.should:
+                m, s = model_eval_oracle(seg, gs, cl, d, boost)
+                if m:
+                    score += s
+                    scount += 1
+            msm = node.minimum_should_match
+            if match is None:
+                match = (scount >= msm) if msm else (scount > 0)
+            elif msm:
+                match = match and scount >= msm
+        if match is None:
+            match = bool(node.must_not)
+        for cl in node.must_not:
+            m, _ = model_eval_oracle(seg, gs, cl, d, 0.0)
+            match = match and not m
+        return match, score
+    raise AssertionError(node)
+
+
+# PhrasePrefix is excluded: its oracle df depends on which expansion
+# terms a segment happens to contain, so it is not partition-invariant
+# (the engine resolves expansions globally before the kernel runs).
+oracle_query_st = st.recursive(
+    leaf.filter(lambda n: not isinstance(n, PhrasePrefix)), _extend, max_leaves=6
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(corpus=corpus_st, query=oracle_query_st, cut_frac=st.floats(0.2, 0.8))
+def test_oracle_mode_partition_invariant(corpus, query, cut_frac):
+    """mode='oracle' scores must be bitwise identical whether the corpus
+    is one segment or two — and must equal the independent f64 model.
+    This is what lets the DuckDB gates compare Spark output to ANSI-SQL
+    replays regardless of how the build partitioned the docs."""
+    gs = _global_stats(corpus)
+    naive = NaiveSegment(corpus)
+    ast = query
+    n = len(corpus["body"])
+    expected = {}
+    for d in range(n):
+        m, s = model_eval_oracle(naive, gs, ast, d)
+        if m:
+            expected[d] = s
+
+    whole = build_segment(corpus)
+    dw, sw = evaluate_segment(whole, ast, TOK, k=None, mode="oracle", global_stats=gs)
+    got_whole = dict(zip(dw.tolist(), sw.tolist()))
+    assert got_whole == expected, (ast, "whole")
+
+    cut = max(1, min(n - 1, int(n * cut_frac)))
+    left = build_segment({f: v[:cut] for f, v in corpus.items()})
+    right = build_segment({f: v[cut:] for f, v in corpus.items()})
+    got_split = {}
+    for seg, off in ((left, 0), (right, cut)):
+        d_s, s_s = evaluate_segment(seg, ast, TOK, k=None, mode="oracle", global_stats=gs)
+        got_split.update({d + off: s for d, s in zip(d_s.tolist(), s_s.tolist())})
+    assert got_split == expected, (ast, "split")
