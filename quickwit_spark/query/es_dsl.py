@@ -39,8 +39,10 @@ from quickwit_spark.query.parser import parse_query
 
 def _field_value(body: dict) -> tuple[str, dict]:
     """ES `{field: {...}}` / `{field: value}` single-entry bodies."""
-    if len(body) != 1:
-        raise ValueError(f"expected a single field key, got {sorted(body)}")
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ValueError(
+            f"expected a single field key, got {sorted(body) if isinstance(body, dict) else type(body).__name__}"
+        )
     field, spec = next(iter(body.items()))
     if not isinstance(spec, dict):
         spec = {"value": spec}
@@ -131,22 +133,40 @@ def from_es_query(
     the mapping is a 400 unless `lenient: true` (rest scenarios 0005)."""
     default_fields = default_fields or ["text"]
     position_fields = position_fields or set()
-    if len(q) != 1:
-        raise ValueError(f"ES query object must have one key, got {sorted(q)}")
+    if not isinstance(q, dict) or len(q) != 1:
+        raise ValueError(
+            "ES query object must have one key, got "
+            f"{sorted(q) if isinstance(q, dict) else type(q).__name__}"
+        )
     kind, body = next(iter(q.items()))
 
     if kind == "match_all":
         return MatchAll()
     if kind == "match_none":
         return MatchNone()
+    if not isinstance(body, dict):
+        # every remaining ES clause body is a JSON object; a list/scalar
+        # here must become a 400 envelope, not an AttributeError 500
+        raise ValueError(f"{kind} query body must be an object")
 
     if kind == "term":
         field, spec = _field_value(body)
         return _boost(Term(field, _canon(spec["value"])), spec)
 
     if kind == "terms":
+        if not isinstance(body, dict):
+            raise ValueError("terms query must be an object {field: [values]}")
         entries = {k: v for k, v in body.items() if k != "boost"}
+        if len(entries) != 1:
+            # zero fields (incl. boost-only) or several → 400, like the
+            # reference's serde one-field-map (`terms_query.rs` via
+            # OneFieldMap); a bare next(iter()) here raised StopIteration
+            raise ValueError(
+                f"terms query expects exactly one field, got {sorted(entries)}"
+            )
         field, values = next(iter(entries.items()))
+        if not isinstance(values, (list, tuple)):
+            raise ValueError("terms query values must be an array")
         ast: QueryAst = TermSet(field, [_canon(v) for v in values])
         return _boost(ast, body)
 
@@ -266,8 +286,13 @@ def from_es_query(
                     f"query_string field(s) do not exist: {missing}"
                 )
             fields = [f for f in fields if f not in missing] or ["__none__"]
+        qs = body["query"]
+        if not isinstance(qs, str):
+            # ES requires a string here; None/number must 400, and
+            # parse_query would AttributeError on a non-string
+            raise ValueError("query_string `query` must be a string")
         return parse_query(
-            body["query"],
+            qs,
             fields,
             str(body.get("default_operator", "and")).lower(),
             position_fields=position_fields,

@@ -1,0 +1,229 @@
+"""Randomized engine-vs-DuckDB COUNT differential at the integration level.
+
+The kernel fuzz (test_differential_fuzz.py) proves per-segment scoring;
+this test aims one level up: the ENGINE's planning — query-string
+resolution, wildcard expansion, metadata count fast paths, segment
+pruning, fast-column ranges — against an independent DuckDB predicate
+compiled from the same AST. The sf0.001 documents corpus is pure
+``[a-z0-9 ]`` text, so ``string_split(text, ' ')`` reproduces the
+``default`` tokenizer exactly and every boolean/range/wildcard count
+has a closed-form SQL oracle.
+
+Seeded (not hypothesis): each engine count is a Spark job, so the
+query set must be deterministic and bounded.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from quickwit_spark.query.ast import (
+    Bool,
+    Boost,
+    Exists,
+    FullText,
+    MatchAll,
+    MatchNone,
+    Range,
+    Term,
+    TermSet,
+    Wildcard,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, sf_dir, tmp_path_factory):
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+
+    idx = str(tmp_path_factory.mktemp("count_diff_idx"))
+    cfg = IndexConfig(
+        fields=[
+            FieldConfig("text"),
+            FieldConfig("lang", tokenizer="raw"),
+        ],
+        doc_key="doc_id",
+        num_partitions=4,
+        stored_columns=("lang", "source", "n_chars"),
+    )
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    build_index(spark, df, idx, cfg)
+    return IndexSearcher(spark, idx)
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    rows = duckdb.sql(
+        f"""SELECT term, COUNT(DISTINCT doc_id) AS df FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM read_parquet('{DOCS}')
+            ) WHERE term <> '' GROUP BY term ORDER BY df DESC"""
+    ).fetchall()
+    return [t for t, _ in rows]
+
+
+LANGS = ["en", "de", "fr", "zz"]
+
+
+def _gen_ast(rng: random.Random, vocab: list[str], depth: int = 0, allow_range=True):
+    # the engine (like the reference) accepts Range only in must/filter
+    # conjunction positions — the generator must respect that placement
+    roll = rng.random()
+    if depth < 2 and roll < 0.35:
+        slots = {"must": [], "must_not": [], "should": [], "filter": []}
+        for _ in range(rng.randint(1, 3)):
+            slot = rng.choice(list(slots))
+            slots[slot].append(
+                _gen_ast(
+                    rng,
+                    vocab,
+                    depth + 1,
+                    allow_range=allow_range and slot in ("must", "filter"),
+                )
+            )
+        msm = rng.choice([None, None, 1, 2]) if slots["should"] else None
+        return Bool(
+            must=slots["must"],
+            must_not=slots["must_not"],
+            should=slots["should"],
+            filter=slots["filter"],
+            minimum_should_match=msm,
+        )
+    if roll < 0.40 and depth > 0:
+        return Boost(
+            _gen_ast(rng, vocab, depth + 1, allow_range=False),
+            rng.choice([0.5, 2.0]),
+        )
+    kind = rng.randint(0, 6)
+    if kind == 4 and not allow_range:
+        kind = 0
+    if kind == 0:
+        return Term("text", rng.choice(vocab + ["nosuchterm"]))
+    if kind == 1:
+        return TermSet("text", [rng.choice(vocab) for _ in range(rng.randint(1, 3))])
+    if kind == 2:
+        words = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+        return FullText("text", words, rng.choice(["or", "and"]))
+    if kind == 3:
+        w = rng.choice(vocab)
+        return Wildcard("text", w[: rng.randint(1, max(1, len(w) - 1))] + "*")
+    if kind == 4:
+        lo = rng.randint(0, 400)
+        hi = lo + rng.randint(0, 400)
+        kw = {}
+        if rng.random() < 0.8:
+            kw["gte" if rng.random() < 0.5 else "gt"] = lo
+        if rng.random() < 0.8 or not kw:
+            kw["lte" if rng.random() < 0.5 else "lt"] = hi
+        return Range("n_chars", **kw)
+    if kind == 5:
+        return Term("lang", rng.choice(LANGS))
+    return rng.choice([Exists("text"), Exists("lang"), MatchAll(), MatchNone()])
+
+
+def _tok_contains(term: str) -> str:
+    t = term.replace("'", "''")
+    return f"list_contains(string_split(text, ' '), '{t}')"
+
+
+def _pred(node) -> str:
+    """AST → DuckDB boolean expression with the engine's match rules."""
+    if isinstance(node, MatchAll):
+        return "TRUE"
+    if isinstance(node, MatchNone):
+        return "FALSE"
+    if isinstance(node, Boost):
+        return _pred(node.query)
+    if isinstance(node, Term):
+        if node.field == "lang":
+            return f"lang = '{node.value}'"
+        return _tok_contains(node.value)
+    if isinstance(node, TermSet):
+        return "(" + " OR ".join(_tok_contains(v) for v in node.values) + ")"
+    if isinstance(node, FullText):
+        toks = node.text.split()
+        if not toks:
+            return "TRUE" if node.zero_terms_match_all else "FALSE"
+        op = " AND " if node.operator == "and" else " OR "
+        return "(" + op.join(_tok_contains(t) for t in toks) + ")"
+    if isinstance(node, Wildcard):
+        prefix = node.pattern.rstrip("*").replace("'", "''")
+        return (
+            "len(list_filter(string_split(text, ' '),"
+            f" t -> t LIKE '{prefix}%')) > 0"
+        )
+    if isinstance(node, Exists):
+        if node.field == "lang":
+            return "lang IS NOT NULL AND lang <> ''"
+        return (
+            "len(list_filter(string_split(text, ' '), t -> t <> '')) > 0"
+        )
+    if isinstance(node, Range):
+        parts = []
+        if node.gte is not None:
+            parts.append(f"n_chars >= {node.gte}")
+        if node.gt is not None:
+            parts.append(f"n_chars > {node.gt}")
+        if node.lte is not None:
+            parts.append(f"n_chars <= {node.lte}")
+        if node.lt is not None:
+            parts.append(f"n_chars < {node.lt}")
+        return "(" + " AND ".join(parts) + ")"
+    if isinstance(node, Bool):
+        clauses = []
+        for cl in node.must:
+            clauses.append(_pred(cl))
+        for cl in node.filter:
+            clauses.append(_pred(cl))
+        if node.should:
+            msm = node.minimum_should_match
+            shoulds = [_pred(cl) for cl in node.should]
+            if not (node.must or node.filter):
+                need = msm if msm else 1
+                counts = " + ".join(f"(CASE WHEN {p} THEN 1 ELSE 0 END)" for p in shoulds)
+                clauses.append(f"({counts}) >= {need}")
+            elif msm:
+                counts = " + ".join(f"(CASE WHEN {p} THEN 1 ELSE 0 END)" for p in shoulds)
+                clauses.append(f"({counts}) >= {msm}")
+            # else: should is optional scoring only — no predicate
+        if not clauses:
+            if node.must_not:
+                clauses.append("TRUE")  # must_not-only anchors on match-all
+            else:
+                clauses.append("FALSE")  # empty bool matches nothing
+        for cl in node.must_not:
+            clauses.append(f"NOT ({_pred(cl)})")
+        return "(" + " AND ".join(clauses) + ")"
+    raise AssertionError(node)
+
+
+def test_random_counts_match_duckdb(searcher, vocab):
+    rng = random.Random(20260819)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    mismatches = []
+    for i in range(40):
+        ast = _gen_ast(rng, vocab)
+        want = con.execute(
+            f"SELECT COUNT(*) FROM documents WHERE {_pred(ast)}"
+        ).fetchone()[0]
+        got = searcher.count(ast)
+        if got != want:
+            mismatches.append((i, ast, got, want))
+    assert not mismatches, mismatches[:3]
+
+
+def test_count_fast_paths_match_kernel(searcher, vocab):
+    """The metadata fast paths (manifest match-all, doc_freq bare term)
+    must agree with the kernel-counted equivalents."""
+    total = searcher.count(MatchAll())
+    assert total == searcher.count(Bool(must=[MatchAll()]))
+    for t in vocab[:3] + ["nosuchterm"]:
+        assert searcher.count(Term("text", t)) == searcher.count(
+            Bool(filter=[Term("text", t)])
+        )

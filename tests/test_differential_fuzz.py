@@ -617,3 +617,71 @@ def test_oracle_mode_partition_invariant(corpus, query, cut_frac):
         d_s, s_s = evaluate_segment(seg, ast, TOK, k=None, mode="oracle", global_stats=gs)
         got_split.update({d + off: s for d, s in zip(d_s.tolist(), s_s.tolist())})
     assert got_split == expected, (ast, "split")
+
+
+# --------------------------------------------------------------------------
+# ES DSL lowering robustness
+# --------------------------------------------------------------------------
+
+_ES_KINDS = [
+    "term", "terms", "range", "match", "match_phrase", "match_phrase_prefix",
+    "match_bool_prefix", "multi_match", "query_string", "bool", "wildcard",
+    "regexp", "exists", "match_all", "match_none", "nope",
+]
+_es_scalar = st.one_of(
+    st.none(), st.booleans(), st.integers(-5, 5), st.text(max_size=8),
+    st.sampled_from(["t1", "zoo", "50%", "-25%", "*", "a b", "[", "now"]),
+)
+_es_val = st.recursive(
+    _es_scalar,
+    lambda v: st.one_of(
+        st.lists(v, max_size=3),
+        st.dictionaries(
+            st.sampled_from(
+                ["body", "title", "value", "query", "gte", "lte", "gt", "lt",
+                 "boost", "operator", "fields", "minimum_should_match", "slop",
+                 "analyzer", "must", "should", "must_not", "filter", "format"]
+            ),
+            v,
+            max_size=4,
+        ),
+    ),
+    max_leaves=8,
+)
+_es_query = st.dictionaries(st.sampled_from(_ES_KINDS), _es_val, min_size=0, max_size=2)
+
+
+@settings(max_examples=300, deadline=None)
+@given(q=_es_query)
+def test_es_dsl_never_crashes(q):
+    """from_es_query on arbitrary body shapes either lowers to a
+    QueryAst or raises within the tuple the wire layer converts to ES
+    error envelopes — anything else would surface as a 500."""
+    from quickwit_spark.query.es_dsl import from_es_query
+    from quickwit_spark.query.ast import QueryAst
+
+    try:
+        ast = from_es_query(q, default_fields=["body"])
+    except (ValueError, TypeError, KeyError, NotImplementedError):
+        return
+    assert isinstance(ast, QueryAst), q
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    body=st.dictionaries(
+        st.sampled_from(["query", "sort", "size", "from", "aggs", "x"]),
+        _es_val,
+        max_size=3,
+    )
+)
+def test_es_body_query_never_crashes(body):
+    """Same property through the full `_search` body entry point."""
+    from quickwit_spark.query.es_dsl import from_es_body
+    from quickwit_spark.query.ast import QueryAst
+
+    try:
+        ast = from_es_body(body, default_fields=["body"])
+    except (ValueError, TypeError, KeyError, NotImplementedError):
+        return
+    assert isinstance(ast, QueryAst), body
