@@ -706,9 +706,50 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
     )
 
 
+def _validate_aggs(cols: set, aggs: dict) -> None:
+    """Reject malformed agg bodies BEFORE Column construction: an
+    unknown field, a non-positive histogram interval, or a non-array
+    `ranges` would otherwise surface as AnalysisException /
+    DIVIDE_BY_ZERO / AttributeError — outside the (ValueError,
+    TypeError, KeyError, NotImplementedError) tuple the wire layer
+    converts to ES 400 envelopes. The reference's tantivy aggregations
+    error on each of these at request parse time."""
+    if not isinstance(aggs, dict):
+        raise ValueError("aggs must be an object")
+    for name, clause in aggs.items():
+        if not isinstance(clause, dict):
+            raise ValueError(f"aggregation {name!r} must be an object")
+        for kind, spec in clause.items():
+            if kind == "aggs":
+                _validate_aggs(cols, spec)
+                continue
+            if not isinstance(spec, dict):
+                raise ValueError(f"aggregation {kind!r} spec must be an object")
+            if "field" in spec:
+                f = spec["field"]
+                if not isinstance(f, str):
+                    raise ValueError("aggregation `field` must be a string")
+                if f not in cols:
+                    raise ValueError(
+                        f"aggregation field {f!r} does not exist in the index"
+                    )
+            if kind == "histogram":
+                if not float(spec.get("interval", 0)) > 0:
+                    raise ValueError("histogram `interval` must be > 0")
+            if kind == "range":
+                r = spec.get("ranges")
+                if not isinstance(r, list) or not all(
+                    isinstance(x, dict) for x in r
+                ):
+                    raise ValueError(
+                        "range aggregation needs a `ranges` array of objects"
+                    )
+
+
 def run_es_aggs(df: DataFrame, aggs: dict) -> dict[str, DataFrame]:
     """`df` = matches joined to fast fields (`aggs.matches`); `aggs` =
     the ES `aggs` body. → {agg name: result DataFrame}."""
+    _validate_aggs(set(df.columns), aggs)
     return {name: _one_agg(df, clause) for name, clause in aggs.items()}
 
 

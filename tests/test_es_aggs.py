@@ -704,3 +704,61 @@ def test_split_size_terms_plan_and_error_bound(searcher):
     _, wide = run({"field": "site", "size": 1, "split_size": 10_000})
     assert wide["doc_count_error_upper_bound"] == 0
     assert wide["buckets"] == exact["buckets"]
+
+
+# --------------------------------------------------------------------------
+# lowering robustness fuzz (plan construction only — no jobs)
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_AGG_KINDS = [
+    "terms", "histogram", "date_histogram", "range", "avg", "min", "max",
+    "sum", "value_count", "stats", "extended_stats", "percentiles",
+    "cardinality", "nope",
+]
+_spec_val = st.one_of(
+    st.none(), st.booleans(), st.integers(-3, 3), st.floats(-2, 2),
+    st.sampled_from(["val", "lang", "missing_col", "2d", "asc", "bad", [], {}]),
+)
+_spec = st.dictionaries(
+    st.sampled_from(
+        ["field", "interval", "fixed_interval", "size", "split_size", "order",
+         "ranges", "percents", "missing", "min_doc_count", "keyed", "sigma"]
+    ),
+    _spec_val,
+    max_size=3,
+)
+_clause = st.deferred(
+    lambda: st.dictionaries(
+        st.sampled_from(_AGG_KINDS), _spec, min_size=0, max_size=2
+    ).flatmap(
+        lambda c: st.one_of(
+            st.just(c),
+            st.fixed_dictionaries(
+                {**{k: st.just(v) for k, v in c.items()},
+                 "aggs": st.dictionaries(st.just("sub"), _clause, max_size=1)}
+            ),
+        )
+    )
+)
+
+
+@settings(
+    max_examples=60, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(aggs=st.dictionaries(st.sampled_from(["a", "b"]), _clause, max_size=2))
+def test_aggs_lowering_never_escapes(spark, aggs):
+    """run_es_aggs on arbitrary agg bodies either builds plans or raises
+    within the wire layer's 400 tuple — unknown fields, bad intervals
+    and malformed ranges must never reach Spark as AnalysisException /
+    ArithmeticException 500s."""
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    df = spark.createDataFrame([(1, "a", 2.0)], ["doc_id", "lang", "val"])
+    try:
+        out = run_es_aggs(df, aggs)
+    except (ValueError, TypeError, KeyError, NotImplementedError):
+        return
+    assert isinstance(out, dict)
