@@ -227,3 +227,137 @@ def test_count_fast_paths_match_kernel(searcher, vocab):
         assert searcher.count(Term("text", t)) == searcher.count(
             Bool(filter=[Term("text", t)])
         )
+
+
+# --------------------------------------------------------------------------
+# randomized AGGREGATION differential — bucket values vs DuckDB GROUP BY
+# --------------------------------------------------------------------------
+
+
+def _approx(a, b):
+    if a is None or b is None:
+        return a == b
+    return a == pytest.approx(b, rel=1e-9, abs=1e-9)
+
+
+def test_random_aggs_match_duckdb(searcher, vocab):
+    """Random terms/histogram/range/metric aggregations (optionally over
+    a filtered match set) must reproduce DuckDB's GROUP BY exactly:
+    bucket keys, tie order (doc_count desc, key asc), declared-range
+    and histogram gap-fill conventions, metric values."""
+    from quickwit_spark.search.es_aggs import shape_es_agg
+
+    rng = random.Random(99)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    metrics = {"avg": "AVG", "min": "MIN", "max": "MAX", "sum": "SUM",
+               "value_count": "COUNT"}
+    failures = []
+    for i in range(24):
+        term = rng.choice(vocab)
+        filtered = rng.random() < 0.5
+        where = _tok_contains(term) if filtered else "TRUE"
+        body: dict = {"size": 0}
+        if filtered:
+            body["query"] = {"term": {"text": {"value": term}}}
+        kind = rng.randint(0, 3)
+        if kind == 0:  # terms (+ optional metric sub)
+            f = rng.choice(["lang", "source"])
+            size = rng.randint(1, 4)
+            clause: dict = {"terms": {"field": f, "size": size}}
+            mk = rng.choice([None, *metrics])
+            sql_m = ""
+            if mk:
+                clause["aggs"] = {"m": {mk: {"field": "n_chars"}}}
+                sql_m = f", {metrics[mk]}(CAST(n_chars AS DOUBLE)) AS mv"
+            rows = con.execute(
+                f"""SELECT CAST({f} AS VARCHAR) AS key, COUNT(*) AS dc{sql_m}
+                    FROM documents WHERE {where}
+                    GROUP BY {f} ORDER BY dc DESC, key ASC LIMIT {size}"""
+            ).fetchall()
+            shaped = shape_es_agg(
+                clause, searcher.es_search({**body, "aggs": {"a": clause}})
+                ["aggregations"]["a"]
+            )
+            got = shaped["buckets"]
+            ok = len(got) == len(rows) and all(
+                b["key"] == r[0] and b["doc_count"] == r[1]
+                and (not mk or _approx(b["m"]["value"], r[2]))
+                for b, r in zip(got, rows)
+            )
+        elif kind == 1:  # histogram with gap fill
+            interval = rng.choice([37, 64, 100])
+            clause = {"histogram": {"field": "n_chars", "interval": interval}}
+            rows = con.execute(
+                f"""SELECT FLOOR(n_chars / {interval}) * {interval} AS key,
+                           COUNT(*) AS dc
+                    FROM documents WHERE {where} GROUP BY 1 ORDER BY 1"""
+            ).fetchall()
+            expected = []
+            if rows:
+                lo, hi = rows[0][0], rows[-1][0]
+                counts = {k: c for k, c in rows}
+                k = lo
+                while k <= hi:
+                    expected.append((float(k), counts.get(k, 0)))
+                    k += interval
+            shaped = shape_es_agg(
+                clause, searcher.es_search({**body, "aggs": {"a": clause}})
+                ["aggregations"]["a"]
+            )
+            got = shaped["buckets"]
+            ok = len(got) == len(expected) and all(
+                float(b["key"]) == k and b["doc_count"] == c
+                for b, (k, c) in zip(got, expected)
+            )
+        elif kind == 2:  # range — declared order, zero buckets included
+            cut1 = rng.randint(50, 200)
+            cut2 = cut1 + rng.randint(50, 300)
+            ranges = [{"to": cut1}, {"from": cut1, "to": cut2}, {"from": cut2}]
+            clause = {"range": {"field": "n_chars", "ranges": ranges}}
+            rows = con.execute(
+                f"""SELECT
+                      COUNT(*) FILTER (n_chars < {cut1}),
+                      COUNT(*) FILTER (n_chars >= {cut1} AND n_chars < {cut2}),
+                      COUNT(*) FILTER (n_chars >= {cut2})
+                    FROM documents WHERE {where}"""
+            ).fetchone()
+            shaped = shape_es_agg(
+                clause, searcher.es_search({**body, "aggs": {"a": clause}})
+                ["aggregations"]["a"]
+            )
+            got = shaped["buckets"]
+            ok = len(got) == 3 and all(
+                b["doc_count"] == r for b, r in zip(got, rows)
+            )
+        else:  # top-level metric / stats
+            mk = rng.choice([*metrics, "stats"])
+            clause = {mk: {"field": "n_chars"}}
+            shaped = shape_es_agg(
+                clause, searcher.es_search({**body, "aggs": {"a": clause}})
+                ["aggregations"]["a"]
+            )
+            if mk == "stats":
+                r = con.execute(
+                    f"""SELECT COUNT(n_chars), MIN(CAST(n_chars AS DOUBLE)),
+                               MAX(CAST(n_chars AS DOUBLE)),
+                               SUM(CAST(n_chars AS DOUBLE)),
+                               AVG(CAST(n_chars AS DOUBLE))
+                        FROM documents WHERE {where}"""
+                ).fetchone()
+                ok = (
+                    shaped["count"] == r[0]
+                    and _approx(shaped["min"], r[1])
+                    and _approx(shaped["max"], r[2])
+                    and _approx(shaped["sum"], r[3])
+                    and _approx(shaped["avg"], r[4])
+                )
+            else:
+                r = con.execute(
+                    f"""SELECT {metrics[mk]}(CAST(n_chars AS DOUBLE))
+                        FROM documents WHERE {where}"""
+                ).fetchone()
+                ok = _approx(shaped["value"], r[0])
+        if not ok:
+            failures.append((i, clause, filtered, shaped))
+    assert not failures, failures[:2]
