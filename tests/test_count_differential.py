@@ -361,3 +361,32 @@ def test_random_aggs_match_duckdb(searcher, vocab):
         if not ok:
             failures.append((i, clause, filtered, shaped))
     assert not failures, failures[:2]
+
+
+def test_search_early_equals_search(searcher, vocab):
+    """Split-order early termination is an optimization, not a
+    semantics change: hits must equal plain search() and count_all
+    num_hits must equal count() on random queries (the fixed gate pins
+    one query; demotion decisions vary with the query's term stats)."""
+    rng = random.Random(55)
+    for _ in range(8):
+        ast = _gen_ast(rng, vocab, depth=2, allow_range=False)
+        plain = [
+            (r["doc_key"], r["score"], r["rank"])
+            for r in searcher.search(ast, k=10).collect()
+        ]
+        early = searcher.search_early(ast, k=10, count_hits="count_all")
+        got = [
+            (r["doc_key"], r["score"], r["rank"])
+            for r in early["hits"].collect()
+        ]
+        assert got == plain, ast
+        assert early["num_hits"] == searcher.count(ast), ast
+        under = searcher.search_early(ast, k=10, count_hits="underestimate")
+        got_u = [
+            (r["doc_key"], r["score"], r["rank"])
+            for r in under["hits"].collect()
+        ]
+        assert got_u == plain, ast
+        if under["num_hits"] is not None:
+            assert under["num_hits"] <= early["num_hits"], ast
