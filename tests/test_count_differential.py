@@ -390,3 +390,55 @@ def test_search_early_equals_search(searcher, vocab):
         assert got_u == plain, ast
         if under["num_hits"] is not None:
             assert under["num_hits"] <= early["num_hits"], ast
+
+
+def test_random_bm25_topk_match_duckdb(searcher, vocab):
+    """Randomized ORACLE-MODE top-k: seeded (must, should+boost,
+    must_not, filter) combinations through the engine must reproduce
+    the generated BM25 SQL — global stats, exact doc lengths, boost
+    multipliers, (score desc, doc_key desc) rank — to 6 decimals (the
+    gate convention). The fixed gates pin ~10 such queries; this
+    generates 10 more per run from the same SQL generator."""
+    import __spark_entry__ as entry
+
+    from quickwit_spark.query.ast import Bool, Boost, Term
+
+    rng = random.Random(2718)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    failures = []
+    for i in range(10):
+        pool = rng.sample(vocab[:30], 6)
+        n_must = rng.randint(0, 2)
+        n_should = rng.randint(1 if n_must == 0 else 0, 2)
+        n_not = rng.randint(0, 1)
+        musts = pool[:n_must]
+        shoulds = [
+            (t, rng.choice([1.0, 0.5, 2.0]))
+            for t in pool[n_must : n_must + n_should]
+        ]
+        must_nots = pool[n_must + n_should : n_must + n_should + n_not]
+        use_filter = rng.random() < 0.4
+        ast = Bool(
+            must=[Term("text", t) for t in musts],
+            should=[
+                Boost(Term("text", t), b) if b != 1.0 else Term("text", t)
+                for t, b in shoulds
+            ],
+            must_not=[Term("text", t) for t in must_nots],
+            filter=[Term("lang", "en")] if use_filter else [],
+        )
+        sql = entry._bm25_sql(
+            [(t, 1.0) for t in musts] + shoulds,
+            must=musts,
+            must_not=must_nots,
+            filter_sql="lang = 'en'" if use_filter else None,
+        )
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        got = [
+            (r["doc_key"], round(r["score"], 6), r["rank"])
+            for r in searcher.search(ast, k=10, mode="oracle").collect()
+        ]
+        if got != want:
+            failures.append((i, ast, got[:3], want[:3]))
+    assert not failures, failures[:2]
