@@ -50,6 +50,9 @@ def searcher(spark, sf_dir, tmp_path_factory):
         doc_key="doc_id",
         num_partitions=4,
         stored_columns=("lang", "source", "n_chars"),
+        # tag pruning must be SOUND for every random query below — a
+        # wrongly pruned segment would show up as a count mismatch
+        tag_fields=("lang", "source"),
     )
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     build_index(spark, df, idx, cfg)
