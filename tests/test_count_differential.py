@@ -445,3 +445,38 @@ def test_random_bm25_topk_match_duckdb(searcher, vocab):
         if got != want:
             failures.append((i, ast, got[:3], want[:3]))
     assert not failures, failures[:2]
+
+
+def test_list_terms_and_stream_match_duckdb(searcher, vocab):
+    """list_terms dictionary ranges and search_stream exports against
+    direct SQL over the corpus — random [start, end) windows and random
+    stream queries."""
+    rng = random.Random(606)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    for _ in range(6):
+        a, b = sorted(rng.sample(vocab, 2))
+        got = [r["term"] for r in searcher.list_terms("text", a, b, limit=50).collect()]
+        want = [
+            r[0]
+            for r in con.execute(
+                f"""SELECT DISTINCT term FROM (
+                      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+                    ) WHERE term <> '' AND term >= '{a}' AND term < '{b}'
+                    ORDER BY term LIMIT 50"""
+            ).fetchall()
+        ]
+        assert got == want, (a, b)
+    for _ in range(5):
+        ast = _gen_ast(rng, vocab, depth=2, allow_range=False)
+        got = sorted(
+            (r["doc_key"], r["n_chars"])
+            for r in searcher.search_stream(ast, ["n_chars"]).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"SELECT doc_id, n_chars FROM documents WHERE {_pred(ast)}"
+            ).fetchall()
+        )
+        assert got == want, ast
