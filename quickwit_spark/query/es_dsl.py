@@ -154,8 +154,6 @@ def from_es_query(
         return _boost(Term(field, _canon(spec["value"])), spec)
 
     if kind == "terms":
-        if not isinstance(body, dict):
-            raise ValueError("terms query must be an object {field: [values]}")
         entries = {k: v for k, v in body.items() if k != "boost"}
         if len(entries) != 1:
             # zero fields (incl. boost-only) or several → 400, like the

@@ -1743,6 +1743,13 @@ class IndexSearcher:
         docmap column with the field's fast normalizer applied (the
         reference aggregates the NORMALIZED fast values — a terms agg on
         a lowercase-normalized dynamic path buckets lowercased keys)."""
+        from quickwit_spark.search.es_aggs import _validate_aggs
+
+        # shape-validate BEFORE the .items() walk below — a null/list
+        # agg body must 400, not AttributeError (field existence is
+        # deliberately NOT checked here: unmapped fields become all-null
+        # columns, the reference's empty-bucket answer)
+        _validate_aggs(None, agg_body)
         opts = self.config.field_options or {}
         derived: dict[str, object] = {}
         m_cols = set(m.columns)

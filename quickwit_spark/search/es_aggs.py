@@ -706,21 +706,26 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
     )
 
 
-def _validate_aggs(cols: set, aggs: dict) -> None:
-    """Reject malformed agg bodies BEFORE Column construction: an
-    unknown field, a non-positive histogram interval, or a non-array
-    `ranges` would otherwise surface as AnalysisException /
-    DIVIDE_BY_ZERO / AttributeError — outside the (ValueError,
-    TypeError, KeyError, NotImplementedError) tuple the wire layer
-    converts to ES 400 envelopes. The reference's tantivy aggregations
-    error on each of these at request parse time."""
+def _validate_aggs(cols: set | None, aggs: dict) -> None:
+    """Reject malformed agg bodies BEFORE any `.items()` walk or Column
+    construction: a non-object body, unknown/non-string field, a
+    non-positive (date_)histogram interval, empty/non-numeric `ranges`
+    or empty `percents` would otherwise surface as AttributeError /
+    AnalysisException / DIVIDE_BY_ZERO / assertion failures — outside
+    the (ValueError, TypeError, KeyError, NotImplementedError) tuple
+    the wire layer converts to ES 400 envelopes. The reference's
+    tantivy aggregations error on each of these at request parse time.
+
+    `cols=None` skips the field-existence check only: the engine path
+    resolves fields itself (unmapped → all-null literal, ES empty-bucket
+    semantics), so it validates SHAPE here and existence never fails."""
     if not isinstance(aggs, dict):
         raise ValueError("aggs must be an object")
     for name, clause in aggs.items():
         if not isinstance(clause, dict):
             raise ValueError(f"aggregation {name!r} must be an object")
         for kind, spec in clause.items():
-            if kind == "aggs":
+            if kind in ("aggs", "aggregations"):
                 _validate_aggs(cols, spec)
                 continue
             if not isinstance(spec, dict):
@@ -729,20 +734,40 @@ def _validate_aggs(cols: set, aggs: dict) -> None:
                 f = spec["field"]
                 if not isinstance(f, str):
                     raise ValueError("aggregation `field` must be a string")
-                if f not in cols:
+                if cols is not None and f not in cols:
                     raise ValueError(
                         f"aggregation field {f!r} does not exist in the index"
                     )
             if kind == "histogram":
                 if not float(spec.get("interval", 0)) > 0:
                     raise ValueError("histogram `interval` must be > 0")
+            if kind == "date_histogram":
+                iv = spec.get("fixed_interval")
+                if iv is not None and _fixed_interval_ms(iv) <= 0:
+                    raise ValueError("date_histogram `fixed_interval` must be > 0")
             if kind == "range":
                 r = spec.get("ranges")
-                if not isinstance(r, list) or not all(
-                    isinstance(x, dict) for x in r
+                if (
+                    not isinstance(r, list)
+                    or not r
+                    or not all(isinstance(x, dict) for x in r)
                 ):
                     raise ValueError(
-                        "range aggregation needs a `ranges` array of objects"
+                        "range aggregation needs a non-empty `ranges` "
+                        "array of objects"
+                    )
+                for x in r:
+                    for b in ("from", "to"):
+                        if b in x and (
+                            isinstance(x[b], bool)
+                            or not isinstance(x[b], (int, float))
+                        ):
+                            raise ValueError("range bounds must be numeric")
+            if kind == "percentiles":
+                p = spec.get("percents")
+                if p is not None and (not isinstance(p, list) or not p):
+                    raise ValueError(
+                        "percentiles `percents` must be a non-empty array"
                     )
 
 

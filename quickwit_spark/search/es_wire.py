@@ -343,7 +343,12 @@ class EsWireHandler:
 
     def _search(self, searcher, params: dict, body: dict) -> dict:
         if params.get("scroll"):
-            return self._scroll_start(searcher, params, body)
+            try:
+                return self._scroll_start(searcher, params, body)
+            except EsApiError:
+                raise
+            except (ValueError, TypeError, KeyError, NotImplementedError) as e:
+                raise EsApiError(400, str(e)) from e
         body = self._effective_body(params, body)
         inc, exc = self._src_filters(params)
         try:
@@ -385,7 +390,12 @@ class EsWireHandler:
         import time as _time
 
         if params.get("scroll"):
-            return self._scroll_start_many(names, params, body)
+            try:
+                return self._scroll_start_many(names, params, body)
+            except EsApiError:
+                raise
+            except (ValueError, TypeError, KeyError, NotImplementedError) as e:
+                raise EsApiError(400, str(e)) from e
         t0 = _time.perf_counter()
         if not names:
             return self._empty_search_response(t0)
@@ -472,7 +482,14 @@ class EsWireHandler:
                 "hits": all_hits[:size],
             },
         }
-        aggs_shaped = self._aggs_shaped_many(names, body)
+        try:
+            aggs_shaped = self._aggs_shaped_many(names, body)
+        except EsApiError:
+            raise
+        except (ValueError, TypeError, KeyError, NotImplementedError) as e:
+            # the agg fan-out runs after the hits try-block; its parse
+            # errors must still become 400 envelopes, never raw 500s
+            raise EsApiError(400, str(e)) from e
         if aggs_shaped is not None:
             out["aggregations"] = aggs_shaped
         return self._apply_src_filters(out, inc, exc)
@@ -487,7 +504,14 @@ class EsWireHandler:
         from pyspark.sql import functions as F
 
         from quickwit_spark.search import aggs as _aggs
-        from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
+        from quickwit_spark.search.es_aggs import (
+            _validate_aggs,
+            run_es_aggs,
+            shape_es_agg,
+        )
+
+        # shape-validate before field_walk's .items() traversal below
+        _validate_aggs(None, agg_body)
 
         def field_walk(node: dict, fn) -> dict:
             """Rewrite every {"field": ...} leaf in deterministic

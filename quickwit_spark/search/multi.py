@@ -163,12 +163,43 @@ class MultiIndexSearcher:
         out["total"] = sum(s.count(ast_for(s)) for _, s in self.searchers)
         if body.get("aggs"):
             from quickwit_spark.search import aggs as _aggs
+            from quickwit_spark.search.es_aggs import _validate_aggs
 
+            agg_body = body["aggs"]
+            _validate_aggs(None, agg_body)
             # one frame per index (resolved per index config), one
             # distributed agg plan over the union
             mparts = [_aggs.matches(s, ast_for(s)) for _, s in self.searchers]
             mu = mparts[0]
             for p in mparts[1:]:
                 mu = mu.unionByName(p, allowMissingColumns=True)
-            out["aggregations"] = run_es_aggs(mu, body["aggs"])
+            # engine parity: a field unmapped on EVERY member aggregates
+            # over all-null (empty buckets / null metrics, never an
+            # error) — same convention as _agg_frame_and_body
+            derived: list[str] = []
+            cols = set(mu.columns)
+
+            def rewrite(node: dict) -> dict:
+                res = {}
+                for name, spec in node.items():
+                    res[name] = {}
+                    for k, v in spec.items():
+                        if k in ("aggs", "aggregations"):
+                            res[name][k] = rewrite(v)
+                        elif (
+                            isinstance(v, dict)
+                            and isinstance(v.get("field"), str)
+                            and v["field"] not in cols
+                        ):
+                            alias = f"__qw_multi_{len(derived)}"
+                            derived.append(alias)
+                            res[name][k] = {**v, "field": alias}
+                        else:
+                            res[name][k] = v
+                return res
+
+            body2 = rewrite(agg_body)
+            for alias in derived:
+                mu = mu.withColumn(alias, F.lit(None).cast("double"))
+            out["aggregations"] = run_es_aggs(mu, body2)
         return out

@@ -33,7 +33,10 @@ from quickwit_spark.query.ast import (
     Wildcard,
 )
 
-DOCS = "/root/testdata/sf0.001/documents.parquet"
+import os
+
+_SF = os.environ.get("QWS_TEST_SF_DIR", "/root/testdata/sf0.001")
+DOCS = f"{_SF}/documents.parquet"
 
 
 @pytest.fixture(scope="module")

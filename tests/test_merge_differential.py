@@ -19,7 +19,10 @@ import pytest
 
 from quickwit_spark.query.ast import Bool, FullText, Phrase, Term, Wildcard
 
-DOCS = "/root/testdata/sf0.001/documents.parquet"
+import os
+
+_SF = os.environ.get("QWS_TEST_SF_DIR", "/root/testdata/sf0.001")
+DOCS = f"{_SF}/documents.parquet"
 
 
 @pytest.fixture(scope="module")

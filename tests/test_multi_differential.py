@@ -92,3 +92,16 @@ def test_multi_oracle_topk_matches_member_sql_merge(multi, vocab):
             for r in multi.search(ast, k=10, mode="oracle").collect()
         ]
         assert got == want, (ast, got[:3], want[:3])
+
+
+def test_multi_unmapped_agg_field_empty_buckets(multi):
+    """Engine parity on the federated path: aggregating a field no
+    member maps answers empty buckets (all-null column), never an
+    error — and a malformed body is a clean parse error."""
+    from quickwit_spark.search.es_aggs import shape_es_agg
+
+    r = multi.es_search({"size": 0, "aggs": {"x": {"terms": {"field": "ghost"}}}})
+    shaped = shape_es_agg({"terms": {"field": "ghost"}}, r["aggregations"]["x"])
+    assert shaped["buckets"] == []
+    with pytest.raises(ValueError):
+        multi.es_search({"size": 0, "aggs": {"x": "bad"}})

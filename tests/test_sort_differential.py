@@ -20,7 +20,10 @@ import random
 import duckdb
 import pytest
 
-EVENTS = "/root/testdata/sf0.001/events.parquet"
+import os
+
+_SF = os.environ.get("QWS_TEST_SF_DIR", "/root/testdata/sf0.001")
+EVENTS = f"{_SF}/events.parquet"
 
 # engine-side derived nullable columns and their SQL mirrors
 _DERIVED_SQL = {

@@ -54,7 +54,7 @@ def pair(spark, sf_dir, tmp_path_factory):
     q = index_stream(
         stream, stream_idx, cfg(), checkpoint_dir=os.path.join(base, "ckpt")
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "streamed build did not finish in 300s"
     return IndexSearcher(spark, batch_idx), IndexSearcher(spark, stream_idx)
 
 
