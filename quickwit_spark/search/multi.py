@@ -175,7 +175,11 @@ class MultiIndexSearcher:
                 mu = mu.unionByName(p, allowMissingColumns=True)
             # engine parity: a field unmapped on EVERY member aggregates
             # over all-null (empty buckets / null metrics, never an
-            # error) — same convention as _agg_frame_and_body
+            # error) — same convention as _agg_frame_and_body. This
+            # facade resolves PHYSICAL column names only; dynamic
+            # dot-path fields with per-member field_options resolve
+            # through the ES wire's federated path (_aggs_shaped_many),
+            # which runs each member's own field resolution.
             derived: list[str] = []
             cols = set(mu.columns)
 
