@@ -44,12 +44,20 @@ class FullText(QueryAst):
     """Query text is tokenized with the field's tokenizer, then combined
     with `operator` ('and' | 'or'). Zero tokens → MatchAll semantics when
     zero_terms_match_all else MatchNone (reference
-    `query_ast/full_text_query.rs:36-44,108-110`)."""
+    `query_ast/full_text_query.rs:36-44,108-110`).
+
+    `phrase_fallback` marks an UNQUOTED user-input literal: the
+    reference evaluates those as FullTextMode::PhraseFallbackToIntersection
+    (`user_input_query.rs:251`, `full_text_query.rs:151-161`) — a slop-0
+    phrase when the field records positions, else an AND intersection.
+    The engine resolves the flag driver-side (it knows the field's
+    record option and tokenizer); the kernel never sees it."""
 
     field: str
     text: str
     operator: str = "or"
     zero_terms_match_all: bool = False
+    phrase_fallback: bool = False
 
 
 @dataclass(frozen=True)

@@ -46,7 +46,7 @@ from quickwit_spark.query.ast import (
 _TOKEN_RE = re.compile(
     r"""
     (?P<lpar>\()|(?P<rpar>\))|(?P<lbrk>\[)|(?P<rbrk>\])|(?P<lbrc>\{)|(?P<rbrc>\})
-    |(?P<quoted>"[^"]*")
+    |(?P<quoted>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
     |(?P<word>(?:\\.|[^\s()\[\]{}:"\\])+)
     |(?P<colon>:)
     """,
@@ -58,6 +58,13 @@ _ESCAPE_RE = re.compile(r"\\(.)")
 
 def _unescape(s: str) -> str:
     return _ESCAPE_RE.sub(r"\1", s)
+
+
+def _is_quoted(t: str) -> bool:
+    """Token is a complete quoted literal (either delimiter,
+    `docs/reference/query-language.md` "In quoted terms, the quote
+    character in use `'` or `\"` needs to be escaped")."""
+    return len(t) >= 2 and t[0] in "\"'" and t[-1] == t[0]
 
 
 def _lex(q: str) -> list[str]:
@@ -101,7 +108,7 @@ class _Parser:
         end = self.spans[self.i - 1][2]
         while self.i < len(self.spans):
             t, s, e = self.spans[self.i]
-            is_joinable = t == ":" or (t not in "()[]{}" and not t.startswith('"'))
+            is_joinable = t == ":" or (t not in "()[]{}" and not _is_quoted(t))
             if s != end or not is_joinable:
                 break
             out += t
@@ -115,8 +122,8 @@ class _Parser:
         t = self.next()
         if t is None:
             raise ValueError("malformed range")
-        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
-            return t[1:-1]
+        if _is_quoted(t):
+            return t[1:-1].replace("\\" + t[0], t[0])
         return _unescape(self._join_value(t))
 
     def parse_expr(self) -> QueryAst:
@@ -246,12 +253,16 @@ class _Parser:
             if self.peek() == "]":
                 self.next()
             return TermSet(field=field or self.default_fields[0], values=vals)
-        if t.startswith('"') and t.endswith('"'):
-            # phrase syntax — `"a b"~N` sets slop, `"a b"*` is a phrase
-            # prefix (reference query language). Fields indexed with
-            # record:'position' get true positional semantics; freq-only
-            # fields degrade to an AND conjunction of the terms.
-            text = t[1:-1]
+        if _is_quoted(t):
+            # quoted literal — `"a b"~N` sets slop, `"a b"*` is a phrase
+            # prefix (reference query language). Delimiter semantics
+            # follow `user_input_query.rs:251-255`: double quotes →
+            # FullTextMode::Phrase{slop}; SINGLE quotes → Bool(And) of
+            # the tokens, no positions needed, slop ignored. Fields
+            # indexed with record:'position' get true positional
+            # semantics; freq-only fields degrade to an AND conjunction.
+            delim = t[0]
+            text = t[1:-1].replace("\\" + delim, delim)
             nxt = self.peek()
             slop = 0
             prefix = False
@@ -261,6 +272,10 @@ class _Parser:
             elif nxt == "*":
                 prefix = True
                 self.next()
+            if delim == "'" and not prefix:
+                # reference prefix check precedes the mode, so `'a b'*`
+                # still builds a PhrasePrefixQuery (user_input_query.rs:266)
+                return self._fulltext(field, text, operator="and")
             return self._phrase(field, text, slop, prefix)
         t = self._join_value(t)
         # wildcard check on the escape-stripped view so `\*` stays literal
@@ -270,13 +285,25 @@ class _Parser:
                     [Wildcard(field=f, pattern=t) for f in self.default_fields]
                 )
             return Wildcard(field=field, pattern=t)
-        return self._fulltext(field, _unescape(t), operator="and")
+        # unquoted literal: the reference mode is
+        # PhraseFallbackToIntersection (`user_input_query.rs:251`) —
+        # matters only when the field's tokenizer splits the single
+        # lexed token into several (e.g. `f:hello-world`), resolved by
+        # the engine against the field's record option
+        return self._fulltext(field, _unescape(t), operator="and", fallback=True)
 
-    def _fulltext(self, field: str | None, text: str, operator: str) -> QueryAst:
+    def _fulltext(
+        self, field: str | None, text: str, operator: str, fallback: bool = False
+    ) -> QueryAst:
         if field is not None:
-            return FullText(field=field, text=text, operator=operator)
+            return FullText(
+                field=field, text=text, operator=operator, phrase_fallback=fallback
+            )
         return _multi_field(
-            [FullText(field=f, text=text, operator=operator) for f in self.default_fields]
+            [
+                FullText(field=f, text=text, operator=operator, phrase_fallback=fallback)
+                for f in self.default_fields
+            ]
         )
 
     def _phrase(self, field: str | None, text: str, slop: int, prefix: bool) -> QueryAst:

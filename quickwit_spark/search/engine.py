@@ -639,9 +639,28 @@ class IndexSearcher:
                 lt=conv(node.lt, lower=True),
             )
 
+        position_fields = {
+            f.name for f in self.config.fields if f.record == "position"
+        }
+        tok_for = self._tokenizer_for_field()
+
         def walk(node):
             if isinstance(node, Exists) and presence is not None:
                 return Term(presence, node.field)
+            if isinstance(node, FullText) and node.phrase_fallback:
+                # reference PhraseFallbackToIntersection
+                # (`full_text_query.rs:151-161`): an unquoted literal
+                # whose tokenization yields >1 token is a slop-0 PHRASE
+                # when the field records positions, else an AND
+                # intersection. Single-token literals stay on the term
+                # path (a 1-term phrase is score-identical but would
+                # drag a needless positions scan into the plan).
+                if (
+                    node.field in position_fields
+                    and len(tok_for(node.field)(node.text)) > 1
+                ):
+                    return Phrase(field=node.field, text=node.text, slop=0)
+                return node
             if isinstance(node, Range):
                 return norm_range(node)
             if isinstance(node, Bool):

@@ -72,7 +72,12 @@ def test_bool_boost_query_string():
     qs = from_es_body(
         {"query": {"query_string": {"query": "spark AND join", "fields": ["text"]}}}
     )
-    assert qs == Bool(must=[FullText("text", "spark", "and"), FullText("text", "join", "and")])
+    assert qs == Bool(
+        must=[
+            FullText("text", "spark", "and", phrase_fallback=True),
+            FullText("text", "join", "and", phrase_fallback=True),
+        ]
+    )
 
 
 def test_unsupported_raises():

@@ -17,8 +17,10 @@ from quickwit_spark.query.parser import parse_query
 F2 = ["text", "lang"]
 
 
-def ft(field, text, op="and"):
-    return FullText(field=field, text=text, operator=op)
+def ft(field, text, op="and", fallback=True):
+    # parser output for unquoted literals carries phrase_fallback
+    # (reference PhraseFallbackToIntersection, user_input_query.rs:251)
+    return FullText(field=field, text=text, operator=op, phrase_fallback=fallback)
 
 
 def test_field_scoped_group():

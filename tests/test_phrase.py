@@ -249,3 +249,79 @@ def test_query_string_phrase_end_to_end(spark, pos_index):
     assert got == set(_phrase_oracle("brown quick")) == {2, 4}
     # AND degradation would also match docs 0 and 1 (both words, not adjacent)
     assert 1 not in got
+
+
+def test_parser_delimiter_modes():
+    """The reference maps each literal delimiter to a distinct full-text
+    mode (`user_input_query.rs:251-255`): unquoted →
+    PhraseFallbackToIntersection, single quotes → Bool(And), double
+    quotes → Phrase{slop}."""
+    from quickwit_spark.query.ast import FullText, PhrasePrefix as PP
+    from quickwit_spark.query.parser import parse_query
+
+    pos = {"text"}
+    # single-quoted: AND of terms even on a position field, slop ignored
+    assert parse_query("text:'quick brown'", ["text"], position_fields=pos) == FullText(
+        "text", "quick brown", "and"
+    )
+    # unquoted literal carries the fallback flag for the engine
+    assert parse_query("text:hello-world", ["text"], position_fields=pos) == FullText(
+        "text", "hello-world", "and", phrase_fallback=True
+    )
+    # prefix check precedes the mode: `'a b'*` is still a phrase prefix
+    assert parse_query("text:'quick bro'*", ["text"], position_fields=pos) == PP(
+        "text", "quick bro"
+    )
+    # escaped delimiter inside a quoted literal
+    assert parse_query('text:"a \\" b"', ["text"], position_fields=pos).text == 'a " b'
+    assert parse_query("text:'a \\' b'", ["text"]).text == "a ' b"
+
+
+@pytest.fixture(scope="module")
+def hyphen_index(spark, tmp_path_factory):
+    docs = [
+        (0, "say hello-world loudly"),          # adjacent after tokenizing
+        (1, "hello cruel world"),               # both words, not adjacent
+        (2, "world of hello"),                  # both words, reversed
+        (3, "nothing to see"),
+    ]
+    d = str(tmp_path_factory.mktemp("hyphidx"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", record="position")],
+        doc_key="doc_id",
+        num_partitions=1,
+    )
+    build_index(spark, spark.createDataFrame(docs, "doc_id long, text string"), d, cfg)
+    return d
+
+
+def test_unquoted_phrase_fallback_end_to_end(spark, hyphen_index):
+    """`text:hello-world` on a position field is a slop-0 phrase in the
+    reference (PhraseFallbackToIntersection, `full_text_query.rs:151-161`);
+    `text:'hello world'` (single quotes) is an intersection."""
+    s = IndexSearcher(spark, hyphen_index)
+
+    def hits(q):
+        return {r["doc_key"] for r in s.search_stream(q, []).collect()}
+
+    assert hits("text:hello-world") == {0}
+    assert hits("text:'hello world'") == {0, 1, 2}
+    assert hits('text:"hello world"') == {0}
+    # single-token unquoted literals stay on the term path (score- and
+    # result-identical; no positions scan) — plan shows no Phrase node
+    plan = s.search_plan("text:hello")
+    assert "Phrase" not in plan["query_ast"]
+    plan2 = s.search_plan("text:hello-world")
+    assert "Phrase" in plan2["query_ast"]
+
+
+def test_unquoted_fallback_without_positions(spark, tmp_path):
+    """On a freq-only field the same literal degrades to an AND
+    intersection instead of erroring (unlike an explicit phrase)."""
+    docs = [(0, "say hello-world loudly"), (1, "hello cruel world"), (3, "nope")]
+    d = str(tmp_path / "nopos")
+    cfg = IndexConfig(fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=1)
+    build_index(spark, spark.createDataFrame(docs, "doc_id long, text string"), d, cfg)
+    s = IndexSearcher(spark, d)
+    got = {r["doc_key"] for r in s.search_stream("text:hello-world", []).collect()}
+    assert got == {0, 1}
