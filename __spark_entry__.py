@@ -1346,6 +1346,23 @@ def _q_phrase_prefix(spark, sf_dir):
     return s.search_stream(PhrasePrefix("text", "order s"), ["lang"])
 
 
+def _q_phrase_fallback(spark, sf_dir):
+    """Unquoted literal whose tokenization yields two tokens
+    (`text:order-fast`): the reference's PhraseFallbackToIntersection
+    mode (user_input_query.rs:251) — a slop-0 phrase because the field
+    records positions. Result set must equal the explicit-phrase gate."""
+    s = _searcher(spark, sf_dir)
+    return s.search_stream("text:order-fast", ["lang"])
+
+
+def _q_single_quote_and(spark, sf_dir):
+    """Single-quoted literal (`text:'order fast'`): Delimiter::
+    SingleQuotes → FullTextMode::Bool(And) (user_input_query.rs:252-254)
+    — an intersection of the tokens, no adjacency required."""
+    s = _searcher(spark, sf_dir)
+    return s.search_stream("text:'order fast'", ["lang"])
+
+
 def _q_search_after(spark, sf_dir):
     """Page 2 of the hot-term BM25 ranking via a search_after cursor —
     the cursor score is pushed into the kernel as a cutoff, so the page
@@ -3577,6 +3594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_match": _q_phrase_match,
         "search_phrase_slop": _q_phrase_slop,
         "search_phrase_prefix": _q_phrase_prefix,
+        "search_phrase_fallback": _q_phrase_fallback,
+        "search_single_quote_and": _q_single_quote_and,
         "search_after_page2": _q_search_after,
         "sort_field_page2": _q_sort_field_page2,
         "sort_two_key_page2": _q_sort_two_key_page2,
@@ -4039,6 +4058,14 @@ FROM m ORDER BY n_chars DESC, doc_id DESC LIMIT 10
         "search_phrase_match": _PHRASE_MATCH_SQL,
         "search_phrase_slop": _PHRASE_SLOP_SQL,
         "search_phrase_prefix": _PHRASE_PREFIX_SQL,
+        # unquoted `text:order-fast` is the same slop-0 phrase
+        "search_phrase_fallback": _PHRASE_MATCH_SQL,
+        "search_single_quote_and": """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id AS doc_key, lang
+FROM t
+WHERE list_contains(l, 'order') AND list_contains(l, 'fast')
+""",
         "search_after_page2": _bm25_sql([("spark", 1.0)], offset=10),
         "sort_field_page2": f"""
 WITH {_AGG_MATCH_CTE}
