@@ -483,3 +483,87 @@ def test_list_terms_and_stream_match_duckdb(searcher, vocab):
             ).fetchall()
         )
         assert got == want, ast
+
+
+# --------------------------------------------------------------------------
+# randomized QUERY-STRING delimiter differential — unquoted (phrase
+# fallback), single-quoted (AND), double-quoted (phrase, ~slop) literals
+# through the PARSER and a position-record index, counts vs DuckDB
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_searcher(spark, sf_dir, tmp_path_factory):
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+
+    idx = str(tmp_path_factory.mktemp("count_diff_pos_idx"))
+    cfg = IndexConfig(
+        fields=[FieldConfig("text", record="position")],
+        doc_key="doc_id",
+        num_partitions=4,
+    )
+    build_index(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), idx, cfg
+    )
+    return IndexSearcher(spark, idx)
+
+
+def _sq(t: str) -> str:
+    return t.replace("'", "''")
+
+
+def _phrase_pred(toks: list[str], slop: int = 0) -> str:
+    """DuckDB adjacency / slop predicate on the space-split token list
+    (the engine's sloppy-DP semantics for two terms: position distance
+    |(j-1) - i| ≤ slop; slop=0 is exact adjacency)."""
+    if len(toks) == 1:
+        return f"list_contains(string_split(text, ' '), '{_sq(toks[0])}')"
+    assert len(toks) == 2
+    a, b = _sq(toks[0]), _sq(toks[1])
+    if slop == 0:
+        return (
+            "len(list_filter(range(1, greatest(len(string_split(text,' ')),1)),"
+            f" i -> string_split(text,' ')[i] = '{a}'"
+            f" AND string_split(text,' ')[i+1] = '{b}')) > 0"
+        )
+    return (
+        "len(list_filter(range(1, len(string_split(text,' ')) + 1), j ->"
+        f" string_split(text,' ')[j] = '{b}' AND len(list_filter("
+        "range(1, len(string_split(text,' ')) + 1), i ->"
+        f" string_split(text,' ')[i] = '{a}'"
+        f" AND abs((j - 1) - i) <= {slop})) > 0)) > 0"
+    )
+
+
+def test_random_delimiter_literals_match_duckdb(pos_searcher, vocab):
+    """Random two-word literals in each delimiter form: `text:a-b`
+    (unquoted → slop-0 phrase on a position field), `text:'a b'`
+    (single-quoted → AND), `text:"a b"` and `text:"a b"~N` — engine
+    counts vs DuckDB predicates (reference mode table,
+    user_input_query.rs:251-255)."""
+    rng = random.Random(20260819)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    mismatches = []
+    for i in range(24):
+        a = rng.choice(vocab[:60])
+        b = rng.choice(vocab[:60])
+        form = i % 4
+        if form == 0:
+            q, pred = f"text:{a}-{b}", _phrase_pred([a, b])
+        elif form == 1:
+            q = f"text:'{a} {b}'"
+            pred = f"({_phrase_pred([a])} AND {_phrase_pred([b])})"
+        elif form == 2:
+            q, pred = f'text:"{a} {b}"', _phrase_pred([a, b])
+        else:
+            slop = rng.randint(1, 3)
+            q, pred = f'text:"{a} {b}"~{slop}', _phrase_pred([a, b], slop)
+        want = con.execute(
+            f"SELECT COUNT(*) FROM documents WHERE {pred}"
+        ).fetchone()[0]
+        got = pos_searcher.count(q)
+        if got != want:
+            mismatches.append((i, q, got, want))
+    assert not mismatches, mismatches[:4]
