@@ -307,6 +307,8 @@ def test_unquoted_phrase_fallback_end_to_end(spark, hyphen_index):
     assert hits("text:hello-world") == {0}
     assert hits("text:'hello world'") == {0, 1, 2}
     assert hits('text:"hello world"') == {0}
+    # three tokens out of one literal chain as a 3-term phrase
+    assert hits("text:hello-cruel-world") == {1}
     # single-token unquoted literals stay on the term path (score- and
     # result-identical; no positions scan) — plan shows no Phrase node
     plan = s.search_plan("text:hello")
