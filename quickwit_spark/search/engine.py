@@ -1287,6 +1287,15 @@ class IndexSearcher:
             dict.fromkeys(c for c in (fetch or []) if c != "doc_key")
         )
         raw_cols = fetch_cols + [c for c in snippet_fields if c not in fetch_cols]
+        doc_cols = set(self.docs().columns)
+        bad = [c for c in raw_cols if self._fcol(c) not in doc_cols]
+        if bad:
+            # a 400 to the API layers, not an AnalysisException 500 —
+            # the reference rejects snippet/fetch fields that aren't
+            # stored the same way
+            raise ValueError(
+                f"fetch/snippet field(s) not stored in the docmap: {bad}"
+            )
         docs = self.docs().select(
             "segment_id", "doc_id", "doc_key",
             *[qcol(self._fcol(c)).alias(c) for c in raw_cols],
