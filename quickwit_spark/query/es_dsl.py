@@ -292,7 +292,10 @@ def from_es_query(
         return parse_query(
             qs,
             fields,
-            str(body.get("default_operator", "and")).lower(),
+            # ES default operator is OR (reference BooleanOperand
+            # #[default] Or, `quickwit-query/src/lib.rs:48-53`) — unlike
+            # the native query-string API where juxtaposition means AND
+            str(body.get("default_operator", "or")).lower(),
             position_fields=position_fields,
         )
 

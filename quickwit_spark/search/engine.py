@@ -1714,6 +1714,11 @@ class IndexSearcher:
         )
         out: dict = {}
         size = int(body.get("size", 10))
+        # `from` pagination (reference start_offset,
+        # `rest_handler.rs:359`): rank [from, from+size) — fetch
+        # from+size winners, then drop the leading ranks
+        start_offset = int(body.get("from", 0) or 0)
+        k_total = start_offset + size
         resolved = self._resolve(ast, None)  # shared: one pattern expansion
         sort_spec = body.get("sort")
         fetch = list(body.get("_source") or [])
@@ -1736,7 +1741,7 @@ class IndexSearcher:
             out["hits"] = self.sort_by_field(
                 ast,
                 specs,
-                k=size,
+                k=k_total,
                 tie_by_key=True,
                 search_after=tuple(sa) if sa else None,
                 fetch=fetch,
@@ -1746,11 +1751,15 @@ class IndexSearcher:
             sa = body.get("search_after")
             out["hits"] = self.search(
                 ast,
-                k=size,
+                k=k_total,
                 mode=mode,
                 search_after=tuple(sa) if sa else None,
                 fetch=fetch,
                 _resolved=resolved,
+            )
+        if size > 0 and start_offset:
+            out["hits"] = out["hits"].filter(
+                F.col("rank") > start_offset
             )
         agg_body = body.get("aggs") or body.get("aggregations")
         if agg_body:

@@ -141,8 +141,14 @@ class EsWireHandler:
         endpoint, _, qs = endpoint.partition("?")
         for kv in qs.split("&"):
             if kv:
+                from urllib.parse import unquote
+
                 k, _, v = kv.partition("=")
-                params.setdefault(k, v)
+                # percent-decode like the reference's warp query
+                # extractor (`q=event%20other` is the two-word query,
+                # not a token). unquote, NOT unquote_plus: a literal
+                # `+` is the ascending marker in sort values
+                params.setdefault(unquote(k), unquote(v))
         parts = [p for p in endpoint.split("/") if p]
         if not parts:
             # GET / — the ES cluster-info banner
@@ -303,10 +309,22 @@ class EsWireHandler:
 
     def _effective_body(self, params: dict, body: dict) -> dict:
         body = dict(body)
+        # the `default_operator` param feeds the `q`/`extra_filters`
+        # query strings (reference build_request_for_es_api,
+        # `rest_handler.rs:310-341`; Or when absent)
+        default_op = str(params.get("default_operator", "or")).lower()
+        if default_op not in ("and", "or"):
+            raise EsApiError(400, f"invalid default_operator {default_op!r}")
         if params.get("q"):
             # the query string param REPLACES the body query (reference
             # rest_handler: `q` wins)
-            body["query"] = {"query_string": {"query": params["q"], "fields": []}}
+            body["query"] = {
+                "query_string": {
+                    "query": params["q"],
+                    "fields": [],
+                    "default_operator": default_op,
+                }
+            }
         extra = _as_list(params.get("extra_filters"))
         if extra:
             base = body.get("query", {"match_all": {}})
@@ -314,13 +332,23 @@ class EsWireHandler:
                 "bool": {
                     "must": [base],
                     "filter": [
-                        {"query_string": {"query": e, "fields": []}}
+                        {
+                            "query_string": {
+                                "query": e,
+                                "fields": [],
+                                "default_operator": default_op,
+                            }
+                        }
                         for e in extra
                     ],
                 }
             }
         if params.get("size") is not None:
             body["size"] = int(params["size"])
+        if params.get("from") is not None:
+            # URL param wins over the body value (reference:
+            # `search_params.from.or(search_body.from)`)
+            body["from"] = int(params["from"])
         if params.get("sort"):
             entries = []
             for ent in _as_list(params["sort"]):
@@ -413,9 +441,17 @@ class EsWireHandler:
         # ONCE over the union, so per-member agg work would be discarded
         from concurrent.futures import ThreadPoolExecutor
 
+        # `from` must apply AFTER the global merge (the reference root
+        # applies start_offset when merging leaf responses) — each
+        # member returns its own top from+size instead
+        start_offset = int(body.get("from", 0) or 0)
         member_body = {
-            k: v for k, v in body.items() if k not in ("aggs", "aggregations")
+            k: v
+            for k, v in body.items()
+            if k not in ("aggs", "aggregations", "from")
         }
+        if start_offset:
+            member_body["size"] = start_offset + size
         try:
             with ThreadPoolExecutor(max_workers=min(8, len(names))) as ex:
                 responses = list(
@@ -479,7 +515,7 @@ class EsWireHandler:
             "hits": {
                 "total": {"value": total, "relation": relation},
                 "max_score": max_score,
-                "hits": all_hits[:size],
+                "hits": all_hits[start_offset : start_offset + size],
             },
         }
         try:

@@ -287,3 +287,119 @@ def test_es_wire_stats_health_resolve_info_delete(spark, sf_dir, tmp_path):
         delete_index(str(tmp_path / "not_an_index"))
     assert s.es_delete_index() == {"acknowledged": True}
     assert not os.path.exists(idx) and s.segments == []
+
+
+def test_query_string_default_operator_is_or():
+    """ES query_string without default_operator combines clauses with
+    OR (reference BooleanOperand #[default] Or, lib.rs:48-53); the
+    native query-string API keeps AND juxtaposition."""
+    from quickwit_spark.query.ast import Bool, FullText
+    from quickwit_spark.query.es_dsl import from_es_body
+
+    qs = from_es_body(
+        {"query": {"query_string": {"query": "spark join", "fields": ["text"]}}}
+    )
+    assert qs == Bool(
+        should=[
+            FullText("text", "spark", "and", phrase_fallback=True),
+            FullText("text", "join", "and", phrase_fallback=True),
+        ]
+    )
+    qs2 = from_es_body(
+        {"query": {"query_string": {"query": "spark join", "fields": ["text"],
+                                    "default_operator": "AND"}}}
+    )
+    assert qs2 == Bool(
+        must=[
+            FullText("text", "spark", "and", phrase_fallback=True),
+            FullText("text", "join", "and", phrase_fallback=True),
+        ]
+    )
+
+
+def test_es_from_pagination(spark, sf_dir, tmp_path):
+    """Body/param `from` paginates: page [from, from+size) equals the
+    corresponding slice of one big page (reference start_offset,
+    rest_handler.rs:359), on both the BM25 and field-sort paths."""
+    from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.sources.corpus import web_corpus
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx_from")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=2,
+        stored_columns=("n_chars",),
+    )
+    docs = web_corpus(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    build_index(spark, docs, idx, cfg)
+    s = IndexSearcher(spark, idx)
+    base = {"query": {"match": {"text": {"query": "spark"}}}}
+    big = [r["doc_key"] for r in s.es_search({**base, "size": 9})["hits"].collect()]
+    p2 = [
+        r["doc_key"]
+        for r in s.es_search({**base, "size": 3, "from": 3})["hits"].collect()
+    ]
+    assert p2 == big[3:6]
+    # field-sorted path
+    base_s = {**base, "sort": [{"n_chars": {"order": "desc"}}]}
+    big_s = [r["doc_key"] for r in s.es_search({**base_s, "size": 9})["hits"].collect()]
+    p2_s = [
+        r["doc_key"]
+        for r in s.es_search({**base_s, "size": 3, "from": 3})["hits"].collect()
+    ]
+    assert p2_s == big_s[3:6]
+
+
+def test_es_wire_from_pagination_federated(spark, tmp_path):
+    """`from` on a multi-index pattern applies AFTER the global merge —
+    pages tile the federated ranking without overlap."""
+    from quickwit_spark.api import QuickwitSpark
+
+    qw = QuickwitSpark(spark, str(tmp_path / "fed"))
+    for n in ("logs-a", "logs-b"):
+        qw.create_index(
+            {"index_id": n, "doc_mapping": {"mode": "dynamic"}}
+        )
+    qw.ingest("logs-a", [{"msg": f"spark event {i}", "n": i} for i in range(6)])
+    qw.ingest("logs-b", [{"msg": f"spark other {i}", "n": 10 + i} for i in range(6)])
+    es = qw.es()
+    body = {"query": {"match": {"msg": {"query": "spark"}}},
+            "sort": [{"n": {"order": "asc"}}]}
+    big = es.request("GET", "logs-*/_search", body={**body, "size": 12})
+    keys = [(h["_index"], h["_id"]) for h in big["hits"]["hits"]]
+    assert len(keys) == 12
+    paged = []
+    for frm in (0, 4, 8):
+        page = es.request(
+            "GET", "logs-*/_search", body={**body, "size": 4, "from": frm}
+        )
+        paged += [(h["_index"], h["_id"]) for h in page["hits"]["hits"]]
+    assert paged == keys
+    # URL param form wins over the body value
+    via_param = es.request(
+        "GET", "logs-*/_search?from=4&size=4", body={**body, "from": 0}
+    )
+    assert [(h["_index"], h["_id"]) for h in via_param["hits"]["hits"]] == keys[4:8]
+
+
+def test_es_wire_q_param_decoding_and_default_operator(spark, tmp_path):
+    """URL query strings percent-decode (`q=event%20other` is two
+    words) and the `default_operator` param flips the `q` combination
+    (reference: Or when absent, rest_handler.rs:310)."""
+    from quickwit_spark.api import QuickwitSpark
+
+    qw = QuickwitSpark(spark, str(tmp_path / "qdec"))
+    qw.create_index({"index_id": "logs", "doc_mapping": {"mode": "dynamic"}})
+    qw.ingest(
+        "logs",
+        [{"msg": f"spark event {i}"} for i in range(3)]
+        + [{"msg": "spark other x"}],
+    )
+    es = qw.es()
+    r_or = es.request("GET", "logs/_search?q=event%20other&size=0")
+    assert r_or["hits"]["total"]["value"] == 4
+    r_and = es.request(
+        "GET", "logs/_search?q=event%20other&default_operator=AND&size=0"
+    )
+    assert r_and["hits"]["total"]["value"] == 0
