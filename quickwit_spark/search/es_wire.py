@@ -343,12 +343,27 @@ class EsWireHandler:
                     ],
                 }
             }
+        def _uint(name: str, v) -> int:
+            # the reference deserializes these as u64 — non-numeric or
+            # negative values are a 400, never a raw ValueError/200
+            try:
+                n = int(v)
+            except (TypeError, ValueError):
+                raise EsApiError(400, f"failed to parse {name}: {v!r}")
+            if n < 0:
+                raise EsApiError(400, f"{name} must be >= 0, got {n}")
+            return n
+
         if params.get("size") is not None:
-            body["size"] = int(params["size"])
+            body["size"] = _uint("size", params["size"])
         if params.get("from") is not None:
             # URL param wins over the body value (reference:
             # `search_params.from.or(search_body.from)`)
-            body["from"] = int(params["from"])
+            body["from"] = _uint("from", params["from"])
+        if "size" in body:
+            body["size"] = _uint("size", body["size"])
+        if "from" in body:
+            body["from"] = _uint("from", body["from"])
         if params.get("sort"):
             entries = []
             for ent in _as_list(params["sort"]):

@@ -403,3 +403,25 @@ def test_es_wire_q_param_decoding_and_default_operator(spark, tmp_path):
         "GET", "logs/_search?q=event%20other&default_operator=AND&size=0"
     )
     assert r_and["hits"]["total"]["value"] == 0
+
+
+def test_es_wire_size_from_validation(spark, tmp_path):
+    """size/from are u64 in the reference request structs — negative or
+    non-numeric values return a 400 envelope, never a raw ValueError."""
+    from quickwit_spark.api import QuickwitSpark
+    from quickwit_spark.search.es_wire import EsApiError
+
+    qw = QuickwitSpark(spark, str(tmp_path / "val"))
+    qw.create_index({"index_id": "logs", "doc_mapping": {"mode": "dynamic"}})
+    qw.ingest("logs", [{"msg": "spark"}])
+    es = qw.es()
+    for ep, body in [
+        ("logs/_search?size=-1", None),
+        ("logs/_search?from=-2", None),
+        ("logs/_search?size=abc", None),
+        ("logs/_search", {"from": -3}),
+        ("logs/_search", {"size": "x"}),
+    ]:
+        with pytest.raises(EsApiError) as ei:
+            es.request("GET", ep, body=body)
+        assert ei.value.status == 400
