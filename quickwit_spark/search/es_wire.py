@@ -164,30 +164,51 @@ class EsWireHandler:
             default = parts[0] if len(parts) == 2 else None
             return self._bulk(default, params, ndjson)
         if parts == ["_msearch"]:
+            if method not in ('POST',):
+                raise EsApiError(405, f"method {method} not allowed for _msearch")
             return self._msearch(ndjson or [], params)
         if parts == ["_search", "scroll"]:
+            # the reference route only accepts GET/POST
+            # (`filter.rs:257-263` elastic_scroll_filter); DELETE must
+            # not silently serve a page
+            if method not in ("GET", "POST"):
+                raise EsApiError(
+                    405, f"method {method} not allowed for _search/scroll"
+                )
             return self._scroll_page(params, body or {})
         if parts and parts[-1] == "_search" and len(parts) <= 2:
+            if method not in ('GET', 'POST'):
+                raise EsApiError(405, f"method {method} not allowed for _search")
             pattern = parts[0] if len(parts) == 2 else "*"
             names = self._resolve_es(pattern)
             if len(names) == 1:
                 return self._search(self.indexes[names[0]], params, body or {})
             return self._search_many(names, params, body or {})
         if parts and parts[-1] == "_count" and len(parts) <= 2:
+            if method not in ('GET', 'POST'):
+                raise EsApiError(405, f"method {method} not allowed for _count")
             pattern = parts[0] if len(parts) == 2 else "*"
             names = self._resolve_es(pattern)
             if len(names) == 1:
                 return self._count(self.indexes[names[0]], params, body or {})
             return self._count_many(names, params, body or {})
         if parts and parts[-1] == "_stats":
+            if method not in ('GET',):
+                raise EsApiError(405, f"method {method} not allowed for _stats")
             return self._stats(parts[0] if len(parts) > 1 else "*")
         if parts and parts[-1] == "_field_caps":
+            if method not in ('GET', 'POST'):
+                raise EsApiError(405, f"method {method} not allowed for _field_caps")
             pattern = parts[0] if len(parts) > 1 else "*"
             return self._field_caps(pattern, params)
         if parts[:2] == ["_cat", "indices"]:
+            if method not in ('GET',):
+                raise EsApiError(405, f"method {method} not allowed for _cat/indices")
             pattern = parts[2] if len(parts) > 2 else "*"
             return self._cat(pattern, params)
         if parts[:2] == ["_resolve", "index"]:
+            if method not in ('GET',):
+                raise EsApiError(405, f"method {method} not allowed for _resolve/index")
             return self._resolve_ep(parts[2] if len(parts) > 2 else "*")
         if parts == ["_cluster", "health"]:
             s = next(iter(self.indexes.values()))

@@ -425,3 +425,33 @@ def test_es_wire_size_from_validation(spark, tmp_path):
         with pytest.raises(EsApiError) as ei:
             es.request("GET", ep, body=body)
         assert ei.value.status == 400
+
+
+def test_es_wire_method_guards(spark, tmp_path):
+    """Route × method matrix matches the reference's warp filters
+    (`elasticsearch_api/filter.rs`): wrong methods are 405, and DELETE
+    on _search/scroll must not silently serve a page."""
+    from quickwit_spark.api import QuickwitSpark
+    from quickwit_spark.search.es_wire import EsApiError
+
+    qw = QuickwitSpark(spark, str(tmp_path / "methods"))
+    qw.create_index({"index_id": "logs", "doc_mapping": {"mode": "dynamic"}})
+    qw.ingest("logs", [{"msg": "spark"}])
+    es = qw.es()
+    cases = [
+        ("DELETE", "_search/scroll"),
+        ("PUT", "logs/_search"),
+        ("DELETE", "logs/_count"),
+        ("POST", "logs/_stats"),
+        ("GET", "_msearch"),
+        ("POST", "_cat/indices"),
+        ("POST", "_resolve/index/logs"),
+        ("GET", "_bulk"),
+    ]
+    for method, ep in cases:
+        with pytest.raises(EsApiError) as ei:
+            es.request(method, ep, ndjson=[])
+        assert ei.value.status == 405, (method, ep)
+    # allowed combos still work
+    assert es.request("POST", "logs/_search", body={"size": 0})["hits"]
+    assert es.request("POST", "logs/_count")["count"] == 1
