@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import SparkSession
@@ -130,6 +131,34 @@ class QuickwitSpark:
             raise ValueError(f"invalid index_id {index_id!r}")
         return os.path.join(self.root, index_id)
 
+    @staticmethod
+    def validate_identifier(label: str, value) -> None:
+        """Reference naming rule (`quickwit-config/src/lib.rs:134-144`):
+        identifiers (index/template/source ids) start with a letter and
+        are 3-255 chars of `[a-zA-Z0-9-_.]`."""
+        if not isinstance(value, str) or not re.fullmatch(
+            r"[a-zA-Z][a-zA-Z0-9\-_.]{2,254}", value
+        ):
+            raise ValueError(
+                f"{label} ID `{value}` is invalid: identifiers must match "
+                r"`^[a-zA-Z][a-zA-Z0-9-_\.]{2,254}$`"
+            )
+
+    @staticmethod
+    def validate_index_id_pattern(pattern) -> None:
+        """Reference pattern rule (`lib.rs:149-178`): identifier chars
+        plus `*` globs, optional leading `-`, no `**`."""
+        if (
+            not isinstance(pattern, str)
+            or not re.fullmatch(r"-?[a-zA-Z*][a-zA-Z0-9\-_.*]{0,254}", pattern)
+            or "**" in pattern
+        ):
+            raise ValueError(
+                f"index ID pattern `{pattern}` is invalid: patterns must "
+                r"match `^-?[a-zA-Z\*][a-zA-Z0-9-_\.\*]{0,254}$` "
+                "without `**`"
+            )
+
     def list_indexes(self) -> list[str]:
         return sorted(
             n
@@ -148,6 +177,7 @@ class QuickwitSpark:
         )
 
         index_id = config["index_id"]
+        self.validate_identifier("index", index_id)
         dm = config.get("doc_mapping") or {}
         parse_doc_mapping(dm)
         validate_search_settings(dm, config.get("search_settings"))
@@ -313,11 +343,12 @@ class QuickwitSpark:
         from quickwit_spark.sources.qw_config import parse_doc_mapping
 
         template_id = config["template_id"]
-        if not template_id or "/" in template_id or template_id[0] in "._":
-            raise ValueError(f"invalid template_id {template_id!r}")
+        self.validate_identifier("template", template_id)
         patterns = config.get("index_id_patterns") or []
-        if not patterns:
-            raise ValueError("`index_id_patterns` must not be empty")
+        if not patterns or not isinstance(patterns, (list, tuple)):
+            raise ValueError("`index_id_patterns` must be a non-empty list")
+        for p in patterns:
+            self.validate_index_id_pattern(p)
         parse_doc_mapping(config.get("doc_mapping") or {})
         d = self._templates_dir()
         os.makedirs(d, exist_ok=True)
@@ -388,10 +419,9 @@ class QuickwitSpark:
         state = self._state(index_id)
         sid = config.get("source_id") or ""
         stype = config.get("source_type")
-        if not sid or "/" in sid or sid.startswith("."):
-            raise ValueError(f"invalid source_id {sid!r}")
         if sid in self.RESERVED_SOURCES:
             raise PermissionError(f"source {sid!r} is managed internally")
+        self.validate_identifier("source", sid)
         if stype not in self.SOURCE_TYPES:
             raise ValueError(
                 f"unsupported source_type {stype!r}; supported: "

@@ -83,7 +83,7 @@ def test_pinned_types_and_mixed_monotonicity(qw):
 def test_timestamp_field_required(qw):
     qw.create_index(
         {
-            "index_id": "ts",
+            "index_id": "tsidx",
             "doc_mapping": {
                 "mode": "dynamic",
                 "timestamp_field": "ts",
@@ -91,11 +91,11 @@ def test_timestamp_field_required(qw):
             },
         }
     )
-    qw.ingest("ts", [{"ts": 1684993001, "m": "a"}, {"m": "no-timestamp"}])
+    qw.ingest("tsidx", [{"ts": 1684993001, "m": "a"}, {"m": "no-timestamp"}])
     # the reference rejects docs missing the declared timestamp field
-    r = qw.search("ts", {"query": {"match_all": {}}})
+    r = qw.search("tsidx", {"query": {"match_all": {}}})
     assert r["hits"]["total"]["value"] == 1
-    qw.delete_index("ts")
+    qw.delete_index("tsidx")
 
 
 def test_create_validation_errors(qw):
@@ -228,3 +228,28 @@ def test_facade_delete_tasks(qw):
     # applies the delete (delete_by_query docstring)
     r = qw.search("del", {"query": {"match": {"m": {"query": "message"}}}})
     assert r["hits"]["total"]["value"] == 2
+
+
+def test_identifier_validation_rules(qw):
+    """Reference naming conventions (`quickwit-config/src/lib.rs:134-178`):
+    identifiers are `^[a-zA-Z][a-zA-Z0-9-_.]{2,254}$`; patterns allow `*`
+    and a leading `-` but never `**`."""
+    for bad in ("ab", "1abc", "has space", "x" * 256, None, 7):
+        with pytest.raises(ValueError):
+            qw.create_index({"index_id": bad, "doc_mapping": {"mode": "dynamic"}})
+    with pytest.raises(ValueError):
+        qw.create_template(
+            {"template_id": "tp", "index_id_patterns": ["logs-*"]}
+        )
+    with pytest.raises(ValueError):
+        qw.create_template(
+            {"template_id": "tpl-ok", "index_id_patterns": ["logs-**"]}
+        )
+    with pytest.raises(ValueError):
+        qw.create_template(
+            {"template_id": "tpl-ok", "index_id_patterns": "logs-*"}
+        )
+    qw.create_template(
+        {"template_id": "tpl-ok", "index_id_patterns": ["logs-*", "-logs-x*"]}
+    )
+    qw.delete_template("tpl-ok")

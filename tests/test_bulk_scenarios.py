@@ -211,14 +211,14 @@ def test_federated_tie_break_numeric(spark, tmp_path):
     """Score ties across digit-count boundaries order by NUMERIC doc id
     (engine tie order), not lexicographically."""
     env = FacadeEnv(spark, str(tmp_path / "root"))
-    env.qw.create_index({"index_id": "t1", "doc_mapping": {"mode": "dynamic"}})
-    env.qw.create_index({"index_id": "t2", "doc_mapping": {"mode": "dynamic"}})
+    env.qw.create_index({"index_id": "tie1", "doc_mapping": {"mode": "dynamic"}})
+    env.qw.create_index({"index_id": "tie2", "doc_mapping": {"mode": "dynamic"}})
     # identical docs → identical BM25 within each index
-    env.qw.ingest("t1", [{"m": "same text"} for _ in range(12)])
-    env.qw.ingest("t2", [{"m": "other words"}])
+    env.qw.ingest("tie1", [{"m": "same text"} for _ in range(12)])
+    env.qw.ingest("tie2", [{"m": "other words"}])
     r = env.request(
         "GET",
-        "t1,t2/_search",
+        "tie1,tie2/_search",
         body={"query": {"match": {"m": {"query": "same"}}}, "size": 12},
     )
     ids = [int(h["_id"]) for h in r["hits"]["hits"]]
@@ -231,7 +231,7 @@ def test_bulk_handler_stays_live_view(spark, tmp_path):
     env = FacadeEnv(spark, str(tmp_path / "root"))
     env.qw.create_template(
         {
-            "template_id": "t",
+            "template_id": "tpl",
             "index_id_patterns": ["live-*"],
             "doc_mapping": {"mode": "dynamic"},
         }

@@ -44,11 +44,11 @@ def test_source_crud_and_validation(qw):
         qw.create_source("logs", cfg)
     with pytest.raises(ValueError, match="unsupported source_type"):
         qw.create_source(
-            "logs", {"source_id": "k", "source_type": "kafka", "params": {}}
+            "logs", {"source_id": "kfk", "source_type": "kafka", "params": {}}
         )
     with pytest.raises(ValueError, match="docs"):
         qw.create_source(
-            "logs", {"source_id": "v2", "source_type": "vec", "params": {}}
+            "logs", {"source_id": "vec2", "source_type": "vec", "params": {}}
         )
     with pytest.raises(ValueError, match="not found"):
         qw.get_source("logs", "nope")
@@ -74,23 +74,23 @@ def test_vec_source_run_checkpoint_toggle_reset(qw):
     docs = [{"level": "error", "msg": f"m{i}"} for i in range(5)]
     qw.create_source(
         "logs",
-        {"source_id": "v", "source_type": "vec",
+        {"source_id": "vsrc", "source_type": "vec",
          "params": {"docs": docs, "batch_num_docs": 2}},
     )
     before = _count(qw)
-    assert qw.run_source("logs", "v")["num_docs"] == 5
+    assert qw.run_source("logs", "vsrc")["num_docs"] == 5
     assert _count(qw) == before + 5
     # checkpointed: a second run ingests nothing
-    assert qw.run_source("logs", "v")["num_docs"] == 0
+    assert qw.run_source("logs", "vsrc")["num_docs"] == 0
     assert _count(qw) == before + 5
     # disabled source refuses to run
-    qw.toggle_source("logs", "v", False)
-    assert qw.run_source("logs", "v") == {
-        "source_id": "v", "num_docs": 0, "disabled": True}
-    qw.toggle_source("logs", "v", True)
+    qw.toggle_source("logs", "vsrc", False)
+    assert qw.run_source("logs", "vsrc") == {
+        "source_id": "vsrc", "num_docs": 0, "disabled": True}
+    qw.toggle_source("logs", "vsrc", True)
     # reset-checkpoint replays from the beginning
-    qw.reset_source_checkpoint("logs", "v")
-    assert qw.run_source("logs", "v")["num_docs"] == 5
+    qw.reset_source_checkpoint("logs", "vsrc")
+    assert qw.run_source("logs", "vsrc")["num_docs"] == 5
     assert _count(qw) == before + 10
 
 
@@ -100,16 +100,16 @@ def test_file_source_run(qw, tmp_path):
         json.dumps({"level": "warn", "msg": f"f{i}"}) for i in range(3)))
     qw.create_source(
         "logs",
-        {"source_id": "f", "source_type": "file",
+        {"source_id": "fsrc", "source_type": "file",
          "params": {"filepath": str(tmp_path / "*.ndjson")}},
     )
     before = _count(qw)
-    assert qw.run_source("logs", "f")["num_docs"] == 3
-    assert qw.run_source("logs", "f")["num_docs"] == 0  # consumed
+    assert qw.run_source("logs", "fsrc")["num_docs"] == 3
+    assert qw.run_source("logs", "fsrc")["num_docs"] == 0  # consumed
     # a NEW file appears -> only it is ingested
     p2 = tmp_path / "b.ndjson"
     p2.write_text(json.dumps({"level": "warn", "msg": "late"}))
-    assert qw.run_source("logs", "f")["num_docs"] == 1
+    assert qw.run_source("logs", "fsrc")["num_docs"] == 1
     assert _count(qw) == before + 4
     r = qw.search("logs", {"query": {"term": {"msg": {"value": "late"}}}})
     assert r["hits"]["total"]["value"] == 1
@@ -124,5 +124,5 @@ def test_void_source_and_state_survives_restart(qw, spark):
     # checkpoints (metastore-on-disk, like the reference)
     q2 = QuickwitSpark(spark, qw.root)
     ids = {s["source_id"] for s in q2.list_sources("logs")}
-    assert {"v", "f", "nop"} <= ids
-    assert q2.run_source("logs", "v")["num_docs"] == 0  # checkpoint kept
+    assert {"vsrc", "fsrc", "nop"} <= ids
+    assert q2.run_source("logs", "vsrc")["num_docs"] == 0  # checkpoint kept
