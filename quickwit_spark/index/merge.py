@@ -303,6 +303,9 @@ def execute_merge(
     the rewrite (reference merge-side delete application,
     `merge_executor.rs:351-510`): doomed docs are dropped, surviving
     docids COMPACT down, and the published stats reflect live docs only."""
+    import time as _time
+
+    t_start = _time.perf_counter()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     segs = {s.segment_id: s for s in mf.live_segments(index_dir)}
     inputs = [segs[sid] for sid in op.segment_ids]
@@ -648,6 +651,7 @@ def execute_merge(
         .parquet(f"{index_dir}/docs")
     )
 
+    merge_secs = _time.perf_counter() - t_start
     record = mf.SegmentRecord(
         segment_id=new_segment_id,
         state=mf.PUBLISHED,
@@ -658,7 +662,13 @@ def execute_merge(
         time_range=time_range,
         tags=_merged_tags(index_dir, inputs),
         merge_gen=op.merge_gen,
-        metrics={},
+        # per-op throughput metrics in the manifest, like the builder's
+        # build_secs (north-star: lineage + indexing-throughput metrics
+        # checkpointed so a killed job resumes mid-merge)
+        metrics={
+            "merge_secs": round(merge_secs, 3),
+            "docs_per_sec": round(num_docs / max(merge_secs, 1e-9), 2),
+        },
     )
     replaced = [
         mf.SegmentRecord(
