@@ -856,3 +856,39 @@ class QuickwitSpark:
     def search(self, index_id: str, body: dict) -> dict:
         """One `_search` request → the full ES wire envelope."""
         return self.es().request("GET", f"{index_id}/_search", body=body)
+
+    # ---- schema-less helper endpoints (index_api/rest_handler.rs) ----
+
+    def analyze(self, request: dict) -> list[dict]:
+        """`POST /api/v1/analyze` analog (`rest_handler.rs:129-159`):
+        request = flattened TokenizerConfig + `text`; returns the token
+        stream as `{offset_from, offset_to, position, position_length,
+        text}` dicts. ValueError on a malformed request (the wire 400)."""
+        from quickwit_spark.analysis.analyze import analyze_text
+
+        if not isinstance(request, dict):
+            raise ValueError("analyze request must be an object")
+        req = dict(request)
+        text = req.pop("text", None)
+        if text is None:
+            raise ValueError("analyze request requires `text`")
+        return analyze_text(text, req)
+
+    def parse_query(self, request: dict) -> dict:
+        """`POST /api/v1/parse-query` analog (`rest_handler.rs:175-220`):
+        `{"query": ..., "search_field": [...]}` → the QueryAst in the
+        reference's serde JSON shape."""
+        from quickwit_spark.query.reference_json import parse_query_reference
+
+        if not isinstance(request, dict):
+            raise ValueError("parse-query request must be an object")
+        query = request.get("query")
+        if not isinstance(query, str):
+            raise ValueError("parse-query request requires a string `query`")
+        sf = request.get("search_field")
+        if isinstance(sf, str):
+            sf = [p.strip() for p in sf.split(",") if p.strip()]
+        unknown = set(request) - {"query", "search_field"}
+        if unknown:
+            raise ValueError(f"unknown parse-query fields: {sorted(unknown)}")
+        return parse_query_reference(query, sf)
