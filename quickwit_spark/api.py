@@ -446,6 +446,43 @@ class QuickwitSpark:
         self._save_state(index_id, state)
         return dict(sources[sid])
 
+    def update_source(self, index_id: str, source_id: str, config: dict) -> dict:
+        """`PUT /indexes/{index_id}/sources/{source_id}` analog
+        (`source_resource.rs:98-158` → `load_source_config_update`,
+        `source_config/serialize.rs:67-89`): full-config replacement,
+        validated like create; the body's source_id must match the
+        path; the source TYPE cannot change
+        (`source_config/mod.rs:290-292`); the consumed checkpoint and
+        enabled flag survive the update (the metastore keeps them)."""
+        if source_id in self.RESERVED_SOURCES:
+            raise PermissionError(f"source {source_id!r} is managed internally")
+        state = self._state(index_id)
+        current = state.get("sources", {}).get(source_id)
+        if current is None:
+            raise ValueError(f"source {source_id!r} not found")
+        sid = config.get("source_id") or ""
+        if sid != source_id:
+            raise ValueError(
+                f"existing `source_id` {source_id} does not match updated "
+                f"`source_id` {sid}"
+            )
+        stype = config.get("source_type")
+        if stype not in self.SOURCE_TYPES:
+            raise ValueError(f"unsupported source_type {stype!r}")
+        if stype != current["source_type"]:
+            raise ValueError(
+                "source type cannot be changed, current type "
+                f"{current['source_type']}"
+            )
+        params = config.get("params") or {}
+        if stype == "vec" and not isinstance(params.get("docs"), list):
+            raise ValueError("vec source params need a 'docs' list")
+        if stype == "file" and not params.get("filepath"):
+            raise ValueError("file source params need a 'filepath'")
+        current["params"] = params
+        self._save_state(index_id, state)
+        return dict(current)
+
     def list_sources(self, index_id: str) -> list[dict]:
         return sorted(
             (dict(s) for s in self._state(index_id).get("sources", {}).values()),

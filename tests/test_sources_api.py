@@ -126,3 +126,47 @@ def test_void_source_and_state_survives_restart(qw, spark):
     ids = {s["source_id"] for s in q2.list_sources("logs")}
     assert {"vsrc", "fsrc", "nop"} <= ids
     assert q2.run_source("logs", "vsrc")["num_docs"] == 0  # checkpoint kept
+
+
+def test_update_source_replaces_params_keeps_checkpoint(qw, tmp_path):
+    # PUT semantics (source_resource.rs:98-158): full replacement,
+    # same id, type frozen, checkpoint survives
+    p1 = tmp_path / "a.ndjson"
+    p1.write_text(json.dumps({"msg": "one"}) + "\n")
+    p2 = tmp_path / "b.ndjson"
+    p2.write_text(json.dumps({"msg": "two"}) + "\n")
+    qw.create_source(
+        "logs",
+        {"source_id": "upd", "source_type": "file", "params": {"filepath": str(p1)}},
+    )
+    qw.run_source("logs", "upd")
+    before = qw.get_source("logs", "upd")["checkpoint"]
+    assert before  # consumed p1
+    updated = qw.update_source(
+        "logs",
+        "upd",
+        {"source_id": "upd", "source_type": "file", "params": {"filepath": str(p2)}},
+    )
+    assert updated["params"]["filepath"] == str(p2)
+    assert qw.get_source("logs", "upd")["checkpoint"] == before
+    with pytest.raises(ValueError, match="does not match"):
+        qw.update_source(
+            "logs",
+            "upd",
+            {"source_id": "other", "source_type": "file", "params": {"filepath": "x"}},
+        )
+    with pytest.raises(ValueError, match="type cannot be changed"):
+        qw.update_source(
+            "logs",
+            "upd",
+            {"source_id": "upd", "source_type": "vec", "params": {"docs": []}},
+        )
+    with pytest.raises(ValueError, match="filepath"):
+        qw.update_source(
+            "logs", "upd", {"source_id": "upd", "source_type": "file", "params": {}}
+        )
+    with pytest.raises(ValueError, match="not found"):
+        qw.update_source(
+            "logs", "nope", {"source_id": "nope", "source_type": "void", "params": {}}
+        )
+    qw.delete_source("logs", "upd")
