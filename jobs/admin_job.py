@@ -12,6 +12,15 @@ create/ingest/delete/clear/update` + template CLI analog,
         ... template-create --config template.json
         ... template-delete --template-id t1
         ... list
+        ... describe --index logs
+        ... source-create --index logs --config source.json
+        ... source-update --index logs --source s1 --config source.json
+        ... source-enable|source-disable|source-delete|source-describe \
+              --index logs --source s1
+        ... source-reset-checkpoint | source-run --index logs --source s1
+        ... source-list --index logs
+        ... analyze --request '{"type": "simple", "text": "Hello"}'
+        ... parse-query --query 'body:hello' [--search-field a,b]
 
 Config files are reference index-config / index-template JSON
 documents. `bulk` prints the ES bulk response envelope; `list` prints
@@ -51,6 +60,31 @@ def main() -> None:
     sp = sub.add_parser("template-delete")
     sp.add_argument("--template-id", required=True)
     sub.add_parser("list")
+    sp = sub.add_parser("describe")
+    sp.add_argument("--index", required=True)
+    # source family (reference `quickwit source
+    # create/update/enable/disable/delete/describe/list/reset-checkpoint`)
+    sp = sub.add_parser("source-create")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--config", required=True)
+    sp = sub.add_parser("source-update")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--config", required=True)
+    for name in ("source-enable", "source-disable", "source-delete",
+                 "source-describe", "source-reset-checkpoint", "source-run"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--index", required=True)
+        sp.add_argument("--source", required=True)
+    sp = sub.add_parser("source-list")
+    sp.add_argument("--index", required=True)
+    # schema-less REST helpers (`/analyze`, `/parse-query`)
+    sp = sub.add_parser("analyze")
+    sp.add_argument("--request", required=True,
+                    help="JSON AnalyzeRequest (TokenizerConfig + text)")
+    sp = sub.add_parser("parse-query")
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--search-field", default=None)
     args = p.parse_args()
 
     from quickwit_spark.api import QuickwitSpark
@@ -86,6 +120,37 @@ def main() -> None:
     elif args.cmd == "list":
         for name in qw.list_indexes():
             print(name)
+    elif args.cmd == "describe":
+        print(json.dumps(qw.describe_index(args.index), default=str))
+    elif args.cmd == "source-create":
+        with open(args.config) as f:
+            print(json.dumps(qw.create_source(args.index, json.load(f))))
+    elif args.cmd == "source-update":
+        with open(args.config) as f:
+            print(json.dumps(qw.update_source(args.index, args.source, json.load(f))))
+    elif args.cmd in ("source-enable", "source-disable"):
+        print(json.dumps(
+            qw.toggle_source(args.index, args.source, args.cmd == "source-enable")
+        ))
+    elif args.cmd == "source-delete":
+        qw.delete_source(args.index, args.source)
+        print(json.dumps({"source_id": args.source, "deleted": True}))
+    elif args.cmd == "source-describe":
+        print(json.dumps(qw.get_source(args.index, args.source)))
+    elif args.cmd == "source-reset-checkpoint":
+        qw.reset_source_checkpoint(args.index, args.source)
+        print(json.dumps({"source_id": args.source, "checkpoint": {}}))
+    elif args.cmd == "source-run":
+        print(json.dumps(qw.run_source(args.index, args.source)))
+    elif args.cmd == "source-list":
+        print(json.dumps(qw.list_sources(args.index)))
+    elif args.cmd == "analyze":
+        print(json.dumps(qw.analyze(json.loads(args.request))))
+    elif args.cmd == "parse-query":
+        req = {"query": args.query}
+        if args.search_field:
+            req["search_field"] = args.search_field
+        print(json.dumps(qw.parse_query(req)))
 
 
 if __name__ == "__main__":

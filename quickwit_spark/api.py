@@ -401,7 +401,9 @@ class QuickwitSpark:
         }
 
     def describe_index(self, index_id: str) -> dict:
-        return self.searcher(index_id).describe_index()
+        # the reference envelope leads with the index id
+        # (`index_resource.rs:178-230`)
+        return {"index_id": index_id, **self.searcher(index_id).describe_index()}
 
     # --------------------------------------------------------- sources
     # reference surface: POST/GET/DELETE /indexes/{id}/sources[/{sid}],

@@ -170,6 +170,30 @@ def test_admin_job_lifecycle(tmp_path_factory, spark, monkeysession, capsys):
     assert json.loads(out)["updated"] is True
     out = run("clear", "--index", "cli-logs")
     assert json.loads(out)["cleared"] is True
+    out = run("describe", "--index", "cli-logs")
+    assert json.loads(out)["index_id"] == "cli-logs"
+    # source family through the CLI
+    (cfg / "src.json").write_text(json.dumps(
+        {"source_id": "src1", "source_type": "void", "params": {}}
+    ))
+    out = run("source-create", "--index", "cli-logs", "--config", str(cfg / "src.json"))
+    assert json.loads(out)["enabled"] is True
+    out = run("source-disable", "--index", "cli-logs", "--source", "src1")
+    assert json.loads(out)["enabled"] is False
+    out = run("source-describe", "--index", "cli-logs", "--source", "src1")
+    assert json.loads(out)["source_type"] == "void"
+    out = run("source-update", "--index", "cli-logs", "--source", "src1",
+              "--config", str(cfg / "src.json"))
+    assert json.loads(out)["source_id"] == "src1"
+    out = run("source-list", "--index", "cli-logs")
+    assert [s["source_id"] for s in json.loads(out)] == ["src1"]
+    out = run("source-delete", "--index", "cli-logs", "--source", "src1")
+    assert json.loads(out)["deleted"] is True
+    # schema-less helpers
+    out = run("analyze", "--request", json.dumps({"type": "simple", "text": "a B"}))
+    assert [t["text"] for t in json.loads(out)] == ["a", "B"]
+    out = run("parse-query", "--query", "msg:hello")
+    assert json.loads(out)["type"] == "full_text"
     out = run("delete", "--index", "cli-logs")
     assert json.loads(out)["deleted"] is True
     assert run("list").strip() == ""
