@@ -78,6 +78,22 @@ def main() -> None:
         sp.add_argument("--source", required=True)
     sp = sub.add_parser("source-list")
     sp.add_argument("--index", required=True)
+    # split resource (`quickwit split list/describe/mark-for-deletion`)
+    sp = sub.add_parser("split-list")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--states", default=None,
+                    help="comma list: Staged,Published,MarkedForDeletion")
+    sp.add_argument("--offset", type=int, default=None)
+    sp.add_argument("--limit", type=int, default=None)
+    sp.add_argument("--start-timestamp", type=int, default=None)
+    sp.add_argument("--end-timestamp", type=int, default=None)
+    sp.add_argument("--end-create-timestamp", type=int, default=None)
+    sp = sub.add_parser("split-describe")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--split", required=True)
+    sp = sub.add_parser("split-mark-for-deletion")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--split", required=True, help="comma list of split ids")
     # schema-less REST helpers (`/analyze`, `/parse-query`)
     sp = sub.add_parser("analyze")
     sp.add_argument("--request", required=True,
@@ -144,6 +160,26 @@ def main() -> None:
         print(json.dumps(qw.run_source(args.index, args.source)))
     elif args.cmd == "source-list":
         print(json.dumps(qw.list_sources(args.index)))
+    elif args.cmd == "split-list":
+        print(json.dumps(qw.list_splits(
+            args.index, offset=args.offset, limit=args.limit,
+            split_states=args.states,
+            start_timestamp=args.start_timestamp,
+            end_timestamp=args.end_timestamp,
+            end_create_timestamp=args.end_create_timestamp,
+        )))
+    elif args.cmd == "split-describe":
+        splits = [
+            s for s in qw.list_splits(args.index)["splits"]
+            if s["split_id"] == args.split
+        ]
+        if not splits:
+            raise SystemExit(f"split {args.split!r} not found")
+        print(json.dumps(splits[0]))
+    elif args.cmd == "split-mark-for-deletion":
+        print(json.dumps(
+            qw.mark_splits_for_deletion(args.index, args.split.split(","))
+        ))
     elif args.cmd == "analyze":
         print(json.dumps(qw.analyze(json.loads(args.request))))
     elif args.cmd == "parse-query":

@@ -325,6 +325,111 @@ class QuickwitSpark:
             {"opstamp": op, **(meta or {})} for op, meta in sorted(pend.items())
         ]
 
+    # ----------------------------------------------------------- splits
+    # reference split resource (`index_api/split_resource.rs:38-205`):
+    # `GET /indexes/{id}/splits` with ListSplitsQueryParams
+    # (offset/limit/split_states/start_timestamp/end_timestamp/
+    # end_create_timestamp) and
+    # `PUT /indexes/{id}/splits/mark-for-deletion`.
+
+    _WIRE_STATE = {
+        "staged": "Staged",
+        "published": "Published",
+        # merge-retired inputs and explicit marks are both
+        # MarkedForDeletion on the reference wire (its publish path
+        # marks replaced splits for deletion)
+        "replaced": "MarkedForDeletion",
+        "marked_for_deletion": "MarkedForDeletion",
+    }
+
+    def list_splits(
+        self,
+        index_id: str,
+        offset: int | None = None,
+        limit: int | None = None,
+        split_states: list | str | None = None,
+        start_timestamp: int | None = None,
+        end_timestamp: int | None = None,
+        end_create_timestamp: int | None = None,
+    ) -> dict:
+        """`GET /indexes/{id}/splits` analog. Filters follow the
+        reference's ListSplitsQuery semantics
+        (`split_resource.rs:38-139`): `split_states` is a list (or
+        comma string) of wire names ("Staged"/"Published"/
+        "MarkedForDeletion"); `start_timestamp` keeps splits whose doc
+        time range END is >= it, `end_timestamp` keeps splits whose
+        START is < it (both epoch SECONDS; splits without a time range
+        always match), `end_create_timestamp` keeps splits created
+        before it. Response = `{offset, size, splits}` with
+        reference-shaped split documents."""
+        from quickwit_spark.index import manifest as mf
+
+        self._state(index_id)  # 404 for unknown index
+        if isinstance(split_states, str):
+            split_states = [s for s in split_states.split(",") if s]
+        wanted = set(split_states or ())
+        unknown = wanted - set(self._WIRE_STATE.values())
+        if unknown:
+            raise ValueError(f"unknown split_states: {sorted(unknown)}")
+        out = []
+        for r in mf.list_splits(self.index_dir(index_id)):
+            wire_state = self._WIRE_STATE[r.state]
+            if wanted and wire_state not in wanted:
+                continue
+            if r.time_range is not None:
+                lo_s, hi_s = (t // 1_000_000 for t in r.time_range)
+                if start_timestamp is not None and hi_s < start_timestamp:
+                    continue
+                if end_timestamp is not None and lo_s >= end_timestamp:
+                    continue
+            if (
+                end_create_timestamp is not None
+                and r.create_timestamp >= end_create_timestamp
+            ):
+                continue
+            out.append(
+                {
+                    "split_state": wire_state,
+                    "update_timestamp": r.update_timestamp,
+                    "publish_timestamp": (
+                        r.create_timestamp if r.state != mf.STAGED else None
+                    ),
+                    "split_id": r.segment_id,
+                    "partition_id": r.partition_id,
+                    "num_docs": r.num_docs,
+                    # epoch SECONDS on the wire like the reference's
+                    # SplitMetadata.time_range (manifest stores micros)
+                    "time_range": (
+                        {
+                            "start": r.time_range[0] // 1_000_000,
+                            "end": r.time_range[1] // 1_000_000,
+                        }
+                        if r.time_range is not None
+                        else None
+                    ),
+                    "create_timestamp": r.create_timestamp,
+                    "tags": list(r.tags),
+                    "num_merge_ops": r.merge_gen,
+                }
+            )
+        off = int(offset or 0)
+        end = off + int(limit) if limit is not None else None
+        page = out[off:end]
+        return {"offset": off, "size": len(page), "splits": page}
+
+    def mark_splits_for_deletion(self, index_id: str, split_ids: list) -> dict:
+        """`PUT /indexes/{id}/splits/mark-for-deletion` analog
+        (`split_resource.rs:152-205`): unknown and already-dead split
+        ids are silently skipped, like the metastore call with
+        `return_error_on_splits_not_found=false`."""
+        from quickwit_spark.index import manifest as mf
+
+        self._state(index_id)
+        marked = mf.mark_for_deletion(self.index_dir(index_id), list(split_ids))
+        if marked:
+            self._searchers.pop(index_id, None)
+        return {"index_id": index_id, "marked": marked}
+
     def _save_state(self, index_id: str, state: dict) -> None:
         path = os.path.join(self.index_dir(index_id), STATE_FILE)
         with open(path, "w") as f:

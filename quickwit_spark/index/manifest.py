@@ -31,6 +31,10 @@ MANIFEST_DIR = "_manifest"
 STAGED = "staged"
 PUBLISHED = "published"
 REPLACED = "replaced"
+# explicit operator/janitor retirement (reference
+# `SplitState::MarkedForDeletion`, `split_metadata.rs:294-303`); like
+# REPLACED it is non-live, prunable by GC
+MARKED_FOR_DELETION = "marked_for_deletion"
 
 
 @dataclass
@@ -50,6 +54,11 @@ class SegmentRecord:
     tags: list = field(default_factory=list)
     merge_gen: int = 0
     metrics: dict = field(default_factory=dict)
+    # unix SECONDS, like the reference's SplitMetadata.create_timestamp
+    # / Split.update_timestamp (`split_metadata.rs:32-46,61-130`);
+    # stamped by commit() — 0 on records from pre-timestamp manifests
+    create_timestamp: int = 0
+    update_timestamp: int = 0
 
 
 def _manifest_dir(index_dir: str) -> str:
@@ -98,9 +107,20 @@ def _commit_locked(
     checkpoint: dict | None,
     kind: str,
 ) -> str:
+    import time as _time
+
     d = _manifest_dir(index_dir)
     os.makedirs(d, exist_ok=True)
     seq = next_seq(index_dir)
+    # timestamp stamping: every committed record is "updated" now; a
+    # record that has never been committed gets its create_timestamp
+    # here (state-flip commits rebuild records from reconcile(), so
+    # they carry the original create_timestamp through)
+    now = int(_time.time())
+    for r in records:
+        r.update_timestamp = now
+        if not r.create_timestamp:
+            r.create_timestamp = now
     payload = {
         "seq": seq,
         "kind": kind,
@@ -199,3 +219,29 @@ def list_splits(
             continue
         out.append(r)
     return sorted(out, key=lambda r: r.segment_id)
+
+
+def mark_for_deletion(index_dir: str, segment_ids: list[str]) -> list[str]:
+    """Metastore `mark_splits_for_deletion` analog
+    (`file_backed_index/mod.rs:273-303` via `file_backed/mod.rs:688-707`):
+    flip the given segments to `marked_for_deletion` in one commit.
+    Unknown ids and already-dead segments are silently skipped (the
+    reference passes `return_error_on_splits_not_found=false` and skips
+    already-marked splits). Searches prune the segments immediately;
+    files stay until GC. Returns the ids actually flipped."""
+    segs = reconcile(index_dir)
+    records = []
+    for sid in segment_ids:
+        r = segs.get(sid)
+        if r is None or r.state in (MARKED_FOR_DELETION, REPLACED):
+            continue
+        r.state = MARKED_FOR_DELETION
+        records.append(r)
+    if records:
+        commit(
+            index_dir,
+            records,
+            checkpoint={"mark_for_deletion": sorted(r.segment_id for r in records)},
+            kind="mark_for_deletion",
+        )
+    return sorted(r.segment_id for r in records)

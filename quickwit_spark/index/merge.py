@@ -681,6 +681,7 @@ def execute_merge(
             time_range=s.time_range,
             tags=s.tags,
             merge_gen=s.merge_gen,
+            create_timestamp=s.create_timestamp,
         )
         for s in inputs
     ]

@@ -164,6 +164,28 @@ def parse_doc_mapping(dm: dict) -> MappingSpecs:
         elif typ not in _TAG_OK_NUMERIC:
             raise ValueError(f"tag field {tf!r} has disallowed type {typ!r}")
 
+    # timestamp-field validation (reference `validate_timestamp_field`,
+    # `doc_mapper_impl.rs:100-126`): must be an explicitly mapped
+    # single-valued datetime FAST field — a dynamic path doesn't count
+    ts = dm.get("timestamp_field")
+    if ts:
+        if ts.startswith((".", "\\.")) or ts.endswith("."):
+            raise ValueError(
+                f"timestamp field {ts!r} should not start or end with a `.`"
+            )
+        ent = by_name.get(ts)
+        if ent is None:
+            raise ValueError(
+                f"could not find timestamp field {ts!r} in field mappings"
+            )
+        typ = ent.get("type", "text")
+        if typ == "array<datetime>":
+            raise ValueError(f"timestamp field {ts!r} should be single-valued")
+        if typ != "datetime":
+            raise ValueError(f"timestamp field {ts!r} should be a datetime field")
+        if not ent.get("fast", False):
+            raise ValueError(f"timestamp field {ts!r} should be a fast field")
+
     return MappingSpecs(
         mapped=mapped,
         concat=concat,

@@ -87,7 +87,9 @@ def test_timestamp_field_required(qw):
             "doc_mapping": {
                 "mode": "dynamic",
                 "timestamp_field": "ts",
-                "field_mappings": [{"name": "ts", "type": "datetime"}],
+                "field_mappings": [
+                    {"name": "ts", "type": "datetime", "fast": True}
+                ],
             },
         }
     )
@@ -253,3 +255,74 @@ def test_identifier_validation_rules(qw):
         {"template_id": "tpl-ok", "index_id_patterns": ["logs-*", "-logs-x*"]}
     )
     qw.delete_template("tpl-ok")
+
+
+def test_splits_resource(qw):
+    """`GET /indexes/{id}/splits` + `PUT .../splits/mark-for-deletion`
+    (`index_api/split_resource.rs:38-205`): wire-shaped split docs,
+    ListSplitsQueryParams filters, silent-skip mark semantics."""
+    qw.create_index({
+        "index_id": "spl",
+        "doc_mapping": {
+            "mode": "dynamic",
+            "timestamp_field": "ts",
+            "field_mappings": [
+                {"name": "ts", "type": "datetime", "fast": True}
+            ],
+        },
+    })
+    qw.ingest("spl", [{"m": "alpha one", "ts": 1_700_000_000},
+                      {"m": "alpha two", "ts": 1_700_000_500}])
+    qw.ingest("spl", [{"m": "beta three", "ts": 1_700_009_000}])
+
+    resp = qw.list_splits("spl")
+    assert resp["offset"] == 0 and resp["size"] == len(resp["splits"]) >= 2
+    for s in resp["splits"]:
+        assert s["split_state"] == "Published"
+        assert s["create_timestamp"] > 0
+        assert s["update_timestamp"] >= s["create_timestamp"]
+        assert s["publish_timestamp"] == s["create_timestamp"]
+        assert s["num_docs"] >= 1 and s["num_merge_ops"] == 0
+    total = resp["size"]
+
+    # pagination: offset/limit page through the same stable order
+    first = qw.list_splits("spl", limit=1)
+    rest = qw.list_splits("spl", offset=1)
+    assert first["size"] == 1 and rest["offset"] == 1
+    assert first["splits"] + rest["splits"] == resp["splits"]
+
+    # time filters are epoch seconds against the split's doc time range:
+    # end_timestamp below every doc excludes all; start_timestamp below
+    # the earliest doc keeps all (end >= start for every split)
+    assert qw.list_splits("spl", end_timestamp=1_600_000_000)["size"] == 0
+    assert qw.list_splits("spl", start_timestamp=1_600_000_000)["size"] == total
+    # a window covering only the second batch keeps just its split
+    late = qw.list_splits("spl", start_timestamp=1_700_005_000)
+    assert late["size"] >= 1 and all(
+        s["time_range"]["end"] >= 1_700_005_000 for s in late["splits"]
+    )
+    # create-timestamp upper bound in the past excludes everything
+    assert qw.list_splits("spl", end_create_timestamp=1)["size"] == 0
+
+    with pytest.raises(ValueError):
+        qw.list_splits("spl", split_states=["Bogus"])
+    with pytest.raises(ValueError):
+        qw.list_splits("nope-idx")
+
+    # mark one split for deletion: pruned from search immediately,
+    # listed as MarkedForDeletion; unknown ids silently skipped
+    victim = late["splits"][0]["split_id"]
+    before = qw.search("spl", {"query": {"match_all": {}}})
+    out = qw.mark_splits_for_deletion("spl", [victim, "no-such-split"])
+    assert out["marked"] == [victim]
+    marked = qw.list_splits("spl", split_states="MarkedForDeletion")
+    assert [s["split_id"] for s in marked["splits"]] == [victim]
+    assert qw.list_splits("spl", split_states=["Published"])["size"] == total - 1
+    after = qw.search("spl", {"query": {"match_all": {}}})
+    lost = late["splits"][0]["num_docs"]
+    assert after["hits"]["total"]["value"] == (
+        before["hits"]["total"]["value"] - lost
+    )
+    # idempotent: re-marking flips nothing
+    assert qw.mark_splits_for_deletion("spl", [victim])["marked"] == []
+    qw.delete_index("spl")

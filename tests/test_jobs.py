@@ -189,6 +189,19 @@ def test_admin_job_lifecycle(tmp_path_factory, spark, monkeysession, capsys):
     assert [s["source_id"] for s in json.loads(out)] == ["src1"]
     out = run("source-delete", "--index", "cli-logs", "--source", "src1")
     assert json.loads(out)["deleted"] is True
+    # split resource through the CLI (re-ingest first: clear emptied it)
+    out = run("bulk", "--ndjson", str(cfg / "bulk.ndjson"))
+    assert json.loads(out)["errors"] is False
+    out = run("split-list", "--index", "cli-logs", "--states", "Published")
+    listing = json.loads(out)
+    assert listing["size"] >= 1
+    sid = listing["splits"][0]["split_id"]
+    out = run("split-describe", "--index", "cli-logs", "--split", sid)
+    assert json.loads(out)["split_state"] == "Published"
+    out = run("split-mark-for-deletion", "--index", "cli-logs", "--split", sid)
+    assert json.loads(out)["marked"] == [sid]
+    out = run("split-list", "--index", "cli-logs", "--states", "MarkedForDeletion")
+    assert [s["split_id"] for s in json.loads(out)["splits"]] == [sid]
     # schema-less helpers
     out = run("analyze", "--request", json.dumps({"type": "simple", "text": "a B"}))
     assert [t["text"] for t in json.loads(out)] == ["a", "B"]
