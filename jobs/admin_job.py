@@ -94,6 +94,10 @@ def main() -> None:
     sp = sub.add_parser("split-mark-for-deletion")
     sp.add_argument("--index", required=True)
     sp.add_argument("--split", required=True, help="comma list of split ids")
+    # merge rounds under the index's configured merge policy
+    sp = sub.add_parser("merge")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--max-rounds", type=int, default=10)
     # schema-less REST helpers (`/analyze`, `/parse-query`)
     sp = sub.add_parser("analyze")
     sp.add_argument("--request", required=True,
@@ -180,6 +184,8 @@ def main() -> None:
         print(json.dumps(
             qw.mark_splits_for_deletion(args.index, args.split.split(","))
         ))
+    elif args.cmd == "merge":
+        print(json.dumps(qw.run_merges(args.index, max_rounds=args.max_rounds)))
     elif args.cmd == "analyze":
         print(json.dumps(qw.analyze(json.loads(args.request))))
     elif args.cmd == "parse-query":

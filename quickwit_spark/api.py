@@ -191,6 +191,7 @@ class QuickwitSpark:
         state = {
             "doc_mapping": dm,
             "search_settings": config.get("search_settings") or {},
+            "indexing_settings": self._validated_indexing_settings(config),
             "schema": None,
             "mixed": [],
             "doc_count": 0,
@@ -245,6 +246,7 @@ class QuickwitSpark:
             )
         state["doc_mapping"] = dm
         state["search_settings"] = config.get("search_settings") or {}
+        state["indexing_settings"] = self._validated_indexing_settings(config)
         if config.get("retention") is not None:
             _parse_period_secs(config["retention"]["period"])  # validate
             state["retention"] = config["retention"]
@@ -416,6 +418,46 @@ class QuickwitSpark:
         end = off + int(limit) if limit is not None else None
         page = out[off:end]
         return {"offset": off, "size": len(page), "splits": page}
+
+    # ------------------------------------------------------------ merging
+
+    @staticmethod
+    def _validated_indexing_settings(config: dict) -> dict:
+        """Validate `indexing_settings` from a reference index-config
+        document (index-config.md "Indexing settings"): the
+        `merge_policy` sub-document must translate to a known policy;
+        other keys (commit_timeout_secs, split_num_docs_target, ...)
+        are stored as-is."""
+        from quickwit_spark.index.merge import merge_policy_from_config
+
+        settings = config.get("indexing_settings") or {}
+        merge_policy_from_config(settings.get("merge_policy"))  # validate
+        return settings
+
+    def run_merges(self, index_id: str, max_rounds: int = 10) -> dict:
+        """Run merge rounds under the index's configured
+        `indexing_settings.merge_policy` (default stable_log, like the
+        reference's merge pipeline). Returns the executed op count and
+        the live split count after."""
+        from quickwit_spark.index import manifest as mf
+        from quickwit_spark.index.merge import (
+            merge_policy_from_config,
+            run_merges,
+        )
+
+        state = self._state(index_id)
+        policy = merge_policy_from_config(
+            (state.get("indexing_settings") or {}).get("merge_policy")
+        )
+        d = self.index_dir(index_id)
+        merged = run_merges(self.spark, d, policy=policy, max_rounds=max_rounds)
+        if merged:
+            self._searchers.pop(index_id, None)
+        return {
+            "index_id": index_id,
+            "num_merges": len(merged),
+            "num_splits": len(mf.live_segments(d)),
+        }
 
     def mark_splits_for_deletion(self, index_id: str, split_ids: list) -> dict:
         """`PUT /indexes/{id}/splits/mark-for-deletion` analog

@@ -84,6 +84,10 @@ class MergePolicy:
     max_merge_factor: int = 12
     min_level_num_docs: int = 100_000
     split_num_docs_target: int = 10_000_000
+    # age-based maturity (reference `maturation_period`, default 48h,
+    # `merge_policy_config.rs` + index-config.md "Merge policies"):
+    # a segment older than this is Mature and never merged again
+    maturation_period_secs: int = 48 * 3600
 
     def level_of(self, num_docs: int) -> int:
         end = 3 * self.min_level_num_docs
@@ -92,6 +96,9 @@ class MergePolicy:
             end *= 3
             level += 1
         return level
+
+    def plan(self, segments: list["mf.SegmentRecord"], now: float | None = None):
+        return plan_merges(segments, self, now=now)
 
 
 @dataclass
@@ -107,14 +114,19 @@ class ConstWriteAmplificationMergePolicy:
     merge_factor: int = 10
     max_merge_factor: int = 12
     split_num_docs_target: int = 10_000_000
+    maturation_period_secs: int = 48 * 3600
 
-    def plan(self, segments: list[mf.SegmentRecord]) -> list["MergeOp"]:
+    def plan(
+        self, segments: list[mf.SegmentRecord], now: float | None = None
+    ) -> list["MergeOp"]:
         ops: list[MergeOp] = []
         groups: dict[tuple[int, int], list[mf.SegmentRecord]] = {}
         for s in segments:
             if s.merge_gen >= self.max_merge_ops:
                 continue
             if s.num_docs >= self.split_num_docs_target:
+                continue
+            if _age_mature(s, self.maturation_period_secs, now):
                 continue
             groups.setdefault((s.partition_id, s.merge_gen), []).append(s)
         for (pid, gen), group in sorted(groups.items()):
@@ -128,6 +140,95 @@ class ConstWriteAmplificationMergePolicy:
 
 
 @dataclass
+class NopMergePolicy:
+    """The reference's `no_merge` policy
+    (`quickwit-indexing/src/merge_policy/nop_merge_policy.rs`,
+    index-config.md "No merge"): merging entirely disabled — every
+    split is Mature from birth."""
+
+    def plan(
+        self, segments: list[mf.SegmentRecord], now: float | None = None
+    ) -> list["MergeOp"]:
+        return []
+
+
+def merge_policy_from_config(cfg: dict | None):
+    """Translate a reference `indexing_settings.merge_policy` document
+    (index-config.md "Merge policies") into a policy object. `None`/{} →
+    the default stable_log policy; unknown `type` or parameter raises."""
+    cfg = dict(cfg or {})
+    kind = cfg.pop("type", "stable_log")
+    period = cfg.pop("maturation_period", None)
+    mat = {"maturation_period_secs": _parse_duration_secs(period)} if period else {}
+    known = {
+        "stable_log": (
+            MergePolicy,
+            {"merge_factor", "max_merge_factor", "min_level_num_docs"},
+        ),
+        "limit_merge": (
+            ConstWriteAmplificationMergePolicy,
+            {"merge_factor", "max_merge_factor", "max_merge_ops"},
+        ),
+        "no_merge": (NopMergePolicy, set()),
+    }
+    if kind not in known:
+        raise ValueError(f"unknown merge policy type {kind!r}")
+    cls, allowed = known[kind]
+    unknown = set(cfg) - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown merge policy parameters for {kind!r}: {sorted(unknown)}"
+        )
+    if kind == "no_merge" and mat:
+        raise ValueError("no_merge takes no maturation_period")
+    return cls(**{k: int(v) for k, v in cfg.items()}, **mat)
+
+
+def _parse_duration_secs(s) -> int:
+    """Humantime durations like the reference's `maturation_period`
+    ("48h", "30 days", "1w 2d"). `m` is minutes, `M` months."""
+    import re
+
+    units = {
+        "s": 1, "sec": 1, "secs": 1, "second": 1, "seconds": 1,
+        "m": 60, "min": 60, "mins": 60, "minute": 60, "minutes": 60,
+        "h": 3600, "hr": 3600, "hrs": 3600, "hour": 3600, "hours": 3600,
+        "d": 86400, "day": 86400, "days": 86400,
+        "w": 7 * 86400, "week": 7 * 86400, "weeks": 7 * 86400,
+        "M": 30 * 86400, "month": 30 * 86400, "months": 30 * 86400,
+        "y": 365 * 86400, "year": 365 * 86400, "years": 365 * 86400,
+    }
+    text = str(s).strip()
+    if not re.fullmatch(r"(?:\d+\s*[a-zA-Z]+[\s,]*)+", text):
+        raise ValueError(f"invalid duration {s!r}")
+    total = 0
+    for n, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", text):
+        key = unit if unit in units else unit.lower()
+        if key not in units:
+            raise ValueError(f"unknown duration unit {unit!r}")
+        total += int(n) * units[key]
+    if total == 0:
+        raise ValueError(f"invalid duration {s!r}")
+    return total
+
+
+def _age_mature(
+    s: mf.SegmentRecord, period_secs: int | None, now: float | None
+) -> bool:
+    """Reference age maturity: a split older than `maturation_period`
+    is Mature (never merged). create_timestamp == 0 means a
+    pre-timestamp manifest — unknown age stays Immature (conservative:
+    keeps merging; the reference always knows the age)."""
+    if not period_secs or not s.create_timestamp:
+        return False
+    if now is None:
+        import time
+
+        now = time.time()
+    return now - s.create_timestamp >= period_secs
+
+
+@dataclass
 class MergeOp:
     op_id: str
     segment_ids: list[str]
@@ -135,13 +236,19 @@ class MergeOp:
     merge_gen: int
 
 
-def plan_merges(segments: list[mf.SegmentRecord], policy: MergePolicy) -> list[MergeOp]:
+def plan_merges(
+    segments: list[mf.SegmentRecord],
+    policy: MergePolicy,
+    now: float | None = None,
+) -> list[MergeOp]:
     """One planning round: group young segments by (partition, level)."""
     ops: list[MergeOp] = []
     by_partition: dict[int, list[mf.SegmentRecord]] = {}
     for s in segments:
         if s.num_docs >= policy.split_num_docs_target:
             continue  # mature — never merged (reference maturity rule)
+        if _age_mature(s, getattr(policy, "maturation_period_secs", None), now):
+            continue
         by_partition.setdefault(s.partition_id, []).append(s)
     for pid, segs in sorted(by_partition.items()):
         levels: dict[int, list[mf.SegmentRecord]] = {}
@@ -716,7 +823,7 @@ def run_merges(
         done = set(mf.committed_checkpoints(index_dir, kind="merge"))
         ops = [
             op
-            for op in plan_merges(mf.live_segments(index_dir), policy)
+            for op in policy.plan(mf.live_segments(index_dir))
             if op.op_id not in done
         ]
         if not ops:

@@ -326,3 +326,35 @@ def test_splits_resource(qw):
     # idempotent: re-marking flips nothing
     assert qw.mark_splits_for_deletion("spl", [victim])["marked"] == []
     qw.delete_index("spl")
+
+
+def test_facade_merge_policy(qw):
+    # invalid merge policy rejected at create time
+    with pytest.raises(ValueError):
+        qw.create_index(
+            {"index_id": "badmp", "doc_mapping": {"mode": "dynamic"},
+             "indexing_settings": {"merge_policy": {"type": "tiered"}}}
+        )
+    qw.create_index(
+        {"index_id": "mpol", "doc_mapping": {"mode": "dynamic"},
+         "indexing_settings": {
+             "merge_policy": {"type": "stable_log", "merge_factor": 2,
+                              "max_merge_factor": 2,
+                              "min_level_num_docs": 10}}}
+    )
+    qw.ingest("mpol", [{"m": "alpha one"}])
+    qw.ingest("mpol", [{"m": "alpha two"}])
+    out = qw.run_merges("mpol")
+    assert out["num_merges"] == 1 and out["num_splits"] == 1
+    r = qw.search("mpol", {"query": {"term": {"m": {"value": "alpha"}}}})
+    assert r["hits"]["total"]["value"] == 2
+
+    # no_merge: planning is a no-op
+    qw.create_index(
+        {"index_id": "nomerge", "doc_mapping": {"mode": "dynamic"},
+         "indexing_settings": {"merge_policy": {"type": "no_merge"}}}
+    )
+    qw.ingest("nomerge", [{"m": "a"}])
+    qw.ingest("nomerge", [{"m": "b"}])
+    out = qw.run_merges("nomerge")
+    assert out["num_merges"] == 0 and out["num_splits"] == 2

@@ -348,3 +348,79 @@ def test_merge_preserves_doc_key_order_for_tied_topk(spark, tmp_path):
     # positions survived the permutation gather
     assert s.count('"alpha beta"') == 200
     assert [r["doc_key"] for r in s.search('"beta doc150"', k=3).collect()] == [150]
+
+
+# ---------------------------------------------------------------- policy config
+
+
+def test_merge_policy_from_config():
+    from quickwit_spark.index.merge import (
+        ConstWriteAmplificationMergePolicy,
+        NopMergePolicy,
+        merge_policy_from_config,
+    )
+
+    # default + empty → stable_log with reference defaults
+    p = merge_policy_from_config(None)
+    assert isinstance(p, MergePolicy) and p.merge_factor == 10
+    p = merge_policy_from_config({})
+    assert isinstance(p, MergePolicy)
+
+    p = merge_policy_from_config(
+        {"type": "stable_log", "merge_factor": 8, "max_merge_factor": 11,
+         "min_level_num_docs": 50_000, "maturation_period": "2 days"}
+    )
+    assert isinstance(p, MergePolicy)
+    assert (p.merge_factor, p.max_merge_factor, p.min_level_num_docs) == (8, 11, 50_000)
+    assert p.maturation_period_secs == 2 * 86400
+
+    p = merge_policy_from_config({"type": "limit_merge", "merge_factor": 5})
+    assert isinstance(p, ConstWriteAmplificationMergePolicy)
+    assert p.merge_factor == 5
+
+    p = merge_policy_from_config({"type": "no_merge"})
+    assert isinstance(p, NopMergePolicy)
+    assert p.plan([_seg(0, 10), _seg(1, 10)]) == []
+
+    with pytest.raises(ValueError):
+        merge_policy_from_config({"type": "tiered"})
+    with pytest.raises(ValueError):
+        merge_policy_from_config({"type": "stable_log", "max_merge_ops": 3})
+    with pytest.raises(ValueError):
+        merge_policy_from_config({"type": "no_merge", "maturation_period": "1h"})
+
+
+def test_duration_parse():
+    from quickwit_spark.index.merge import _parse_duration_secs
+
+    assert _parse_duration_secs("48h") == 48 * 3600
+    assert _parse_duration_secs("30 days") == 30 * 86400
+    assert _parse_duration_secs("1w 2d") == 9 * 86400
+    assert _parse_duration_secs("90s") == 90
+    assert _parse_duration_secs("5m") == 300  # minutes
+    assert _parse_duration_secs("1M") == 30 * 86400  # months
+    for bad in ("", "h", "12", "1 parsec", "0s"):
+        with pytest.raises(ValueError):
+            _parse_duration_secs(bad)
+
+
+def test_age_maturity_excludes_old_segments():
+    now = 1_000_000.0
+    young = mf.SegmentRecord(segment_id="sy", num_docs=100, create_timestamp=int(now) - 100)
+    old = mf.SegmentRecord(segment_id="so", num_docs=100, create_timestamp=int(now) - 7200)
+    unknown = mf.SegmentRecord(segment_id="su", num_docs=100)  # ts=0 → stays immature
+    pol = MergePolicy(
+        merge_factor=2, max_merge_factor=3, min_level_num_docs=50,
+        maturation_period_secs=3600,
+    )
+    ops = plan_merges([young, old, unknown], pol, now=now)
+    assert len(ops) == 1
+    assert sorted(ops[0].segment_ids) == ["su", "sy"]
+    # limit_merge honors the same rule
+    from quickwit_spark.index.merge import ConstWriteAmplificationMergePolicy
+
+    cpol = ConstWriteAmplificationMergePolicy(
+        merge_factor=2, max_merge_factor=3, maturation_period_secs=3600
+    )
+    cops = cpol.plan([young, old, unknown], now=now)
+    assert len(cops) == 1 and sorted(cops[0].segment_ids) == ["su", "sy"]
