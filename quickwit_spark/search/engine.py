@@ -274,7 +274,31 @@ class IndexSearcher:
         self.index_dir = index_dir
         with open(f"{index_dir}/_manifest/index_config.json") as f:
             self.config = IndexConfig.from_json(f.read())
+        self._src_renderers = None  # built lazily from field_options
         self.refresh()
+
+    def load_stored_source(self, raw_doc):
+        """Parse one stored `_source` JSON and re-render its mapped
+        typed leaves through their `output_format` — the reference
+        rebuilds fetched docs from the typed doc store rather than
+        echoing the ingested bytes (`fetch_docs.rs` doc_to_json via
+        `tantivy_val_to_json.rs`). Dynamic paths stay verbatim."""
+        if raw_doc is None:
+            return None
+        doc = json.loads(raw_doc)
+        if self._src_renderers is None:
+            from quickwit_spark.search.source_render import (
+                build_source_renderers,
+            )
+
+            self._src_renderers = build_source_renderers(
+                self.config.field_options
+            )
+        if self._src_renderers:
+            from quickwit_spark.search.source_render import render_source_doc
+
+            doc = render_source_doc(doc, self._src_renderers)
+        return doc
 
     def refresh(self):
         self.segments = mf.live_segments(self.index_dir)
@@ -1924,9 +1948,11 @@ class IndexSearcher:
                 if src_cols:
                     src = {c: d.get(c) for c in src_cols}
                 elif self.config.stored_source:
-                    # the full original document, like the reference
-                    raw_doc = d.get(self.config.stored_source)
-                    src = json.loads(raw_doc) if raw_doc is not None else None
+                    # the full document, re-rendered through each mapped
+                    # field's output_format like the reference
+                    src = self.load_stored_source(
+                        d.get(self.config.stored_source)
+                    )
                 else:
                     src = {}
                 hit = {"_id": str(d["doc_key"]), "_score": score, "_source": src}

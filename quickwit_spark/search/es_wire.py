@@ -872,8 +872,7 @@ class EsWireHandler:
             if state["explicit_src"]:
                 src = {c: d.get(c) for c in state["explicit_src"]}
             elif src_col and src_col in d:
-                raw_doc = d[src_col]
-                src = json.loads(raw_doc) if raw_doc is not None else None
+                src = row_searcher.load_stored_source(d[src_col])
             else:
                 src = {}
             src = _source_filter(src, state["inc"], state["exc"])

@@ -27,6 +27,18 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
 
+from quickwit_spark.search.source_render import (
+    validate_binary_format,
+    validate_datetime_output_format,
+    validate_numeric_output_format,
+)
+
+
+def _num_out(ent: dict) -> str:
+    """`NumericOutputFormat` (`field_mapping_entry.rs:236-241`)."""
+    return validate_numeric_output_format(ent.get("output_format", "number"))
+
+
 # tag fields must be raw-term single-token types (the reference rejects
 # anything an analyzer would split or that has no total term order)
 _TAG_OK_NUMERIC = {"u64", "i64"}
@@ -76,6 +88,9 @@ def _walk_entries(entries: list, prefix: str, mapped: dict, concat: list):
                 # seconds (`date_time_format.rs` DateTimePrecision)
                 "precision": ent.get("fast_precision", "seconds"),
                 "formats": tuple(ent.get("input_formats") or ()),
+                "output": validate_datetime_output_format(
+                    ent.get("output_format", "rfc3339")
+                ),
             }
         elif typ == "text":
             spec: dict = {"kind": "text", "normalizer": "raw"}
@@ -89,11 +104,11 @@ def _walk_entries(entries: list, prefix: str, mapped: dict, concat: list):
             mapped[path] = spec
         elif typ == "u64":
             # full unsigned range: exact decimal(20,0), not lossy i64
-            mapped[path] = {"kind": "u64"}
+            mapped[path] = {"kind": "u64", "output": _num_out(ent)}
         elif typ == "i64":
-            mapped[path] = {"kind": "long"}
+            mapped[path] = {"kind": "long", "output": _num_out(ent)}
         elif typ == "f64":
-            mapped[path] = {"kind": "double"}
+            mapped[path] = {"kind": "double", "output": _num_out(ent)}
         elif typ == "bool":
             mapped[path] = {"kind": "bool"}
         elif typ in ("ip", "bytes"):
@@ -101,6 +116,13 @@ def _walk_entries(entries: list, prefix: str, mapped: dict, concat: list):
             # engine's ip sort-key normalization (`index/mapping.py`);
             # `caps` drives the _field_caps type report
             mapped[path] = {"kind": "text", "normalizer": "raw", "caps": typ}
+            if typ == "bytes":
+                mapped[path]["input"] = validate_binary_format(
+                    ent.get("input_format", "base64")
+                )
+                mapped[path]["output"] = validate_binary_format(
+                    ent.get("output_format", "base64")
+                )
         else:
             raise ValueError(f"unsupported field type {typ!r} for {path!r}")
 
@@ -268,6 +290,39 @@ def _expand_sources(spec: ConcatSpec, fields, specs: MappingSpecs) -> list:
     return cols
 
 
+def _render_spec(spec: dict) -> dict | None:
+    """`_source` leaf-render spec for one mapped field (consumed by
+    `search.source_render.build_source_renderers`): the reference
+    re-serializes every explicitly mapped leaf through its type +
+    output_format when rebuilding fetched docs
+    (`tantivy_val_to_json.rs`); dynamic paths stay verbatim."""
+    kind = spec.get("kind")
+    if kind == "datetime":
+        return {
+            "kind": "datetime",
+            "output": spec.get("output", "rfc3339"),
+            "formats": list(spec.get("formats") or ()),
+        }
+    if kind == "u64":
+        return {"kind": "u64", "output": spec.get("output", "number")}
+    if kind == "long":
+        return {"kind": "i64", "output": spec.get("output", "number")}
+    if kind == "double":
+        return {"kind": "f64", "output": spec.get("output", "number")}
+    if kind == "bool":
+        return {"kind": "bool"}
+    caps = spec.get("caps")
+    if caps == "ip":
+        return {"kind": "ip"}
+    if caps == "bytes":
+        return {
+            "kind": "bytes",
+            "input": spec.get("input", "base64"),
+            "output": spec.get("output", "base64"),
+        }
+    return None
+
+
 def reference_index_config(
     dm: dict,
     fields,
@@ -298,6 +353,9 @@ def reference_index_config(
     for path, spec in specs.mapped.items():
         if spec.get("caps") and path in (cfg.field_options or {}):
             cfg.field_options[path]["caps"] = spec["caps"]
+        render = _render_spec(spec)
+        if render is not None:
+            cfg.field_options.setdefault(path, {})["render"] = render
     by_path = {f.path: f for f in fields}
     for cs in specs.concat:
         srcs = _expand_sources(cs, fields, specs)

@@ -358,3 +358,63 @@ def test_facade_merge_policy(qw):
     qw.ingest("nomerge", [{"m": "b"}])
     out = qw.run_merges("nomerge")
     assert out["num_merges"] == 0 and out["num_splits"] == 2
+
+
+def test_source_output_formats(qw):
+    """Mapped leaves in `_source` re-render through output_format like
+    the reference's doc reconstruction (`tantivy_val_to_json.rs`):
+    datetime defaults to rfc3339 whatever the input form; numerics can
+    render as strings; bytes re-encode; ip canonicalizes; dynamic
+    fields stay verbatim."""
+    with pytest.raises(ValueError):
+        qw.create_index({
+            "index_id": "badout",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [
+                    {"name": "ts", "type": "datetime",
+                     "output_format": "bogus"}
+                ],
+            },
+        })
+    qw.create_index({
+        "index_id": "outfmt",
+        "doc_mapping": {
+            "mode": "dynamic",
+            "field_mappings": [
+                {"name": "ts", "type": "datetime", "fast": True,
+                 "input_formats": ["unix_timestamp"]},
+                {"name": "ts_ms", "type": "datetime", "fast": True,
+                 "output_format": "unix_timestamp_millis"},
+                {"name": "n", "type": "u64", "output_format": "string"},
+                {"name": "payload", "type": "bytes",
+                 "output_format": "hex"},
+                {"name": "addr", "type": "ip"},
+            ],
+        },
+    })
+    qw.ingest("outfmt", [{
+        "ts": 1700000000,
+        "ts_ms": "2023-11-14T22:13:20Z",
+        "n": 5,
+        "payload": "aGVsbG8=",
+        "addr": "::ffff:10.1.2.3",
+        "free": 1700000000,          # dynamic: stays verbatim
+        "msg": "alpha",
+    }])
+    r = qw.search("outfmt", {"query": {"term": {"msg": {"value": "alpha"}}}})
+    src = r["hits"]["hits"][0]["_source"]
+    assert src["ts"] == "2023-11-14T22:13:20Z"     # unix in, rfc3339 out
+    assert src["ts_ms"] == 1700000000000           # rfc3339 in, millis out
+    assert src["n"] == "5"                         # numeric as string
+    assert src["payload"] == "68656c6c6f"          # base64 in, hex out
+    assert src["addr"] == "10.1.2.3"               # canonical IPv4
+    assert src["free"] == 1700000000               # dynamic untouched
+    # the scroll page path renders identically
+    r2 = qw.es().request(
+        "POST", "outfmt/_search", params={"scroll": "1m"},
+        body={"query": {"match_all": {}}, "size": 10},
+    )
+    src2 = r2["hits"]["hits"][0]["_source"]
+    assert src2["ts"] == "2023-11-14T22:13:20Z" and src2["n"] == "5"
+    qw.delete_index("outfmt")
