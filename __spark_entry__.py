@@ -796,6 +796,76 @@ def _q_bulk_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "num_hits long")
 
 
+def _q_source_render(spark, sf_dir):
+    """`_source` output-format rendering end-to-end through the facade
+    (reference doc reconstruction, `tantivy_val_to_json.rs` +
+    `date_time_format.rs:97-146`): unix-ingested datetimes come back
+    rfc3339, u64 with output_format "string" renders as a string,
+    base64 bytes re-encode to hex, IPv4-mapped ips print as dotted
+    quads. The oracle reproduces every rendering in ANSI SQL."""
+    import base64 as _b64
+
+    from quickwit_spark.api import QuickwitSpark
+
+    key = os.path.abspath(sf_dir)
+    root = os.path.join(
+        _IDX_ROOT, key.strip("/").replace("/", "_") + "_outfmt_v1"
+    )
+    qw = QuickwitSpark(spark, root)
+    if "outfmt" not in qw.list_indexes():
+        qw.create_index({
+            "index_id": "outfmt",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [
+                    {"name": "ts", "type": "datetime", "fast": True,
+                     "input_formats": ["unix_timestamp"]},
+                    {"name": "n", "type": "u64", "fast": True,
+                     "output_format": "string"},
+                    {"name": "payload", "type": "bytes",
+                     "output_format": "hex"},
+                    {"name": "addr", "type": "ip"},
+                ],
+            },
+        })
+        ids = [
+            int(r.doc_id)
+            for r in spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            )
+            .filter("doc_id < 240")
+            .select("doc_id")
+            .orderBy("doc_id")
+            .toPandas()
+            .itertuples(index=False)
+        ]
+        qw.ingest("outfmt", [
+            {
+                "ts": 1_700_000_000 + i * 37,
+                "n": i * 11,
+                "payload": _b64.b64encode(f"doc{i}".encode()).decode(),
+                "addr": f"::ffff:10.0.0.{i % 250 + 1}",
+            }
+            for i in ids
+        ])
+    r = qw.search(
+        "outfmt",
+        {"query": {"match_all": {}}, "size": 10, "sort": [{"n": "asc"}]},
+    )
+    rows = [
+        (
+            h["_source"]["ts"],
+            h["_source"]["n"],
+            h["_source"]["payload"],
+            h["_source"]["addr"],
+        )
+        for h in r["hits"]["hits"]
+    ]
+    return spark.createDataFrame(
+        rows, "ts_out string, n_out string, payload_out string, addr_out string"
+    )
+
+
 def _q_count_term(spark, sf_dir):
     n = _searcher(spark, sf_dir).count(Term("text", "spark"))
     return spark.createDataFrame([(n,)], "num_hits long")
@@ -3567,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_index_topk": _q_multi_index_topk,
         "count_all": _q_count_all,
         "bulk_ingest_count": _q_bulk_count,
+        "source_render_fields": _q_source_render,
         "search_merged_topk": _q_merged_topk,
         "search_stem_count": _q_stem_count,
         "search_code_count": _q_code_count,
@@ -3840,6 +3911,18 @@ SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM (
 SELECT CAST(COUNT(*) AS BIGINT) AS num_hits FROM documents
 WHERE doc_id < 400 AND lang = 'en'
   AND list_contains(string_split(text, ' '), 'spark')
+""",
+        # every output_format rendering reproduced in SQL: rfc3339 from
+        # unix secs, u64-as-string, base64→hex, IPv4-mapped→dotted quad
+        "source_render_fields": """
+SELECT
+  strftime(make_timestamp((1700000000 + doc_id * 37) * 1000000),
+           '%Y-%m-%dT%H:%M:%SZ')                         AS ts_out,
+  CAST(doc_id * 11 AS VARCHAR)                           AS n_out,
+  lower(hex(encode('doc' || CAST(doc_id AS VARCHAR))))   AS payload_out,
+  '10.0.0.' || CAST(doc_id % 250 + 1 AS VARCHAR)         AS addr_out
+FROM documents WHERE doc_id < 240
+ORDER BY doc_id * 11 LIMIT 10
 """,
         # streamed micro-batch build must be byte-identical to batch
         "search_streamed_topk": _bm25_sql([("spark", 1.0)]),
