@@ -1858,14 +1858,11 @@ class IndexSearcher:
     def _parse_es_sort_full(self, sort_spec) -> list[tuple]:
         """[(field, descending, format|None)] — like `_parse_es_sort`
         plus the per-key ES `format` option (`epoch_nanos_int`)."""
-        entries = sort_spec if isinstance(sort_spec, list) else [sort_spec]
         full = []
-        for ent, (fld, desc) in zip(entries, self._parse_es_sort(sort_spec)):
-            fmt = None
-            if isinstance(ent, dict):
-                (_, opts), = ent.items()
-                if isinstance(opts, dict):
-                    fmt = opts.get("format")
+        for (_, opts), (fld, desc) in zip(
+            self._es_sort_entries(sort_spec), self._parse_es_sort(sort_spec)
+        ):
+            fmt = opts.get("format") if isinstance(opts, dict) else None
             full.append((fld, desc, fmt))
         return full
 
@@ -2048,46 +2045,83 @@ class IndexSearcher:
         keys is rejected explicitly: silently dropping the other key
         (either direction) would return differently-ordered hits than
         ES with no error."""
-        entries = sort_spec if isinstance(sort_spec, list) else [sort_spec]
-
-        def _has_score(e):
-            return e == "_score" if isinstance(e, str) else (
-                isinstance(e, dict) and "_score" in e
-            )
-
-        flags = [_has_score(e) for e in entries]
-        if any(flags) and len(entries) > 1:
+        pairs = IndexSearcher._es_sort_entries(sort_spec)
+        flags = [fld == "_score" for fld, _ in pairs]
+        if any(flags) and len(pairs) > 1:
             raise NotImplementedError(
                 "sort mixing _score with field keys is not supported; "
                 "sort by _score alone or by up to two fast fields"
             )
-        return flags[0]
+        return bool(flags) and flags[0]
+
+    @staticmethod
+    def _es_sort_entries(sort_spec) -> list[tuple]:
+        """ES body `sort` → ordered [(field, params)] pairs, validated.
+        Accepts the array form (string entries or one-field objects) and
+        the single-object form `{field: params, ...}` whose key order is
+        the sort order — the reference's `FieldSortVecVisitor`
+        (`search_body.rs:140-165`). Param objects take exactly
+        `order`/`format` (`FieldSortParams` is deny_unknown_fields),
+        order must be asc|desc, and the only date format is
+        `epoch_nanos_int` (`model/mod.rs:56-64`)."""
+        if isinstance(sort_spec, dict):
+            pairs = list(sort_spec.items())
+        else:
+            entries = sort_spec if isinstance(sort_spec, list) else [sort_spec]
+            pairs = []
+            for ent in entries:
+                if isinstance(ent, str):
+                    pairs.append((ent, None))
+                elif isinstance(ent, dict) and len(ent) == 1:
+                    pairs.append(next(iter(ent.items())))
+                else:
+                    raise ValueError(
+                        f"invalid sort entry {ent!r}: expected a field "
+                        "name or a one-field object"
+                    )
+        for fld, opts in pairs:
+            if isinstance(opts, dict):
+                unknown = sorted(set(opts) - {"order", "format"})
+                if unknown:
+                    raise ValueError(
+                        f"unknown field `{unknown[0]}` in sort params "
+                        f"for {fld!r}, expected `order` or `format`"
+                    )
+                order = opts.get("order")
+                fmt = opts.get("format")
+                if fmt is not None and fmt != "epoch_nanos_int":
+                    raise ValueError(
+                        f"unknown variant `{fmt}`, expected "
+                        "`epoch_nanos_int`"
+                    )
+            else:
+                order = opts
+            if order is not None and order not in ("asc", "desc"):
+                raise ValueError(
+                    f"invalid sort order {order!r} for {fld!r}"
+                )
+        return pairs
 
     @staticmethod
     def _parse_es_sort(sort_spec) -> list[tuple]:
         """ES `sort` entries → [(field, descending)]: "field",
-        {"field": "asc"}, {"field": {"order": "desc"}} (reference
-        sort-by mini-DSL, `rest_handler.rs:103-147`; desc default like
-        `docs/internals/sorting.md`)."""
-        if not isinstance(sort_spec, list):
-            sort_spec = [sort_spec]
+        {"field": "asc"}, {"field": {"order": "desc"}}, or the
+        multi-field object form (reference sort-by mini-DSL,
+        `rest_handler.rs:103-147`)."""
         specs = []
-        for ent in sort_spec:
-            if isinstance(ent, str):
-                fld, order = ent, None
-            else:
-                (fld, opts), = ent.items()
-                order = opts if isinstance(opts, str) else opts.get("order")
+        for fld, opts in IndexSearcher._es_sort_entries(sort_spec):
+            order = opts if isinstance(opts, str) else (opts or {}).get("order")
+            # ES defaults `_score` to DESCENDING and every field key to
+            # ascending (`default_elasticsearch_sort_order`,
+            # `model/mod.rs:74-80`)
+            default = "desc" if fld == "_score" else "asc"
+            desc = (order or default) == "desc"
             if fld == "_doc":
                 # ES `_doc`: index order — our global ingest order is the
                 # doc_key
-                specs.append(("doc_key", (order or "asc") == "desc"))
+                specs.append(("doc_key", desc))
             else:
-                # ES defaults a field sort to ASCENDING (the native
-                # quickwit sort DSL defaults desc; the ES-compat layer
-                # follows ES — the reference's own sort_by scenarios
-                # assert asc for a bare field)
-                specs.append((fld, (order or "asc") == "desc"))
+                specs.append((fld, desc))
         return specs
 
     def msearch(self, bodies: list[dict], mode: str = "parity") -> list[dict]:

@@ -328,7 +328,29 @@ class EsWireHandler:
 
     # ------------------------------------------------------------- search
 
+    # the exact reference `SearchBody` field set (`model/search_body.rs:
+    # 64-97`, serde deny_unknown_fields): the last five are accepted but
+    # ignored for OpenSearch-Dashboards compatibility. `aggregations` is
+    # NOT an accepted alias of `aggs` in the reference — it 400s. The
+    # body `_source` is honored as a column list here (the reference
+    # ignores it), a strict superset.
+    _SEARCH_BODY_FIELDS = frozenset(
+        {
+            "from", "size", "query", "sort", "aggs", "track_total_hits",
+            "stored_fields", "search_after",
+            "_source", "docvalue_fields", "script_fields", "highlight",
+            "version",
+        }
+    )
+
     def _effective_body(self, params: dict, body: dict) -> dict:
+        unknown = sorted(set(body) - self._SEARCH_BODY_FIELDS)
+        if unknown:
+            raise EsApiError(
+                400,
+                f"unknown field `{unknown[0]}`, expected one of "
+                + ", ".join(f"`{f}`" for f in sorted(self._SEARCH_BODY_FIELDS)),
+            )
         body = dict(body)
         # the `default_operator` param feeds the `q`/`extra_filters`
         # query strings (reference build_request_for_es_api,
@@ -391,6 +413,23 @@ class EsWireHandler:
                 fld, _, order = ent.partition(":")
                 entries.append({fld: {"order": order}} if order else fld)
             body["sort"] = entries
+        if params.get("track_total_hits") is not None:
+            # URL param wins over the body value (reference:
+            # `search_params.track_total_hits.or(search_body...)`,
+            # rest_handler.rs:360-362); accepts bool or count forms
+            tth = params["track_total_hits"]
+            if isinstance(tth, str):
+                low = tth.strip().lower()
+                if low in ("true", "false"):
+                    tth = low == "true"
+                else:
+                    try:
+                        tth = int(low)
+                    except ValueError:
+                        raise EsApiError(
+                            400, f"failed to parse track_total_hits: {tth!r}"
+                        )
+            body["track_total_hits"] = tth
         return body
 
     def _src_filters(self, params: dict) -> tuple[list[str], list[str]]:

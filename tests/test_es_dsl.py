@@ -455,3 +455,125 @@ def test_es_wire_method_guards(spark, tmp_path):
     # allowed combos still work
     assert es.request("POST", "logs/_search", body={"size": 0})["hits"]
     assert es.request("POST", "logs/_count")["count"] == 1
+
+def test_es_wire_body_deny_unknown_fields(spark, tmp_path):
+    """The reference `SearchBody` is serde deny_unknown_fields
+    (`model/search_body.rs:64-97`): unknown body keys — including
+    `aggregations`, which is NOT an alias of `aggs` there — are 400s,
+    while the five OpenSearch-Dashboards compat keys are accepted and
+    ignored."""
+    from quickwit_spark.api import QuickwitSpark
+    from quickwit_spark.search.es_wire import EsApiError
+
+    qw = QuickwitSpark(spark, str(tmp_path / "deny"))
+    qw.create_index({"index_id": "logs", "doc_mapping": {"mode": "dynamic"}})
+    qw.ingest("logs", [{"msg": "spark"}])
+    es = qw.es()
+    for bad in [
+        {"siz": 1},
+        {"aggregations": {"a": {"terms": {"field": "msg"}}}},
+        {"query": {"match_all": {}}, "min_score": 0.5},
+    ]:
+        with pytest.raises(EsApiError) as ei:
+            es.request("POST", "logs/_search", body=bad)
+        assert ei.value.status == 400
+        assert "unknown field" in str(ei.value)
+    # accepted-but-ignored compat keys (SearchBody IgnoredAny)
+    ok = es.request(
+        "POST",
+        "logs/_search",
+        body={
+            "size": 1,
+            "stored_fields": ["msg"],
+            "docvalue_fields": ["msg"],
+            "script_fields": {},
+            "highlight": {},
+            "version": True,
+        },
+    )
+    assert ok["hits"]["total"]["value"] == 1
+    # _msearch bodies go through the same validation
+    r = es.request(
+        "POST",
+        "_msearch",
+        ndjson=[{"index": "logs"}, {"size": 0, "bogus_key": 1}],
+    )
+    assert r["responses"][0]["status"] == 400
+
+
+def test_es_sort_map_form_and_score_default(spark, tmp_path):
+    """`sort` accepts the single-object multi-field form with key order
+    = sort order (`FieldSortVecVisitor::visit_map`), `_score` defaults
+    DESC while field keys default ASC
+    (`default_elasticsearch_sort_order`), sort params are
+    deny_unknown_fields, and the only date format is
+    `epoch_nanos_int`."""
+    from quickwit_spark.api import QuickwitSpark
+    from quickwit_spark.search.es_wire import EsApiError
+
+    qw = QuickwitSpark(spark, str(tmp_path / "sortmap"))
+    qw.create_index({"index_id": "logs", "doc_mapping": {"mode": "dynamic"}})
+    qw.ingest(
+        "logs",
+        [
+            {"msg": "spark", "a": 1, "b": 9},
+            {"msg": "spark", "a": 1, "b": 3},
+            {"msg": "spark", "a": 0, "b": 5},
+        ],
+    )
+    es = qw.es()
+    # object form: {a: desc, b: {}} — b's order defaults asc
+    r = es.request(
+        "POST",
+        "logs/_search",
+        body={"sort": {"a": {"order": "desc"}, "b": {}}, "size": 3},
+    )
+    assert [h["sort"] for h in r["hits"]["hits"]] == [
+        [1, 3],
+        [1, 9],
+        [0, 5],
+    ]
+    # bare {"_score": {}} defaults desc == the plain BM25 path
+    r2 = es.request(
+        "POST",
+        "logs/_search",
+        body={"query": {"match": {"msg": "spark"}}, "sort": [{"_score": {}}]},
+    )
+    assert r2["hits"]["total"]["value"] == 3
+    scores = [h["_score"] for h in r2["hits"]["hits"]]
+    assert scores == sorted(scores, reverse=True)
+    # unknown sort param / bad order / bad format are 400s
+    for bad_sort in [
+        [{"a": {"order": "asc", "missing": "_last"}}],
+        [{"a": "ascending"}],
+        [{"a": {"format": "epoch_millis"}}],
+        [{"a": {"order": "asc"}, "b": "asc"}],  # two-field map inside array
+    ]:
+        with pytest.raises(EsApiError) as ei:
+            es.request("POST", "logs/_search", body={"sort": bad_sort})
+        assert ei.value.status == 400, bad_sort
+
+def test_es_wire_track_total_hits_url_param(spark, tmp_path):
+    """URL `track_total_hits` wins over the body value (reference
+    `search_params.track_total_hits.or(search_body.track_total_hits)`,
+    rest_handler.rs:360-362) and accepts bool/int string forms."""
+    from quickwit_spark.api import QuickwitSpark
+    from quickwit_spark.search.es_wire import EsApiError
+
+    qw = QuickwitSpark(spark, str(tmp_path / "tth"))
+    qw.create_index({"index_id": "logs", "doc_mapping": {"mode": "dynamic"}})
+    qw.ingest("logs", [{"msg": f"spark {i}"} for i in range(25)])
+    es = qw.es()
+    r = es.request(
+        "GET",
+        "logs/_search?track_total_hits=true&size=1",
+        body={"track_total_hits": False},
+    )
+    assert r["hits"]["total"] == {"value": 25, "relation": "eq"}
+    r2 = es.request("GET", "logs/_search?track_total_hits=false&size=1")
+    assert r2["hits"]["total"]["relation"] == "gte"
+    r3 = es.request("GET", "logs/_search?track_total_hits=30&size=1")
+    assert r3["hits"]["total"] == {"value": 25, "relation": "eq"}
+    with pytest.raises(EsApiError) as ei:
+        es.request("GET", "logs/_search?track_total_hits=maybe")
+    assert ei.value.status == 400
