@@ -1332,11 +1332,18 @@ class IndexSearcher:
             "inner",
         )
         if search_after is not None:
-            sa_score, sa_key = search_after
-            hits = hits.filter(
-                (F.col("score") < sa_score)
-                | ((F.col("score") == sa_score) & (F.col("doc_key") < sa_key))
-            )
+            if len(search_after) == 1:
+                # values-only ES cursor: strictly-after on score alone;
+                # same-score ties are skipped (no doc tiebreak value)
+                sa_score, sa_key = search_after[0], None
+            else:
+                sa_score, sa_key = search_after
+            cond = F.col("score") < sa_score
+            if sa_key is not None:
+                cond = cond | (
+                    (F.col("score") == sa_score) & (F.col("doc_key") < sa_key)
+                )
+            hits = hits.filter(cond)
         order = [F.col("score").desc(), F.col("doc_key").desc()]
         hits = hits.orderBy(*order).limit(k)
         # rank runs on the <= k winner rows — WindowExec's global-
@@ -1761,7 +1768,20 @@ class IndexSearcher:
                     fetch.append(o["orig_column"])
             sa = body.get("search_after")
             if sa:
-                sa = self._convert_es_cursor(list(sa), sort_spec)
+                # the ES cursor carries the sort values ONLY — a length
+                # mismatch is a 400, never silent truncation (reference
+                # partial_hit_from_search_after_param,
+                # `rest_handler.rs:421-434`). Library-level superset: a
+                # trailing doc_key tiebreak value (len + 1) is accepted
+                # here; the WIRE layer rejects it like the reference.
+                if len(sa) not in (len(specs), len(specs) + 1):
+                    raise ValueError(
+                        "sort and search_after are of different length"
+                    )
+                tail = list(sa[len(specs):])
+                sa = self._convert_es_cursor(
+                    list(sa[: len(specs)]), sort_spec
+                ) + tail
             out["hits"] = self.sort_by_field(
                 ast,
                 specs,
@@ -1773,6 +1793,24 @@ class IndexSearcher:
             )
         elif size > 0:
             sa = body.get("search_after")
+            if sa:
+                n_sort = (
+                    len(self._es_sort_entries(sort_spec)) if sort_spec else 0
+                )
+                if len(sa) != n_sort:
+                    raise ValueError(
+                        "sort and search_after are of different length"
+                    )
+                # explicit `_score` sort: values-only score cursor — docs
+                # strictly after the score; same-score ties are skipped
+                # (no doc tiebreak value on the wire)
+                try:
+                    sa = (float(sa[0]),)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        "invalid search_after field value, expect bool, "
+                        "number or string"
+                    )
             out["hits"] = self.search(
                 ast,
                 k=k_total,
@@ -1875,6 +1913,13 @@ class IndexSearcher:
 
         out = []
         for v, (fld, _desc, fmt) in zip(values, self._parse_es_sort_full(sort_spec)):
+            if isinstance(v, (list, dict)):
+                # reference SortByValue::try_from_json
+                # (`rest_handler.rs:461-467`)
+                raise ValueError(
+                    "invalid search_after field value, expect bool, "
+                    "number or string"
+                )
             dtype = self._doc_types.get(self._fcol(fld), "")
             if v is None:
                 out.append(None)
@@ -1953,6 +1998,13 @@ class IndexSearcher:
                 else:
                     src = {}
                 hit = {"_id": str(d["doc_key"]), "_score": score, "_source": src}
+                if not field_sort and score is not None:
+                    # score-sorted hits carry the score as their sort
+                    # value (reference convert_hit pushes partial_hit
+                    # sort_value — the score — into `sort`,
+                    # `rest_handler.rs:774-787`), so the standard
+                    # hits[-1]["sort"] → search_after client loop works
+                    hit["sort"] = [score]
                 if field_sort:
                     opts_all = self.config.field_options or {}
                     vals = []
@@ -1982,33 +2034,42 @@ class IndexSearcher:
         count_all = tth is True or (
             isinstance(tth, int) and not isinstance(tth, bool) and tth > size
         )
-        if tth is False:
-            # no counting work at all — the returned hits are the bound
-            total = {"value": len(hits_rows), "relation": "gte"}
+        # resolve the body's AST ONCE for the counting pass —
+        # re-resolving would re-run wildcard/regex expansion jobs.
+        # `false` takes the same Underestimate path as absent — the
+        # reference maps Track(false) to CountHits::Underestimate, not
+        # to a no-count response.
+        count_ast = self._es_ast(body)
+        count_resolved = self._resolve(count_ast, None)
+        if count_all:
+            total = {
+                "value": self.count(count_ast, _resolved=count_resolved),
+                "relation": "eq",
+            }
         else:
-            # resolve the body's AST ONCE for the counting pass —
-            # re-resolving would re-run wildcard/regex expansion jobs
-            count_ast = self._es_ast(body)
-            count_resolved = self._resolve(count_ast, None)
-            if count_all:
-                total = {
-                    "value": self.count(count_ast, _resolved=count_resolved),
-                    "relation": "eq",
-                }
-            else:
-                n = (
-                    tth
-                    if isinstance(tth, int) and not isinstance(tth, bool)
-                    else size
-                )
-                v, exhausted = self.count_up_to(
-                    count_ast, max(n, len(hits_rows), 1),
-                    _resolved=count_resolved,
-                )
-                total = {"value": v, "relation": "eq" if exhausted else "gte"}
+            n = (
+                tth
+                if isinstance(tth, int) and not isinstance(tth, bool)
+                else size
+            )
+            v, exhausted = self.count_up_to(
+                count_ast, max(n, len(hits_rows), 1),
+                _resolved=count_resolved,
+            )
+            total = {"value": v, "relation": "eq" if exhausted else "gte"}
         out = {
             "took": int((_time.perf_counter() - t0) * 1000),
             "timed_out": False,
+            # the reference conveys split-search outcomes through the ES
+            # `_shards` block (one "shard" per split,
+            # `rest_handler.rs:1039-1046`); our splits are segments, and
+            # a Spark job either fully succeeds or raises — failed=0.
+            # Deviation kept from the reference: it hard-codes
+            # `max_score: null` and `relation: eq`; we report the real
+            # max score and a gte relation for underestimates (actual ES
+            # behavior — strictly more information, asserted by our own
+            # tests).
+            "_shards": self._shards_stats(),
             "hits": {
                 "total": total,
                 "max_score": max_score,
@@ -2018,6 +2079,19 @@ class IndexSearcher:
         if aggs_shaped:
             out["aggregations"] = aggs_shaped
         return out
+
+    def _shards_stats(self) -> dict:
+        """ES `_shards` statistics: every live segment participates
+        (reference `ShardStatistics`: total/successful/skipped/failed +
+        failures list, with total = successful + failed)."""
+        n = len(self.segments)
+        return {
+            "total": n,
+            "successful": n,
+            "skipped": 0,
+            "failed": 0,
+            "failures": [],
+        }
 
     def _known_fields(self) -> set[str]:
         """Every addressable field: term fields + fast-only paths (a
@@ -2046,6 +2120,11 @@ class IndexSearcher:
         (either direction) would return differently-ordered hits than
         ES with no error."""
         pairs = IndexSearcher._es_sort_entries(sort_spec)
+        for i, (fld, _) in enumerate(pairs):
+            # keys after a doc field are dropped (take_while_inclusive)
+            if fld in ("_doc", "_shard_doc"):
+                pairs = pairs[: i + 1]
+                break
         flags = [fld == "_score" for fld, _ in pairs]
         if any(flags) and len(pairs) > 1:
             raise NotImplementedError(
@@ -2116,12 +2195,14 @@ class IndexSearcher:
             # `model/mod.rs:74-80`)
             default = "desc" if fld == "_score" else "asc"
             desc = (order or default) == "desc"
-            if fld == "_doc":
+            if fld in ("_doc", "_shard_doc"):
                 # ES `_doc`: index order — our global ingest order is the
-                # doc_key
+                # doc_key. Keys after a doc field are dropped, like the
+                # reference's take_while_inclusive(!is_doc_field)
+                # (`rest_handler.rs:371-385,417-419`)
                 specs.append(("doc_key", desc))
-            else:
-                specs.append((fld, desc))
+                break
+            specs.append((fld, desc))
         return specs
 
     def msearch(self, bodies: list[dict], mode: str = "parity") -> list[dict]:

@@ -413,6 +413,26 @@ class EsWireHandler:
                 fld, _, order = ent.partition(":")
                 entries.append({fld: {"order": order}} if order else fld)
             body["sort"] = entries
+        if body.get("search_after"):
+            # the wire cursor is values-only and must match the sort-key
+            # count exactly (reference partial_hit_from_search_after_param,
+            # `rest_handler.rs:421-434`); the library level additionally
+            # accepts a doc_key tiebreak tail, which the wire rejects
+            try:
+                from quickwit_spark.search.engine import IndexSearcher
+
+                sort_spec = body.get("sort")
+                n_sort = (
+                    len(IndexSearcher._es_sort_entries(sort_spec))
+                    if sort_spec
+                    else 0
+                )
+            except (ValueError, TypeError, KeyError) as e:
+                raise EsApiError(400, str(e)) from e
+            if len(body["search_after"]) != n_sort:
+                raise EsApiError(
+                    400, "sort and search_after are of different length"
+                )
         if params.get("track_total_hits") is not None:
             # URL param wins over the body value (reference:
             # `search_params.track_total_hits.or(search_body...)`,
@@ -481,6 +501,10 @@ class EsWireHandler:
         return {
             "took": int((_time.perf_counter() - t0) * 1000),
             "timed_out": False,
+            "_shards": {
+                "total": 0, "successful": 0, "skipped": 0, "failed": 0,
+                "failures": [],
+            },
             "hits": {
                 "total": {"value": 0, "relation": "eq"},
                 "max_score": None,
@@ -584,9 +608,17 @@ class EsWireHandler:
                     _key_order(h["_id"]),
                 )
             )
+        shards = {
+            "total": 0, "successful": 0, "skipped": 0, "failed": 0,
+            "failures": [],
+        }
+        for resp in responses:
+            for k in ("total", "successful", "skipped", "failed"):
+                shards[k] += resp.get("_shards", {}).get(k, 0)
         out = {
             "took": int((_time.perf_counter() - t0) * 1000),
             "timed_out": False,
+            "_shards": shards,
             "hits": {
                 "total": {"value": total, "relation": relation},
                 "max_score": max_score,
@@ -738,11 +770,13 @@ class EsWireHandler:
             try:
                 names = self._resolve_es(name)
                 if len(names) == 1:
-                    out.append(
-                        self._search(self.indexes[names[0]], params, body)
-                    )
+                    item = self._search(self.indexes[names[0]], params, body)
                 else:
-                    out.append(self._search_many(names, params, body))
+                    item = self._search_many(names, params, body)
+                # every msearch item carries `status` (200 flattened
+                # with the response, reference MultiSearchSingleResponse,
+                # `model/multi_search.rs:109-129`)
+                out.append({"status": 200, **item})
             except EsApiError as e:
                 out.append(e.response())
         return {"responses": out}
@@ -794,6 +828,7 @@ class EsWireHandler:
             "exc": exc,
             "fmt": fmt,
             "explicit_src": list(body.get("_source") or []),
+            "shards": searcher._shards_stats(),
         }
         self._scrolls[ctx.scroll_id] = state
         return self._scroll_response(state)
@@ -848,6 +883,14 @@ class EsWireHandler:
         )
         create_scroll(ctx)
         inc, exc = self._src_filters(params)
+        shards = {
+            "total": 0, "successful": 0, "skipped": 0, "failed": 0,
+            "failures": [],
+        }
+        for n in names:
+            st = self.indexes[n]._shards_stats()
+            for k in ("total", "successful", "skipped", "failed"):
+                shards[k] += st[k]
         state = {
             "ctx": ctx,
             "searcher": None,
@@ -858,6 +901,7 @@ class EsWireHandler:
             "exc": exc,
             "fmt": fmt,
             "explicit_src": list(body.get("_source") or []),
+            "shards": shards,
         }
         self._scrolls[ctx.scroll_id] = state
         return self._scroll_response(state)
@@ -928,6 +972,11 @@ class EsWireHandler:
         out = {
             "_scroll_id": ctx.scroll_id,
             "timed_out": False,
+            "_shards": state.get("shards")
+            or {
+                "total": 0, "successful": 0, "skipped": 0, "failed": 0,
+                "failures": [],
+            },
             "hits": {
                 "total": {"value": state["total"], "relation": "eq"},
                 "max_score": None,

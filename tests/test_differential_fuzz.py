@@ -685,3 +685,56 @@ def test_es_body_query_never_crashes(body):
     except (ValueError, TypeError, KeyError, NotImplementedError):
         return
     assert isinstance(ast, QueryAst), body
+
+
+# --------------------------------------------------------------------------
+# ES sort-spec parsing robustness (driver-side pure functions)
+# --------------------------------------------------------------------------
+
+_sort_params = st.one_of(
+    st.none(),
+    st.sampled_from(["asc", "desc", "ascending", 3]),
+    st.dictionaries(
+        st.sampled_from(["order", "format", "missing", "mode"]),
+        st.sampled_from(["asc", "desc", "epoch_nanos_int", "epoch_millis", 1]),
+        max_size=2,
+    ),
+)
+_sort_entry = st.one_of(
+    st.sampled_from(["_score", "_doc", "_shard_doc", "ts", "n"]),
+    st.dictionaries(
+        st.sampled_from(["_score", "_doc", "ts", "n"]), _sort_params,
+        min_size=0, max_size=2,
+    ),
+)
+_sort_spec = st.one_of(
+    _sort_entry,
+    st.lists(_sort_entry, max_size=3),
+    st.dictionaries(
+        st.sampled_from(["_score", "_doc", "ts", "n"]), _sort_params,
+        min_size=0, max_size=3,
+    ),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(spec=_sort_spec)
+def test_es_sort_parsing_never_crashes(spec):
+    """Every accepted sort spec parses to [(str, bool)] pairs with any
+    post-`_doc` keys dropped; every rejected one raises within the
+    tuple the wire converts to a 400 — the reference deserializer
+    (FieldSortVecVisitor + FieldSortParams deny_unknown_fields) never
+    500s either."""
+    from quickwit_spark.search.engine import IndexSearcher
+
+    try:
+        specs = IndexSearcher._parse_es_sort(spec)
+        IndexSearcher._is_score_sort(spec)
+    except (ValueError, TypeError, KeyError, NotImplementedError):
+        return
+    assert all(
+        isinstance(f, str) and isinstance(d, bool) for f, d in specs
+    ), spec
+    # take_while_inclusive: nothing after a doc key
+    if "doc_key" in [f for f, _ in specs]:
+        assert [f for f, _ in specs].index("doc_key") == len(specs) - 1

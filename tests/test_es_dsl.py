@@ -265,8 +265,12 @@ def test_es_wire_stats_health_resolve_info_delete(spark, sf_dir, tmp_path):
     body = {"query": {"match": {"text": {"query": "spark"}}}, "size": 3}
     eq = s.es_search_response({**body, "track_total_hits": True})
     assert eq["hits"]["total"] == {"value": exact, "relation": "eq"}
+    # false maps to the same Underestimate path as absent (reference
+    # Track(false) => CountHits::Underestimate, rest_handler.rs:364-367)
     off = s.es_search_response({**body, "track_total_hits": False})
-    assert off["hits"]["total"] == {"value": 3, "relation": "gte"}
+    absent = s.es_search_response(body)
+    assert off["hits"]["total"] == absent["hits"]["total"]
+    assert off["hits"]["total"]["value"] >= 3
     # int > size ⇒ CountAll (exact); int ≤ size ⇒ underestimate
     big = s.es_search_response({**body, "track_total_hits": 10**6})
     assert big["hits"]["total"] == {"value": exact, "relation": "eq"}
@@ -570,10 +574,69 @@ def test_es_wire_track_total_hits_url_param(spark, tmp_path):
         body={"track_total_hits": False},
     )
     assert r["hits"]["total"] == {"value": 25, "relation": "eq"}
+    # false maps to the SAME Underestimate path as absent (reference:
+    # Track(false) => CountHits::Underestimate, rest_handler.rs:364-367)
     r2 = es.request("GET", "logs/_search?track_total_hits=false&size=1")
-    assert r2["hits"]["total"]["relation"] == "gte"
+    r_absent = es.request("GET", "logs/_search?size=1")
+    assert r2["hits"]["total"] == r_absent["hits"]["total"]
     r3 = es.request("GET", "logs/_search?track_total_hits=30&size=1")
     assert r3["hits"]["total"] == {"value": 25, "relation": "eq"}
     with pytest.raises(EsApiError) as ei:
         es.request("GET", "logs/_search?track_total_hits=maybe")
     assert ei.value.status == 400
+
+def test_es_sort_doc_field_truncates_rest(spark, tmp_path):
+    """Sort keys after `_doc`/`_shard_doc` are dropped — the
+    reference's take_while_inclusive(!is_doc_field)
+    (`rest_handler.rs:371-385,417-419`)."""
+    from quickwit_spark.api import QuickwitSpark
+
+    qw = QuickwitSpark(spark, str(tmp_path / "docsort"))
+    qw.create_index({"index_id": "logs", "doc_mapping": {"mode": "dynamic"}})
+    qw.ingest("logs", [{"msg": "spark", "n": v} for v in (5, 1, 3)])
+    es = qw.es()
+    # "n" after "_doc" is ignored: hits come back in ingest order
+    r = es.request(
+        "POST",
+        "logs/_search",
+        body={"sort": ["_doc", {"n": "desc"}], "size": 3},
+    )
+    ids = [h["_id"] for h in r["hits"]["hits"]]
+    assert ids == sorted(ids, key=int)
+    assert all(len(h["sort"]) == 1 for h in r["hits"]["hits"])
+
+def test_es_search_after_validation(spark, tmp_path):
+    """The reference 400s a cursor whose length differs from the sort
+    key count — never silent truncation — and rejects non-scalar cursor
+    values (`partial_hit_from_search_after_param`,
+    rest_handler.rs:421-478). An explicit `_score` sort takes a
+    values-only score cursor."""
+    from quickwit_spark.api import QuickwitSpark
+    from quickwit_spark.search.es_wire import EsApiError
+
+    qw = QuickwitSpark(spark, str(tmp_path / "saval"))
+    qw.create_index({"index_id": "logs", "doc_mapping": {"mode": "dynamic"}})
+    qw.ingest(
+        "logs",
+        [{"msg": "spark " + ("spark " * (i % 3)), "n": i} for i in range(9)],
+    )
+    es = qw.es()
+    for bad in [
+        {"sort": [{"n": "asc"}], "search_after": [1, 2]},
+        {"search_after": [1]},
+        {"sort": [{"n": "asc"}], "search_after": [[1]]},
+        {"query": {"match": {"msg": "spark"}}, "sort": ["_score"],
+         "search_after": [{"s": 1}]},
+    ]:
+        with pytest.raises(EsApiError) as ei:
+            es.request("POST", "logs/_search", body=bad)
+        assert ei.value.status == 400, bad
+    # _score sort + values-only cursor pages without re-serving the
+    # cursor score (ties at the cursor score are skipped)
+    q = {"query": {"match": {"msg": "spark"}}, "sort": ["_score"], "size": 3}
+    p1 = es.request("POST", "logs/_search", body=q)
+    cursor = p1["hits"]["hits"][-1]["_score"]
+    p2 = es.request(
+        "POST", "logs/_search", body={**q, "search_after": [cursor]}
+    )
+    assert all(h["_score"] < cursor for h in p2["hits"]["hits"])
