@@ -244,6 +244,20 @@ class QuickwitSpark:
                 f"value {old_ts or '<none>'}, new expected value "
                 f"{dm.get('timestamp_field') or '<none>'}"
             )
+        old_dm = state.get("doc_mapping") or {}
+        bumped = dm != old_dm
+        if bumped:
+            # any doc-mapping change starts a NEW generation (the
+            # reference stamps a fresh doc_mapping_uid and restarts the
+            # pipelines): future splits build under the new mapping,
+            # existing splits keep theirs — searches convert old-split
+            # values to the new types best-effort
+            # (docs/reference/updating-mapper.md) and the merge planner
+            # never mixes generations (merge_planner.rs:41-53)
+            state["mapping_uid"] = int(state.get("mapping_uid", 0)) + 1
+            state["schema"] = None
+            state["pinned_kinds"] = {}
+            state["mixed"] = []
         state["doc_mapping"] = dm
         state["search_settings"] = config.get("search_settings") or {}
         state["indexing_settings"] = self._validated_indexing_settings(config)
@@ -254,6 +268,11 @@ class QuickwitSpark:
             state.pop("retention", None)
         self._save_state(index_id, state)
         self._searchers.pop(index_id, None)
+        if bumped:
+            # zero-doc publish under the new generation: persists its
+            # config snapshot so searches reflect the update before any
+            # new ingest
+            self._build(index_id, state, lines=None)
         return {"index_id": index_id, "updated": True}
 
     def clear_index(self, index_id: str) -> dict:
@@ -412,6 +431,9 @@ class QuickwitSpark:
                     "create_timestamp": r.create_timestamp,
                     "tags": list(r.tags),
                     "num_merge_ops": r.merge_gen,
+                    # reference SplitMetadata.doc_mapping_uid (ULID in
+                    # the reference; an integer generation here)
+                    "doc_mapping_uid": r.doc_mapping_uid,
                 }
             )
         off = int(offset or 0)
@@ -980,7 +1002,12 @@ class QuickwitSpark:
         )
         d = self.index_dir(index_id)
         build_index(
-            spark, flat, d, cfg, job_id=f"ing{int(state['batches']):05d}"
+            spark,
+            flat,
+            d,
+            cfg,
+            job_id=f"ing{int(state['batches']):05d}",
+            doc_mapping_uid=int(state.get("mapping_uid", 0)),
         )
 
         state["schema"] = json.dumps(schema.jsonValue())

@@ -753,6 +753,28 @@ def _is_additive_extension(old: IndexConfig, new: IndexConfig) -> bool:
     return True
 
 
+def config_path(index_dir: str, doc_mapping_uid: int = 0) -> str:
+    """Per-generation persisted config: generation 0 keeps the original
+    name (existing indexes stay readable), later generations get their
+    own snapshot so searchers can build old-type -> new-type converters
+    (reference: each split records its `doc_mapping_uid` and the
+    metastore keeps every doc mapping version)."""
+    if doc_mapping_uid:
+        return f"{index_dir}/_manifest/index_config.uid{doc_mapping_uid}.json"
+    return f"{index_dir}/_manifest/index_config.json"
+
+
+def docs_path(index_dir: str, doc_mapping_uid: int = 0) -> str:
+    """Docmap dataset dir for one doc-mapping generation. Generations
+    are SEPARATE parquet datasets: a non-additive mapping update may
+    retype a stored column (long -> string), which a single dataset
+    cannot schema-merge; searchers read each generation with its own
+    schema and convert to the current types (engine `_refresh`)."""
+    if doc_mapping_uid:
+        return f"{index_dir}/docs_uid{doc_mapping_uid}"
+    return f"{index_dir}/docs"
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,
@@ -762,6 +784,7 @@ def build_index(
     num_batches: int = 1,
     fail_after_batch: int | None = None,
     transform=None,
+    doc_mapping_uid: int = 0,
 ) -> list[mf.SegmentRecord]:
     """Build (or resume building) an index from `df`.
 
@@ -811,7 +834,7 @@ def build_index(
     # while searchers read another (checked BEFORE any segment publishes)
     import os as _os
 
-    _cfg_path = f"{index_dir}/_manifest/index_config.json"
+    _cfg_path = config_path(index_dir, doc_mapping_uid)
     if _os.path.exists(_cfg_path):
         with open(_cfg_path) as _f:
             stored = _f.read()
@@ -850,7 +873,7 @@ def build_index(
         # qw_search_api scenarios count on those docs being absent)
         df = df.filter(F.col(config.time_column).isNotNull())
     inv_dir = f"{index_dir}/inv"
-    docs_dir = f"{index_dir}/docs"
+    docs_dir = docs_path(index_dir, doc_mapping_uid)
 
     done = mf.committed_checkpoints(index_dir, kind="build")
     if config.routing == "input":
@@ -950,6 +973,7 @@ def build_index(
                     time_range=m["time_range"],
                     tags=m.get("tags") or [],
                     merge_gen=0,
+                    doc_mapping_uid=doc_mapping_uid,
                     metrics={"build_secs": m["build_secs"]},
                 )
             )
@@ -970,7 +994,7 @@ def build_index(
             raise RuntimeError(f"injected failure after batch {batch_id}")
     # persist the index config for searchers (pre-validated against any
     # existing config at the top of this function)
-    cfg_path = f"{index_dir}/_manifest/index_config.json"
+    cfg_path = config_path(index_dir, doc_mapping_uid)
     import os
 
     if not os.path.exists(cfg_path):

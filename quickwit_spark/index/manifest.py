@@ -53,6 +53,10 @@ class SegmentRecord:
     # (reference: SplitMetadata.tags, `split_metadata.rs:61-130`)
     tags: list = field(default_factory=list)
     merge_gen: int = 0
+    # which doc-mapping generation built this split (reference
+    # `SplitMetadata.doc_mapping_uid`, `split_metadata.rs` — bumped by
+    # non-additive index updates; merges never mix generations)
+    doc_mapping_uid: int = 0
     metrics: dict = field(default_factory=dict)
     # unix SECONDS, like the reference's SplitMetadata.create_timestamp
     # / Split.update_timestamp (`split_metadata.rs:32-46,61-130`);

@@ -128,14 +128,24 @@ class ConstWriteAmplificationMergePolicy:
                 continue
             if _age_mature(s, self.maturation_period_secs, now):
                 continue
-            groups.setdefault((s.partition_id, s.merge_gen), []).append(s)
-        for (pid, gen), group in sorted(groups.items()):
+            groups.setdefault(
+                (s.partition_id, s.merge_gen, s.doc_mapping_uid), []
+            ).append(s)
+        for (pid, gen, dmu), group in sorted(groups.items()):
             group.sort(key=lambda s: s.segment_id)
             while len(group) >= self.merge_factor:
                 take = group[: self.max_merge_factor]
                 group = group[len(take) :]
                 op_id = f"cw{gen + 1}-p{pid:05d}-{take[0].segment_id}"
-                ops.append(MergeOp(op_id, [s.segment_id for s in take], pid, gen + 1))
+                ops.append(
+                    MergeOp(
+                        op_id,
+                        [s.segment_id for s in take],
+                        pid,
+                        gen + 1,
+                        doc_mapping_uid=dmu,
+                    )
+                )
         return ops
 
 
@@ -234,6 +244,9 @@ class MergeOp:
     segment_ids: list[str]
     partition_id: int
     merge_gen: int
+    # merges never mix doc-mapping generations (reference MergePartition
+    # = {partition_id, doc_mapping_uid}, `merge_planner.rs:41-53`)
+    doc_mapping_uid: int = 0
 
 
 def plan_merges(
@@ -243,14 +256,19 @@ def plan_merges(
 ) -> list[MergeOp]:
     """One planning round: group young segments by (partition, level)."""
     ops: list[MergeOp] = []
-    by_partition: dict[int, list[mf.SegmentRecord]] = {}
+    by_partition: dict[tuple[int, int], list[mf.SegmentRecord]] = {}
     for s in segments:
         if s.num_docs >= policy.split_num_docs_target:
             continue  # mature — never merged (reference maturity rule)
         if _age_mature(s, getattr(policy, "maturation_period_secs", None), now):
             continue
-        by_partition.setdefault(s.partition_id, []).append(s)
-    for pid, segs in sorted(by_partition.items()):
+        # group by (partition, doc-mapping generation): splits built
+        # under different doc mappings are never merged together
+        # (reference MergePartition, `merge_planner.rs:41-53`)
+        by_partition.setdefault(
+            (s.partition_id, s.doc_mapping_uid), []
+        ).append(s)
+    for (pid, dmu), segs in sorted(by_partition.items()):
         levels: dict[int, list[mf.SegmentRecord]] = {}
         for s in segs:
             levels.setdefault(policy.level_of(s.num_docs), []).append(s)
@@ -261,7 +279,15 @@ def plan_merges(
                 group = group[len(take) :]
                 gen = max(s.merge_gen for s in take) + 1
                 op_id = f"m{gen}-p{pid:05d}-l{lvl}-{take[0].segment_id}"
-                ops.append(MergeOp(op_id, [s.segment_id for s in take], pid, gen))
+                ops.append(
+                    MergeOp(
+                        op_id,
+                        [s.segment_id for s in take],
+                        pid,
+                        gen,
+                        doc_mapping_uid=dmu,
+                    )
+                )
     return ops
 
 
@@ -345,6 +371,7 @@ def _write_permutation(
     op_id: str,
     input_ids: list[str],
     tomb_path: str,
+    doc_mapping_uid: int = 0,
 ) -> str:
     """Docid permutation for a merge: new_id = rank of doc_key
     ascending over the LIVE docs of all inputs (ties impossible —
@@ -354,9 +381,10 @@ def _write_permutation(
     under the deletes compaction dir so the janitor GCs it with the
     op."""
     from quickwit_spark.index.builder import _INV_COLUMNS as _IC
+    from quickwit_spark.index.builder import docs_path as _dp
 
     docs = (
-        spark.read.parquet(f"{index_dir}/docs")
+        spark.read.parquet(_dp(index_dir, doc_mapping_uid))
         .drop(*[c for c in _IC if c != "segment_id"])
         .filter(F.col("segment_id").isin(input_ids))
         .select("segment_id", "doc_id", "doc_key")
@@ -449,7 +477,7 @@ def execute_merge(
     )
     input_ids = [s.segment_id for s in inputs]
     perm_path = _write_permutation(
-        spark, index_dir, op.op_id, input_ids, tomb_path
+        spark, index_dir, op.op_id, input_ids, tomb_path, op.doc_mapping_uid
     )
     field_stats: dict[str, dict] = {}
     for s in inputs:
@@ -729,8 +757,11 @@ def execute_merge(
     # builder-written docmap files carry the (all-null) inverted-index
     # columns of the unified single-pass schema; drop them so merged
     # docmaps store only the typed doc columns (no-op when absent)
+    from quickwit_spark.index.builder import docs_path as _docs_path
+
+    _ddir = _docs_path(index_dir, op.doc_mapping_uid)
     docs = (
-        spark.read.parquet(f"{index_dir}/docs")
+        spark.read.parquet(_ddir)
         .drop(*[c for c in _IC if c != "segment_id"])
         .filter(F.col("segment_id").isin(input_ids))
     )
@@ -755,7 +786,7 @@ def execute_merge(
         .withColumn("batch_id", F.lit(op.op_id))
         .write.mode("overwrite")
         .partitionBy("batch_id")
-        .parquet(f"{index_dir}/docs")
+        .parquet(_ddir)
     )
 
     merge_secs = _time.perf_counter() - t_start
@@ -769,6 +800,7 @@ def execute_merge(
         time_range=time_range,
         tags=_merged_tags(index_dir, inputs),
         merge_gen=op.merge_gen,
+        doc_mapping_uid=op.doc_mapping_uid,
         # per-op throughput metrics in the manifest, like the builder's
         # build_secs (north-star: lineage + indexing-throughput metrics
         # checkpointed so a killed job resumes mid-merge)
@@ -788,6 +820,7 @@ def execute_merge(
             time_range=s.time_range,
             tags=s.tags,
             merge_gen=s.merge_gen,
+            doc_mapping_uid=s.doc_mapping_uid,
             create_timestamp=s.create_timestamp,
         )
         for s in inputs

@@ -54,7 +54,14 @@ def garbage_collect(index_dir: str, dry_run: bool = False) -> list[str]:
     }
     known_batches = {_batch_of(r) for r in all_segs.values()}
     removed: list[str] = []
-    for sub in ("inv", "docs"):
+    # per-generation docmap datasets (builder.docs_path): docs_uid<N>
+    # dirs exist after a non-additive doc-mapping update
+    gen_docs = [
+        e
+        for e in sorted(os.listdir(index_dir))
+        if e.startswith("docs_uid") and os.path.isdir(os.path.join(index_dir, e))
+    ] if os.path.isdir(index_dir) else []
+    for sub in ("inv", "docs", *gen_docs):
         base = os.path.join(index_dir, sub)
         if not os.path.isdir(base):
             continue

@@ -272,17 +272,46 @@ class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        with open(f"{index_dir}/_manifest/index_config.json") as f:
-            self.config = IndexConfig.from_json(f.read())
+        # per-generation config snapshots (builder.config_path): a
+        # non-additive mapping update starts a new generation; queries
+        # always validate against the NEWEST mapping
+        # (docs/reference/updating-mapper.md "Querying")
+        import glob as _glob
+        import re as _re
+
+        self.config_by_uid: dict[int, IndexConfig] = {}
+        for p in _glob.glob(f"{index_dir}/_manifest/index_config*.json"):
+            base = p.rsplit("/", 1)[1]
+            if base == "index_config.json":
+                g = 0
+            else:
+                m = _re.fullmatch(r"index_config\.uid(\d+)\.json", base)
+                if not m:
+                    continue
+                g = int(m.group(1))
+            with open(p) as f:
+                self.config_by_uid[g] = IndexConfig.from_json(f.read())
+        if not self.config_by_uid:
+            raise FileNotFoundError(
+                f"{index_dir}/_manifest/index_config.json"
+            )
+        self.current_uid = max(self.config_by_uid)
+        self.config = self.config_by_uid[self.current_uid]
         self._src_renderers = None  # built lazily from field_options
+        self._src_converters: dict = {}  # per-generation, built lazily
         self.refresh()
 
-    def load_stored_source(self, raw_doc):
+    def load_stored_source(self, raw_doc, segment_id: str | None = None):
         """Parse one stored `_source` JSON and re-render its mapped
         typed leaves through their `output_format` — the reference
         rebuilds fetched docs from the typed doc store rather than
         echoing the ingested bytes (`fetch_docs.rs` doc_to_json via
-        `tantivy_val_to_json.rs`). Dynamic paths stay verbatim."""
+        `tantivy_val_to_json.rs`). Dynamic paths stay verbatim.
+
+        A doc from a split of an OLDER doc-mapping generation first
+        converts its re-mapped leaves old-type -> current-type
+        best-effort (unconvertible values omitted) per the
+        updating-mapper.md matrix (`search.source_convert`)."""
         if raw_doc is None:
             return None
         doc = json.loads(raw_doc)
@@ -294,15 +323,60 @@ class IndexSearcher:
             self._src_renderers = build_source_renderers(
                 self.config.field_options
             )
-        if self._src_renderers:
+        renderers = self._src_renderers
+        uid = (
+            self._seg_uid.get(segment_id, self.current_uid)
+            if segment_id is not None
+            else self.current_uid
+        )
+        if uid != self.current_uid:
+            from quickwit_spark.search.source_convert import (
+                convert_source_doc,
+            )
+
+            conv, renderers = self._converters_for(uid)
+            doc = convert_source_doc(doc, conv)
+        if renderers:
             from quickwit_spark.search.source_render import render_source_doc
 
-            doc = render_source_doc(doc, self._src_renderers)
+            doc = render_source_doc(doc, renderers)
         return doc
+
+    def _converters_for(self, uid: int):
+        """(converters, classic-renderer subset) for docs built under
+        generation `uid`: changed paths go through the conversion
+        matrix (which already applies the new output format), unchanged
+        paths keep the plain output-format render."""
+        cached = self._src_converters.get(uid)
+        if cached is not None:
+            return cached
+        from quickwit_spark.search.source_convert import build_converters
+
+        old_cfg = self.config_by_uid.get(uid)
+        conv = build_converters(
+            self.config.field_options,
+            old_cfg.field_options if old_cfg is not None else {},
+        )
+        renderers = {
+            p: r
+            for p, r in (self._src_renderers or {}).items()
+            if p not in conv
+        }
+        self._src_converters[uid] = (conv, renderers)
+        return conv, renderers
 
     def refresh(self):
         self.segments = mf.live_segments(self.index_dir)
         self.live_ids = [s.segment_id for s in self.segments]
+        self._seg_uid = {
+            s.segment_id: s.doc_mapping_uid for s in self.segments
+        }
+        self._src_converters = {}
+        # after a doc-mapping update, hit frames carry segment_id so
+        # _source assembly can pick the doc's generation converters;
+        # single-generation indexes keep the classic hit schema
+        _uids = {s.doc_mapping_uid for s in self.segments}
+        self._multi_gen = bool(_uids - {0}) or self.current_uid != 0
         if not self.segments:
             # zero-segment index (published empty, or fully expired):
             # serve empty frames with the canonical schemas instead of
@@ -361,11 +435,33 @@ class IndexSearcher:
 
         # mergeSchema: additive dynamic evolution means newer batches
         # carry docmap columns older files lack (read as null there)
-        self._docs = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(f"{self.index_dir}/docs")
-            .drop(*[c for c in _INV_COLUMNS if c != "segment_id"])
-        )
+        from quickwit_spark.index.builder import docs_path
+
+        def _read_docs(g: int):
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(docs_path(self.index_dir, g))
+                .drop(*[c for c in _INV_COLUMNS if c != "segment_id"])
+            )
+
+        uids = sorted({s.doc_mapping_uid for s in self.segments})
+        if uids == [0] and self.current_uid == 0:
+            # the no-update common case: exactly the classic read
+            self._docs = _read_docs(0)
+        else:
+            # doc-mapping generations: each one is its own dataset with
+            # its own schema; older generations convert to the CURRENT
+            # mapping's column types (built-in exprs, per-branch
+            # pushdown preserved) before the union
+            from quickwit_spark.index.docmap_convert import (
+                align_generations,
+            )
+
+            self._docs = align_generations(
+                {g: _read_docs(g) for g in uids},
+                self.current_uid,
+                self.config_by_uid,
+            )
         # docmap column → Spark type name, for typed Range bound
         # normalization over dynamic dot-path fast columns
         self._doc_types = dict(self._docs.dtypes)
@@ -1246,6 +1342,7 @@ class IndexSearcher:
         return hits.select(
             "doc_key", *out_aliases, F.row_number().over(w).alias("rank"),
             *[qcol(c) for c in fetch_cols],
+            *(["segment_id"] if self._multi_gen else []),
         )
 
     def search(
@@ -1354,6 +1451,7 @@ class IndexSearcher:
             "score",
             F.row_number().over(w).alias("rank"),
             *[qcol(c) for c in raw_cols],
+            *(["segment_id"] if self._multi_gen else []),
         )
         if snippet_fields:
             from quickwit_spark.search.snippets import attach_snippets
@@ -1592,6 +1690,7 @@ class IndexSearcher:
         hits = hits.select(
             "doc_key", "score", F.row_number().over(w).alias("rank"),
             *[qcol(c) for c in fetch_cols],
+            *(["segment_id"] if self._multi_gen else []),
         )
         if count_hits == "underestimate":
             # reference CountHits::Underestimate (search.proto:245-248):
@@ -1993,7 +2092,8 @@ class IndexSearcher:
                     # the full document, re-rendered through each mapped
                     # field's output_format like the reference
                     src = self.load_stored_source(
-                        d.get(self.config.stored_source)
+                        d.get(self.config.stored_source),
+                        segment_id=d.get("segment_id"),
                     )
                 else:
                     src = {}

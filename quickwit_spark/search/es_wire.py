@@ -955,7 +955,9 @@ class EsWireHandler:
             if state["explicit_src"]:
                 src = {c: d.get(c) for c in state["explicit_src"]}
             elif src_col and src_col in d:
-                src = row_searcher.load_stored_source(d[src_col])
+                src = row_searcher.load_stored_source(
+                    d[src_col], segment_id=d.get("segment_id")
+                )
             else:
                 src = {}
             src = _source_filter(src, state["inc"], state["exc"])

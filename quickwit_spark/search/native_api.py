@@ -83,7 +83,9 @@ def _sort_specs(sort_by: str) -> list[tuple]:
 def _doc_payload(row_dict: dict, searcher) -> dict:
     src_col = searcher.config.stored_source
     if src_col and row_dict.get(src_col) is not None:
-        return searcher.load_stored_source(row_dict[src_col])
+        return searcher.load_stored_source(
+            row_dict[src_col], segment_id=row_dict.get("segment_id")
+        )
     drop = {"segment_id", "doc_id", "doc_key", "score", "rank",
             "sort_value", "sort_value2", src_col}
     return {k: v for k, v in row_dict.items() if k not in drop}

@@ -68,6 +68,19 @@ def _walk_entries(entries: list, prefix: str, mapped: dict, concat: list):
         name = ent["name"]
         path = f"{prefix}.{name}" if prefix else name
         typ = ent.get("type", "text")
+        card = None
+        if typ.startswith("array<") and typ.endswith(">"):
+            # reference Cardinality::MultiValued (`field_mapping_type.rs`
+            # `Array(..)` — any leaf type, not object/concatenate)
+            inner = typ[6:-1]
+            if inner in ("object", "json", "concatenate") or inner.startswith(
+                "array<"
+            ):
+                raise ValueError(
+                    f"unsupported field type {typ!r} for {path!r}"
+                )
+            typ = inner
+            card = "multi"
         if typ == "object":
             _walk_entries(ent.get("field_mappings"), path, mapped, concat)
         elif typ == "concatenate":
@@ -125,6 +138,8 @@ def _walk_entries(entries: list, prefix: str, mapped: dict, concat: list):
                 )
         else:
             raise ValueError(f"unsupported field type {typ!r} for {path!r}")
+        if card and path in mapped:
+            mapped[path]["card"] = card
 
 
 DOC_LENGTH_FIELD = "_doc_length"
@@ -174,6 +189,10 @@ def parse_doc_mapping(dm: dict) -> MappingSpecs:
                 "(dynamic paths cannot be tags)"
             )
         typ = ent.get("type", "text")
+        if typ.startswith("array<") and typ.endswith(">"):
+            # tags extract term VALUES — multivalued fields contribute
+            # each element, same rules as the single-valued inner type
+            typ = typ[6:-1]
         if typ in _TAG_BAD_TYPES:
             raise ValueError(f"tag field {tf!r} has disallowed type {typ!r}")
         if typ == "text":
@@ -356,6 +375,15 @@ def reference_index_config(
         render = _render_spec(spec)
         if render is not None:
             cfg.field_options.setdefault(path, {})["render"] = render
+        # full mapped spec (kind/card/formats/output), persisted with the
+        # config so a LATER mapping generation can build the
+        # old-type -> new-type converters of `search.source_convert`
+        # (tuples normalized for a stable json round-trip)
+        mapspec = {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in spec.items()
+        }
+        cfg.field_options.setdefault(path, {})["mapspec"] = mapspec
     by_path = {f.path: f for f in fields}
     for cs in specs.concat:
         srcs = _expand_sources(cs, fields, specs)

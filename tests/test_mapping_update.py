@@ -1,0 +1,171 @@
+"""Non-additive doc-mapping updates (docs/reference/updating-mapper.md):
+a PUT that changes the doc mapping starts a new generation
+(doc_mapping_uid); old splits keep their data, searches run under the
+NEWEST mapping with best-effort conversion, merges never cross
+generations, and fetched docs convert per the
+`tantivy_val_to_json.rs` matrix."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def qw(spark, tmp_path_factory):
+    from quickwit_spark.api import QuickwitSpark
+
+    return QuickwitSpark(spark, str(tmp_path_factory.mktemp("qw_upd")))
+
+
+def _cfg(index_id, field_mappings):
+    return {
+        "index_id": index_id,
+        "doc_mapping": {
+            "mode": "dynamic",
+            "field_mappings": field_mappings,
+        },
+    }
+
+
+def test_example_3_type_update_retrieval(qw):
+    """updating-mapper.md Example 3 verbatim: text<->u64 swap and
+    array<text> -> text, returned documents converted best-effort."""
+    qw.create_index(
+        _cfg(
+            "upd3",
+            [
+                {"name": "field1", "type": "text"},
+                {"name": "field2", "type": "u64"},
+                {"name": "field3", "type": "array<text>"},
+            ],
+        )
+    )
+    qw.ingest(
+        "upd3",
+        [
+            {"field1": "123", "field2": 456, "field3": ["abc", "def"]},
+            {"field1": "message", "field2": 987, "field3": ["ghi"]},
+        ],
+    )
+    qw.update_index(
+        "upd3",
+        _cfg(
+            "upd3",
+            [
+                {"name": "field1", "type": "u64"},
+                {"name": "field2", "type": "text"},
+                {"name": "field3", "type": "text"},
+            ],
+        ),
+    )
+    r = qw.search("upd3", {"query": {"match_all": {}}, "sort": ["field2"]})
+    docs = [h["_source"] for h in r["hits"]["hits"]]
+    assert {"field1": 123, "field2": "456", "field3": "abc"} in docs
+    # "message" can't convert to u64 -> field1 omitted entirely
+    assert {"field2": "987", "field3": "ghi"} in docs
+
+
+def test_generations_in_splits_and_merge_isolation(qw):
+    """Old and new splits carry their doc_mapping_uid; the merge
+    planner never mixes generations (merge_planner.rs:41-53)."""
+    qw.create_index(
+        _cfg("updgen", [{"name": "n", "type": "u64"}])
+    )
+    for i in range(2):
+        qw.ingest("updgen", [{"n": 10 + i}])
+    qw.update_index(
+        "updgen",
+        {
+            "index_id": "updgen",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [{"name": "n", "type": "text"}],
+            },
+        },
+    )
+    for i in range(2):
+        qw.ingest("updgen", [{"n": f"t{i}"}])
+    splits = qw.list_splits("updgen")["splits"]
+    uids = sorted({s["doc_mapping_uid"] for s in splits})
+    assert uids == [0, 1]
+    # merge rounds must not produce any split whose inputs span uids
+    from quickwit_spark.index import manifest as mf
+    from quickwit_spark.index.merge import MergePolicy, plan_merges
+
+    segs = mf.live_segments(qw.index_dir("updgen"))
+    ops = plan_merges(segs, MergePolicy(merge_factor=2, max_merge_factor=2))
+    by_id = {s.segment_id: s for s in segs}
+    for op in ops:
+        in_uids = {by_id[sid].doc_mapping_uid for sid in op.segment_ids}
+        assert len(in_uids) == 1
+        assert op.doc_mapping_uid in in_uids
+
+    # both generations stay searchable: the docmap union converts the
+    # old u64 column to the current text type
+    r = qw.search("updgen", {"query": {"match_all": {}}})
+    assert r["hits"]["total"]["value"] == 4
+
+
+def test_example_2_newly_indexed_field_on_old_splits(qw):
+    """A query on a field the old splits didn't have returns no match
+    there (no error); NOT of it matches all old docs."""
+    qw.create_index(_cfg("upd2", [{"name": "f2", "type": "text"}]))
+    qw.ingest("upd2", [{"f2": "old"}])
+    qw.update_index(
+        "upd2",
+        {
+            "index_id": "upd2",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [
+                    {"name": "f1", "type": "text"},
+                    {"name": "f2", "type": "text"},
+                ],
+            },
+        },
+    )
+    qw.ingest("upd2", [{"f1": "new", "f2": "recent"}])
+    s = qw.searcher("upd2")
+    assert s.count("f1:new") == 1
+    assert s.count("f2:old OR f2:recent") == 2
+    # NOT f1:new -> the old doc (f1 absent there)
+    assert s.count("NOT f1:new") == 1
+
+
+def test_update_reversibility(qw):
+    """Re-updating back to the previous mapping restores old-split
+    retrieval exactly (reference "Reversibility")."""
+    fm_v1 = [{"name": "x", "type": "u64"}]
+    fm_v2 = [{"name": "x", "type": "text"}]
+    qw.create_index(_cfg("updrev", fm_v1))
+    qw.ingest("updrev", [{"x": 7}])
+    qw.update_index(
+        "updrev",
+        {"index_id": "updrev", "doc_mapping": {"mode": "dynamic", "field_mappings": fm_v2}},
+    )
+    r = qw.search("updrev", {"query": {"match_all": {}}})
+    assert r["hits"]["hits"][0]["_source"]["x"] == "7"
+    qw.update_index(
+        "updrev",
+        {"index_id": "updrev", "doc_mapping": {"mode": "dynamic", "field_mappings": fm_v1}},
+    )
+    r = qw.search("updrev", {"query": {"match_all": {}}})
+    assert r["hits"]["hits"][0]["_source"]["x"] == 7
+
+
+def test_update_still_rejects_timestamp_field_change(qw):
+    qw.create_index(
+        _cfg("updts", [{"name": "ts", "type": "datetime", "fast": True}])
+    )
+    with pytest.raises(ValueError, match="timestamp_field"):
+        qw.update_index(
+            "updts",
+            {
+                "index_id": "updts",
+                "doc_mapping": {
+                    "mode": "dynamic",
+                    "field_mappings": [
+                        {"name": "ts", "type": "datetime", "fast": True}
+                    ],
+                    "timestamp_field": "ts",
+                },
+            },
+        )

@@ -424,3 +424,40 @@ def test_age_maturity_excludes_old_segments():
     )
     cops = cpol.plan([young, old, unknown], now=now)
     assert len(cops) == 1 and sorted(cops[0].segment_ids) == ["su", "sy"]
+
+
+def test_plan_never_mixes_doc_mapping_uids():
+    """Reference MergePartition = (partition_id, doc_mapping_uid)
+    (`merge_planner.rs:41-53` + its test_simple_merge_planner_with_
+    multiple_doc_mappings): splits built under different doc mappings
+    are planned separately, same partition or not."""
+    segs = [
+        mf.SegmentRecord(segment_id=f"a{i}", num_docs=100) for i in range(3)
+    ] + [
+        mf.SegmentRecord(segment_id=f"b{i}", num_docs=100, doc_mapping_uid=1)
+        for i in range(3)
+    ]
+    ops = plan_merges(segs, SMALL_POLICY)
+    assert len(ops) == 2
+    by_uid = {op.doc_mapping_uid: op for op in ops}
+    assert sorted(by_uid) == [0, 1]
+    assert sorted(by_uid[0].segment_ids) == ["a0", "a1", "a2"]
+    assert sorted(by_uid[1].segment_ids) == ["b0", "b1", "b2"]
+    # a mixed group below merge_factor per uid produces NO op
+    mixed = segs[:2] + segs[3:5]  # 2 of each uid
+    assert plan_merges(mixed, SMALL_POLICY) == []
+
+
+def test_const_write_amp_groups_by_doc_mapping_uid():
+    from quickwit_spark.index.merge import ConstWriteAmplificationMergePolicy
+
+    pol = ConstWriteAmplificationMergePolicy(merge_factor=2, max_merge_factor=2)
+    segs = [
+        mf.SegmentRecord(segment_id="x0", num_docs=10),
+        mf.SegmentRecord(segment_id="x1", num_docs=10, doc_mapping_uid=2),
+    ]
+    assert pol.plan(segs) == []
+    segs.append(mf.SegmentRecord(segment_id="x2", num_docs=10, doc_mapping_uid=2))
+    ops = pol.plan(segs)
+    assert len(ops) == 1 and ops[0].doc_mapping_uid == 2
+    assert sorted(ops[0].segment_ids) == ["x1", "x2"]
