@@ -763,8 +763,28 @@ class IndexSearcher:
             f.name for f in self.config.fields if f.record == "position"
         }
         tok_for = self._tokenizer_for_field()
+        not_indexed = {
+            p for p, o in opts.items() if (o or {}).get("indexed") is False
+        }
 
         def walk(node):
+            # reference `indexed: false` (updating-mapper.md Example 1):
+            # term-level queries on a non-indexed field are REJECTED
+            # under the current mapping, whatever older splits hold.
+            # Range stays legal — it runs on the fast column.
+            if (
+                not_indexed
+                and isinstance(
+                    node,
+                    (Term, TermSet, FullText, Phrase, PhrasePrefix,
+                     Wildcard, Regex, Exists),
+                )
+                and node.field in not_indexed
+            ):
+                raise ValueError(
+                    f"field `{node.field}` is not indexed; term queries "
+                    "on it are invalid under the current doc mapping"
+                )
             if isinstance(node, Exists) and presence is not None:
                 return Term(presence, node.field)
             if isinstance(node, FullText) and node.phrase_fallback:

@@ -69,6 +69,8 @@ class DynField:
     # term tokenizer ('raw' text fields) and the positions record
     tokenizer: str | None = None
     record: str | None = None
+    # reference `indexed: false`: fast/stored column only, no postings
+    indexed: bool = True
     # mixed-typed dynamic paths (heterogeneous JSON values — the
     # reference creates one tantivy column per value type under the
     # path): `column` is the numeric coercion used for sort/range,
@@ -314,6 +316,7 @@ def flatten_dynamic(
             precision=spec.get("precision"),
             tokenizer=spec.get("tokenizer"),
             record=spec.get("record"),
+            indexed=spec.get("indexed", True),
         )
         if kind == "datetime":
             from quickwit_spark.index.mapping import _datetime_col
@@ -400,7 +403,9 @@ def dynamic_index_config(
     stored = []
     for f in fields:
         col = f.column or f.path
-        if f.kind == "text":
+        if not f.indexed:
+            pass  # `indexed: false` — fast/stored column, no postings
+        elif f.kind == "text":
             tok = f.tokenizer or "default"
             rec = f.record or (record if tok != "raw" else "basic")
             fcs.append(
@@ -422,6 +427,8 @@ def dynamic_index_config(
                 FieldConfig(f.path, tokenizer="raw", record="basic", column=col)
             )
         opt = {"fast": True, "normalizer": f.normalizer, "column": col}
+        if not f.indexed:
+            opt["indexed"] = False
         if f.kind == "datetime" and f.precision:
             opt["datetime_precision"] = f.precision
         if f.kind == "mixed":

@@ -140,6 +140,11 @@ def _walk_entries(entries: list, prefix: str, mapped: dict, concat: list):
             raise ValueError(f"unsupported field type {typ!r} for {path!r}")
         if card and path in mapped:
             mapped[path]["card"] = card
+        if ent.get("indexed") is False and path in mapped:
+            # reference `indexed: false` (field_mapping_entry.rs): the
+            # field keeps its fast/stored column but gets NO postings;
+            # term-level queries on it are rejected at planning time
+            mapped[path]["indexed"] = False
 
 
 DOC_LENGTH_FIELD = "_doc_length"

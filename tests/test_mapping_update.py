@@ -169,3 +169,54 @@ def test_update_still_rejects_timestamp_field_change(qw):
                 },
             },
         )
+
+
+def test_example_1_indexed_false_rejection(qw):
+    """updating-mapper.md Example 1: a field flipped to
+    `indexed: false` keeps its stored/fast column but term queries on
+    it become invalid; range on the fast column stays legal."""
+    qw.create_index(
+        _cfg("upd1", [{"name": "field1", "type": "text", "tokenizer": "raw"}])
+    )
+    qw.ingest("upd1", [{"field1": "my_value", "n": 3}])
+    s = qw.searcher("upd1")
+    assert s.count("field1:my_value") == 1
+    qw.update_index(
+        "upd1",
+        {
+            "index_id": "upd1",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [
+                    {"name": "field1", "type": "text", "indexed": False}
+                ],
+            },
+        },
+    )
+    s = qw.searcher("upd1")
+    with pytest.raises(ValueError, match="not indexed"):
+        s.count("field1:my_value")
+    # the value itself is still stored and returned
+    r = qw.search("upd1", {"query": {"match_all": {}}})
+    assert r["hits"]["hits"][0]["_source"]["field1"] == "my_value"
+
+
+def test_indexed_false_builds_no_postings(qw):
+    """A fresh index with `indexed: false` writes no postings for the
+    field and rejects queries on it; other fields are unaffected."""
+    qw.create_index(
+        _cfg(
+            "updnoidx",
+            [
+                {"name": "secret", "type": "text", "indexed": False},
+                {"name": "title", "type": "text"},
+            ],
+        )
+    )
+    qw.ingest("updnoidx", [{"secret": "hidden", "title": "hello world"}])
+    s = qw.searcher("updnoidx")
+    assert s.count("title:hello") == 1
+    with pytest.raises(ValueError, match="not indexed"):
+        s.count("secret:hidden")
+    # no postings were built for the field
+    assert "secret" not in {f.name for f in s.config.fields}
