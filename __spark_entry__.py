@@ -866,6 +866,90 @@ def _q_source_render(spark, sf_dir):
     )
 
 
+def _q_mapping_update(spark, sf_dir):
+    """Non-additive doc-mapping update end-to-end (reference
+    `docs/reference/updating-mapper.md` + `tantivy_val_to_json.rs`):
+    ingest under (a:text, b:u64, c:array<text>), PUT an update swapping
+    them to (a:u64, b:text, c:text), then fetch — old-split values
+    convert best-effort under the NEW mapping: numeric strings become
+    u64 (non-numeric omit to NULL), u64 stringifies, array<text>→text
+    keeps the first convertible element. The oracle reproduces every
+    conversion in SQL."""
+    from quickwit_spark.api import QuickwitSpark
+
+    key = os.path.abspath(sf_dir)
+    root = os.path.join(
+        _IDX_ROOT, key.strip("/").replace("/", "_") + "_updmap_v1"
+    )
+    qw = QuickwitSpark(spark, root)
+    if "updmap" not in qw.list_indexes():
+        qw.create_index({
+            "index_id": "updmap",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [
+                    {"name": "k", "type": "u64", "fast": True},
+                    {"name": "a", "type": "text"},
+                    {"name": "b", "type": "u64"},
+                    {"name": "c", "type": "array<text>"},
+                ],
+            },
+        })
+        ids = [
+            int(r.doc_id)
+            for r in spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            )
+            .filter("doc_id < 200")
+            .select("doc_id")
+            .orderBy("doc_id")
+            .toPandas()
+            .itertuples(index=False)
+        ]
+        qw.ingest("updmap", [
+            {
+                "k": i,
+                # even ids: numeric string (converts to u64 after the
+                # update); odd ids: a word (omitted after the update)
+                "a": str(i * 3) if i % 2 == 0 else f"w{i}",
+                "b": i * 7,
+                "c": [f"x{i}", str(i)],
+            }
+            for i in ids
+        ])
+        qw.update_index("updmap", {
+            "index_id": "updmap",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [
+                    {"name": "k", "type": "u64", "fast": True},
+                    {"name": "a", "type": "u64"},
+                    {"name": "b", "type": "text"},
+                    {"name": "c", "type": "text"},
+                ],
+            },
+        })
+    r = qw.search(
+        "updmap",
+        {"query": {"match_all": {}}, "size": 12, "sort": [{"k": "asc"}]},
+    )
+    rows = [
+        (
+            int(h["_source"]["k"]),
+            # unconvertible "w<i>" values are OMITTED from the doc —
+            # surfaced as -1 (NULL would hash as NaN on the Spark side
+            # and None on the DuckDB side in the driver's comparison)
+            (-1 if "a" not in h["_source"] else int(h["_source"]["a"])),
+            h["_source"]["b"],
+            h["_source"]["c"],
+        )
+        for h in r["hits"]["hits"]
+    ]
+    return spark.createDataFrame(
+        rows, "k_out long, a_out long, b_out string, c_out string"
+    )
+
+
 def _q_count_term(spark, sf_dir):
     n = _searcher(spark, sf_dir).count(Term("text", "spark"))
     return spark.createDataFrame([(n,)], "num_hits long")
@@ -3638,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_all": _q_count_all,
         "bulk_ingest_count": _q_bulk_count,
         "source_render_fields": _q_source_render,
+        "mapping_update_fetch": _q_mapping_update,
         "search_merged_topk": _q_merged_topk,
         "search_stem_count": _q_stem_count,
         "search_code_count": _q_code_count,
@@ -3923,6 +4008,19 @@ SELECT
   '10.0.0.' || CAST(doc_id % 250 + 1 AS VARCHAR)         AS addr_out
 FROM documents WHERE doc_id < 240
 ORDER BY doc_id * 11 LIMIT 10
+""",
+        # the doc-mapping-update conversion matrix reproduced in SQL:
+        # text→u64 (numeric strings only, else omitted→NULL), u64→text,
+        # array<text>→text keeps the first convertible element
+        "mapping_update_fetch": """
+SELECT
+  CAST(doc_id AS BIGINT)                                  AS k_out,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id * 3 AS BIGINT)
+       ELSE CAST(-1 AS BIGINT) END                        AS a_out,
+  CAST(doc_id * 7 AS VARCHAR)                             AS b_out,
+  'x' || CAST(doc_id AS VARCHAR)                          AS c_out
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id LIMIT 12
 """,
         # streamed micro-batch build must be byte-identical to batch
         "search_streamed_topk": _bm25_sql([("spark", 1.0)]),
