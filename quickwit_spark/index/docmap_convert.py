@@ -88,7 +88,12 @@ def _leaf_convert(c: Column, src: str, dst: str) -> Column:
         return F.lit(None).cast("bigint")
     if dst.startswith("decimal"):  # u64 (decimal(20,0)) and friends
         if src == "string":
-            return F.when(c.rlike(r"^\+?[0-9]+$"), c).try_cast(dst)
+            # decimal(20,0) holds up to 10^20-1 — wider than u64, so
+            # the reference's 0..2^64 range needs an explicit bound
+            d = F.when(c.rlike(r"^\+?[0-9]+$"), c).try_cast(dst)
+            # u64::MAX exceeds a JVM long — bound via a decimal literal
+            u64max = F.lit(str(_U64_MAX)).cast("decimal(20,0)")
+            return F.when(d <= u64max, d)
         if src in ("double", "float"):
             return F.when(
                 (c >= 0) & (c <= float(_U64_MAX)), F.floor(c)
@@ -100,7 +105,9 @@ def _leaf_convert(c: Column, src: str, dst: str) -> Column:
         return F.lit(None).cast(dst)
     if dst in ("double", "float"):
         if src == "string":
-            return c.try_cast(dst)
+            # Spark's try_cast trims whitespace; Rust f64::FromStr does
+            # not — only exact, non-empty strings convert
+            return F.when((c == F.trim(c)) & (c != ""), c).try_cast(dst)
         if src == "boolean" or _is_num(src):
             return c.cast(dst)
         return F.lit(None).cast(dst)

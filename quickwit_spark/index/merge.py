@@ -508,8 +508,16 @@ def execute_merge(
     bucket_of = dict(buckets)
     k1, b = 1.2, 0.75
 
-    inv = spark.read.parquet(f"{index_dir}/inv").filter(
-        F.col("segment_id").isin(input_ids)
+    from quickwit_spark.index.builder import _INV_COLUMNS as _IVC
+
+    # project to the fixed inverted-index columns: the unified-schema
+    # doc columns embedded in inv files may be RETYPED by a later
+    # doc-mapping generation, and decoding one from a foreign
+    # generation's file would fail the scan
+    inv = (
+        spark.read.parquet(f"{index_dir}/inv")
+        .select(*_IVC)
+        .filter(F.col("segment_id").isin(input_ids))
     )
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -426,6 +426,14 @@ class IndexSearcher:
             return
         # re-list the parquet datasets once per refresh, not per query
         self._inv = self.spark.read.parquet(f"{self.index_dir}/inv")
+        if self._multi_gen:
+            # generations may retype the unified-schema doc columns the
+            # builder embeds in inv files (all-null outside kind=docmap)
+            # — project to the fixed inverted-index columns so no
+            # consumer ever decodes a conflicting parquet column
+            from quickwit_spark.index.builder import _INV_COLUMNS
+
+            self._inv = self._inv.select(*_INV_COLUMNS)
         # the builder writes docmap files through the unified
         # inverted-index schema (single-pass build); hide the
         # index-only columns — always all-null here — from every
@@ -2336,6 +2344,8 @@ class IndexSearcher:
         """`_cat/indices` analog: manifest-level shape + on-disk bytes."""
         import os as _os
 
+        from quickwit_spark.index.builder import docs_path
+
         def _du(path):
             total = 0
             for root, _dirs, files in _os.walk(path):
@@ -2353,7 +2363,13 @@ class IndexSearcher:
             "fields": [f.name for f in self.config.fields],
             "tag_fields": list(self.config.tag_fields),
             "inv_bytes": _du(f"{self.index_dir}/inv"),
-            "docs_bytes": _du(f"{self.index_dir}/docs"),
+            # sum every doc-mapping generation's docmap dataset
+            "docs_bytes": sum(
+                _du(docs_path(self.index_dir, g))
+                for g in sorted(
+                    {s.doc_mapping_uid for s in live} | {self.current_uid}
+                )
+            ),
             "time_range": [
                 min((s.time_range[0] for s in live if s.time_range), default=None),
                 max((s.time_range[1] for s in live if s.time_range), default=None),

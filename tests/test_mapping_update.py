@@ -220,3 +220,85 @@ def test_indexed_false_builds_no_postings(qw):
         s.count("secret:hidden")
     # no postings were built for the field
     assert "secret" not in {f.name for f in s.config.fields}
+
+
+def test_range_and_sort_on_converted_fast_columns(qw):
+    """After text->u64, old-split numeric strings become rangeable and
+    sort numerically; unconvertible values are null (missing-last)."""
+    qw.create_index(_cfg("updrange", [{"name": "v", "type": "text"}]))
+    qw.ingest(
+        "updrange",
+        [{"v": "30", "t": "a"}, {"v": "7", "t": "b"}, {"v": "x", "t": "c"}],
+    )
+    qw.update_index(
+        "updrange",
+        {
+            "index_id": "updrange",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [{"name": "v", "type": "u64"}],
+            },
+        },
+    )
+    qw.ingest("updrange", [{"v": 10, "t": "d"}])
+    # range over BOTH generations: "30" and "7" convert, "x" doesn't
+    r = qw.search(
+        "updrange",
+        {"query": {"range": {"v": {"gte": 8}}}},
+    )
+    assert r["hits"]["total"]["value"] == 2  # 30 (gen0) + 10 (gen1)
+    # numeric sort across generations, unconvertible last
+    r = qw.search(
+        "updrange",
+        {"query": {"match_all": {}}, "sort": [{"v": "asc"}], "size": 10},
+    )
+    order = [h["_source"]["t"] for h in r["hits"]["hits"]]
+    assert order[:3] == ["b", "d", "a"]  # 7 < 10 < 30
+    assert order[3] == "c"  # null (unconvertible) sorts last
+
+
+def test_merges_execute_within_generations(qw):
+    """run_merges on a multi-generation index merges each generation's
+    splits separately and search results are unchanged after."""
+    cfg = _cfg("updmerge", [{"name": "v", "type": "u64"}])
+    cfg["indexing_settings"] = {
+        "merge_policy": {
+            "type": "stable_log",
+            "merge_factor": 3,
+            "max_merge_factor": 3,
+        }
+    }
+    qw.create_index(cfg)
+    for i in range(3):
+        qw.ingest("updmerge", [{"v": i, "w": "alpha"}])
+    qw.update_index(
+        "updmerge",
+        {
+            "index_id": "updmerge",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [{"name": "v", "type": "text"}],
+            },
+            # PUT full-replace semantics: omitting indexing_settings
+            # would reset the merge policy to the default
+            "indexing_settings": cfg["indexing_settings"],
+        },
+    )
+    for i in range(3):
+        qw.ingest("updmerge", [{"v": f"s{i}", "w": "alpha"}])
+    before = qw.search("updmerge", {"query": {"term": {"w": {"value": "alpha"}}}})
+    res = qw.run_merges("updmerge", max_rounds=3)
+    from quickwit_spark.index import manifest as mf
+
+    segs = mf.live_segments(qw.index_dir("updmerge"))
+    uids = sorted({s.doc_mapping_uid for s in segs})
+    assert uids == [0, 1]
+    merged = [s for s in segs if s.merge_gen > 0]
+    assert merged, f"no merge happened: {res}"
+    qw._searchers.pop("updmerge", None)
+    after = qw.search("updmerge", {"query": {"term": {"w": {"value": "alpha"}}}})
+    assert (
+        after["hits"]["total"]["value"]
+        == before["hits"]["total"]["value"]
+        == 6
+    )
