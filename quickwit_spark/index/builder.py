@@ -144,6 +144,10 @@ class IndexConfig:
     presence_field: str | None = None
     # stored column holding the original doc JSON — the ES `_source`
     stored_source: str | None = None
+    # reference doc-mapping mode ("dynamic" | "lenient" | "strict"):
+    # governs whether fields DELETED by a mapping update keep appearing
+    # in fetched docs (they do only in dynamic mode, updating-mapper.md)
+    mapping_mode: str = "dynamic"
 
     def to_json(self) -> str:
         return json.dumps(
@@ -164,6 +168,7 @@ class IndexConfig:
                 "field_options": self.field_options,
                 "presence_field": self.presence_field,
                 "stored_source": self.stored_source,
+                "mapping_mode": self.mapping_mode,
             },
             sort_keys=True,
         )
@@ -185,6 +190,7 @@ class IndexConfig:
         d.setdefault("field_options", {})
         d.setdefault("presence_field", None)
         d.setdefault("stored_source", None)
+        d.setdefault("mapping_mode", "dynamic")
         return IndexConfig(**d)
 
 

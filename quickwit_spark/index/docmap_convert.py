@@ -20,8 +20,11 @@ own pushed filters.
 
 Approximations vs the driver-side matrix (documented): string->number
 accepts Spark `try_cast` syntax, string->timestamp accepts Spark
-timestamp syntax rather than the field's input_formats, and
-timestamp->string renders whole-second UTC.  Fast columns feed
+timestamp syntax rather than the field's input_formats,
+timestamp->string renders whole-second UTC, and double->string renders
+the plain-decimal expansion through decimal(38,9) (fractions beyond 9
+digits round; magnitudes past 29 integer digits fall back to Spark's
+scientific-notation cast).  Fast columns feed
 match/sort/range — the wire `_source` goes through the exact
 `source_convert` matrix instead.
 """
@@ -59,6 +62,21 @@ def _leaf_convert(c: Column, src: str, dst: str) -> Column:
             return F.when(c, F.lit("true")).when(~c, F.lit("false"))
         if _is_ts(src):
             return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if src in ("double", "float"):
+            # plain decimal expansion, trailing zeros stripped — Spark's
+            # double->string cast would render scientific notation
+            # ("1.0E10"), disagreeing with the driver-side _source
+            # matrix and the reference's Display form; values past
+            # decimal(38,9) fall back to the cast form
+            d = c.try_cast("decimal(38,9)")
+            s = F.regexp_replace(
+                F.regexp_replace(
+                    d.cast("string"), r"(\.[0-9]*?)0+$", r"$1"
+                ),
+                r"\.$",
+                "",
+            )
+            return F.when(d.isNotNull(), s).otherwise(c.cast("string"))
         return c.cast("string")
     if dst == "boolean":
         if src == "string":
@@ -95,8 +113,12 @@ def _leaf_convert(c: Column, src: str, dst: str) -> Column:
             u64max = F.lit(str(_U64_MAX)).cast("decimal(20,0)")
             return F.when(d <= u64max, d)
         if src in ("double", "float"):
+            # truncate via decimal: F.floor on a double yields a LONG,
+            # which would saturate at i64::MAX for u64 values in
+            # (2^63, 2^64)
             return F.when(
-                (c >= 0) & (c <= float(_U64_MAX)), F.floor(c)
+                (c >= 0) & (c <= float(_U64_MAX)),
+                F.floor(c.try_cast("decimal(38,9)")),
             ).try_cast(dst)
         if src == "boolean":
             return c.cast("int").cast(dst)
@@ -123,7 +145,9 @@ def _leaf_convert(c: Column, src: str, dst: str) -> Column:
                 F.when(a < 1e11, F.timestamp_micros((d * 1e6).cast("bigint")))
                 .when(a < 1e14, F.timestamp_micros((d * 1e3).cast("bigint")))
                 .when(a < 1e17, F.timestamp_micros(d.cast("bigint")))
-                .otherwise(F.timestamp_micros((d / 1e3).cast("bigint")))
+                # try_cast: magnitudes past i64 nanos would throw
+                # CAST_OVERFLOW under ANSI instead of omitting to null
+                .otherwise(F.timestamp_micros((d / 1e3).try_cast("bigint")))
             )
             return out.cast(dst)
         return F.lit(None).cast(dst)
@@ -144,12 +168,14 @@ def convert_column(c: Column, src: str, dst: str) -> Column:
         )
     if s_arr:
         s_el = src[6:-1]
-        return F.element_at(
+        # F.get is 0-based and null-safe — element_at(arr, 1) THROWS
+        # under ANSI mode when every element fails to convert
+        return F.get(
             F.filter(
                 F.transform(c, lambda x: _leaf_convert(x, s_el, dst)),
                 lambda x: x.isNotNull(),
             ),
-            1,
+            0,
         )
     if d_arr:
         d_el = dst[6:-1]

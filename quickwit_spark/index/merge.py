@@ -440,6 +440,9 @@ def execute_merge(
     docids COMPACT down, and the published stats reflect live docs only."""
     import time as _time
 
+    from quickwit_spark.index.builder import _INV_COLUMNS as _IC
+    from quickwit_spark.index.builder import docs_path as _docs_path
+
     t_start = _time.perf_counter()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     segs = {s.segment_id: s for s in mf.live_segments(index_dir)}
@@ -508,15 +511,13 @@ def execute_merge(
     bucket_of = dict(buckets)
     k1, b = 1.2, 0.75
 
-    from quickwit_spark.index.builder import _INV_COLUMNS as _IVC
-
     # project to the fixed inverted-index columns: the unified-schema
     # doc columns embedded in inv files may be RETYPED by a later
     # doc-mapping generation, and decoding one from a foreign
     # generation's file would fail the scan
     inv = (
         spark.read.parquet(f"{index_dir}/inv")
-        .select(*_IVC)
+        .select(*_IC)
         .filter(F.col("segment_id").isin(input_ids))
     )
 
@@ -759,14 +760,10 @@ def execute_merge(
     )
 
     # docmap rewrite: permutation lookup drops doomed rows and assigns
-    # the doc_key-order docids; stamp the merged segment id
-    from quickwit_spark.index.builder import _INV_COLUMNS as _IC
-
+    # the doc_key-order docids; stamp the merged segment id.
     # builder-written docmap files carry the (all-null) inverted-index
     # columns of the unified single-pass schema; drop them so merged
     # docmaps store only the typed doc columns (no-op when absent)
-    from quickwit_spark.index.builder import docs_path as _docs_path
-
     _ddir = _docs_path(index_dir, op.doc_mapping_uid)
     docs = (
         spark.read.parquet(_ddir)

@@ -356,6 +356,9 @@ class IndexSearcher:
         conv = build_converters(
             self.config.field_options,
             old_cfg.field_options if old_cfg is not None else {},
+            # deleted fields stop appearing unless mapper mode is
+            # Dynamic (updating-mapper.md "Querying")
+            drop_missing=self.config.mapping_mode != "dynamic",
         )
         renderers = {
             p: r
@@ -1495,6 +1498,7 @@ class IndexSearcher:
             hits = hits.select(
                 "doc_key", "score", "rank", *[qcol(c) for c in keep],
                 *[qcol(f"snippet_{f}") for f in snippet_fields],
+                *(["segment_id"] if self._multi_gen else []),
             )
         return hits
 

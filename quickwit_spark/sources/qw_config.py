@@ -374,6 +374,7 @@ def reference_index_config(
         num_partitions=num_partitions,
         record=record,
     )
+    cfg.mapping_mode = dm.get("mode", "dynamic")
     for path, spec in specs.mapped.items():
         if spec.get("caps") and path in (cfg.field_options or {}):
             cfg.field_options[path]["caps"] = spec["caps"]

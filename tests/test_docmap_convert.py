@@ -132,3 +132,35 @@ def test_numeric_to_timestamp_magnitudes(spark):
     stamps = {str(r["c"]) for r in out}
     # secs / millis / micros all land on the same instant
     assert stamps == {"2023-11-14 22:13:20"}
+
+
+def test_review_regressions(spark):
+    """Bugs caught by review: ANSI element_at crash on all-unconvertible
+    arrays, floor saturation for u64 in (2^63, 2^64), CAST_OVERFLOW on
+    huge double->timestamp, scientific notation in double->string."""
+    import decimal
+
+    # all-unconvertible array -> scalar must yield null, not throw
+    df = spark.createDataFrame([(["x", "y"],), ([],)], "v array<string>")
+    rows = df.select(
+        convert_column(F.col("v"), "array<string>", "decimal(20,0)").alias("c")
+    ).collect()
+    assert [r["c"] for r in rows] == [None, None]
+    # double -> u64 beyond i64::MAX keeps the true value
+    df = spark.createDataFrame([(1.5e19,)], "v double")
+    out = df.select(
+        convert_column(F.col("v"), "double", "decimal(20,0)").alias("c")
+    ).collect()[0]["c"]
+    assert out == decimal.Decimal(15000000000000000000)
+    # huge double -> timestamp omits instead of CAST_OVERFLOW
+    df = spark.createDataFrame([(1e30,)], "v double")
+    out = df.select(
+        convert_column(F.col("v"), "double", "timestamp").alias("c")
+    ).collect()[0]["c"]
+    assert out is None
+    # double -> string renders plain decimal, not scientific notation
+    df = spark.createDataFrame([(1.0e10,), (10.5,)], "v double")
+    rows = df.select(
+        convert_column(F.col("v"), "double", "string").alias("c")
+    ).collect()
+    assert sorted(r["c"] for r in rows) == ["10.5", "10000000000"]

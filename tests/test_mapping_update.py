@@ -302,3 +302,41 @@ def test_merges_execute_within_generations(qw):
         == before["hits"]["total"]["value"]
         == 6
     )
+
+
+def test_snippets_convert_old_generation_source(qw):
+    """Review regression: the snippet path must keep segment_id so
+    old-generation hits still convert their _source."""
+    qw.create_index(
+        _cfg(
+            "updsnip",
+            [
+                {"name": "v", "type": "text"},
+                {"name": "body", "type": "text", "record": "position"},
+            ],
+        )
+    )
+    qw.ingest("updsnip", [{"v": "hello", "body": "grand canyon hike"}])
+    qw.update_index(
+        "updsnip",
+        {
+            "index_id": "updsnip",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [
+                    {"name": "v", "type": "u64"},
+                    {"name": "body", "type": "text", "record": "position"},
+                ],
+            },
+        },
+    )
+    from quickwit_spark.search.native_api import native_search
+
+    resp = native_search(
+        qw.searcher("updsnip"),
+        {"query": "body:canyon", "snippet_fields": "body", "max_hits": 5},
+    )
+    hit = resp["hits"][0]
+    # "hello" can't convert to u64 -> omitted even on the snippet path
+    assert "v" not in hit
+    assert "snippets" in resp["hits"][0] or resp.get("snippets") is not None
