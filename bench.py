@@ -317,7 +317,9 @@ def run_phrase_bench(idx_dir: str, cores: int) -> dict:
     return out
 
 
-def scaling_report(replicate: int = 1600, pairs=(1, 4, 8, 32)) -> dict:
+def scaling_report(
+    replicate: int = 1600, pairs=(1, 4, 8, 32), attempts: int = 2
+) -> dict:
     """Same indexing job at N and 4N cores in fresh JVMs — the
     local-mode proxy for the north rule's two-cluster-size criterion.
 
@@ -329,7 +331,7 @@ def scaling_report(replicate: int = 1600, pairs=(1, 4, 8, 32)) -> dict:
     out = {}
     for cores in pairs:
         best = None
-        for _attempt in range(2):  # best-of-2: the host shows steal-time noise
+        for _attempt in range(attempts):  # best-of-N: host steal-time noise
             rf = tempfile.mktemp(suffix=".json")
             code = (
                 "import bench, json; "
@@ -461,6 +463,13 @@ def main():
     idxp_dir = idxp.pop("idx_dir")
     queries.update(run_phrase_bench(idxp_dir, CPUS))
     shutil.rmtree(idxp_dir, ignore_errors=True)
+    # NOTE on the north rule's two-cluster-size criterion: the default
+    # run does NOT embed an N-vs-4N study — at this corpus size the
+    # ratio is dominated by fixed job overhead and microVM steal-time
+    # noise (a measured 4-core run can come out SLOWER than 1-core
+    # minutes apart). The authoritative evidence is the 2.4 GB
+    # best-of-2 study behind `--scaling`, recorded in BASELINE.md
+    # §scaling together with the virtualized-fault-path analysis.
     total = round(time.perf_counter() - t_all, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
