@@ -130,8 +130,14 @@ def interpret(value, old_spec: dict | None):
     if isinstance(value, int):
         if kind in ("double", "f64"):
             return ("f64", float(value))
-        # tantivy parses non-negative JSON ints as u64 first
-        return ("u64", value) if 0 <= value <= _U64_MAX else ("i64", value)
+        # tantivy parses non-negative JSON ints as u64 first; ints
+        # outside the u64/i64 ranges only reach serde as f64 (JSON
+        # numbers cap at u64::MAX / i64::MIN), so tag them the same way
+        if 0 <= value <= _U64_MAX:
+            return ("u64", value)
+        if _I64_MIN <= value < 0:
+            return ("i64", value)
+        return ("f64", float(value))
     if isinstance(value, float):
         return ("f64", value)
     if isinstance(value, str):

@@ -193,6 +193,11 @@ def parse_datetime(value, formats: tuple) -> int | None:
             # failures fall through to verbatim output
             nanos = _parse_iso(value)
         if nanos is not None:
+            # tantivy DateTime is i64 nanoseconds — values outside the
+            # representable range fail to parse in the reference
+            # (index-config.md documents the supported window)
+            if not (-(2**63) <= nanos < 2**63):
+                return None
             return nanos
     return None
 

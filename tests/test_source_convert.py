@@ -271,3 +271,84 @@ def test_nested_path_and_array_of_objects():
     conv = build_converters(new, old)
     d = {"a": [{"b": "1"}, {"b": "x"}, {"c": 0}]}
     assert convert_source_doc(d, conv) == {"a": [{"b": 1}, {}, {"c": 0}]}
+
+
+def test_reference_unit_cases_verbatim():
+    """The reference's own `tantivy_val_to_json.rs` test block
+    (lines 283-428), ported case for case: bytes base64/hex, f64 from
+    F64/U64/Str with number+string output, i64/u64 number+string."""
+    b64 = {"kind": "text", "caps": "bytes", "input": "base64"}
+    hx = {"kind": "text", "caps": "bytes", "input": "base64", "output": "hex"}
+    # Bytes([1,2,3]) -> "AQID" / "010203"
+    assert conv("AQID", b64, b64) == "AQID"
+    assert conv("AQID", b64, hx) == "010203"
+    # F64 targets
+    f64n = {"kind": "double", "output": "number"}
+    f64s = {"kind": "double", "output": "string"}
+    assert conv(0.1, F64, f64n) == 0.1
+    assert conv(1, U64, f64n) == 1.0
+    assert conv("0.1", TEXT, f64n) == 0.1
+    assert conv(0.1, F64, f64s) == "0.1"
+    # I64 targets
+    i64n = {"kind": "long", "output": "number"}
+    i64s = {"kind": "long", "output": "string"}
+    assert conv(-1, I64, i64n) == -1
+    assert conv(1, I64, i64n) == 1
+    assert conv(-1, I64, i64s) == "-1"
+    # U64 targets
+    u64n = {"kind": "u64", "output": "number"}
+    u64s = {"kind": "u64", "output": "string"}
+    assert conv(1, U64, u64n) == 1
+    assert conv(1, I64, u64n) == 1
+    assert conv(1, U64, u64s) == "1"
+
+
+# ------------------------------------------------- robustness fuzz
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SPECS = [
+    TEXT, U64, I64, F64, BOOL, IP, BYTES, DT,
+    {"kind": "u64", "output": "string"},
+    {"kind": "text", "card": "multi"},
+    {"kind": "u64", "card": "multi"},
+    {"kind": "datetime", "formats": ["unix_timestamp"]},
+    None,  # dynamic old path
+]
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**80), max_value=2**80),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.text(max_size=30),
+)
+_value = st.one_of(_scalar, st.lists(_scalar, max_size=4))
+
+
+@given(
+    _value,
+    st.sampled_from(_SPECS),
+    st.sampled_from([s for s in _SPECS if s is not None]),
+)
+@settings(max_examples=400, deadline=None)
+def test_convert_value_never_raises(v, old, new):
+    """Any JSON-shaped stored value through any (old, new) spec pair
+    either converts to a JSON-serializable value or omits — never
+    raises (the reference logs-and-omits, `tantivy_val_to_json.rs:
+    270-279`)."""
+    import json as _json
+
+    out = convert_value(v, old, new)
+    if out is not OMIT:
+        _json.dumps(out, allow_nan=True)
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+@settings(max_examples=100, deadline=None)
+def test_u64_text_roundtrip(n):
+    """u64 -> text -> u64 is the identity over the whole u64 range."""
+    as_text = conv(n, U64, TEXT)
+    assert conv(as_text, TEXT, U64) == n
