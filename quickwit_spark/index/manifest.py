@@ -76,11 +76,38 @@ def _commit_files(index_dir: str) -> list[str]:
     return sorted(f for f in os.listdir(d) if f.startswith("commit-") and f.endswith(".json"))
 
 
+def _snapshot_files(index_dir: str) -> list[str]:
+    d = _manifest_dir(index_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        f
+        for f in os.listdir(d)
+        if f.startswith("snapshot-") and f.endswith(".json")
+    )
+
+
+def _latest_snapshot(index_dir: str) -> dict | None:
+    """Highest-seq snapshot document, or None. Tolerates a concurrent
+    compaction deleting the file between listdir and open."""
+    files = _snapshot_files(index_dir)
+    d = _manifest_dir(index_dir)
+    for fname in reversed(files):
+        try:
+            with open(os.path.join(d, fname)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            continue
+    return None
+
+
 def next_seq(index_dir: str) -> int:
     files = _commit_files(index_dir)
-    if not files:
+    seqs = [int(f.split("-")[1]) for f in files]
+    seqs += [int(f.split("-")[1]) for f in _snapshot_files(index_dir)]
+    if not seqs:
         return 0
-    return max(int(f.split("-")[1]) for f in files) + 1
+    return max(seqs) + 1
 
 
 _COMMIT_LOCK = threading.Lock()
@@ -138,16 +165,106 @@ def _commit_locked(
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, os.path.join(d, name))
+    # amortized compaction: keep reconcile() O(segments + recent
+    # commits) however long the index lives (lock already held)
+    if COMPACT_EVERY > 0 and len(_commit_files(index_dir)) >= COMPACT_EVERY:
+        _compact_locked(index_dir)
     return name
 
 
 def read_commits(index_dir: str) -> list[dict]:
+    """Commit stream in seq order: the latest snapshot (expanded into
+    per-kind pseudo-commits so every checkpoint consumer sees its
+    history) followed by the commit files newer than it. Commit files
+    at or below the snapshot seq are already folded in — a crash
+    between snapshot write and file deletion leaves them behind
+    harmlessly (replay is idempotent, but skipping keeps one source of
+    truth)."""
     out = []
+    snap = _latest_snapshot(index_dir)
+    base_seq = -1
+    if snap is not None:
+        base_seq = int(snap["seq"])
+        for kind, cp in sorted((snap.get("checkpoints_by_kind") or {}).items()):
+            out.append(
+                {"seq": base_seq, "kind": kind, "checkpoint": cp, "segments": []}
+            )
+        out.append(
+            {
+                "seq": base_seq,
+                "kind": "snapshot",
+                "checkpoint": {},
+                "segments": snap.get("segments") or [],
+            }
+        )
     d = _manifest_dir(index_dir)
     for fname in _commit_files(index_dir):
-        with open(os.path.join(d, fname)) as f:
-            out.append(json.load(f))
+        try:
+            with open(os.path.join(d, fname)) as f:
+                c = json.load(f)
+        except FileNotFoundError:
+            continue  # compacted away between listdir and open
+        if c["seq"] > base_seq:
+            out.append(c)
     return sorted(out, key=lambda c: c["seq"])
+
+
+# one snapshot per this many commit files (the reference's file-backed
+# metastore rewrites ONE state document per mutation,
+# `metastore/file_backed/mod.rs` put; here the rewrite is amortized so
+# manifest reads stay O(segments + recent commits) instead of O(all
+# commits ever) on long-lived indexes)
+COMPACT_EVERY = int(os.environ.get("QWS_MANIFEST_COMPACT_EVERY", "128"))
+
+
+def compact_manifest(index_dir: str) -> str | None:
+    """Fold the whole commit log into one snapshot document and delete
+    the folded files. Crash-safe: the snapshot is tmp+rename'd before
+    any deletion, and read_commits ignores commit files at or below the
+    snapshot seq. Returns the snapshot filename (None on empty log)."""
+    with _COMMIT_LOCK:
+        return _compact_locked(index_dir)
+
+
+def _compact_locked(index_dir: str) -> str | None:
+    commits = read_commits(index_dir)
+    if not commits:
+        return None
+    seq = max(c["seq"] for c in commits)
+    segs: dict[str, dict] = {}
+    cps: dict[str, dict] = {}
+    for c in commits:
+        for rec in c["segments"]:
+            segs[rec["segment_id"]] = rec
+        if c["kind"] != "snapshot" and c.get("checkpoint"):
+            cps.setdefault(c["kind"], {}).update(c["checkpoint"])
+    payload = {
+        "seq": seq,
+        "segments": [segs[k] for k in sorted(segs)],
+        "checkpoints_by_kind": cps,
+    }
+    d = _manifest_dir(index_dir)
+    name = f"snapshot-{seq:08d}-{uuid.uuid4().hex[:8]}.json"
+    tmp = os.path.join(d, f".tmp-{name}")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(d, name))
+    # now safe to drop everything the snapshot covers
+    for fname in _commit_files(index_dir):
+        if int(fname.split("-")[1]) <= seq:
+            try:
+                os.unlink(os.path.join(d, fname))
+            except FileNotFoundError:
+                pass
+    for fname in _snapshot_files(index_dir):
+        if fname != name:
+            try:
+                os.unlink(os.path.join(d, fname))
+            except FileNotFoundError:
+                pass
+    return name
 
 
 def reconcile(index_dir: str) -> dict[str, SegmentRecord]:

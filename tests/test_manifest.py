@@ -65,3 +65,80 @@ def test_delete_index(tmp_path):
     assert not os.path.exists(idx)
     with pytest.raises(FileNotFoundError):
         delete_index(str(tmp_path / "never_an_index"))
+
+
+def test_snapshot_compaction_preserves_state(tmp_path):
+    """compact_manifest folds the log into one snapshot: reconcile,
+    per-kind checkpoints, delete opstamps, and next_seq are identical
+    before and after; leftover commit files at or below the snapshot
+    seq are ignored (crash idempotence)."""
+    import json
+
+    from quickwit_spark.index import manifest as mf
+
+    d = str(tmp_path / "idx")
+    commit(d, [SegmentRecord(segment_id="s1", num_docs=5)],
+           checkpoint={"b0": {"docs": 5}}, kind="build")
+    commit(d, [SegmentRecord(segment_id="s2", num_docs=7, doc_mapping_uid=1)],
+           checkpoint={"b1": {"docs": 7}}, kind="build")
+    commit(d, [], checkpoint={"3": {"query": "x"}}, kind="delete")
+    commit(d, [SegmentRecord(segment_id="s1", state=REPLACED, num_docs=5),
+               SegmentRecord(segment_id="m1", num_docs=5, merge_gen=1)],
+           checkpoint={"m1": {"inputs": ["s1"]}}, kind="merge")
+
+    before_rec = {k: vars(v) for k, v in mf.reconcile(d).items()}
+    before_build = mf.committed_checkpoints(d, "build")
+    before_merge = mf.committed_checkpoints(d, "merge")
+    before_delete = mf.committed_checkpoints(d, "delete")
+    seq_before = mf.next_seq(d)
+
+    name = mf.compact_manifest(d)
+    assert name is not None and name.startswith("snapshot-")
+    assert mf._commit_files(d) == []  # all folded
+
+    assert {k: vars(v) for k, v in mf.reconcile(d).items()} == before_rec
+    assert mf.committed_checkpoints(d, "build") == before_build
+    assert mf.committed_checkpoints(d, "merge") == before_merge
+    assert mf.committed_checkpoints(d, "delete") == before_delete
+    assert mf.next_seq(d) == seq_before
+
+    # new commits after the snapshot fold in normally
+    commit(d, [SegmentRecord(segment_id="s3", num_docs=1)],
+           checkpoint={"b2": {"docs": 1}}, kind="build")
+    rec = mf.reconcile(d)
+    assert set(rec) == {"s1", "s2", "m1", "s3"}
+    assert rec["s1"].state == REPLACED
+    assert rec["s2"].doc_mapping_uid == 1
+    assert mf.committed_checkpoints(d, "build") == {
+        **before_build, "b2": {"docs": 1},
+    }
+
+    # crash idempotence: a stale commit file at a folded seq is ignored
+    stale = os.path.join(d, "_manifest", "commit-00000000-deadbeef.json")
+    with open(stale, "w") as f:
+        json.dump({"seq": 0, "kind": "build", "checkpoint": {"bX": {}},
+                   "segments": [{"segment_id": "ghost"}]}, f)
+    assert "ghost" not in mf.reconcile(d)
+    assert "bX" not in mf.committed_checkpoints(d, "build")
+
+    # a second compaction folds snapshot + new commits into one again
+    mf.compact_manifest(d)
+    assert set(mf.reconcile(d)) == {"s1", "s2", "m1", "s3"}
+    assert len(mf._snapshot_files(d)) == 1
+
+
+def test_auto_compaction_threshold(tmp_path, monkeypatch):
+    from quickwit_spark.index import manifest as mf
+
+    monkeypatch.setattr(mf, "COMPACT_EVERY", 10)
+    d = str(tmp_path / "idx2")
+    for i in range(25):
+        commit(d, [SegmentRecord(segment_id=f"s{i}", num_docs=1)],
+               checkpoint={f"b{i}": {}}, kind="build")
+    # the log never grows past the threshold
+    assert len(mf._commit_files(d)) < 10
+    assert len(mf._snapshot_files(d)) == 1
+    assert set(mf.reconcile(d)) == {f"s{i}" for i in range(25)}
+    assert set(mf.committed_checkpoints(d, "build")) == {
+        f"b{i}" for i in range(25)
+    }
