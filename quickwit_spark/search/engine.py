@@ -530,7 +530,7 @@ class IndexSearcher:
         Parquet. Returns the number of cached rows. The cache is
         dropped on `refresh()` (segment set changed) or `uncache()`."""
         tvals = sorted(set(terms))
-        base = self.inv().filter(F.col("segment_id").isin(self.live_ids))
+        base = self._seg_pred_filter(self.inv(), self.live_ids)
         cond = (F.col("kind") == KIND_POSTINGS) & F.col("term").isin(tvals)
         cond = cond | F.col("kind").isin([KIND_NORMS, KIND_STATS])
         if include_positions:
@@ -606,10 +606,11 @@ class IndexSearcher:
         `quickwit-search/src/list_terms.rs:266-276`), then the regex
         filters the surviving rows. Expansion is truncated at `cap`
         in term order (reference `max_expansions` behavior)."""
-        df = self.inv().filter(
-            (F.col("kind") == KIND_POSTINGS)
-            & (F.col("field") == fld)
-            & F.col("segment_id").isin(seg_ids)
+        df = self._seg_pred_filter(
+            self.inv().filter(
+                (F.col("kind") == KIND_POSTINGS) & (F.col("field") == fld)
+            ),
+            seg_ids,
         )
         if prefix:
             df = df.filter(F.col("term") >= prefix)
@@ -963,11 +964,12 @@ class IndexSearcher:
         need = sorted(set(tvals) - self._dfreq_fetched)
         if need:
             rows = (
-                self.inv()
-                .filter(
-                    (F.col("kind") == KIND_POSTINGS)
-                    & F.col("term").isin(need)
-                    & F.col("segment_id").isin(self.live_ids)
+                self._seg_pred_filter(
+                    self.inv().filter(
+                        (F.col("kind") == KIND_POSTINGS)
+                        & F.col("term").isin(need)
+                    ),
+                    self.live_ids,
                 )
                 .select("segment_id", "field", "term", "doc_freq")
                 .collect()
@@ -1000,6 +1002,23 @@ class IndexSearcher:
 
     # ---------- execution ----------
 
+    _SEG_IN_MAX = 1000
+
+    def _seg_pred_filter(self, df: DataFrame, seg_ids) -> DataFrame:
+        """segment_id membership filter: a literal In (pushed into the
+        parquet scan) at normal segment counts, a broadcast left-semi
+        join past _SEG_IN_MAX — a 100k-split In literal bloats plan
+        analysis and is no longer pushable anyway (the reference's
+        split pruning hands each leaf an explicit split list; this is
+        the plan-size-safe analog)."""
+        ids = list(seg_ids)
+        if len(ids) <= self._SEG_IN_MAX:
+            return df.filter(F.col("segment_id").isin(ids))
+        ids_df = self.spark.createDataFrame(
+            [(s,) for s in ids], "segment_id string"
+        )
+        return df.join(F.broadcast(ids_df), "segment_id", "left_semi")
+
     def _matches(
         self,
         ast: QueryAst,
@@ -1017,7 +1036,7 @@ class IndexSearcher:
         tvals = sorted({t for _, t in terms})
         if not tvals and fast_filter is None and isinstance(ast, MatchAll):
             # match-all without filters: answer straight from the docmap
-            return self.docs().filter(F.col("segment_id").isin(seg_ids)).select(
+            return self._seg_pred_filter(self.docs(), seg_ids).select(
                 "segment_id", "doc_id", F.lit(0.0).alias("score")
             )
         needs_pos = _has_phrase(ast)
@@ -1031,7 +1050,7 @@ class IndexSearcher:
                 cond = cond | (
                     (F.col("kind") == KIND_POS) & F.col("term").isin(tvals)
                 )
-            inv = hot.filter(F.col("segment_id").isin(seg_ids)).filter(cond)
+            inv = self._seg_pred_filter(hot, seg_ids).filter(cond)
         else:
             # two scans unioned instead of one OR-filter: the term
             # predicate then reaches the postings scan as a pushed
@@ -1039,7 +1058,7 @@ class IndexSearcher:
             # row-group min/max stats skip everything but the needed
             # term ranges — the warmup/prefetch analog, done by the
             # reader for free)
-            base = self.inv().filter(F.col("segment_id").isin(seg_ids))
+            base = self._seg_pred_filter(self.inv(), seg_ids)
             inv = base.filter(
                 (F.col("kind") == KIND_POSTINGS) & F.col("term").isin(tvals)
             ).unionByName(
@@ -1095,8 +1114,7 @@ class IndexSearcher:
 
         if fast_filter is not None:
             allowed_df = (
-                self.docs()
-                .filter(F.col("segment_id").isin(seg_ids))
+                self._seg_pred_filter(self.docs(), seg_ids)
                 .filter(fast_filter)
                 .select("segment_id", "doc_id")
             )
@@ -1747,10 +1765,11 @@ class IndexSearcher:
         self, field: str, start: str | None = None, end: str | None = None, limit: int = 100
     ) -> DataFrame:
         """Stream the term dictionary (reference `list_terms.rs:47-276`)."""
-        df = self.inv().filter(
-            (F.col("kind") == KIND_POSTINGS)
-            & (F.col("field") == field)
-            & F.col("segment_id").isin(self.live_ids)
+        df = self._seg_pred_filter(
+            self.inv().filter(
+                (F.col("kind") == KIND_POSTINGS) & (F.col("field") == field)
+            ),
+            self.live_ids,
         )
         if start is not None:
             df = df.filter(F.col("term") >= start)

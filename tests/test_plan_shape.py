@@ -94,3 +94,16 @@ def test_hot_postings_cache(searcher):
     assert "InMemoryTableScan" not in _plan(
         searcher.match_docs(Term("text", "spark"))
     )
+
+
+def test_segment_filter_scales_past_in_literal_cap(searcher):
+    """Below _SEG_IN_MAX the segment filter is a literal In (pushed to
+    the scan); past it, it becomes a broadcast left-semi join — a
+    100k-split In literal bloats plan analysis and is unpushable."""
+    small = _plan(searcher._seg_pred_filter(searcher.inv(), ["a", "b"]))
+    assert "BroadcastHashJoin" not in small
+    big_ids = [f"seg{i:06d}" for i in range(1500)]
+    big = _plan(searcher._seg_pred_filter(searcher.inv(), big_ids))
+    assert "LeftSemi" in big and "BroadcastHashJoin" in big
+    # and no giant literal list survives in the plan text
+    assert "seg001400" not in big
