@@ -253,7 +253,19 @@ class QuickwitSpark:
             # existing splits keep theirs — searches convert old-split
             # values to the new types best-effort
             # (docs/reference/updating-mapper.md) and the merge planner
-            # never mixes generations (merge_planner.rs:41-53)
+            # never mixes generations (merge_planner.rs:41-53).
+            # Deliberately NOT special-casing additive changes: the
+            # reference bumps the uid for ANY real mapping difference —
+            # its equality check ignores only the randomly-generated
+            # uid itself ("we don't want to record a mapping change
+            # when nothing really happened",
+            # `index_config/serialize.rs:114-124`) — so an additive
+            # field addition also forks merge groups there; skipping
+            # the bump here would merge splits the reference keeps
+            # apart. The cost is small: align_generations emits
+            # conversion expressions only for CONFLICTING columns, so
+            # an additive generation unions with plain missing-column
+            # nulls.
             state["mapping_uid"] = int(state.get("mapping_uid", 0)) + 1
             state["schema"] = None
             state["pinned_kinds"] = {}

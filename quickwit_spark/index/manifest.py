@@ -180,8 +180,35 @@ def read_commits(index_dir: str) -> list[dict]:
     between snapshot write and file deletion leaves them behind
     harmlessly (replay is idempotent, but skipping keeps one source of
     truth)."""
+    # Lock-free readers vs a concurrent compaction (same process or
+    # another): the snapshot is read BEFORE and AFTER listing/loading
+    # the commit files. Compaction writes its snapshot before deleting
+    # any file, so if a listed file vanished under us, or the latest
+    # snapshot seq moved between the two reads, a compaction
+    # interleaved and this view may be missing a prefix — retry. A
+    # stable snapshot seq with every listed file readable proves
+    # (snapshot + files) is one consistent manifest. Cannot take
+    # _COMMIT_LOCK here: _compact_locked itself calls read_commits
+    # while holding it.
+    d = _manifest_dir(index_dir)
+    snap, loaded = None, []
+    for _ in range(10):
+        snap = _latest_snapshot(index_dir)
+        loaded = []
+        torn = False
+        for fname in _commit_files(index_dir):
+            try:
+                with open(os.path.join(d, fname)) as f:
+                    loaded.append(json.load(f))
+            except FileNotFoundError:
+                torn = True  # deleted mid-read: compaction interleaved
+                break
+        snap2 = _latest_snapshot(index_dir)
+        s1 = -1 if snap is None else int(snap["seq"])
+        s2 = -1 if snap2 is None else int(snap2["seq"])
+        if not torn and s1 == s2:
+            break
     out = []
-    snap = _latest_snapshot(index_dir)
     base_seq = -1
     if snap is not None:
         base_seq = int(snap["seq"])
@@ -197,13 +224,7 @@ def read_commits(index_dir: str) -> list[dict]:
                 "segments": snap.get("segments") or [],
             }
         )
-    d = _manifest_dir(index_dir)
-    for fname in _commit_files(index_dir):
-        try:
-            with open(os.path.join(d, fname)) as f:
-                c = json.load(f)
-        except FileNotFoundError:
-            continue  # compacted away between listdir and open
+    for c in loaded:
         if c["seq"] > base_seq:
             out.append(c)
     return sorted(out, key=lambda c: c["seq"])

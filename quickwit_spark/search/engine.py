@@ -783,13 +783,17 @@ class IndexSearcher:
             # reference `indexed: false` (updating-mapper.md Example 1):
             # term-level queries on a non-indexed field are REJECTED
             # under the current mapping, whatever older splits hold.
-            # Range stays legal — it runs on the fast column.
+            # Range stays legal — it runs on the fast column — and so
+            # does Exists: the reference's ExistsQuery answers from the
+            # fast column whenever the field is fast, postings or not
+            # (`field_presence.rs:75-82`); it is extracted as a fast
+            # predicate in _split_fast_predicates.
             if (
                 not_indexed
                 and isinstance(
                     node,
                     (Term, TermSet, FullText, Phrase, PhrasePrefix,
-                     Wildcard, Regex, Exists),
+                     Wildcard, Regex),
                 )
                 and node.field in not_indexed
             ):
@@ -867,27 +871,50 @@ class IndexSearcher:
                 out = out & x
             return out
 
-        def fast_range(node):
-            """Range (possibly Boost-wrapped — a filter clause scores 0,
-            so the boost is inert) on a fast column, else None."""
+        not_indexed = {
+            p for p, o in opts.items() if (o or {}).get("indexed") is False
+        }
+
+        def to_exists_filter(node: Exists):
+            # reference ExistsQuery on a fast field
+            # (`field_presence.rs:75-82`): present ⇔ the doc has ≥1
+            # value — a null scalar or null/empty array is absent
+            fcol = self._fcol(node.field)
+            c = qcol(fcol)
+            if (self._doc_types.get(fcol) or "").startswith("array<"):
+                return c.isNotNull() & (F.size(c) > 0)
+            return c.isNotNull()
+
+        def fast_pred(node):
+            """Fast-column predicate (possibly Boost-wrapped — a filter
+            clause scores 0, so the boost is inert): Range on a fast
+            column, or Exists on a non-indexed fast column (indexed
+            fields answer Exists from norms/presence inside the kernel,
+            which works in ANY bool position), else None."""
             if isinstance(node, Boost):
                 node = node.query
             if isinstance(node, Range) and node.field not in text_fields:
-                return node
+                return to_filter(node)
+            if (
+                isinstance(node, Exists)
+                and node.field in not_indexed
+                and self._fcol(node.field) in self._doc_types
+            ):
+                return to_exists_filter(node)
             return None
 
-        r = fast_range(ast)
-        if r is not None:
-            return MatchAll(), to_filter(r)
+        cond0 = fast_pred(ast)
+        if cond0 is not None:
+            return MatchAll(), cond0
         if isinstance(ast, Bool):
             fast = []
             must = []
             flt = []
             for dst, src in ((must, ast.must), (flt, ast.filter)):
                 for cl in src:
-                    r = fast_range(cl)
-                    if r is not None:
-                        fast.append(to_filter(r))
+                    cond = fast_pred(cl)
+                    if cond is not None:
+                        fast.append(cond)
                         continue
                     # conjunctive nested Bool: recurse so ranges inside
                     # must/filter-of-must/filter also reach the docmap
@@ -931,11 +958,17 @@ class IndexSearcher:
                 return new_ast, cond
         return ast, None
 
-    @staticmethod
-    def _reject_residual_ranges(ast: QueryAst) -> None:
+    def _reject_residual_ranges(self, ast: QueryAst) -> None:
         """Fail at PLANNING time (clear message on the driver) for Range
         placements the kernel cannot evaluate — better than an opaque
-        NotImplementedError from an executor UDF."""
+        NotImplementedError from an executor UDF. Likewise for Exists
+        on a non-indexed field left unextracted: it has no postings or
+        norms, so the kernel would silently match nothing."""
+        not_indexed = {
+            p
+            for p, o in (self.config.field_options or {}).items()
+            if (o or {}).get("indexed") is False
+        }
 
         def walk(node):
             if isinstance(node, Range):
@@ -943,6 +976,12 @@ class IndexSearcher:
                     "Range is only supported on fast (docmap) columns in "
                     "must/filter position (including nested conjunctions); "
                     f"unsupported placement for field {node.field!r}"
+                )
+            if isinstance(node, Exists) and node.field in not_indexed:
+                raise NotImplementedError(
+                    f"`exists` on non-indexed field {node.field!r} runs "
+                    "on the fast column and is only supported in "
+                    "must/filter position (including nested conjunctions)"
                 )
             if isinstance(node, Boost):
                 walk(node.query)
@@ -2149,12 +2188,21 @@ class IndexSearcher:
                 else:
                     src = {}
                 hit = {"_id": str(d["doc_key"]), "_score": score, "_source": src}
-                if not field_sort and score is not None:
-                    # score-sorted hits carry the score as their sort
-                    # value (reference convert_hit pushes partial_hit
-                    # sort_value — the score — into `sort`,
+                if (
+                    bool(sort_spec)
+                    and not field_sort
+                    and score is not None
+                ):
+                    # explicit `_score` sort: hits carry the score as
+                    # their sort value (reference convert_hit pushes
+                    # partial_hit sort_value — the score — into `sort`,
                     # `rest_handler.rs:774-787`), so the standard
-                    # hits[-1]["sort"] → search_after client loop works
+                    # hits[-1]["sort"] → search_after client loop works.
+                    # A SORTLESS body gets no sort values — the cursor
+                    # endpoint rejects any search_after when n_sort=0
+                    # (`partial_hit_from_search_after_param`), so
+                    # advertising one would hand clients a cursor that
+                    # only ever 400s.
                     hit["sort"] = [score]
                 if field_sort:
                     opts_all = self.config.field_options or {}

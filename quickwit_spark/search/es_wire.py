@@ -77,6 +77,23 @@ def _as_list(v) -> list[str]:
     return list(v)
 
 
+def _zero_shards() -> dict:
+    """The ES `_shards` envelope shape, zero-valued."""
+    return {
+        "total": 0, "successful": 0, "skipped": 0, "failed": 0,
+        "failures": [],
+    }
+
+
+def _sum_shards(stats: list[dict]) -> dict:
+    """Accumulate per-index `_shards` stats into one envelope."""
+    out = _zero_shards()
+    for st in stats:
+        for k in ("total", "successful", "skipped", "failed"):
+            out[k] += (st or {}).get(k, 0)
+    return out
+
+
 def _source_filter(doc, includes: list[str], excludes: list[str]):
     """ES `_source_includes`/`_source_excludes` tree filtering: a path
     selects/removes the whole subtree under it."""
@@ -422,11 +439,21 @@ class EsWireHandler:
                 from quickwit_spark.search.engine import IndexSearcher
 
                 sort_spec = body.get("sort")
-                n_sort = (
-                    len(IndexSearcher._es_sort_entries(sort_spec))
+                entries = (
+                    IndexSearcher._es_sort_entries(sort_spec)
                     if sort_spec
-                    else 0
+                    else []
                 )
+                # count AFTER the reference's
+                # take_while_inclusive(!is_doc_field) truncation
+                # (`rest_handler.rs:371-385` runs before the length
+                # check at :421-434): keys after `_doc`/`_shard_doc`
+                # are dropped, so the cursor must not cover them
+                n_sort = 0
+                for fld, _opts in entries:
+                    n_sort += 1
+                    if fld in ("_doc", "_shard_doc"):
+                        break
             except (ValueError, TypeError, KeyError) as e:
                 raise EsApiError(400, str(e)) from e
             if len(body["search_after"]) != n_sort:
@@ -501,10 +528,7 @@ class EsWireHandler:
         return {
             "took": int((_time.perf_counter() - t0) * 1000),
             "timed_out": False,
-            "_shards": {
-                "total": 0, "successful": 0, "skipped": 0, "failed": 0,
-                "failures": [],
-            },
+            "_shards": _zero_shards(),
             "hits": {
                 "total": {"value": 0, "relation": "eq"},
                 "max_score": None,
@@ -608,13 +632,7 @@ class EsWireHandler:
                     _key_order(h["_id"]),
                 )
             )
-        shards = {
-            "total": 0, "successful": 0, "skipped": 0, "failed": 0,
-            "failures": [],
-        }
-        for resp in responses:
-            for k in ("total", "successful", "skipped", "failed"):
-                shards[k] += resp.get("_shards", {}).get(k, 0)
+        shards = _sum_shards([resp.get("_shards") for resp in responses])
         out = {
             "took": int((_time.perf_counter() - t0) * 1000),
             "timed_out": False,
@@ -883,14 +901,9 @@ class EsWireHandler:
         )
         create_scroll(ctx)
         inc, exc = self._src_filters(params)
-        shards = {
-            "total": 0, "successful": 0, "skipped": 0, "failed": 0,
-            "failures": [],
-        }
-        for n in names:
-            st = self.indexes[n]._shards_stats()
-            for k in ("total", "successful", "skipped", "failed"):
-                shards[k] += st[k]
+        shards = _sum_shards(
+            [self.indexes[n]._shards_stats() for n in names]
+        )
         state = {
             "ctx": ctx,
             "searcher": None,
@@ -974,11 +987,7 @@ class EsWireHandler:
         out = {
             "_scroll_id": ctx.scroll_id,
             "timed_out": False,
-            "_shards": state.get("shards")
-            or {
-                "total": 0, "successful": 0, "skipped": 0, "failed": 0,
-                "failures": [],
-            },
+            "_shards": state.get("shards") or _zero_shards(),
             "hits": {
                 "total": {"value": state["total"], "relation": "eq"},
                 "max_score": None,

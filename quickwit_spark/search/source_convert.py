@@ -37,6 +37,7 @@ import re
 from decimal import Decimal
 
 from quickwit_spark.search.source_render import (
+    _rustlike_numeric,
     format_datetime_out,
     parse_datetime,
 )
@@ -149,6 +150,8 @@ def interpret(value, old_spec: dict | None):
                 return ("u64", n) if n >= 0 else ("i64", n)
             return ("str", value)
         if kind in ("double", "f64"):
+            if not _rustlike_numeric(value):
+                return ("str", value)  # Rust f64::FromStr would fail
             try:
                 return ("f64", float(value))
             except ValueError:
@@ -228,8 +231,10 @@ def _num_out(n, output: str):
 def _to_f64(tag, v, output):
     if tag == "str":
         s = v.strip()
-        if s != v or not s:
-            return OMIT  # Rust f64::FromStr takes no whitespace
+        if s != v or not _rustlike_numeric(s):
+            # Rust f64::FromStr takes no whitespace, no `_` separators,
+            # no non-ASCII digits (float() accepts all three)
+            return OMIT
         try:
             f = float(v)
         except ValueError:

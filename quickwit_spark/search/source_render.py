@@ -110,6 +110,8 @@ def _parse_unix(value) -> int | None:
             return None
         n = value
     elif isinstance(value, str):
+        if not _rustlike_numeric(value.strip()):
+            return None
         try:
             n = int(value, 10)  # exact path for integer strings
         except ValueError:
@@ -129,6 +131,47 @@ def _parse_unix(value) -> int | None:
     if mag < 1e17:
         return round(n * 1_000)
     return round(n)
+
+
+def _parse_scaled(value, scale: int) -> int | None:
+    """Exact epoch scaling for unix_timestamp_{millis,micros}: ints and
+    integer strings never round-trip through float — a modern
+    epoch-millis value times 1e6 exceeds f64's 2^53 exact-integer range
+    and would pick up ~100 ns of rounding noise in the rendered
+    rfc3339 fraction. Floats keep fractional-input support; bools are
+    not timestamps (mirrors `_parse_unix`)."""
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return value * scale
+    if isinstance(value, float):
+        if math.isnan(value) or math.isinf(value):
+            return None
+        return round(value * scale)
+    if isinstance(value, str):
+        s = value.strip()
+        if not _rustlike_numeric(s):
+            return None
+        try:
+            return int(s, 10) * scale
+        except ValueError:
+            pass
+        try:
+            f = float(s)
+        except ValueError:
+            return None
+        if math.isnan(f) or math.isinf(f):
+            return None
+        return round(f * scale)
+    return None
+
+
+def _rustlike_numeric(s: str) -> bool:
+    """Python's int()/float() accept `_` separators and non-ASCII
+    Unicode digits; Rust's FromStr (what the reference parses numbers
+    with) accepts neither. Gate string→number paths on the Rust
+    grammar's alphabet."""
+    return bool(s) and s.isascii() and "_" not in s
 
 
 def _parse_iso(value) -> int | None:
@@ -178,15 +221,9 @@ def parse_datetime(value, formats: tuple) -> int | None:
         elif fmt == "unix_timestamp_secs":
             nanos = _parse_unix(value) if abs(_num(value)) < 1e11 else None
         elif fmt == "unix_timestamp_millis":
-            try:
-                nanos = round(float(value) * 1_000_000)
-            except (TypeError, ValueError):
-                nanos = None
+            nanos = _parse_scaled(value, 1_000_000)
         elif fmt == "unix_timestamp_micros":
-            try:
-                nanos = round(float(value) * 1_000)
-            except (TypeError, ValueError):
-                nanos = None
+            nanos = _parse_scaled(value, 1_000)
         elif isinstance(value, str):
             # ingest uses Spark datetime patterns; at render time a
             # plain fromisoformat attempt covers the common ones, and

@@ -604,6 +604,31 @@ def test_es_sort_doc_field_truncates_rest(spark, tmp_path):
     ids = [h["_id"] for h in r["hits"]["hits"]]
     assert ids == sorted(ids, key=int)
     assert all(len(h["sort"]) == 1 for h in r["hits"]["hits"])
+    # the cursor length check counts AFTER the truncation too
+    # (reference: take_while_inclusive at rest_handler.rs:371-385 runs
+    # BEFORE partial_hit_from_search_after_param's length check at
+    # :421-434) — echoing hits[-1]["sort"] pages, a 2-value cursor 400s
+    from quickwit_spark.search.es_wire import EsApiError
+
+    body = {"sort": ["_doc", {"n": "desc"}], "size": 2}
+    p1 = es.request("POST", "logs/_search", body=body)
+    cursor = p1["hits"]["hits"][-1]["sort"]
+    assert len(cursor) == 1
+    p2 = es.request(
+        "POST", "logs/_search", body={**body, "search_after": cursor}
+    )
+    assert [h["_id"] for h in p2["hits"]["hits"]] == [ids[-1]]
+    with pytest.raises(EsApiError) as ei:
+        es.request(
+            "POST", "logs/_search",
+            body={**body, "search_after": [cursor[0], 99]},
+        )
+    assert ei.value.status == 400
+    # a SORTLESS body advertises no sort values (reference convert_hit
+    # pushes nothing without partial-hit sort values; the cursor
+    # endpoint rejects any search_after when the sort is empty)
+    r3 = es.request("POST", "logs/_search", body={"size": 2})
+    assert all("sort" not in h for h in r3["hits"]["hits"])
 
 def test_es_search_after_validation(spark, tmp_path):
     """The reference 400s a cursor whose length differs from the sort

@@ -142,3 +142,67 @@ def test_auto_compaction_threshold(tmp_path, monkeypatch):
     assert set(mf.committed_checkpoints(d, "build")) == {
         f"b{i}" for i in range(25)
     }
+
+
+def test_reader_vs_concurrent_compaction_torn_view(tmp_path, monkeypatch):
+    """A lock-free read_commits that interleaves with a compaction must
+    NOT return a view missing a prefix of commits. Deterministic
+    reproduction of the race: the reader's first commit-file listing
+    reflects the pre-compaction log, but a compaction (snapshot write +
+    file deletions) completes before the reader opens the files — the
+    reader must detect the tear and retry onto the consistent
+    snapshot+suffix view."""
+    from quickwit_spark.index import manifest as mf
+
+    d = str(tmp_path / "idx3")
+    for i in range(6):
+        commit(d, [SegmentRecord(segment_id=f"s{i}", num_docs=1)],
+               checkpoint={f"b{i}": {}}, kind="build")
+    expected = set(mf.reconcile(d))
+
+    real_listing = mf._commit_files
+    state = {"fired": False}
+
+    def racing_listing(index_dir):
+        files = real_listing(index_dir)
+        if not state["fired"] and files:
+            state["fired"] = True
+            # compaction lands AFTER the listing, BEFORE the opens
+            mf.compact_manifest(index_dir)
+            return files  # stale: these files are now deleted
+        return files
+
+    monkeypatch.setattr(mf, "_commit_files", racing_listing)
+    commits = mf.read_commits(d)
+    assert state["fired"]
+    segs = {r["segment_id"] for c in commits for r in c["segments"]}
+    assert segs == expected  # no lost prefix, no empty manifest
+
+
+def test_reader_vs_concurrent_compaction_snapshot_moved(tmp_path, monkeypatch):
+    """Variant: the reader sees NO snapshot at first, then the listing
+    runs after compaction deleted every commit file. Without the
+    before/after snapshot-seq check this returned an EMPTY manifest."""
+    from quickwit_spark.index import manifest as mf
+
+    d = str(tmp_path / "idx4")
+    for i in range(4):
+        commit(d, [SegmentRecord(segment_id=f"s{i}", num_docs=1)], kind="build")
+    expected = set(mf.reconcile(d))
+
+    real_snap = mf._latest_snapshot
+    state = {"calls": 0}
+
+    def racing_snapshot(index_dir):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            # reader's first snapshot probe: pre-compaction (none yet);
+            # the compaction then fully completes before the listing
+            mf.compact_manifest(index_dir)
+            return None
+        return real_snap(index_dir)
+
+    monkeypatch.setattr(mf, "_latest_snapshot", racing_snapshot)
+    commits = mf.read_commits(d)
+    segs = {r["segment_id"] for c in commits for r in c["segments"]}
+    assert segs == expected

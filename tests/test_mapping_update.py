@@ -340,3 +340,58 @@ def test_snippets_convert_old_generation_source(qw):
     # "hello" can't convert to u64 -> omitted even on the snippet path
     assert "v" not in hit
     assert "snippets" in resp["hits"][0] or resp.get("snippets") is not None
+
+
+def test_exists_on_indexed_false_fast_column(qw):
+    """The reference answers `exists` from the FAST column whenever the
+    field is fast, postings or not (`field_presence.rs:75-82`
+    build_existence_query) — so `indexed: false` must reject term
+    queries but keep `field:*` legal in conjunctive positions."""
+    from quickwit_spark.query.ast import Bool, Exists, Term
+
+    qw.create_index(
+        _cfg(
+            "updexists",
+            [
+                {"name": "secret", "type": "text", "indexed": False},
+                {"name": "title", "type": "text"},
+            ],
+        )
+    )
+    qw.ingest(
+        "updexists",
+        [
+            {"secret": "hidden", "title": "hello world"},
+            {"title": "hello again"},
+        ],
+    )
+    s = qw.searcher("updexists")
+    # dynamic-mode indexes carry a presence field, which serves exists
+    # on the non-indexed field in ANY position
+    assert s.count(Exists("secret")) == 1
+    assert (
+        s.count(Bool(must=[Term("title", "hello")], filter=[Exists("secret")]))
+        == 1
+    )
+    # term queries stay rejected
+    with pytest.raises(ValueError, match="not indexed"):
+        s.count("secret:hidden")
+
+    # presence-less config (reference index_field_presence: false):
+    # exists answers from the FAST column in conjunctive positions —
+    # a fresh searcher instance so the mutation stays local
+    from quickwit_spark.search.engine import IndexSearcher
+
+    s2 = IndexSearcher(s.spark, s.index_dir)
+    s2.config.presence_field = None
+    assert s2.count(Exists("secret")) == 1
+    assert (
+        s2.count(
+            Bool(must=[Term("title", "hello")], filter=[Exists("secret")])
+        )
+        == 1
+    )
+    # non-conjunctive placement fails loudly at planning time, not with
+    # a silent zero-match
+    with pytest.raises(NotImplementedError, match="exists"):
+        s2.count(Bool(should=[Term("title", "hello"), Exists("secret")]))

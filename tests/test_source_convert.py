@@ -352,3 +352,20 @@ def test_u64_text_roundtrip(n):
     """u64 -> text -> u64 is the identity over the whole u64 range."""
     as_text = conv(n, U64, TEXT)
     assert conv(as_text, TEXT, U64) == n
+
+
+def test_f64_rust_fromstr_grammar():
+    """Rust f64::FromStr rejects `_` separators, Unicode digits, and
+    embedded whitespace — Python float() accepts all three, which would
+    fabricate numbers the reference omits."""
+    f64n = {"kind": "double", "output": "number"}
+    assert conv("1_0", TEXT, f64n) is OMIT      # float("1_0") == 10.0(!)
+    assert conv("١٢٣", TEXT, f64n) is OMIT      # unicode digits
+    assert conv(" 1 ", TEXT, f64n) is OMIT      # whitespace
+    # the Rust grammar's own specials still parse
+    assert conv("2.5e3", TEXT, f64n) == 2500.0
+    assert conv("-0.5", TEXT, f64n) == -0.5
+    # interpret's double-kind stored-string reparse: a non-Rust-numeric
+    # string stays a string (renders verbatim under a text target)
+    assert interpret("1_0", F64) == ("str", "1_0")
+    assert interpret("2.5", F64) == ("f64", 2.5)

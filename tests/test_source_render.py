@@ -151,3 +151,31 @@ def test_validators():
     assert validate_binary_format("hex") == "hex"
     with pytest.raises(ValueError):
         validate_binary_format("utf8")
+
+
+def test_unix_millis_micros_integer_exactness():
+    """unix_timestamp_{millis,micros} integers must not round-trip
+    through float: 1700000000123 ms × 1e6 exceeds f64's 2^53 exact
+    range and float math picks up ~100 ns of noise in the rendered
+    rfc3339 fraction."""
+    ns = parse_datetime(1700000000123, ("unix_timestamp_millis",))
+    assert ns == 1700000000123_000_000
+    assert format_datetime_out(ns, "rfc3339") == "2023-11-14T22:13:20.123Z"
+    ns = parse_datetime("1700000000123", ("unix_timestamp_millis",))
+    assert ns == 1700000000123_000_000
+    ns = parse_datetime(1700000000123456, ("unix_timestamp_micros",))
+    assert ns == 1700000000123456_000
+    assert (
+        format_datetime_out(ns, "rfc3339") == "2023-11-14T22:13:20.123456Z"
+    )
+    # fractional float input still supported; bools are not timestamps
+    assert parse_datetime(1.5, ("unix_timestamp_millis",)) == 1_500_000
+    assert parse_datetime(True, ("unix_timestamp_millis",)) is None
+
+
+def test_rust_numeric_grammar_on_string_timestamps():
+    """Python int()/float() accept `_` separators and Unicode digits;
+    Rust's FromStr (the reference parser) rejects both."""
+    for bad in ("1_0", "١٢٣", "1_000_000"):
+        assert parse_datetime(bad, ("unix_timestamp",)) is None
+        assert parse_datetime(bad, ("unix_timestamp_millis",)) is None
