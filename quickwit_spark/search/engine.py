@@ -77,6 +77,24 @@ def qcol(name: str):
     return F.col(f"`{name}`") if "." in name else F.col(name)
 
 
+def _es_uint(body: dict, key: str, default: int) -> int:
+    """u64-style body param: non-negative int (or digit string), else a
+    ValueError the API layers map to 400 — the reference deserializes
+    `size`/`from` as u64, so a negative value can never reach paging
+    arithmetic as a Python negative index."""
+    v = body.get(key, default)
+    if v is None:
+        return default
+    if isinstance(v, bool) or (
+        not isinstance(v, int) and not (isinstance(v, str) and v.isdigit())
+    ):
+        raise ValueError(f"`{key}` expects a non-negative integer, got {v!r}")
+    n = int(v)
+    if n < 0:
+        raise ValueError(f"`{key}` expects a non-negative integer, got {v!r}")
+    return n
+
+
 def _es_strptime(value: str, fmt: str):
     """Parse a datetime with an ES/Java-style pattern (the `format`
     range parameter, `docs/reference/es_compatible_api.md`): yyyy MM dd
@@ -1364,8 +1382,17 @@ class IndexSearcher:
         out_aliases = ["sort_value", "sort_value2"][: len(specs)]
         # fetch columns keep their OWN names even when they are also a
         # sort key (the sort key additionally appears as sort_value*) —
-        # an ES `_source` listing a sort field must not read back null
-        fetch_cols = list(dict.fromkeys(c for c in (fetch or []) if c != "doc_key"))
+        # an ES `_source` listing a sort field must not read back null.
+        # Unknown fields are silently absent like the score path
+        # (reference filter_source semantics), not an AnalysisException.
+        doc_cols_avail = set(self.docs().columns)
+        fetch_cols = list(
+            dict.fromkeys(
+                c
+                for c in (fetch or [])
+                if c != "doc_key" and self._fcol(c) in doc_cols_avail
+            )
+        )
         ast, fast_filter, seg_ids = (
             _resolved if _resolved is not None else self._resolve(query, time_range)
         )
@@ -1492,18 +1519,26 @@ class IndexSearcher:
         snippet_fields = list(snippet_fields or [])
         # doc_key is always selected positionally — fetching it again
         # would duplicate the column (same guard as sort_by_field)
+        doc_cols = set(self.docs().columns)
+        # ES `_source`/fetch is a FILTER over the stored doc: unknown
+        # fields are silently absent from the hit (reference
+        # filter_source, `rest_handler.rs:674-742`), never an error —
+        # and never an AnalysisException from selecting a missing column
         fetch_cols = list(
-            dict.fromkeys(c for c in (fetch or []) if c != "doc_key")
+            dict.fromkeys(
+                c
+                for c in (fetch or [])
+                if c != "doc_key" and self._fcol(c) in doc_cols
+            )
         )
         raw_cols = fetch_cols + [c for c in snippet_fields if c not in fetch_cols]
-        doc_cols = set(self.docs().columns)
-        bad = [c for c in raw_cols if self._fcol(c) not in doc_cols]
+        bad = [c for c in snippet_fields if self._fcol(c) not in doc_cols]
         if bad:
-            # a 400 to the API layers, not an AnalysisException 500 —
-            # the reference rejects snippet/fetch fields that aren't
-            # stored the same way
+            # snippet fields DO validate — the reference 400s "the
+            # snippet field `x` must be stored"
+            # (`root.rs:313-335` validate_requested_snippet_fields)
             raise ValueError(
-                f"fetch/snippet field(s) not stored in the docmap: {bad}"
+                f"snippet field(s) not stored in the docmap: {bad}"
             )
         docs = self.docs().select(
             "segment_id", "doc_id", "doc_key",
@@ -1933,11 +1968,14 @@ class IndexSearcher:
             known_fields=self._known_fields(),
         )
         out: dict = {}
-        size = int(body.get("size", 10))
+        size = _es_uint(body, "size", 10)
         # `from` pagination (reference start_offset,
         # `rest_handler.rs:359`): rank [from, from+size) — fetch
-        # from+size winners, then drop the leading ranks
-        start_offset = int(body.get("from", 0) or 0)
+        # from+size winners, then drop the leading ranks. Both are u64
+        # on the reference wire — the ES layer pre-validates, but a
+        # direct library caller must get the same ValueError, not
+        # negative-k paging
+        start_offset = _es_uint(body, "from", 0)
         k_total = start_offset + size
         resolved = self._resolve(ast, None)  # shared: one pattern expansion
         sort_spec = body.get("sort")
@@ -2177,7 +2215,9 @@ class IndexSearcher:
                 if max_score is None or (score is not None and score > max_score):
                     max_score = score
                 if src_cols:
-                    src = {c: d.get(c) for c in src_cols}
+                    # unknown _source fields are ABSENT from the hit
+                    # (filter semantics), not null-valued keys
+                    src = {c: d[c] for c in src_cols if c in d}
                 elif self.config.stored_source:
                     # the full document, re-rendered through each mapped
                     # field's output_format like the reference
@@ -2251,8 +2291,17 @@ class IndexSearcher:
                 if isinstance(tth, int) and not isinstance(tth, bool)
                 else size
             )
+            # the floor covers the ranks this response just SERVED —
+            # with `from` pagination the page proves from+len(hits)
+            # matches exist, so an underestimate below that would be
+            # internally inconsistent (total.value < the last rank)
+            served = (
+                _es_uint(body, "from", 0) + len(hits_rows)
+                if hits_rows
+                else 0
+            )
             v, exhausted = self.count_up_to(
-                count_ast, max(n, len(hits_rows), 1),
+                count_ast, max(n, served, 1),
                 _resolved=count_resolved,
             )
             total = {"value": v, "relation": "eq" if exhausted else "gte"}

@@ -48,6 +48,20 @@ _KNOWN_PARAMS = {
 }
 
 
+def _uint_param(params: dict, name: str, default: int) -> int:
+    """u64-style parse: non-negative integer or a ValueError the API
+    layer maps to a 400 (the reference's serde u64 rejects the rest)."""
+    v = params.get(name, default)
+    if isinstance(v, bool) or (
+        not isinstance(v, int) and not (isinstance(v, str) and v.isdigit())
+    ):
+        raise ValueError(f"`{name}` expects a non-negative integer, got {v!r}")
+    n = int(v)
+    if n < 0:
+        raise ValueError(f"`{name}` expects a non-negative integer, got {v!r}")
+    return n
+
+
 def _as_field_list(v) -> list[str]:
     if isinstance(v, str):
         return [p.strip() for p in v.split(",") if p.strip()]
@@ -144,8 +158,11 @@ def native_search(searcher, params: dict) -> dict:
         if hi is not None:
             kw["lt"] = int(hi // 1_000_000)
         query = Bool(must=[query], filter=[Range(tf, **kw)])
-    max_hits = int(params.get("max_hits", 20))
-    start_offset = int(params.get("start_offset", 0))
+    # the reference deserializes both as u64 (`rest_handler.rs:213-221`)
+    # — a negative or non-integer value is a 400, never Python
+    # negative-slice paging
+    max_hits = _uint_param(params, "max_hits", 20)
+    start_offset = _uint_param(params, "start_offset", 0)
     count_all = str(params.get("count_all", "true")).lower() != "false"
 
     if count_all:
@@ -225,8 +242,22 @@ def _attach_native_snippets(searcher, df, query, time_range, snippet_fields):
     if missing:
         from quickwit_spark.search.engine import qcol
 
+        # same contract as the score path: snippet fields must be
+        # stored (reference `root.rs:313-335`
+        # validate_requested_snippet_fields 400s, never an
+        # AnalysisException), and dynamic paths resolve through the
+        # physical column map
+        doc_cols = set(searcher.docs().columns)
+        bad = [c for c in missing if searcher._fcol(c) not in doc_cols]
+        if bad:
+            raise ValueError(
+                f"snippet field(s) not stored in the docmap: {bad}"
+            )
         winners = df.select("doc_key")
-        src = searcher.docs().select("doc_key", *[qcol(c) for c in missing])
+        src = searcher.docs().select(
+            "doc_key",
+            *[qcol(searcher._fcol(c)).alias(c) for c in missing],
+        )
         from pyspark.sql import functions as F
 
         df = df.join(F.broadcast(winners).join(src, "doc_key"), "doc_key")

@@ -120,3 +120,82 @@ def test_refresh_releases_early_phase1_cache(spark, idx):
     assert getattr(s, "_early_m1", None) is not None
     s.uncache()
     assert getattr(s, "_early_m1", None) is None
+
+
+def test_unknown_source_fields_filter_silently(spark, idx):
+    """ES `_source` is a FILTER over the stored doc (reference
+    filter_source, rest_handler.rs:674-742): unknown fields are absent
+    from the hit — never a 400, never an AnalysisException — on both
+    the score path and the field-sort path."""
+    s = IndexSearcher(spark, idx)
+    r = s.es_search_response(
+        {"query": {"match": {"text": "alpha"}}, "size": 2,
+         "_source": ["n", "no_such_field"]}
+    )
+    hits = r["hits"]["hits"]
+    assert hits and all("no_such_field" not in h["_source"] for h in hits)
+    assert all(h["_source"]["n"] is not None for h in hits)
+    r2 = s.es_search_response(
+        {"query": {"match": {"text": "alpha"}}, "size": 2,
+         "sort": [{"n": "desc"}], "_source": ["no_such_field"]}
+    )
+    assert r2["hits"]["hits"]
+    assert all(h["_source"] == {} for h in r2["hits"]["hits"])
+    # snippet fields DO validate (root.rs:313-335: "must be stored")
+    with pytest.raises(ValueError, match="snippet"):
+        s.search("alpha", k=2, snippet_fields=["no_such_field"]).collect()
+
+
+def test_native_search_rejects_negative_paging(spark, idx):
+    """start_offset/max_hits are u64 on the reference wire
+    (rest_handler.rs:213-221): a negative value must 400, not page via
+    Python negative-slice semantics."""
+    from quickwit_spark.search.native_api import native_search
+
+    s = IndexSearcher(spark, idx)
+    for bad in (
+        {"query": "alpha", "start_offset": -3},
+        {"query": "alpha", "max_hits": -1},
+        {"query": "alpha", "max_hits": "nope"},
+    ):
+        with pytest.raises(ValueError, match="non-negative"):
+            native_search(s, bad)
+
+
+def test_native_sort_snippet_unknown_field_is_400(spark, idx):
+    """Snippets on the field-sorted path must fail with the same
+    ValueError as the score path for a non-stored field, not an
+    AnalysisException 500."""
+    from quickwit_spark.search.native_api import native_search
+
+    s = IndexSearcher(spark, idx)
+    with pytest.raises(ValueError, match="snippet"):
+        native_search(
+            s,
+            {"query": "alpha", "sort_by": "n",
+             "snippet_fields": "no_such_field"},
+        )
+
+
+def test_es_search_rejects_negative_from_size(spark, idx):
+    s = IndexSearcher(spark, idx)
+    for bad in (
+        {"query": {"match": {"text": "alpha"}}, "from": -5},
+        {"query": {"match": {"text": "alpha"}}, "size": -1},
+        {"query": {"match": {"text": "alpha"}}, "size": 2.5},
+    ):
+        with pytest.raises(ValueError, match="non-negative"):
+            s.es_search(bad)
+
+
+def test_paged_underestimate_total_covers_served_ranks(spark, idx):
+    """With `from` pagination and track_total_hits absent, the
+    underestimate must be >= from + len(hits): the page itself proves
+    that many matches exist."""
+    s = IndexSearcher(spark, idx)
+    r = s.es_search_response(
+        {"query": {"match": {"text": "alpha"}}, "from": 90, "size": 10}
+    )
+    hits = r["hits"]["hits"]
+    assert len(hits) == 10  # 100 matching docs
+    assert r["hits"]["total"]["value"] >= 90 + len(hits)
