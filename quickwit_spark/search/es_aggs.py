@@ -113,6 +113,17 @@ def _metric_cols(kind: str, spec: dict, name: str) -> list[Column]:
         # percentile_approx, or pre-bucket per segment (the sketch's
         # own 2048-bin two-phase shape).
         pcts = spec.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        if not isinstance(pcts, list) or not pcts or any(
+            isinstance(p, bool) or not isinstance(p, (int, float))
+            or not (0.0 <= float(p) <= 100.0)
+            for p in pcts
+        ):
+            # out-of-range percents otherwise surface as Spark plan /
+            # runtime errors (element_at index 0, percentage > 1) — a
+            # 500 where ES answers 400
+            raise ValueError(
+                f"percents must be numbers in [0, 100], got {pcts!r}"
+            )
         if spec.get("exact"):
             # F.percentile on the same coalesced column as the approx
             # path so `missing` behaves identically in both modes
@@ -154,10 +165,16 @@ def _metric_cols(kind: str, spec: dict, name: str) -> list[Column]:
                     * F.exp((F.lit(float(_NEG)) - k) * F.lit(_gln))
                     / denom
                 )
+                # branch on k < _ZERO, not k <= _NEG: fractional
+                # negatives (|v| < 1) have key(|v|) < 0 and encode to
+                # codes in (_NEG, _NEG + ~1036] — still the negative
+                # store. Positive codes are ≥ key(min_value) ≈ -1036,
+                # far above _ZERO, so k < _ZERO exactly identifies
+                # negative-store codes.
                 return F.when(
                     n > 0,
                     F.when(k == _ZERO, F.lit(0.0))
-                    .when(k <= _NEG, neg)
+                    .when(k < _ZERO, neg)
                     .otherwise(est),
                 )
         return [
@@ -201,14 +218,35 @@ def _fixed_interval_ms(s) -> int:
     return -val if neg else val
 
 
-def _terms_order_cols(spec: dict, dc_name: str, key_name: str) -> list[Column]:
+def _terms_order_cols(
+    spec: dict, dc_name: str, key_name: str, frame_cols=None
+) -> list[Column]:
     """Terms `order` (aggregation.md "order"): one property — `_count`,
     `_key`, or a metric sub-agg name (`stats.avg` style for multi-value
     metrics). Default `_count` desc; key asc breaks ties
-    deterministically."""
+    deterministically. The ES one-element LIST form unwraps; a metric
+    target is validated against `frame_cols` (when given) so an unknown
+    name is a 400-mapped ValueError, not an AnalysisException 500."""
     order = spec.get("order")
     if not order:
         return [F.col(dc_name).desc(), F.col(key_name).asc_nulls_last()]
+    if isinstance(order, list):
+        # ES accepts a criteria list; with one entry it is equivalent
+        # to the object form — more entries hit the reference's
+        # one-property limitation below
+        if len(order) == 1 and isinstance(order[0], dict):
+            order = order[0]
+        elif all(isinstance(o, dict) for o in order):
+            raise NotImplementedError(
+                "terms order supports exactly one property "
+                "(reference limitation)"
+            )
+    if not isinstance(order, dict) or not all(
+        isinstance(v, str) for v in order.values()
+    ):
+        raise ValueError(
+            f"terms order must be {{property: asc|desc}}, got {order!r}"
+        )
     if len(order) != 1:
         raise NotImplementedError(
             "terms order supports exactly one property (reference limitation)"
@@ -222,7 +260,13 @@ def _terms_order_cols(spec: dict, dc_name: str, key_name: str) -> list[Column]:
         col = F.col(key_name)
     else:
         # metric sub-agg: single-value → its column; "name.sub" → name_sub
-        col = F.col(target.replace(".", "_", 1))
+        resolved = target.replace(".", "_", 1)
+        if frame_cols is not None and resolved not in frame_cols:
+            raise ValueError(
+                f"terms order target {target!r} is not a metric "
+                "sub-aggregation of this level"
+            )
+        col = F.col(resolved)
     primary = col.asc_nulls_last() if direction == "asc" else col.desc_nulls_last()
     return [primary, F.col(key_name).asc_nulls_last()]
 
@@ -352,6 +396,29 @@ def _parse_chain(name: str, clause: dict) -> list[_Level]:
     return chain
 
 
+def _metric_alias_names(kind: str, name: str) -> list[str]:
+    """Every result-column alias a metric contributes (mirrors
+    `_metric_cols`' aliases) — the collision namespace is these FULL
+    names, not just the metric's own name."""
+    if kind == "stats":
+        return [f"{name}_{s}" for s in ("count", "min", "max", "sum", "avg")]
+    if kind == "extended_stats":
+        return [
+            f"{name}_{s}"
+            for s in (
+                "count", "min", "max", "sum", "avg", "sum_of_squares",
+                "variance", "variance_sampling", "std_deviation",
+                "std_deviation_sampling",
+            )
+        ]
+    if kind == "percentiles":
+        # per-percent columns (name_p50 style); the bare name anchors
+        # the namespace claim — exact per-percent aliases depend on the
+        # spec, and a literal name_pNN collision is caught at runtime
+        return [name]
+    return [name]
+
+
 def _level_metric_cols(level: _Level) -> list[Column]:
     out: list[Column] = []
     for mname, (mkind, mspec) in level.metrics.items():
@@ -377,9 +444,26 @@ def _histogram_skeleton(
     )
 
 
+# the reference aborts oversized bucket grids instead of materializing
+# them (tantivy AggregationLimits, default bucket budget 65_000; its
+# error is "Aborting aggregation because too many buckets were created")
+_MAX_SKELETON_BUCKETS = 65_000
+
+
+def _cap_buckets(n: int) -> int:
+    if n > _MAX_SKELETON_BUCKETS:
+        raise ValueError(
+            f"too many buckets: histogram skeleton would create {n} "
+            f"(limit {_MAX_SKELETON_BUCKETS}); raise the interval or "
+            "narrow extended_bounds"
+        )
+    return n
+
+
 def _skeleton_between(spark, kind, spec, alias, lo_v, hi_v) -> DataFrame:
-    """Bucket-grid skeleton covering [lo_v, hi_v] (epoch ms for
-    date_histogram)."""
+    """Bucket-grid skeleton covering the RAW bounds [lo_v, hi_v]
+    (epoch ms for date_histogram); bounds that are already bucket keys
+    go through _data_skeleton's exact index recovery instead."""
     import math
 
     if kind == "date_histogram":
@@ -387,17 +471,30 @@ def _skeleton_between(spark, kind, spec, alias, lo_v, hi_v) -> DataFrame:
         off = _fixed_interval_ms(spec["offset"]) if spec.get("offset") else 0
         lo = (int(lo_v) - off) // ms * ms + off
         hi = (int(hi_v) - off) // ms * ms + off
-        n = (hi - lo) // ms + 1
+        n = _cap_buckets((hi - lo) // ms + 1)
         return spark.range(n).select(
             F.timestamp_millis(F.col("id") * ms + lo).alias(alias)
         )
     interval = float(spec["interval"])
     offset = float(spec.get("offset", 0.0))
-    lo = math.floor((float(lo_v) - offset) / interval) * interval + offset
-    hi = math.floor((float(hi_v) - offset) / interval) * interval + offset
-    n = int(round((hi - lo) / interval)) + 1
+    lo_idx = math.floor((float(lo_v) - offset) / interval)
+    hi_idx = math.floor((float(hi_v) - offset) / interval)
+    return _float_skeleton(spark, spec, alias, int(lo_idx), int(hi_idx))
+
+
+def _float_skeleton(spark, spec, alias, lo_idx, hi_idx) -> DataFrame:
+    """Grid buckets for indices [lo_idx, hi_idx], keyed by EXACTLY the
+    data-key expression shape (`_bucket_key`: long_index * interval +
+    offset, evaluated in Spark doubles) so grid keys join data keys
+    bit-for-bit — computing id*interval+lo instead differs in the last
+    ulp and used to emit duplicate buckets from the full join."""
+    interval = float(spec["interval"])
+    offset = float(spec.get("offset", 0.0))
+    n = _cap_buckets(hi_idx - lo_idx + 1)
     return spark.range(n).select(
-        (F.col("id") * interval + lo).cast("double").alias(alias)
+        ((F.col("id") + F.lit(lo_idx)) * F.lit(interval) + F.lit(offset))
+        .cast("double")
+        .alias(alias)
     )
 
 
@@ -408,21 +505,103 @@ def _data_skeleton(grouped: DataFrame, kind: str, spec: dict, alias: str):
     doc_count-0 middle bucket). Bounds come from the already-grouped
     bucket frame (bucket-count-bounded — one tiny extra job), widened
     by extended_bounds when present."""
+    import math
+
     row = grouped.agg(
         F.min(alias).alias("_lo"), F.max(alias).alias("_hi")
     ).collect()[0]
     lo, hi = row["_lo"], row["_hi"]
     eb = spec.get("extended_bounds")
-    if kind == "date_histogram" and lo is not None:
-        lo = int(lo.timestamp() * 1000)
-        hi = int(hi.timestamp() * 1000)
+    if kind == "date_histogram":
+        if lo is not None:
+            lo = int(lo.timestamp() * 1000)
+            hi = int(hi.timestamp() * 1000)
+        if eb:
+            lo = int(eb["min"]) if lo is None else min(lo, int(eb["min"]))
+            hi = int(eb["max"]) if hi is None else max(hi, int(eb["max"]))
+        if lo is None:
+            return None
+        return _skeleton_between(
+            grouped.sparkSession, kind, spec, alias, lo, hi
+        )
+    # float histogram: work in grid INDICES. Observed bounds are bucket
+    # KEYS (floored values) — recover their index exactly with round();
+    # extended_bounds are RAW values — floor() like the data path. The
+    # old min/max over mixed key/raw floats then re-floor could shave
+    # an ulp off a key and add a spurious empty bucket below the data
+    # minimum.
+    interval = float(spec["interval"])
+    offset = float(spec.get("offset", 0.0))
+    lo_i = hi_i = None
+    if lo is not None:
+        lo_i = round((float(lo) - offset) / interval)
+        hi_i = round((float(hi) - offset) / interval)
     if eb:
-        lo = float(eb["min"]) if lo is None else min(lo, float(eb["min"]))
-        hi = float(eb["max"]) if hi is None else max(hi, float(eb["max"]))
-    if lo is None:
+        eb_lo = math.floor((float(eb["min"]) - offset) / interval)
+        eb_hi = math.floor((float(eb["max"]) - offset) / interval)
+        lo_i = eb_lo if lo_i is None else min(lo_i, eb_lo)
+        hi_i = eb_hi if hi_i is None else max(hi_i, eb_hi)
+    if lo_i is None:
         return None
-    return _skeleton_between(
-        grouped.sparkSession, kind, spec, alias, lo, hi
+    return _float_skeleton(
+        grouped.sparkSession, spec, alias, int(lo_i), int(hi_i)
+    )
+
+
+def _fill_histogram_gaps(
+    li: DataFrame, lvl: _Level, parent_keys: list, key_alias: str,
+    dc_alias: str,
+) -> DataFrame:
+    """min_doc_count=0 (the (date_)histogram DEFAULT) inside a chain:
+    tantivy fills the empty grid buckets between each parent bucket's
+    observed min and max. Per-parent grids come from
+    explode(sequence(lo_idx, hi_idx)) over bucket INDICES — bounded by
+    the bucket count, parallel across parents — and the observed rows
+    left-join back (filled rows: doc_count 0, null metrics, exactly
+    like a parent whose child pruned). Grid keys are rebuilt from the
+    index with the same long*double+double expression shape as
+    `_bucket_key`, so they join the data keys bit-for-bit."""
+    spec = lvl.spec
+    if lvl.kind == "date_histogram":
+        if spec.get("calendar_interval"):
+            return li  # ES-compat superset: no fixed grid to fill
+        ms = _fixed_interval_ms(spec.get("fixed_interval", "1d"))
+        off = _fixed_interval_ms(spec["offset"]) if spec.get("offset") else 0
+        idx = ((F.unix_millis(F.col(key_alias)) - F.lit(off)) / F.lit(ms)).cast(
+            "long"
+        )
+        key_of = lambda c: F.timestamp_millis(  # noqa: E731
+            c * F.lit(ms) + F.lit(off)
+        )
+    else:
+        interval = float(spec["interval"])
+        offset = float(spec.get("offset", 0.0))
+        idx = F.round((F.col(key_alias) - F.lit(offset)) / F.lit(interval)).cast(
+            "long"
+        )
+        key_of = lambda c: (  # noqa: E731
+            (c * F.lit(interval) + F.lit(offset)).cast("double")
+        )
+    bounds = li.groupBy(*parent_keys).agg(
+        F.min(idx).alias("_lo"), F.max(idx).alias("_hi")
+    )
+    # driver-side grid-size guard on the (bucket-count-bounded) bounds
+    # frame — the reference aborts with "too many buckets" rather than
+    # materialize an unbounded skeleton
+    widest = bounds.agg(F.max(F.col("_hi") - F.col("_lo"))).collect()[0][0]
+    if widest is not None:
+        _cap_buckets(int(widest) + 1)
+    grid = (
+        bounds.select(
+            *parent_keys,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_idx"),
+        )
+        .withColumn(key_alias, key_of(F.col("_idx")))
+        .drop("_idx")
+    )
+    join_keys = [*parent_keys, key_alias]
+    return grid.join(li, join_keys, "left").withColumn(
+        dc_alias, F.coalesce(F.col(dc_alias), F.lit(0)).cast("long")
     )
 
 
@@ -434,7 +613,11 @@ def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
     # levels, so a reused sub-agg name would produce duplicate columns
     # and an AMBIGUOUS_REFERENCE crash at join time — reject it with an
     # actionable message instead.
-    seen: set[str] = set()
+    # level-0's own aliases are reserved too: a metric literally named
+    # "key" or "doc_count" would duplicate the bucket columns, and
+    # multi-column metrics claim every SUFFIXED alias (a stats metric
+    # "a" vs a metric named "a_count" is the same collision)
+    seen: set[str] = {"key", "doc_count"}
     for i, lvl in enumerate(chain):
         if lvl.spec.get("extended_bounds"):
             raise NotImplementedError(
@@ -443,13 +626,19 @@ def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
                 "expansion); use it on a top-level histogram"
             )
         names = [f"{lvl.name}_key", f"{lvl.name}_doc_count"] if i else []
+        if lvl.kind == "terms":
+            names.append(
+                "sum_other_base" if i == 0 else f"{lvl.name}_sum_other_base"
+            )
         for mname, (mkind, _) in lvl.metrics.items():
-            names.append(mname)
+            names.extend(_metric_alias_names(mkind, mname))
         for nm in names:
             if nm in seen:
                 raise ValueError(
-                    f"aggregation name {nm!r} is reused across nesting levels; "
-                    "rename one (result columns share a flat namespace)"
+                    f"aggregation name {nm!r} (or a column it produces) is "
+                    "reused across nesting levels or collides with the "
+                    "bucket columns; rename one (result columns share a "
+                    "flat namespace)"
                 )
             seen.add(nm)
     key_aliases = []
@@ -481,14 +670,41 @@ def _chain_agg(df: DataFrame, chain: list[_Level]) -> DataFrame:
             # and evict a real bucket. Parents whose children all
             # vanish here are restored by the LEFT join below.
             li = li.filter(F.col(key_aliases[i]).isNotNull())
+        if lvl.kind == "terms":
+            # per-parent total BEFORE min_doc_count/size pruning — the
+            # shaper derives sum_other_doc_count (ES reports it on
+            # EVERY terms agg, nested included) as base − Σ kept
+            tot_alias = (
+                "sum_other_base" if i == 0 else f"{lvl.name}_sum_other_base"
+            )
+            if i == 0:
+                tot = li.agg(F.sum(dc_alias).cast("long").alias(tot_alias))
+                li = li.crossJoin(F.broadcast(tot))
+            else:
+                li = li.withColumn(
+                    tot_alias,
+                    F.sum(dc_alias)
+                    .over(Window.partitionBy(*key_aliases[:i]))
+                    .cast("long"),
+                )
         mdc = int(lvl.spec.get("min_doc_count", 1)) if lvl.kind == "terms" else int(
             lvl.spec.get("min_doc_count", 0)
         )
         if mdc > 0:
             li = li.filter(F.col(dc_alias) >= mdc)
+        elif lvl.kind in ("histogram", "date_histogram"):
+            # min_doc_count=0 default: fill the empty grid buckets
+            # between each parent's observed min and max (tantivy fills
+            # per parent; previously these buckets were silently
+            # missing from nested responses)
+            li = _fill_histogram_gaps(
+                li, lvl, key_aliases[:i], key_aliases[i], dc_alias
+            )
         if lvl.kind == "terms":
             size = int(lvl.spec.get("size", 10))
-            lvl_order = _terms_order_cols(lvl.spec, dc_alias, key_aliases[i])
+            lvl_order = _terms_order_cols(
+                lvl.spec, dc_alias, key_aliases[i], frame_cols=set(li.columns)
+            )
             if i == 0:
                 winners = (
                     li.orderBy(*lvl_order)
@@ -589,9 +805,15 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
     refs: set = set()
     _referenced_fields(clause, refs)
     dtypes = dict(df.dtypes)
+    exploded = []
     for fld in sorted(refs):
         if dtypes.get(fld, "").startswith("array"):
-            df = df.withColumn(fld, F.explode(F.col(fld)))
+            # explode_OUTER: a doc with a null/empty array must stay in
+            # the frame — it lands in no value bucket (null key is
+            # filtered per level) but a terms `missing` option still
+            # applies to it, and metrics over OTHER fields still see it
+            df = df.withColumn(fld, F.explode_outer(F.col(fld)))
+            exploded.append(fld)
 
     if kind in _METRICS:
         if clause.get("aggs"):
@@ -600,10 +822,31 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
 
     chain = _parse_chain("", clause)
     if len(chain) > 1:
+        if exploded:
+            # the explode runs BEFORE the per-level groupBys, so every
+            # level above the array-valued one would count a doc once
+            # per array element (parent doc_count/sums inflated ×
+            # array length) — reject loudly rather than return
+            # silently-wrong parent buckets
+            raise NotImplementedError(
+                f"array-valued field(s) {exploded} inside a NESTED "
+                "aggregation chain are not supported (parent-level "
+                "doc_counts would count one row per array element); "
+                "aggregate the array field at the top level"
+            )
         return _chain_agg(df, chain)
 
     # single bucket level
     lvl = chain[0]
+    reserved = {"key", "doc_count"}
+    for mname, (mkind, _) in lvl.metrics.items():
+        for nm in _metric_alias_names(mkind, mname):
+            if nm in reserved:
+                raise ValueError(
+                    f"aggregation name {nm!r} (or a column it produces) "
+                    "collides with the bucket result columns; rename it"
+                )
+            reserved.add(nm)
     metric_cols = _level_metric_cols(lvl)
     count_col = F.count(F.lit(1)).alias("doc_count")
     key = _bucket_key(
@@ -651,7 +894,9 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
             if mdc > 0:
                 merged = merged.filter(F.col("doc_count") >= mdc)
             grouped = merged.orderBy(
-                *_terms_order_cols(spec, "doc_count", "key")
+                *_terms_order_cols(
+                    spec, "doc_count", "key", frame_cols=set(merged.columns)
+                )
             ).limit(size)
             err = ranked.filter(F.col("_rn") == s_n + 1).agg(
                 F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("_err")
@@ -662,9 +907,11 @@ def _one_agg(df: DataFrame, clause: dict) -> DataFrame:
         )
         if mdc > 0:
             grouped = grouped.filter(F.col("doc_count") >= mdc)
-        grouped = grouped.orderBy(*_terms_order_cols(spec, "doc_count", "key")).limit(
-            size
-        )
+        grouped = grouped.orderBy(
+            *_terms_order_cols(
+                spec, "doc_count", "key", frame_cols=set(grouped.columns)
+            )
+        ).limit(size)
         # ES always reports doc_count_error_upper_bound +
         # sum_other_doc_count on terms aggs (the reference's own golden
         # scenarios assert them without opting in)
@@ -899,9 +1146,16 @@ def _nest_bucket_rows(rows: list[dict], chain: list[_Level], depth: int) -> list
         for mname, (mkind, mspec) in lvl.metrics.items():
             b[mname] = _metric_value(grp[0], mname, mkind, mspec)
         if depth + 1 < len(chain):
-            b[chain[depth + 1].name] = {
-                "buckets": _nest_bucket_rows(grp, chain, depth + 1)
-            }
+            child = chain[depth + 1]
+            sub = {"buckets": _nest_bucket_rows(grp, chain, depth + 1)}
+            if child.kind == "terms":
+                # ES reports these on EVERY terms agg, nested included;
+                # error bound 0 — buckets are exact global aggregation
+                base = grp[0].get(f"{child.name}_sum_other_base") or 0
+                kept = sum(cb["doc_count"] for cb in sub["buckets"])
+                sub["doc_count_error_upper_bound"] = 0
+                sub["sum_other_doc_count"] = max(int(base) - int(kept), 0)
+            b[child.name] = sub
         out.append(b)
     if lvl.kind == "range":
         # the reference emits EVERY declared range in declaration order,
@@ -951,10 +1205,19 @@ def shape_es_agg(clause: dict, df: DataFrame) -> dict:
     else:
         shaped = {"buckets": buckets}
     if kind == "terms":
-        shaped["doc_count_error_upper_bound"] = (
-            rows[0].get("doc_count_error_upper_bound", 0) if rows else 0
-        )
-        shaped["sum_other_doc_count"] = (
-            rows[0].get("sum_other_doc_count", 0) if rows else 0
-        )
+        if rows and "sum_other_base" in rows[0]:
+            # chain frame: derive the stats from the pre-truncation
+            # base total (the single-level path attaches them as
+            # columns via _terms_stats_cols instead)
+            base = rows[0]["sum_other_base"] or 0
+            kept = sum(b["doc_count"] for b in buckets)
+            shaped["doc_count_error_upper_bound"] = 0
+            shaped["sum_other_doc_count"] = max(int(base) - int(kept), 0)
+        else:
+            shaped["doc_count_error_upper_bound"] = (
+                rows[0].get("doc_count_error_upper_bound", 0) if rows else 0
+            )
+            shaped["sum_other_doc_count"] = (
+                rows[0].get("sum_other_doc_count", 0) if rows else 0
+            )
     return shaped

@@ -848,6 +848,8 @@ class EsWireHandler:
             "explicit_src": list(body.get("_source") or []),
             "shards": searcher._shards_stats(),
         }
+        self._purge_scrolls()
+        self._touch_scroll_state(state, _parse_ttl_secs(params["scroll"]))
         self._scrolls[ctx.scroll_id] = state
         return self._scroll_response(state)
 
@@ -916,6 +918,8 @@ class EsWireHandler:
             "explicit_src": list(body.get("_source") or []),
             "shards": shards,
         }
+        self._purge_scrolls()
+        self._touch_scroll_state(state, _parse_ttl_secs(params["scroll"]))
         self._scrolls[ctx.scroll_id] = state
         return self._scroll_response(state)
 
@@ -936,8 +940,31 @@ class EsWireHandler:
                 f"up to {MAX_SCROLL_TTL_SECS} secs",
             )
 
+    def _purge_scrolls(self) -> None:
+        """TTL eviction (reference scroll_context.rs evicts from its
+        KV by TTL): clients routinely abandon scrolls without DELETE,
+        so the state dict must not grow for the process lifetime."""
+        import time as _time
+
+        now = _time.monotonic()
+        for sid in [
+            k for k, st in self._scrolls.items()
+            if st.get("deadline", now) < now
+        ]:
+            del self._scrolls[sid]
+
+    def _touch_scroll_state(self, state: dict, ttl: int | None) -> None:
+        import time as _time
+
+        from quickwit_spark.search.scroll import DEFAULT_SCROLL_TTL_SECS
+
+        state["deadline"] = _time.monotonic() + (
+            ttl or DEFAULT_SCROLL_TTL_SECS
+        )
+
     def _scroll_page(self, params: dict, body: dict) -> dict:
         sid = body.get("scroll_id") or params.get("scroll_id")
+        ttl = None
         if params.get("scroll"):
             ttl = _parse_ttl_secs(params["scroll"])
             if ttl > MAX_SCROLL_TTL_SECS:
@@ -946,9 +973,12 @@ class EsWireHandler:
                     "Invalid argument: Quickwit only supports scroll TTL "
                     f"period up to {MAX_SCROLL_TTL_SECS} secs",
                 )
+        self._purge_scrolls()
         state = self._scrolls.get(sid)
         if state is None:
             raise EsApiError(404, f"scroll id {sid!r} not found")
+        # every scroll request restarts the TTL (ES semantics)
+        self._touch_scroll_state(state, ttl)
         return self._scroll_response(state, include_aggs=False)
 
     def _scroll_response(self, state: dict, include_aggs: bool = True) -> dict:

@@ -196,6 +196,7 @@ class ScrollContext:
         # the scroll while keeping the old rank offset
         ctx._served_cursor = ctx._cursor
         _REGISTRY[ctx.scroll_id] = ctx
+        touch_scroll(ctx.scroll_id)
         return ctx
 
 
@@ -383,23 +384,67 @@ class FederatedScrollContext:
                 tuple(mctx._cursor) if mctx._cursor is not None else None
             )
         _REGISTRY[ctx.scroll_id] = ctx
+        touch_scroll(ctx.scroll_id)
         return ctx
 
 
-# process-local scroll registry (the reference's cluster KV analog)
+# process-local scroll registry (the reference's cluster KV analog).
+# Entries carry a TTL deadline and are lazily evicted on every
+# create/fetch — the reference's scroll_context KV evicts by TTL, and
+# clients routinely abandon scrolls without DELETE, so an
+# eviction-free registry grows driver memory without bound.
 _REGISTRY: dict[str, ScrollContext] = {}
+_DEADLINES: dict[str, float] = {}
+DEFAULT_SCROLL_TTL_SECS = 1800  # the reference's cap (scroll_context.rs)
 
 
-def create_scroll(ctx: ScrollContext) -> str:
+def _purge_expired() -> None:
+    import time
+
+    now = time.monotonic()
+    for sid in [s for s, d in _DEADLINES.items() if d < now]:
+        _DEADLINES.pop(sid, None)
+        ctx = _REGISTRY.pop(sid, None)
+        s = getattr(ctx, "searcher", None)
+        if s is not None:
+            import contextlib
+            import os
+
+            with contextlib.suppress(OSError):
+                os.unlink(
+                    os.path.join(s.index_dir, "_scroll", f"{sid}.json")
+                )
+
+
+def touch_scroll(scroll_id: str, ttl_secs: int | None = None) -> None:
+    """Restart the scroll's TTL (every ES scroll request that carries a
+    `scroll` param extends the context's lifetime)."""
+    import time
+
+    if scroll_id in _REGISTRY:
+        _DEADLINES[scroll_id] = time.monotonic() + (
+            ttl_secs or DEFAULT_SCROLL_TTL_SECS
+        )
+
+
+def create_scroll(ctx: ScrollContext, ttl_secs: int | None = None) -> str:
+    _purge_expired()
     _REGISTRY[ctx.scroll_id] = ctx
+    touch_scroll(ctx.scroll_id, ttl_secs)
     return ctx.scroll_id
 
 
-def fetch_scroll(scroll_id: str, searcher=None) -> ScrollContext:
+def fetch_scroll(
+    scroll_id: str, searcher=None, ttl_secs: int | None = None
+) -> ScrollContext:
     """Resolve a scroll id: the in-process registry first, else (with a
     searcher) the serialized context under the index's `_scroll/` dir —
-    a fresh driver process resumes another's scroll from disk."""
+    a fresh driver process resumes another's scroll from disk. An
+    expired id is gone (KeyError → 404 at the wire); a live fetch
+    restarts its TTL."""
+    _purge_expired()
     if scroll_id in _REGISTRY:
+        touch_scroll(scroll_id, ttl_secs)
         return _REGISTRY[scroll_id]
     if searcher is not None:
         import json
@@ -413,6 +458,7 @@ def fetch_scroll(scroll_id: str, searcher=None) -> ScrollContext:
 
 
 def delete_scroll(scroll_id: str, searcher=None) -> None:
+    _DEADLINES.pop(scroll_id, None)
     ctx = _REGISTRY.pop(scroll_id, None)
     for s in (searcher, getattr(ctx, "searcher", None)):
         if s is not None:

@@ -762,3 +762,185 @@ def test_aggs_lowering_never_escapes(spark, aggs):
     except (ValueError, TypeError, KeyError, NotImplementedError):
         return
     assert isinstance(out, dict)
+
+
+def test_percentiles_fractional_negative_values(spark):
+    """DDSketch parity decode: fractional negatives (|v| < 1) encode to
+    codes just ABOVE the negative-store base; the decode branch must
+    classify every code < the zero-store marker as negative — the old
+    `k <= _NEG` test sent them to the positive store, which decoded
+    them all to 0.0."""
+    from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
+
+    df = spark.createDataFrame([(v,) for v in [-0.5, -0.5, -0.5]], "x double")
+    body = {"p": {"percentiles": {"field": "x"}}}
+    vals = shape_es_agg(body["p"], run_es_aggs(df, body)["p"])["values"]
+    for v in vals.values():
+        assert abs(v - (-0.5)) / 0.5 < 0.011  # sketch's 1% guarantee
+    # mixed magnitudes stay monotone and sign-correct
+    df2 = spark.createDataFrame(
+        [(v,) for v in [-123.0, -0.9, -0.001, 0.0, 0.5, 42.0]], "x double"
+    )
+    vals2 = shape_es_agg(body["p"], run_es_aggs(df2, body)["p"])["values"]
+    seq = [vals2[k] for k in sorted(vals2, key=float)]
+    assert seq == sorted(seq)
+    # p1 → rank 0 (the sketch's ⌊q·(n−1)⌋ rule) = the most negative
+    # value; p99 over 6 values indexes element 4 = 0.5
+    assert seq[0] < -100 and abs(seq[-1] - 0.5) < 0.01
+
+
+def test_histogram_grid_keys_join_exactly(spark):
+    """min_doc_count=0 gap filling joins grid keys against data keys:
+    with interval 0.1 the two must be computed with the same float
+    expression shape or the full join emits DUPLICATE buckets one ulp
+    apart (0.9000000000000001 vs 0.9000000000000002)."""
+    from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
+
+    df = spark.createDataFrame([(0.7,), (0.95,)], "x double")
+    body = {"h": {"histogram": {"field": "x", "interval": 0.1}}}
+    buckets = shape_es_agg(body["h"], run_es_aggs(df, body)["h"])["buckets"]
+    keys = [b["key"] for b in buckets]
+    assert len(keys) == len(set(keys)), f"duplicate bucket keys: {keys}"
+    # f64 grid indices: floor(0.7/0.1) = 6 (= tantivy's f64 floor too),
+    # floor(0.95/0.1) = 9 → four buckets 6..9, the middle two empty
+    assert len(buckets) == 4
+    assert [b["doc_count"] for b in buckets] == [1, 0, 0, 1]
+    # consecutive keys differ by exactly one grid step
+    idxs = [round(k / 0.1) for k in keys]
+    assert idxs == [6, 7, 8, 9]
+
+
+def test_agg_validation_errors_are_400s(spark):
+    """Agg-body shapes that previously escaped as AnalysisException /
+    AttributeError 500s must raise ValueError (mapped to 400)."""
+    from quickwit_spark.search.es_aggs import run_es_aggs
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(9)], "k bigint, x double"
+    )
+    # ES one-element list order form is LEGAL
+    out = run_es_aggs(
+        df, {"t": {"terms": {"field": "k", "order": [{"_count": "desc"}]}}}
+    )
+    assert out["t"].count() == 3
+    with pytest.raises(ValueError, match="order target"):
+        run_es_aggs(
+            df, {"t": {"terms": {"field": "k", "order": {"nope": "desc"}}}}
+        ).popitem()[1].collect()
+    with pytest.raises((ValueError, NotImplementedError)):
+        run_es_aggs(
+            df,
+            {"t": {"terms": {"field": "k",
+                             "order": [{"_count": "desc"}, {"_key": "asc"}]}}},
+        )
+    with pytest.raises(ValueError, match="percents"):
+        run_es_aggs(
+            df, {"p": {"percentiles": {"field": "x", "percents": [-5]}}}
+        )
+    with pytest.raises(ValueError, match="percents"):
+        run_es_aggs(
+            df, {"p": {"percentiles": {"field": "x", "percents": [150],
+                                       "exact": True}}}
+        )
+    # a metric named like the bucket result columns collides loudly
+    with pytest.raises(ValueError, match="doc_count"):
+        run_es_aggs(
+            df,
+            {"t": {"terms": {"field": "k"},
+                   "aggs": {"doc_count": {"avg": {"field": "x"}}}}},
+        )
+    # oversized skeleton aborts like the reference's bucket limit
+    with pytest.raises(ValueError, match="too many buckets"):
+        run_es_aggs(
+            df, {"h": {"histogram": {"field": "x", "interval": 1e-9}}}
+        ).popitem()[1].collect()
+
+
+def test_nested_histogram_fills_empty_buckets(spark):
+    """tantivy fills min_doc_count=0 histogram gaps PER PARENT bucket;
+    the chain path used to silently omit them."""
+    from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 35.0), ("b", 5.0)], "cat string, x double"
+    )
+    body = {
+        "t": {"terms": {"field": "cat"},
+              "aggs": {"h": {"histogram": {"field": "x", "interval": 10}}}}
+    }
+    shaped = shape_es_agg(body["t"], run_es_aggs(df, body)["t"])
+    by_cat = {b["key"]: b for b in shaped["buckets"]}
+    a_hist = by_cat["a"]["h"]["buckets"]
+    assert [b["key"] for b in a_hist] == [0.0, 10.0, 20.0, 30.0]
+    assert [b["doc_count"] for b in a_hist] == [1, 0, 0, 1]
+    assert [b["key"] for b in by_cat["b"]["h"]["buckets"]] == [0.0]
+
+
+def test_nested_terms_carry_error_and_sum_other(spark):
+    """ES reports doc_count_error_upper_bound + sum_other_doc_count on
+    EVERY terms agg, nested included; truncated buckets feed
+    sum_other_doc_count."""
+    from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
+
+    rows = [("p", f"t{i}") for i in range(5) for _ in range(5 - i)]
+    df = spark.createDataFrame(rows, "cat string, tag string")
+    body = {
+        "t": {"terms": {"field": "cat"},
+              "aggs": {"tags": {"terms": {"field": "tag", "size": 2}}}}
+    }
+    shaped = shape_es_agg(body["t"], run_es_aggs(df, body)["t"])
+    assert shaped["doc_count_error_upper_bound"] == 0
+    assert shaped["sum_other_doc_count"] == 0
+    sub = shaped["buckets"][0]["tags"]
+    assert sub["doc_count_error_upper_bound"] == 0
+    # kept: t0(5) + t1(4); other: t2(3)+t3(2)+t4(1) = 6
+    assert [b["doc_count"] for b in sub["buckets"]] == [5, 4]
+    assert sub["sum_other_doc_count"] == 6
+
+
+def test_array_field_in_nested_chain_rejected(spark):
+    """Arrays explode before the per-level groupBys, so parent levels
+    would count one row per element — reject loudly, and keep the
+    single-level behavior (each element an independent agg value,
+    null arrays still eligible for `missing`)."""
+    from quickwit_spark.search.es_aggs import run_es_aggs, shape_es_agg
+
+    df = spark.createDataFrame(
+        [("a", ["x", "y"]), ("b", None)],
+        "cat string, tags array<string>",
+    )
+    with pytest.raises(NotImplementedError, match="array"):
+        run_es_aggs(
+            df,
+            {"t": {"terms": {"field": "cat"},
+                   "aggs": {"g": {"terms": {"field": "tags"}}}}},
+        )
+    # single-level: explode_outer keeps the null-array doc for `missing`
+    shaped = shape_es_agg(
+        {"terms": {"field": "tags", "missing": "none"}},
+        run_es_aggs(
+            df, {"t": {"terms": {"field": "tags", "missing": "none"}}}
+        )["t"],
+    )
+    assert {b["key"]: b["doc_count"] for b in shaped["buckets"]} == {
+        "x": 1, "y": 1, "none": 1,
+    }
+
+
+def test_scroll_registry_ttl_eviction(spark, searcher):
+    """Abandoned scrolls must expire: the registry evicts by TTL like
+    the reference's scroll_context KV."""
+    import time as _time
+
+    from quickwit_spark.search import scroll as sc
+
+    ctx = sc.ScrollContext(searcher, "table", page_size=5)
+    sc.create_scroll(ctx, ttl_secs=1)
+    assert sc.fetch_scroll(ctx.scroll_id, ttl_secs=1) is ctx
+    deadline = sc._DEADLINES[ctx.scroll_id]
+    assert deadline > _time.monotonic()
+    # force expiry without sleeping
+    sc._DEADLINES[ctx.scroll_id] = _time.monotonic() - 1
+    with pytest.raises(KeyError):
+        sc.fetch_scroll(ctx.scroll_id)
+    assert ctx.scroll_id not in sc._REGISTRY
