@@ -194,6 +194,28 @@ def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
     return c - np.repeat(base, tfs)
 
 
+def permute_position_stream(
+    stream: np.ndarray, tfs: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Reorder a concatenated per-doc positions stream by a docid
+    permutation: doc i's slice (length tfs[i]) moves as one run to its
+    position under `order`. Pure index arithmetic (one vectorized slice
+    gather, no Python loop) — shared by the merge executor and the
+    kernel's chunk assembly, which must permute identically."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=starts[1:])
+    l_new = tfs[order].astype(np.int64)
+    ends_new = np.cumsum(l_new)
+    begins_new = ends_new - l_new
+    idx = (
+        np.arange(int(ends_new[-1]) if len(ends_new) else 0, dtype=np.int64)
+        - np.repeat(begins_new, l_new)
+        + np.repeat(starts[:-1][order], l_new)
+    )
+    return stream[idx]
+
+
 def block_metadata(
     doc_ids: np.ndarray, tf_component: np.ndarray
 ) -> tuple[bytes, bytes]:

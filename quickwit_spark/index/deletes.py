@@ -48,19 +48,45 @@ DELETES_DIR = "deletes"
 COMPACT_DIR = "deletes_compact"
 
 
-def _next_opstamp(index_dir: str) -> int:
-    ops = [0]
+def _committed_opstamps(index_dir: str) -> set[int]:
+    ops: set[int] = set()
     for c in mf.read_commits(index_dir):
         if c["kind"] == "delete":
-            ops.extend(int(k) for k in (c.get("checkpoint") or {}))
-    return max(ops) + 1
+            ops.update(int(k) for k in (c.get("checkpoint") or {}))
+    return ops
 
 
-def _has_tombstones(index_dir: str) -> bool:
+def _on_disk_opstamps(index_dir: str) -> set[int]:
     d = os.path.join(index_dir, DELETES_DIR)
-    return os.path.isdir(d) and any(
-        n.startswith("opstamp=") for n in os.listdir(d)
-    )
+    out: set[int] = set()
+    if os.path.isdir(d):
+        for n in os.listdir(d):
+            if n.startswith("opstamp="):
+                try:
+                    out.add(int(n.split("=", 1)[1]))
+                except ValueError:
+                    pass
+    return out
+
+
+def _next_opstamp(index_dir: str) -> int:
+    # max over BOTH the committed ops and the on-disk partitions: a
+    # crash between the tombstone write and mf.commit leaves an
+    # orphaned partition, and reusing its opstamp would overwrite it
+    # while simultaneously anti-joining against it (erasing the retried
+    # delete). Orphans are never read (see _tombstone_paths) — they
+    # just park their number.
+    return max([0, *_committed_opstamps(index_dir), *_on_disk_opstamps(index_dir)]) + 1
+
+
+def _tombstone_paths(index_dir: str) -> list[str]:
+    """Partition dirs of COMMITTED delete ops only. An orphaned
+    partition (crash before commit) has no manifest record — its stat
+    corrections never happened, so applying or anti-joining its
+    tombstones would desync counts from the manifest."""
+    live = _committed_opstamps(index_dir) & _on_disk_opstamps(index_dir)
+    d = os.path.join(index_dir, DELETES_DIR)
+    return [os.path.join(d, f"opstamp={n}") for n in sorted(live)]
 
 
 def delete_by_query(searcher, query, time_range=None) -> int:
@@ -75,11 +101,16 @@ def delete_by_query(searcher, query, time_range=None) -> int:
         "segment_id", "doc_id"
     )
     out_dir = os.path.join(index_dir, DELETES_DIR)
-    if _has_tombstones(index_dir):
+    prior_paths = _tombstone_paths(index_dir)
+    if prior_paths:
         # overlapping delete queries may match docs an earlier op already
         # doomed — record each doc once so stat corrections never
-        # double-subtract (ADVICE: corrections_for summed across opstamps)
-        prior = spark.read.parquet(out_dir).select("segment_id", "doc_id")
+        # double-subtract (ADVICE: corrections_for summed across
+        # opstamps). Committed partitions only: an orphaned partition
+        # from a crashed op must not suppress re-dooming its docs.
+        prior = spark.read.parquet(*prior_paths).select(
+            "segment_id", "doc_id"
+        )
         doomed = doomed.join(prior, ["segment_id", "doc_id"], "left_anti")
     # write straight into this op's partition directory: a static
     # `.mode('overwrite').partitionBy('opstamp')` would truncate ALL
@@ -167,13 +198,29 @@ def delete_by_query(searcher, query, time_range=None) -> int:
 
 
 def pending_deletes(index_dir: str) -> dict[int, dict]:
-    """opstamp → delete record, for ops not yet applied everywhere."""
+    """opstamp → delete record, EVERY committed op — the reference's
+    `list_delete_tasks` likewise returns the full task list (the
+    janitor decides staleness by comparing split delete_opstamps, not
+    by mutating tasks). Use `unapplied_deletes` when only ops that
+    still target a live segment matter."""
     out: dict[int, dict] = {}
     for c in mf.read_commits(index_dir):
         if c["kind"] == "delete":
             for k, v in (c.get("checkpoint") or {}).items():
                 out[int(k)] = v
     return out
+
+
+def unapplied_deletes(index_dir: str) -> dict[int, dict]:
+    """The subset of delete ops with at least one target segment still
+    published — everything else has been fully applied by rewrites and
+    can be skipped by planners."""
+    live = {s.segment_id for s in mf.live_segments(index_dir)}
+    return {
+        op: rec
+        for op, rec in pending_deletes(index_dir).items()
+        if live & set((rec.get("segments") or {}).keys())
+    }
 
 
 _TOMB_CHUNK = 1 << 20  # ids per compact row — keeps parquet cells bounded
@@ -186,8 +233,8 @@ def compact_tombstones(
     into sorted-unique int64 blobs at `out_path` (rows: segment_id,
     start_rank, n, ids-binary). Returns {segment_id: tombstone_count} —
     the only thing that reaches the driver. Idempotent (overwrite)."""
-    d = os.path.join(index_dir, DELETES_DIR)
-    if not _has_tombstones(index_dir):
+    paths = _tombstone_paths(index_dir)
+    if not paths:
         return {}
 
     def compact(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -208,7 +255,7 @@ def compact_tombstones(
         )
 
     (
-        spark.read.parquet(d)
+        spark.read.parquet(*paths)
         .filter(F.col("segment_id").isin(segment_ids))
         .groupBy("segment_id")
         .applyInPandas(
@@ -227,6 +274,7 @@ def compact_tombstones(
 
 
 _TOMB_CACHE: dict[str, dict] = {}
+_TOMB_CACHE_MAX = 4  # per-op scratch; cap worker memory
 
 
 def load_tombstones(path: str) -> dict[str, np.ndarray]:
@@ -247,6 +295,8 @@ def load_tombstones(path: str) -> dict[str, np.ndarray]:
                 [np.frombuffer(b, dtype=np.int64) for b in g["ids"]]
             )
     _TOMB_CACHE[path] = out
+    while len(_TOMB_CACHE) > _TOMB_CACHE_MAX:
+        _TOMB_CACHE.pop(next(iter(_TOMB_CACHE)))
     return out
 
 
@@ -275,7 +325,7 @@ def plan_delete_rewrites(index_dir: str) -> list:
     from quickwit_spark.index.merge import MergeOp
 
     affected: set[str] = set()
-    for rec in pending_deletes(index_dir).values():
+    for rec in unapplied_deletes(index_dir).values():
         affected.update((rec.get("segments") or {}).keys())
     ops = []
     for s in mf.live_segments(index_dir):
@@ -286,6 +336,12 @@ def plan_delete_rewrites(index_dir: str) -> list:
                     segment_ids=[s.segment_id],
                     partition_id=s.partition_id,
                     merge_gen=s.merge_gen + 1,
+                    # the rewrite must read/write the segment's OWN
+                    # doc-mapping generation's docmap dataset — with
+                    # the default uid 0, a generation>=1 segment's
+                    # permutation read found zero rows and the rewrite
+                    # published an empty segment (data loss)
+                    doc_mapping_uid=s.doc_mapping_uid,
                 )
             )
     return ops

@@ -35,8 +35,12 @@ directories, merge tantivy segments, re-base docids) as DataFrame jobs:
                     materializes a full hot posting list — this is the
                     explicit skew handling the 1000-executor design
                     requires.
-  block-max         recomputed with the MERGED segment's avgdl (known
-                    driver-side from the manifest before the job runs)
+  block-max         recomputed with the NORM-FREE upper bound
+                    tf/(tf + k1·(1−b)) under the index's configured
+                    k1/b — valid (slightly looser than the builder's
+                    avgdl-exact bound) since the true denominator only
+                    adds the non-negative k1·b·dl/avgdl term; merged
+                    per-doc lengths would need a second norms gather
   norms             one dedicated group per field gathers the dense
                     per-doc arrays through the permutation (num_docs
                     bytes per field — no skew concern) and re-chunks
@@ -51,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import dataclass
 
 import numpy as np
@@ -64,6 +69,7 @@ from quickwit_spark.codec.postings import (
     decode_postings,
     encode_positions,
     encode_postings,
+    permute_position_stream,
     varint_decode,
     varint_encode,
 )
@@ -291,6 +297,20 @@ def plan_merges(
     return ops
 
 
+def _load_gen_config(index_dir: str, doc_mapping_uid: int) -> dict | None:
+    """The persisted index-config document for a doc-mapping
+    generation, or None when missing (bare test indexes)."""
+    from quickwit_spark.index.builder import config_path
+
+    p = config_path(index_dir, doc_mapping_uid)
+    if not os.path.exists(p) and doc_mapping_uid:
+        p = config_path(index_dir, 0)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
 def _merged_tags(index_dir: str, inputs: list[mf.SegmentRecord]) -> list[str]:
     """Union of the inputs' tag sets, field by field. A field's tags
     survive only if EVERY input declares the `field!` marker (an input
@@ -299,10 +319,14 @@ def _merged_tags(index_dir: str, inputs: list[mf.SegmentRecord]) -> list[str]:
     configured cardinality cap. Deleted docs may leave stale value tags;
     that is conservative (less pruning), never incorrect."""
     cap = 1000
-    cfg_path = os.path.join(index_dir, "_manifest", "index_config.json")
-    if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            cap = json.load(f).get("max_tags_per_field", 1000)
+    # per-generation config snapshot: merging uid>=1 splits must apply
+    # THAT generation's cap, not generation 0's (the builder enforces
+    # the per-generation cap the same way)
+    cfg_doc = _load_gen_config(
+        index_dir, inputs[0].doc_mapping_uid if inputs else 0
+    )
+    if cfg_doc is not None:
+        cap = cfg_doc.get("max_tags_per_field", 1000)
     fields = None
     for s in inputs:
         declared = {t[:-1] for t in (s.tags or []) if t.endswith("!")}
@@ -327,6 +351,7 @@ def _merged_tags(index_dir: str, inputs: list[mf.SegmentRecord]) -> list[str]:
 _NORMS_CHUNK = 1 << 20
 
 _PERM_CACHE: dict = {}
+_PERM_CACHE_MAX = 4  # sidecars are per-op scratch; cap worker memory
 
 
 def load_permutation(path: str) -> dict[str, tuple[np.ndarray, np.ndarray]]:
@@ -348,6 +373,8 @@ def load_permutation(path: str) -> dict[str, tuple[np.ndarray, np.ndarray]]:
             o = np.argsort(old, kind="stable")
             out[sid] = (old[o], new[o])
     _PERM_CACHE[path] = out
+    while len(_PERM_CACHE) > _PERM_CACHE_MAX:
+        _PERM_CACHE.pop(next(iter(_PERM_CACHE)))
     return out
 
 
@@ -419,7 +446,11 @@ def _write_permutation(
     )
     from quickwit_spark.index.deletes import COMPACT_DIR
 
-    path = f"{index_dir}/{COMPACT_DIR}/{op_id}_perm"
+    # unique per EXECUTION: a rerun of a crashed op writes a fresh
+    # path, so a warm python worker can never serve the previous
+    # attempt's permutation from its per-process cache (the arrays
+    # would be inconsistent with the rerun's tombstone set)
+    path = f"{index_dir}/{COMPACT_DIR}/{op_id}_perm_{uuid.uuid4().hex[:8]}"
     perm_df.write.mode("overwrite").parquet(path)
     return path
 
@@ -464,7 +495,9 @@ def execute_merge(
             corrections_for,
         )
 
-        path = f"{index_dir}/{COMPACT_DIR}/{op.op_id}"
+        # execution-unique like the permutation sidecar (stale-cache
+        # safety on reruns); GC strips the suffix to find the owner op
+        path = f"{index_dir}/{COMPACT_DIR}/{op.op_id}_tomb_{uuid.uuid4().hex[:8]}"
         tomb_counts = compact_tombstones(
             spark, index_dir, [s.segment_id for s in inputs], path
         )
@@ -490,10 +523,6 @@ def execute_merge(
             c = corr.get(fld, {})
             agg["doc_count"] += st["doc_count"] - c.get("deleted_docs", 0)
             agg["total_tokens"] += st["total_tokens"] - c.get("deleted_tokens", 0)
-    avgdls = {
-        fld: float(np.float32(st["total_tokens"]) / np.float32(max(st["doc_count"], 1)))
-        for fld, st in field_stats.items()
-    }
     time_range = None
     ranges = [s.time_range for s in inputs if s.time_range]
     if ranges:
@@ -509,7 +538,14 @@ def execute_merge(
         for i, s in enumerate(inputs)
     }
     bucket_of = dict(buckets)
-    k1, b = 1.2, 0.75
+    # the index's CONFIGURED BM25 constants, not hardcoded defaults:
+    # the merged block-max bound tf/(tf + k1*(1-b)) is only a valid
+    # WAND upper bound under the same k1/b the kernel scores with — a
+    # config with k1*(1-b) below the default's 0.3 would otherwise get
+    # an under-estimating bound and WAND could prune true top-k docs
+    _cfg_doc = _load_gen_config(index_dir, op.doc_mapping_uid) or {}
+    k1 = float(_cfg_doc.get("k1", 1.2))
+    b = float(_cfg_doc.get("b", 0.75))
 
     # project to the fixed inverted-index columns: the unified-schema
     # doc columns embedded in inv files may be RETYPED by a later
@@ -627,24 +663,14 @@ def execute_merge(
         # same per-doc order (vectorized slice gather, no Python loop)
         order = np.argsort(docids, kind="stable")
         if pos_all is not None:
-            starts = np.zeros(len(tfs) + 1, dtype=np.int64)
-            np.cumsum(tfs, out=starts[1:])
-            l_new = tfs[order].astype(np.int64)
-            ends_new = np.cumsum(l_new)
-            begins_new = ends_new - l_new
-            idx = (
-                np.arange(int(ends_new[-1]) if len(ends_new) else 0, dtype=np.int64)
-                - np.repeat(begins_new, l_new)
-                + np.repeat(starts[:-1][order], l_new)
-            )
-            pos_all = pos_all[idx]
+            pos_all = permute_position_stream(pos_all, tfs, order)
         docids = docids[order]
         tfs = tfs[order]
-        avgdl = np.float32(avgdls.get(fld, 1.0))
-        # block-max needs merged-doc lengths: recovered lazily from the
-        # per-doc norm ids of the inputs is expensive here; instead use
-        # the norm-free upper bound tf/(tf + k1*(1-b)) which is still a
-        # valid (slightly looser) WAND bound.
+        # block-max needs merged-doc lengths: recovering them from the
+        # per-doc norm ids of the inputs would cost a second gather;
+        # instead use the norm-free upper bound tf/(tf + k1*(1-b)) —
+        # valid (slightly looser) because the true denominator only
+        # adds the non-negative k1*b*dl/avgdl term.
         tf32 = tfs.astype(np.float32)
         comp = tf32 / (tf32 + np.float32(k1) * np.float32(1.0 - b))
         rows = []

@@ -82,8 +82,24 @@ def garbage_collect(index_dir: str, dry_run: bool = False) -> list[str]:
 
     comp = os.path.join(index_dir, COMPACT_DIR)
     if os.path.isdir(comp):
+
+        def _scratch_owner(entry: str) -> str:
+            # sidecars carry execution nonces: `<op>_tomb_<nonce>` /
+            # `<op>_perm_<nonce>` (legacy: bare `<op>` and `<op>_perm`)
+            for marker in ("_tomb_", "_perm_"):
+                if marker in entry:
+                    return entry.split(marker)[0]
+            if entry.endswith("_perm"):
+                return entry[: -len("_perm")]
+            return entry
+
         for entry in sorted(os.listdir(comp)):
-            if entry in all_segs:
+            # dead once the owner op's merged segment is in the
+            # manifest; an op that crashed before commit keeps its
+            # scratch (conservative — a rerun may still want the
+            # tombstone compaction, and we cannot tell it apart from
+            # an op that is mid-flight right now)
+            if _scratch_owner(entry) in all_segs:
                 removed.append(f"{COMPACT_DIR}/{entry}")
                 if not dry_run:
                     shutil.rmtree(os.path.join(comp, entry), ignore_errors=True)

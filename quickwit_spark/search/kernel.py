@@ -33,6 +33,7 @@ from quickwit_spark.codec.postings import (
     BLOCK_SIZE,
     decode_block_metadata,
     decode_positions,
+    permute_position_stream,
     decode_postings,
     varint_decode,
 )
@@ -168,17 +169,7 @@ class SegmentData:
             order, tfs_pre = chunk_order.get(key, (None, None))
             if order is not None:
                 # permute the per-doc position slices by the same sort
-                starts = np.zeros(len(tfs_pre) + 1, dtype=np.int64)
-                np.cumsum(tfs_pre, out=starts[1:])
-                l_new = tfs_pre[order].astype(np.int64)
-                ends = np.cumsum(l_new)
-                begins = ends - l_new
-                idx = (
-                    np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64)
-                    - np.repeat(begins, l_new)
-                    + np.repeat(starts[:-1][order], l_new)
-                )
-                stream = stream[idx]
+                stream = permute_position_stream(stream, tfs_pre, order)
             seg.positions[key] = stream
         for fld, chunks in norm_chunks.items():
             chunks.sort(key=lambda c: c[0])

@@ -209,3 +209,48 @@ def test_overlapping_deletes_count_each_doc_once(spark, sf_dir, tmp_path_factory
     live_tokens = sum(len(toks[k]) for k in live)
     assert sum(g.field_stats["text"]["total_tokens"] for g in segs) == live_tokens
     assert sum(g.field_stats["text"]["doc_count"] for g in segs) == len(live)
+
+
+def test_orphaned_tombstone_partition_is_inert(spark, sf_dir, tmp_path_factory):
+    """A crash between the tombstone write and the manifest commit
+    leaves an orphaned `deletes/opstamp=N` partition. The next delete
+    must NOT reuse that opstamp (it would overwrite the orphan while
+    anti-joining against it, erasing the retried delete), and the
+    orphan's tombstones must not be applied or anti-joined (their stat
+    corrections never happened)."""
+    import os
+
+    from quickwit_spark.index.deletes import (
+        _next_opstamp,
+        _tombstone_paths,
+    )
+
+    d = str(tmp_path_factory.mktemp("orphan") / "idx")
+    df = web_corpus(spark, sf_dir)
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=2
+    )
+    build_index(spark, df, d, cfg)
+    s = IndexSearcher(spark, d)
+    n = s.count(Term("text", "vector"))
+    assert n > 0
+
+    # simulate the crashed op: partition on disk, no manifest record
+    orphan = os.path.join(d, "deletes", "opstamp=1")
+    spark.createDataFrame(
+        [("zz-nonexistent", 0)], "segment_id string, doc_id long"
+    ).write.mode("overwrite").parquet(orphan)
+
+    assert _next_opstamp(d) == 2  # parked, not reused
+    assert _tombstone_paths(d) == []  # and never read
+
+    op = delete_by_query(s, Term("text", "vector"))
+    assert op == 2
+    rec = pending_deletes(d)[op]
+    # the retried delete doomed ALL matching docs — the orphan did not
+    # suppress any of them through the anti-join
+    assert sum(rec["segments"].values()) == n
+    for o in plan_delete_rewrites(d):
+        execute_merge(spark, d, o)
+    s.refresh()
+    assert s.count(Term("text", "vector")) == 0

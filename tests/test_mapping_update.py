@@ -395,3 +395,60 @@ def test_exists_on_indexed_false_fast_column(qw):
     # a silent zero-match
     with pytest.raises(NotImplementedError, match="exists"):
         s2.count(Bool(should=[Term("title", "hello"), Exists("secret")]))
+
+
+def test_delete_rewrite_on_generation_split(qw):
+    """plan_delete_rewrites must stamp each op with the target
+    segment's doc_mapping_uid: with the default uid 0, a rewrite of a
+    generation>=1 split read the WRONG docmap dataset, found zero rows,
+    and published an empty segment — silently losing every surviving
+    doc of the split."""
+    from quickwit_spark.index import manifest as mf
+    from quickwit_spark.index.deletes import (
+        delete_by_query,
+        plan_delete_rewrites,
+    )
+    from quickwit_spark.index.merge import execute_merge
+    from quickwit_spark.query.ast import Term
+
+    qw.create_index(_cfg("upddel", [{"name": "msg", "type": "text"}]))
+    qw.ingest("upddel", [{"msg": "old keepme"}])
+    # non-additive update → future splits build under doc_mapping_uid 1
+    qw.update_index(
+        "upddel",
+        {
+            "index_id": "upddel",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "field_mappings": [
+                    {"name": "msg", "type": "text"},
+                    {"name": "v", "type": "u64"},
+                ],
+            },
+        },
+    )
+    qw.ingest(
+        "upddel",
+        [{"msg": "dropme new", "v": 1}, {"msg": "keepme new", "v": 2}],
+    )
+    s = qw.searcher("upddel")
+    d = s.index_dir
+    gen1 = [r for r in mf.live_segments(d) if r.doc_mapping_uid == 1]
+    assert gen1 and all(r.num_docs for r in gen1)
+
+    delete_by_query(s, Term("msg", "dropme"))
+    ops = plan_delete_rewrites(d)
+    assert ops and all(
+        o.doc_mapping_uid == seg.doc_mapping_uid
+        for o in ops
+        for seg in mf.live_segments(d)
+        if seg.segment_id in o.segment_ids
+    )
+    for o in ops:
+        execute_merge(qw.spark, d, o)
+    s.refresh()
+    # the doomed doc is gone; BOTH survivors (one per generation) remain
+    assert s.count(Term("msg", "dropme")) == 0
+    assert s.count(Term("msg", "keepme")) == 2
+    rewritten = [r for r in mf.live_segments(d) if r.doc_mapping_uid == 1]
+    assert sum(r.num_docs for r in rewritten) == 1

@@ -461,3 +461,78 @@ def test_const_write_amp_groups_by_doc_mapping_uid():
     ops = pol.plan(segs)
     assert len(ops) == 1 and ops[0].doc_mapping_uid == 2
     assert sorted(ops[0].segment_ids) == ["x1", "x2"]
+
+
+def test_merged_block_max_respects_configured_k1_b(
+    spark, sf_dir, tmp_path_factory
+):
+    """The merged block-max bound must use the INDEX's k1/b, not the
+    defaults: with k1*(1-b) below the default's 0.3 a hardcoded bound
+    under-estimates short docs' tf-component and WAND can prune blocks
+    holding true top-k hits. WAND top-k on the merged index must equal
+    the exhaustive (use_wand=False) ranking."""
+    d = str(tmp_path_factory.mktemp("k1b") / "idx")
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id",
+        num_partitions=1, k1=0.5, b=0.9,
+    )
+    corpus = web_corpus(spark, sf_dir)
+    half = corpus.count() // 2
+    build_index(spark, corpus.filter(f"doc_id < {half}"), d, cfg, job_id="a")
+    build_index(spark, corpus.filter(f"doc_id >= {half}"), d, cfg, job_id="b")
+    recs = run_merges(
+        spark, d, policy=MergePolicy(merge_factor=2, max_merge_factor=2,
+                                     min_level_num_docs=10)
+    )
+    assert recs  # a merge actually ran
+    s = IndexSearcher(spark, d)
+    for q in (Term("text", "table"), FullText("text", "spark join", "or")):
+        wand = [(r["doc_key"], round(r["score"], 5))
+                for r in s.search(q, k=10, use_wand=True).collect()]
+        full = [(r["doc_key"], round(r["score"], 5))
+                for r in s.search(q, k=10, use_wand=False).collect()]
+        assert wand == full
+
+    # bound VALIDITY under a short-doc skew (the sharp check: WAND
+    # equality above rarely tickles the gap): a dl=1 doc's true
+    # tf-component 1/(1 + k1*(1-b) + k1*b*dl/avgdl) exceeds the
+    # default-constants bound 1/(1 + 0.3), so a merged block_max
+    # computed with hardcoded k1/b would UNDER-estimate it
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.codec.postings import decode_block_metadata
+    from quickwit_spark.index.builder import KIND_POSTINGS
+
+    d2 = str(tmp_path_factory.mktemp("k1b2") / "idx")
+    filler = " ".join(f"w{i}" for i in range(99))
+    rows = [Row(doc_id=0, text="zebra")] + [
+        Row(doc_id=i, text=f"zebra {filler}") for i in range(1, 51)
+    ]
+    df2 = spark.createDataFrame(rows)
+    build_index(spark, df2.filter("doc_id < 25"), d2, cfg, job_id="a")
+    build_index(spark, df2.filter("doc_id >= 25"), d2, cfg, job_id="b")
+    recs2 = run_merges(
+        spark, d2, policy=MergePolicy(merge_factor=2, max_merge_factor=2,
+                                      min_level_num_docs=2)
+    )
+    assert recs2
+    st = recs2[0].field_stats["text"]
+    avgdl = np.float32(st["total_tokens"]) / np.float32(st["doc_count"])
+    true_comp = 1.0 / (1.0 + 0.5 * (1 - 0.9) + 0.5 * 0.9 * 1.0 / float(avgdl))
+    zrows = (
+        spark.read.parquet(f"{d2}/inv")
+        .filter(
+            (F.col("kind") == KIND_POSTINGS)
+            & (F.col("term") == "zebra")
+            & (F.col("segment_id") == recs2[0].segment_id)
+        )
+        .select("block_max")
+        .collect()
+    )
+    assert zrows
+    bound = max(
+        float(decode_block_metadata(b"", r["block_max"])[1].max())
+        for r in zrows
+    )
+    assert bound >= true_comp - 1e-6, (bound, true_comp)
