@@ -202,7 +202,15 @@ class QuickwitSpark:
             state["retention"] = config["retention"]
         with open(state_path, "w") as f:
             json.dump(state, f)
-        self._build(index_id, state, lines=None)  # empty publish
+        try:
+            self._build(index_id, state, lines=None)  # empty publish
+        except Exception:
+            # never leave a half-created index behind: a state file
+            # with no manifest would poison es()/search() for EVERY
+            # index in the root (searcher construction raises)
+            self._searchers.pop(index_id, None)
+            shutil.rmtree(self.index_dir(index_id), ignore_errors=True)
+            raise
         return {"index_id": index_id, "created": True}
 
     def delete_index(self, index_id: str) -> None:
@@ -301,6 +309,12 @@ class QuickwitSpark:
             {"schema": None, "mixed": [], "pinned_kinds": {},
              "doc_count": 0, "batches": 0}
         )
+        # the reference's clear resets EVERY source checkpoint
+        # (`index.rs:427-435` reset_source_checkpoint per source) — a
+        # kept checkpoint would make the next run_source skip all
+        # already-consumed data and leave the cleared index empty
+        for src in (state.get("sources") or {}).values():
+            src["checkpoint"] = {}
         self._searchers.pop(index_id, None)
         self._build(index_id, state, lines=None)  # re-publish empty
         return {"index_id": index_id, "cleared": True}
@@ -755,14 +769,50 @@ class QuickwitSpark:
 
     # ---------------------------------------------------------- ingest
 
+    # top-level doc field names the pipeline reserves for itself (the
+    # wrapper key/raw columns and the docmap's source column) — a doc
+    # carrying one would produce duplicate columns after `doc.*`
+    # expansion (AMBIGUOUS_REFERENCE); ES likewise rejects docs with
+    # its reserved metadata names at the top level
+    _RESERVED_DOC_FIELDS = frozenset({"_qw_key", "_qw_raw", "_source_json"})
+
     def ingest(self, index_id: str, docs: list) -> dict:
         """One NDJSON batch → one committed split set. `docs` are dicts
-        or JSON strings."""
+        or JSON strings. Invalid docs are rejected PER-DOC (reference
+        ingest semantics), never aborting the batch: the result carries
+        `rejected` + `errors` when any doc failed to parse."""
         state = self._state(index_id)
-        lines = [d if isinstance(d, str) else json.dumps(d) for d in docs]
+        lines: list[str] = []
+        errors: list[dict] = []
+        for i, d in enumerate(docs):
+            if isinstance(d, str):
+                try:
+                    parsed = json.loads(d)
+                except json.JSONDecodeError as e:
+                    errors.append({"doc": i, "reason": f"invalid JSON: {e}"})
+                    continue
+                line = d
+            else:
+                parsed, line = d, json.dumps(d)
+            if not isinstance(parsed, dict):
+                errors.append(
+                    {"doc": i, "reason": "document must be a JSON object"}
+                )
+                continue
+            bad = sorted(self._RESERVED_DOC_FIELDS & set(parsed))
+            if bad:
+                errors.append(
+                    {"doc": i, "reason": f"reserved field name(s) {bad}"}
+                )
+                continue
+            lines.append(line)
         n = self._build(index_id, state, lines)
         self._searchers.pop(index_id, None)  # config may have grown
-        return {"index_id": index_id, "num_docs": n}
+        out = {"index_id": index_id, "num_docs": n}
+        if errors:
+            out["rejected"] = len(errors)
+            out["errors"] = errors
+        return out
 
     def bulk(self, payload, default_index: str | None = None) -> dict:
         """ES `_bulk` over the facade (`bulk_v2.rs:83-280` semantics):
@@ -841,7 +891,9 @@ class QuickwitSpark:
             d["_id"] = action["_id"]
         if error is not None:
             d["error"] = error
-        return {"index": d}
+        # items are keyed by the request's own action verb — an ES
+        # client doing a `create` bulk looks its item up under "create"
+        return {action.get("action", "index"): d}
 
     def _parse_failures(self, state: dict, doc_lines: list[str]) -> dict:
         """→ {position in doc_lines: reason} for docs the declared
@@ -882,6 +934,10 @@ class QuickwitSpark:
                 coerced = _datetime_col(raw, tuple(spec.get("formats") or ()))
             elif kind in casts:
                 coerced = raw.try_cast(casts[kind])
+                if kind == "u64":
+                    # Rust u64 deserialization rejects negatives; the
+                    # decimal(20,0) cast alone would accept them
+                    coerced = F.when(coerced >= 0, coerced)
             else:
                 continue
             msgs.append(
@@ -1013,7 +1069,7 @@ class QuickwitSpark:
             record=record,
         )
         d = self.index_dir(index_id)
-        build_index(
+        recs = build_index(
             spark,
             flat,
             d,
@@ -1028,18 +1084,28 @@ class QuickwitSpark:
             **pinned,
             **{f.path: f.kind for f in fields if f.path not in pinned},
         }
-        n = len(wrapped)
-        state["doc_count"] = key0 + n
+        # key allocation advances by every WRAPPED doc (keys must stay
+        # unique even for docs the builder drops), but the reported
+        # count is what was actually INDEXED — the builder filters docs
+        # whose timestamp field is missing/unparseable, and claiming
+        # them as ingested hides silent data loss from the caller
+        state["doc_count"] = key0 + len(wrapped)
         state["batches"] = int(state["batches"]) + 1
         with open(os.path.join(d, STATE_FILE), "w") as f:
             json.dump(state, f)
-        return n
+        return sum(r.num_docs for r in recs) if wrapped else 0
 
     def _empty_schema(self, specs) -> T.StructType:
-        doc_fields = []
+        # specs.mapped holds LEAF paths only (objects recurse); nested
+        # leaves must appear as REAL nested structs — exactly the shape
+        # spark.read.json infers for actual documents — so the
+        # create-time empty publish produces the same flattened columns
+        # (and the same index config) as the first real ingest. A
+        # nested `timestamp_field` like `meta.ts` previously had no
+        # column at all and the empty publish crashed with
+        # UNRESOLVED_COLUMN.
+        tree: dict = {}
         for path, spec in specs.mapped.items():
-            if "." in path:
-                continue
             t = {
                 "datetime": T.StringType(),
                 "long": T.LongType(),
@@ -1047,14 +1113,33 @@ class QuickwitSpark:
                 "double": T.DoubleType(),
                 "bool": T.BooleanType(),
             }.get(spec.get("kind", "text"), T.StringType())
-            doc_fields.append(T.StructField(path, t))
-        if not doc_fields:
-            doc_fields = [T.StructField("body", T.StringType())]
+            if spec.get("card") == "multi":
+                t = T.ArrayType(t)
+            node = tree
+            parts = path.split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+                if not isinstance(node, dict):
+                    break  # leaf/object conflict: leaf wins, skip
+            else:
+                node[parts[-1]] = t
+
+        def to_struct(node: dict) -> T.StructType:
+            return T.StructType(
+                [
+                    T.StructField(
+                        name,
+                        to_struct(sub) if isinstance(sub, dict) else sub,
+                    )
+                    for name, sub in node.items()
+                ]
+            )
+
         return T.StructType(
             [
                 T.StructField("_qw_key", T.LongType()),
                 T.StructField("_qw_raw", T.StringType()),
-                T.StructField("doc", T.StructType(doc_fields)),
+                T.StructField("doc", to_struct(tree)),
             ]
         )
 

@@ -103,6 +103,9 @@ def parse_bulk_v2(
         actions.append(
             {
                 "pos": len(actions),
+                # response items are keyed by THIS verb ("create" items
+                # come back under "create", like ES/the reference)
+                "action": next(iter(action)),
                 "_index": index_id,
                 "_id": str(_id) if _id is not None else None,
                 "doc_line": numbered[i + 1][1],

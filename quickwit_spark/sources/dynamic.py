@@ -336,6 +336,15 @@ def flatten_dynamic(
             # coerces to null (the reference's lenient coercion) rather
             # than failing the batch under ANSI mode
             c = expr.try_cast(f"array<{target}>" if is_array else target)
+            if kind == "u64":
+                # decimal(20,0) happily holds negatives but Rust u64
+                # deserialization rejects them — coerce to null (and
+                # null out negative array elements) like any other
+                # kind misfit
+                if is_array:
+                    c = F.transform(c, lambda e: F.when(e >= 0, e))
+                else:
+                    c = F.when(c >= 0, c)
             if kind == "text":
                 # presence follows the INDEXED tokens, not raw nullness:
                 # a value whose every token exceeds the tokenizer's
@@ -374,11 +383,14 @@ def flatten_dynamic(
             )
 
     if presence_field is not None:
-        cols.append(
-            F.array_distinct(F.flatten(F.array(*presence_parts))).alias(
-                presence_field
-            )
-        )
+        if presence_parts:
+            presence = F.array_distinct(F.flatten(F.array(*presence_parts)))
+        else:
+            # zero-field frame (an empty-mapping index's create-time
+            # publish): a bare F.array() is ARRAY<VOID> and flatten
+            # rejects it — emit a typed empty array instead
+            presence = F.array().cast("array<string>")
+        cols.append(presence.alias(presence_field))
     return df.select(*cols), fields
 
 

@@ -310,7 +310,15 @@ def _expand_sources(spec: ConcatSpec, fields, specs: MappingSpecs) -> list:
         )
         is_dynamic = f.path.split(".")[0] not in roots
         if under or (spec.include_dynamic and is_dynamic):
-            cols.append(f.column or f.path)
+            if f.kind == "mixed" and getattr(f, "orig_column", None):
+                # a mixed field's `column` is its numeric-coercion
+                # decimal — concatenating that would index
+                # "1.000000000" instead of the document's own token;
+                # the reference's concatenate indexes the original
+                # JSON tokens, kept in orig_column
+                cols.append(f.orig_column)
+            else:
+                cols.append(f.column or f.path)
     return cols
 
 
