@@ -802,7 +802,10 @@ def build_index(
     `transform` is an optional `sources.transform.Transform` (the VRL
     processing hook, `vrl_processing.rs`) applied before doc mapping.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # NOTE: dynamic partition overwrite is set PER WRITE below (a
+    # DataFrameWriter option), never on the shared session conf — a
+    # library call must not silently change the semantics of the
+    # caller's own unrelated overwrite writes
     # tag pruning records RAW column values while query-side extraction
     # uses term/token values — sound only when the two coincide, i.e.
     # the tag field is unindexed (a fast column) or indexed `raw`.
@@ -869,8 +872,14 @@ def build_index(
                     "config; refusing to mix configs (only additive "
                     "field additions are allowed)"
                 )
-            with open(_cfg_path, "w") as _f:
-                _f.write(config.to_json())
+            _write_config_atomic(_cfg_path, config)
+    else:
+        # persist BEFORE any batch commits (validated above): with the
+        # old persist-after-success order, a crash between the first
+        # batch commit and the config write let a retry with a
+        # DIFFERENT config pass the guard — mixing analyzers/codecs
+        # across segments of one index with no error
+        _write_config_atomic(_cfg_path, config)
     if transform is not None:
         df = transform(df)
     if config.time_column is not None:
@@ -913,6 +922,18 @@ def build_index(
     for bi, (lo, hi) in enumerate(_batch_ranges(config.num_partitions, num_batches)):
         batch_id = f"{job_id}-b{bi:04d}"
         if batch_id in done:
+            # resume must cover the SAME partition ranges: skipping by
+            # batch_id alone would let a retry with a different
+            # num_batches re-index pids the committed batch already
+            # covers (duplicate PUBLISHED segment_ids, doubled hits)
+            prev_range = (done[batch_id] or {}).get("pid_range")
+            if prev_range is not None and list(prev_range) != [lo, hi]:
+                raise ValueError(
+                    f"resume of job {job_id!r} batch {batch_id} covers "
+                    f"pid_range {[lo, hi]} but the committed checkpoint "
+                    f"recorded {prev_range}; rerun with the original "
+                    "num_batches"
+                )
             continue
         t0 = time.perf_counter()
         # ONE pass over the corpus: (optionally) shuffle on pid +
@@ -933,6 +954,7 @@ def build_index(
         (
             out.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id", "kind")
             .parquet(inv_dir)
         )
@@ -998,13 +1020,21 @@ def build_index(
         all_records.extend(records)
         if fail_after_batch is not None and bi >= fail_after_batch:
             raise RuntimeError(f"injected failure after batch {batch_id}")
-    # persist the index config for searchers (pre-validated against any
-    # existing config at the top of this function)
-    cfg_path = config_path(index_dir, doc_mapping_uid)
+    return all_records
+
+
+def _write_config_atomic(cfg_path: str, config: "IndexConfig") -> None:
+    """tmp+rename like mf.commit: a concurrent searcher re-reading the
+    config must never observe a truncated/partial file (a plain
+    open('w') truncates before writing)."""
     import os
 
-    if not os.path.exists(cfg_path):
-        os.makedirs(os.path.dirname(cfg_path), exist_ok=True)
-        with open(cfg_path, "w") as f:
-            f.write(config.to_json())
-    return all_records
+    os.makedirs(os.path.dirname(cfg_path), exist_ok=True)
+    tmp = os.path.join(
+        os.path.dirname(cfg_path), f".tmp-{os.path.basename(cfg_path)}"
+    )
+    with open(tmp, "w") as f:
+        f.write(config.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, cfg_path)

@@ -475,7 +475,6 @@ def execute_merge(
     from quickwit_spark.index.builder import docs_path as _docs_path
 
     t_start = _time.perf_counter()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     segs = {s.segment_id: s for s in mf.live_segments(index_dir)}
     inputs = [segs[sid] for sid in op.segment_ids]
     inputs.sort(key=lambda s: s.segment_id)
@@ -781,6 +780,7 @@ def execute_merge(
         merged.unionByName(meta_df)
         .withColumn("batch_id", F.lit(op.op_id))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "kind")
         .parquet(f"{index_dir}/inv")
     )
@@ -816,6 +816,7 @@ def execute_merge(
         docs.withColumn("segment_id", F.lit(new_segment_id))
         .withColumn("batch_id", F.lit(op.op_id))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(_ddir)
     )

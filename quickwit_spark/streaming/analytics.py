@@ -30,6 +30,7 @@ def windowed_doc_counts(
     window: str = "1 minute",
     watermark: str = "2 minutes",
     group_cols: tuple = ("lang",),
+    content_col: str = "text",
 ) -> DataFrame:
     """→ streaming (window, *group_cols, doc_count, n_bytes)."""
     return (
@@ -37,7 +38,7 @@ def windowed_doc_counts(
         .groupBy(F.window(F.col(ts_col), window), *group_cols)
         .agg(
             F.count("*").alias("doc_count"),
-            F.sum(F.octet_length("text")).alias("n_bytes"),
+            F.sum(F.octet_length(content_col)).alias("n_bytes"),
         )
     )
 
@@ -55,6 +56,9 @@ def streaming_dedup(
         stream_df.withColumn("content_hash", F.xxhash64(F.col(content_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
+        # restore the input schema: the helper column must not leak
+        # into fixed-schema sinks downstream
+        .drop("content_hash")
     )
 
 
@@ -79,12 +83,24 @@ def _session_fn(key, pdfs, state: GroupState, gap_ms: int):
             }
         )
         return
-    ts = pd.concat([pdf["_ts_ms"] for pdf in pdfs]).sort_values().to_numpy()
+    ts = pd.concat([pdf["_ts_ms"] for pdf in pdfs]).dropna().sort_values()
+    ts = ts.to_numpy()
+    # late-data drop: events at/below the current event-time watermark
+    # are discarded (the watermark column is kept through the
+    # projection so Spark tracks it into this operator; 0 = no
+    # watermark configured)
+    wm = state.getCurrentWatermarkMs()
+    if wm:
+        ts = ts[ts > wm]
+    if len(ts) == 0 and not state.exists:
+        return
     out = []
     if state.exists:
         start, end, n = state.get
-    else:
+    elif len(ts):
         start, end, n = int(ts[0]), int(ts[0]), 0
+    else:
+        return
     for t in ts:
         t = int(t)
         if t - end > gap_ms:
@@ -120,9 +136,16 @@ def sessionize(
     → streaming (key, session_start, session_end, n_docs)."""
     gap_ms = int(_duration_ms(gap))
     prepared = (
-        stream_df.withWatermark(ts_col, watermark)
+        # null event times cannot be sessionized (NaN would crash the
+        # int() conversion and crash-loop the replayed micro-batch)
+        stream_df.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .select(
             F.col(key_col).cast("string").alias("key"),
+            # keep the WATERMARKED column itself (same name, no alias)
+            # so event-time tracking reaches the stateful operator —
+            # projecting it away made the watermark parameter inert
+            F.col(ts_col),
             (F.col(ts_col).cast("double") * 1000).cast("long").alias("_ts_ms"),
         )
     )

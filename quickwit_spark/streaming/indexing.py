@@ -34,7 +34,7 @@ def index_stream(
     index_dir: str,
     config: IndexConfig,
     checkpoint_dir: str,
-    name: str = "stream",
+    name: str | None = None,
     trigger_seconds: int | None = None,
     transform=None,
 ):
@@ -44,7 +44,22 @@ def index_stream(
     (e.g. `spark.readStream.schema(s).parquet(dir)` or a Kafka source
     after JSON projection). `transform` is the VRL-analog ingest hook
     (`sources.transform.Transform`), applied per micro-batch before doc
-    mapping — same position as the reference's VrlProcessing actor."""
+    mapping — same position as the reference's VrlProcessing actor.
+
+    `name` keys the manifest's replay checkpoints (job_id =
+    `{name}-{batch_id}`) and defaults to a hash of `checkpoint_dir`:
+    batch_ids restart at 0 whenever a stream gets a FRESH checkpoint
+    location, so a fixed default name would make the manifest treat the
+    new stream's batches as replays of the old one and silently drop
+    them — and two streams writing one index would collide the same
+    way. Pass an explicit `name` ONLY to resume the same logical
+    stream across a checkpoint-location move."""
+    if name is None:
+        import hashlib
+
+        name = "s" + hashlib.sha1(
+            checkpoint_dir.encode("utf-8")
+        ).hexdigest()[:10]
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -100,6 +100,19 @@ class NearDedupStream:
             .withColumnRenamed("k", key)
             .persist()
         )
+        try:
+            self._process_with_buckets(batch_df, batch_id, buckets)
+        finally:
+            # a failed write/join must not leak the cached frame: the
+            # stream replays the batch and re-persists a fresh copy,
+            # so un-released copies would pile up across retries
+            buckets.unpersist()
+
+    def _process_with_buckets(
+        self, batch_df: DataFrame, batch_id: int, buckets: DataFrame
+    ) -> None:
+        spark = batch_df.sparkSession
+        key = self.key
 
         from pyspark.errors import AnalysisException
 
@@ -146,7 +159,6 @@ class NearDedupStream:
         batch_buckets.write.mode("overwrite").parquet(
             f"{self.store_dir}/batch={batch_id:06d}"
         )
-        buckets.unpersist()
 
     # ------------------------------------------------------- stream
     def attach(

@@ -375,3 +375,54 @@ def test_multi_index_es_search(spark, sf_dir, tmp_path_factory, searcher):
         ).collect()
     ]
     assert got == exp
+
+
+def test_crashed_build_pins_config_before_first_commit(
+    spark, sf_dir, tmp_path_factory
+):
+    """The config persists BEFORE the first batch commit: a
+    crash-then-retry with a DIFFERENT config must hit the mixed-config
+    refusal (previously the config was written only after full success,
+    so the guard compared against nothing and batch 1 was silently
+    built under the new analyzer)."""
+    d = str(tmp_path_factory.mktemp("idxcfg"))
+    df = web_corpus(spark, sf_dir)
+    cfg_a = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=4
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(
+            spark, df, d, cfg_a, job_id="c", num_batches=2, fail_after_batch=0
+        )
+    cfg_b = IndexConfig(
+        fields=[FieldConfig("text", tokenizer="whitespace")],
+        doc_key="doc_id",
+        num_partitions=4,
+    )
+    with pytest.raises(ValueError, match="different"):
+        build_index(spark, df, d, cfg_b, job_id="c", num_batches=2)
+    # the ORIGINAL config resumes fine
+    build_index(spark, df, d, cfg_a, job_id="c", num_batches=2)
+    assert sum(s.num_docs for s in mf.live_segments(d)) == 500
+
+
+def test_resume_with_different_num_batches_rejected(
+    spark, sf_dir, tmp_path_factory
+):
+    """Resume skips by (batch_id, pid_range): retrying a crashed job
+    with a different num_batches would re-index pids the committed
+    batch already covers (duplicate segments, doubled counts) — the
+    checkpointed range mismatch must refuse instead."""
+    d = str(tmp_path_factory.mktemp("idxnb"))
+    df = web_corpus(spark, sf_dir)
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=4
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(
+            spark, df, d, cfg, job_id="n", num_batches=2, fail_after_batch=0
+        )
+    with pytest.raises(ValueError, match="pid_range"):
+        build_index(spark, df, d, cfg, job_id="n", num_batches=4)
+    build_index(spark, df, d, cfg, job_id="n", num_batches=2)
+    assert sum(s.num_docs for s in mf.live_segments(d)) == 500

@@ -59,3 +59,36 @@ def test_stream_indexing_builds_searchable_index(spark, sf_dir, tmp_path):
         .count()
     )
     assert n == brute
+
+
+def test_fresh_checkpoint_dir_does_not_drop_batches(spark, sf_dir, tmp_path):
+    """Replay idempotency keys on (name, batch_id) in the manifest; the
+    default name derives from the checkpoint dir, so a stream restarted
+    with a FRESH checkpoint location (batch_ids restart at 0) indexes
+    its batches instead of treating them as replays of the old stream's
+    batch 0 and silently dropping them."""
+    src1 = str(tmp_path / "in1")
+    src2 = str(tmp_path / "in2")
+    idx = str(tmp_path / "idx2")
+    os.makedirs(src1)
+    os.makedirs(src2)
+
+    corpus = web_corpus(spark, sf_dir)
+    corpus.filter(F.col("doc_id") < 100).write.mode("append").parquet(src1)
+    corpus.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    ).write.mode("append").parquet(src2)
+    cfg = IndexConfig(
+        fields=[FieldConfig("text")], doc_key="doc_id", num_partitions=1
+    )
+    s1 = spark.readStream.schema(corpus.schema).parquet(src1)
+    q = index_stream(s1, idx, cfg, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert sum(s.num_docs for s in mf.live_segments(idx)) == 100
+
+    # second stream: DIFFERENT source + checkpoint, same index —
+    # its batch 0 must not be mistaken for the first stream's batch 0
+    s2 = spark.readStream.schema(corpus.schema).parquet(src2)
+    q2 = index_stream(s2, idx, cfg, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert sum(s.num_docs for s in mf.live_segments(idx)) == 200

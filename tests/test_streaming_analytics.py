@@ -58,7 +58,10 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT * FROM sdd_res").toPandas()
     n = corpus.count()
     assert len(got) == n  # 5 duplicate re-ingests dropped
-    assert got["content_hash"].nunique() == n
+    # the internal helper column must NOT leak: output keeps the input
+    # schema, and the surviving texts are pairwise distinct
+    assert "content_hash" not in got.columns
+    assert got["text"].nunique() == n
 
 
 def test_sessionize_stateful(spark, tmp_path):
