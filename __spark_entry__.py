@@ -3688,6 +3688,77 @@ ORDER BY doc_count DESC, host LIMIT 10
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ORDER MATTERS: the driver correctness harness checks only the
+        # first 50 entries per round, so gates are ordered by driver-
+        # evidence age — new/never-driver-checked first, then oldest
+        # round-checked — and rotated each round so every gate earns a
+        # CORRECTNESS_rN row within 2-3 rounds (VERDICT r3 item 1).
+        "agg_nested_two_levels": _q_agg_nested,
+        "agg_nested_three_levels": _q_agg_nested3,
+        "agg_extended_stats": _q_agg_extended_stats,
+        "agg_terms_order_metric": _q_agg_terms_order,
+        "search_phrase_fallback": _q_phrase_fallback,
+        "search_single_quote_and": _q_single_quote_and,
+        "sort_two_key_page2": _q_sort_two_key_page2,
+        "search_ip_range": _q_ip_range,
+        "sort_mixed_page2": _q_sort_mixed_page2,
+        "search_u64_range": _q_u64_range,
+        "search_early_topk": _q_search_early,
+        "search_array_term": _q_array_term,
+        "search_json_path": _q_json_path,
+        "dedup_components": _q_dedup_components,
+        "dedup_minhash_anchor": _q_dedup_anchor,
+        "stream_near_dedup_kept": _q_stream_near_dedup,
+        "knn_cosine_lsh_scale": _q_knn_lsh_scale,
+        "knn_ivf_recall": _q_ivf_recall,
+        "knn_ivfpq_recall": _q_ivfpq_recall,
+        "repetition_stats": _q_repetition_stats,
+        "repetition_gopher_filter": _q_repetition_filter,
+        "gopher_quality_stats": _q_gopher_quality_stats,
+        "gopher_quality_filter": _q_gopher_quality_filter,
+        "c4_filter": _q_c4_filter,
+        "dsir_logweights": _q_dsir_logweights,
+        "dsir_resample_topk": _q_dsir_resample,
+        "quality_classifier_score": _q_quality_classifier,
+        "semdedup_marks": _q_semdedup,
+        "mixture_sample_marks": _q_mixture_sample,
+        "shard_shuffle_marks": _q_shard_shuffle,
+        "surrogate_key_rank": _q_surrogate_key,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "decontamination_marks": _q_decontamination,
+        "pii_redaction": _q_pii_redaction,
+        "token_shard_packing": _q_token_shard_packing,
+        "pack_sequences_spans": _q_pack_sequences,
+        "span_dedup_stats": _q_span_dedup_stats,
+        "warc_round_trip": _q_warc_round_trip,
+        "lm_perplexity": _q_lm_perplexity,
+        "knn_sq8_topk": _q_sq8_topk,
+        "bpe_word_histogram": _q_bpe_word_histogram,
+        "bpe_top_pairs": _q_bpe_top_pairs,
+        "web_url_dedup": _q_web_url_dedup,
+        "web_domain_stats": _q_web_domain_stats,
+        "agg_stats_nchars": _q_agg_stats,
+        "agg_cardinality_source": _q_agg_cardinality,
+        "agg_percentiles_nchars": _q_agg_percentiles,
+        "agg_terms_subagg": _q_agg_subagg,
+        "search_sort_by_field": _q_sort_by_field,
+        "search_phrase_match": _q_phrase_match,
+        "search_phrase_slop": _q_phrase_slop,
+        "search_phrase_prefix": _q_phrase_prefix,
+        "search_after_page2": _q_search_after,
+        "sort_field_page2": _q_sort_field_page2,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "knn_cosine_bruteforce": _q_knn_cosine,
+        "knn_cosine_lsh": _q_knn_lsh,
+        "text_token_stats": _q_text_stats,
+        "text_quality_score": _q_text_quality,
+        "text_language_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
+        "text_bpe_token_count": _q_bpe_token_count,
         "search_term_topk": _q_term_topk,
         "search_or_topk": _q_or_topk,
         "search_and_topk": _q_and_topk,
@@ -3738,72 +3809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_histogram": _q_agg_date_histogram,
         "agg_histogram_nchars": _q_agg_histogram,
         "agg_range_nchars": _q_agg_range,
-        "agg_stats_nchars": _q_agg_stats,
-        "agg_cardinality_source": _q_agg_cardinality,
-        "agg_percentiles_nchars": _q_agg_percentiles,
-        "agg_terms_subagg": _q_agg_subagg,
-        "agg_nested_two_levels": _q_agg_nested,
-        "agg_nested_three_levels": _q_agg_nested3,
-        "agg_extended_stats": _q_agg_extended_stats,
-        "agg_terms_order_metric": _q_agg_terms_order,
-        "search_sort_by_field": _q_sort_by_field,
-        "search_phrase_match": _q_phrase_match,
-        "search_phrase_slop": _q_phrase_slop,
-        "search_phrase_prefix": _q_phrase_prefix,
-        "search_phrase_fallback": _q_phrase_fallback,
-        "search_single_quote_and": _q_single_quote_and,
-        "search_after_page2": _q_search_after,
-        "sort_field_page2": _q_sort_field_page2,
-        "sort_two_key_page2": _q_sort_two_key_page2,
-        "search_ip_range": _q_ip_range,
-        "sort_mixed_page2": _q_sort_mixed_page2,
-        "search_u64_range": _q_u64_range,
-        "search_early_topk": _q_search_early,
-        "search_array_term": _q_array_term,
-        "search_json_path": _q_json_path,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_components": _q_dedup_components,
-        "dedup_minhash_anchor": _q_dedup_anchor,
-        "stream_near_dedup_kept": _q_stream_near_dedup,
-        "dedup_simhash": _q_dedup_simhash,
-        "knn_cosine_bruteforce": _q_knn_cosine,
-        "knn_cosine_lsh": _q_knn_lsh,
-        "knn_cosine_lsh_scale": _q_knn_lsh_scale,
-        "knn_ivf_recall": _q_ivf_recall,
-        "knn_ivfpq_recall": _q_ivfpq_recall,
-        "text_token_stats": _q_text_stats,
-        "repetition_stats": _q_repetition_stats,
-        "repetition_gopher_filter": _q_repetition_filter,
-        "gopher_quality_stats": _q_gopher_quality_stats,
-        "gopher_quality_filter": _q_gopher_quality_filter,
-        "c4_filter": _q_c4_filter,
-        "dsir_logweights": _q_dsir_logweights,
-        "dsir_resample_topk": _q_dsir_resample,
-        "quality_classifier_score": _q_quality_classifier,
-        "semdedup_marks": _q_semdedup,
-        "mixture_sample_marks": _q_mixture_sample,
-        "shard_shuffle_marks": _q_shard_shuffle,
-        "surrogate_key_rank": _q_surrogate_key,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "decontamination_marks": _q_decontamination,
-        "pii_redaction": _q_pii_redaction,
-        "token_shard_packing": _q_token_shard_packing,
-        "pack_sequences_spans": _q_pack_sequences,
-        "span_dedup_stats": _q_span_dedup_stats,
-        "warc_round_trip": _q_warc_round_trip,
-        "lm_perplexity": _q_lm_perplexity,
-        "knn_sq8_topk": _q_sq8_topk,
-        "text_quality_score": _q_text_quality,
-        "text_language_id": _q_lang_id,
-        "text_fingerprint": _q_fingerprint,
-        "dedup_embedding_cosine": _q_embedding_near_dup,
-        "text_bpe_token_count": _q_bpe_token_count,
-        "bpe_word_histogram": _q_bpe_word_histogram,
-        "bpe_top_pairs": _q_bpe_top_pairs,
-        "web_url_dedup": _q_web_url_dedup,
-        "web_domain_stats": _q_web_domain_stats,
     }
 
 

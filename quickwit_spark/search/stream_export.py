@@ -160,25 +160,91 @@ def write_rowbinary(
     partition_by: str | None = None,
 ) -> dict[str, int]:
     """Assemble RowBinary file(s) under `path`: one `<value>.bin` per
-    partition value (or `all.bin`). → {file: rows written}."""
-    import os
+    partition value (or `all.bin`). → {file: rows written}.
 
-    os.makedirs(path, exist_ok=True)
-    chunks = rowbinary_chunks(df, columns, partition_by).collect()
+    Distributed: executors stream their encoded chunks straight into
+    per-task part files under `path/_parts/` (never through the
+    driver — this is the API whose contract is "export EVERY matching
+    doc", so chunk bytes must not funnel through one process); the
+    driver collects only the tiny (part-file, partition-value, rows)
+    manifest and concatenates part files in deterministic
+    (partition-id, chunk) order, which byte-matches the previous
+    single-writer output. `path` must be storage every executor can
+    reach (same contract as any Spark writer — local FS under
+    local[*], shared FS/object store on a cluster)."""
+    import os
+    import shutil
+
+    parts_dir = os.path.join(path, "_parts")
+    os.makedirs(parts_dir, exist_ok=True)
+    chunks = rowbinary_chunks(df, columns, partition_by)
+
+    def write_parts(batches):
+        import os as _os
+
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        handles: dict[str, object] = {}
+        rows: dict[str, int] = {}
+        fname: dict[str, str] = {}
+        seq = 0
+        try:
+            for batch in batches:
+                pvals = batch.column("partition").to_pylist()
+                nrows = batch.column("num_rows").to_pylist()
+                blobs = batch.column("chunk")
+                for i, pval in enumerate(pvals):
+                    if pval not in handles:
+                        # partition values may not be filename-safe:
+                        # name parts by (task, seq) and carry the value
+                        # in the manifest instead
+                        name = f"part-{pid:05d}-{seq:05d}.bin"
+                        seq += 1
+                        handles[pval] = open(  # noqa: SIM115
+                            _os.path.join(parts_dir, name), "wb"
+                        )
+                        fname[pval] = name
+                        rows[pval] = 0
+                    handles[pval].write(blobs[i].as_py())
+                    rows[pval] += nrows[i]
+        finally:
+            for h in handles.values():
+                h.close()
+        if rows:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([fname[p] for p in rows], type=pa.string()),
+                    pa.array(list(rows), type=pa.string()),
+                    pa.array([rows[p] for p in rows], type=pa.int64()),
+                ],
+                names=["file", "partition", "num_rows"],
+            )
+
+    manifest = chunks.mapInArrow(
+        write_parts, "file string, partition string, num_rows long"
+    ).collect()
+
     out: dict[str, int] = {}
-    handles: dict[str, object] = {}
+    by_value: dict[str, list] = {}
+    for r in manifest:
+        by_value.setdefault(r["partition"], []).append(r)
     try:
-        for r in sorted(chunks, key=lambda r: r["partition"]):
-            name = f"{r['partition'] or 'all'}.bin"
-            fp = os.path.join(path, name)
-            if fp not in handles:
-                handles[fp] = open(fp, "wb")  # noqa: SIM115
-                out[fp] = 0
-            handles[fp].write(bytes(r["chunk"]))
-            out[fp] += r["num_rows"]
+        for pval in sorted(by_value):
+            fp = os.path.join(path, f"{pval or 'all'}.bin")
+            frags = sorted(by_value[pval], key=lambda r: r["file"])
+            if len(frags) == 1:
+                os.replace(os.path.join(parts_dir, frags[0]["file"]), fp)
+            else:
+                with open(fp, "wb") as dst:
+                    for r in frags:
+                        with open(os.path.join(parts_dir, r["file"]), "rb") as src:
+                            shutil.copyfileobj(src, dst)
+            out[fp] = sum(r["num_rows"] for r in frags)
     finally:
-        for h in handles.values():
-            h.close()
+        shutil.rmtree(parts_dir, ignore_errors=True)
     return out
 
 

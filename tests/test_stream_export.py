@@ -137,6 +137,38 @@ def test_csv_export_partitioned(spark, searcher):
     assert sorted(lines) == sorted(oracle)
 
 
+def test_rowbinary_distributed_writer_bytes(spark):
+    """The executor-side part-file writer must byte-equal the
+    single-writer reference assembly (collect chunks, sort stably by
+    partition value) on multi-partition input, leave no _parts debris,
+    and report per-file row counts."""
+    from quickwit_spark.search.stream_export import (
+        rowbinary_chunks,
+        write_rowbinary,
+    )
+
+    rows = [(i, ["en", "de", "fr"][i % 3], float(i) * 0.5) for i in range(997)]
+    df = spark.createDataFrame(rows, ["k", "lang", "score"]).repartition(7)
+
+    for partition_by in (None, "lang"):
+        ref: dict[str, bytes] = {}
+        refrows: dict[str, int] = {}
+        chunks = rowbinary_chunks(df, ["k", "lang", "score"], partition_by).collect()
+        for r in sorted(chunks, key=lambda r: r["partition"]):
+            name = f"{r['partition'] or 'all'}.bin"
+            ref[name] = ref.get(name, b"") + bytes(r["chunk"])
+            refrows[name] = refrows.get(name, 0) + r["num_rows"]
+
+        out_dir = tempfile.mkdtemp(prefix="qws_rbd_")
+        counts = write_rowbinary(df, ["k", "lang", "score"], out_dir, partition_by)
+        assert not os.path.exists(os.path.join(out_dir, "_parts"))
+        got = {os.path.basename(fp): n for fp, n in counts.items()}
+        assert got == refrows
+        for name, blob in ref.items():
+            with open(os.path.join(out_dir, name), "rb") as f:
+                assert f.read() == blob, name
+
+
 def test_rowbinary_rejects_unsupported(spark):
     from quickwit_spark.search.stream_export import rowbinary_chunks
 
