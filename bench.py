@@ -2,8 +2,17 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "indexing": {docs, mb, secs, docs_per_sec, mb_per_sec, per_core}}
+   "queries": {name: sec, ...},        # best-of-2 in-process (warm)
+   "queries_cold": {name: sec, ...},   # first-pass numbers alongside
+   "sf": ...,
+   "indexing": {docs, mb, secs, docs_per_sec, mb_per_sec, per_core},
+   "merge": {..., secs (min), secs_cold, secs_warm},
+   "scaleup": {replicate, docs, build_secs, queries, query_ratio_vs_base}}
+
+The warm/cold split exists because this microVM's first pass over any
+file is inflated 1.3-2× by a cold page cache (BASELINE.md
+§bench-protocol); committed artifacts carry both so round-over-round
+comparisons use warm minima instead of scheduler luck.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   input dir    (default /root/testdata/sf0.1)
@@ -16,6 +25,10 @@ Env knobs:
       before the timed one (steady-state / long-lived-cluster mode;
       default off for comparability with earlier rounds). Recorded in
       the output as "warm".
+  QWS_BENCH_SCALEUP=0  skip the 10× stress point (on by default;
+      QWS_BENCH_SCALEUP_REPLICATE sets its corpus factor, default 400
+      ≈ 2 M docs — catches O(corpus) driver steps the ~1.2 s
+      scheduling floor hides at the default size).
 
 `python bench.py --scaling` additionally re-runs the indexing job in
 subprocesses at cores=8 and cores=32 on identical input and reports
@@ -90,7 +103,12 @@ def bench_corpus(spark, sf_dir: str, replicate: int):
     return big, n * replicate
 
 
-def run_index_bench(cores: int, out_json: str | None = None, record: str = "freq") -> dict:
+def run_index_bench(
+    cores: int,
+    out_json: str | None = None,
+    record: str = "freq",
+    replicate: int | None = None,
+) -> dict:
     from quickwit_spark.index.builder import FieldConfig, IndexConfig, build_index
     from quickwit_spark.session import get_spark
 
@@ -104,7 +122,7 @@ def run_index_bench(cores: int, out_json: str | None = None, record: str = "freq
         shuffle_partitions=cores,
         extra_conf={"spark.task.cpus": "2"} if cores >= 16 else None,
     )
-    gen, ndocs = bench_corpus(spark, SF_DIR, REPLICATE)
+    gen, ndocs = bench_corpus(spark, SF_DIR, replicate or REPLICATE)
     # materialize the corpus to a real table first — the timed job reads
     # from storage like the production pipeline reads the Iceberg table
     corpus_dir = tempfile.mkdtemp(prefix=f"qws_bench_corpus_{cores}_")
@@ -157,11 +175,19 @@ def run_index_bench(cores: int, out_json: str | None = None, record: str = "freq
     return res
 
 
-def run_merge_bench(cores: int, slices: int = 12) -> dict:
+def run_merge_bench(cores: int, slices: int = 12, repeats: int = 2) -> dict:
     """Hierarchical merge throughput: `slices` sequential ingest batches
     produce `slices` segments per routing partition (merges only group
     within a partition, like the reference), then StableLog merges them
-    (merge_factor 10) — salted postings re-merge + docmap rewrite."""
+    (merge_factor 10) — salted postings re-merge + docmap rewrite.
+
+    The merge phase runs `repeats` times on identical pristine copies
+    of the pre-merge index IN ONE PROCESS: the first run lands on a
+    cold page cache (on this microVM that inflates it 1.3-2×; see
+    BASELINE.md §bench-protocol), the later runs measure the code.
+    `secs` (the headline) is the min; `secs_cold` is run 1, so the
+    artifact records both instead of whichever the scheduler felt
+    like."""
     from pyspark.sql import functions as F
 
     from quickwit_spark.index import manifest as mf
@@ -189,17 +215,29 @@ def run_merge_bench(cores: int, slices: int = 12) -> dict:
             cfg,
             job_id=f"ing{i:02d}",
         )
-    t0 = time.perf_counter()
-    recs = run_merges(spark, idx_dir)
-    secs = time.perf_counter() - t0
-    merged_docs = sum(r.num_docs for r in recs)
     shutil.rmtree(corpus_dir, ignore_errors=True)
+    times = []
+    recs = []
+    segments_after = 0
+    for rep in range(max(repeats, 1)):
+        work_dir = tempfile.mkdtemp(prefix=f"qws_merge_work_{rep}_")
+        shutil.rmtree(work_dir, ignore_errors=True)
+        shutil.copytree(idx_dir, work_dir)
+        t0 = time.perf_counter()
+        recs = run_merges(spark, work_dir)
+        times.append(time.perf_counter() - t0)
+        segments_after = len(mf.live_segments(work_dir))
+        shutil.rmtree(work_dir, ignore_errors=True)
+    merged_docs = sum(r.num_docs for r in recs)
+    secs = min(times)
     res = {
         "ops": len(recs),
         "docs_merged": merged_docs,
         "secs": round(secs, 3),
+        "secs_cold": round(times[0], 3),
+        "secs_warm": round(min(times[1:] or times), 3),
         "docs_per_sec": round(merged_docs / secs, 1) if secs > 0 else 0.0,
-        "segments_after": len(mf.live_segments(idx_dir)),
+        "segments_after": segments_after,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)
     return res
@@ -246,11 +284,22 @@ def run_query_bench(idx_dir: str, cores: int) -> dict:
     # untimed warmup: spins up python workers + page cache so the first
     # timed query isn't measuring JVM/worker cold start
     s.search(Term("text", "row"), k=10).collect()
+    # two timed passes per query in one process: pass 1 can still hit
+    # cold file pages for that query's postings; the headline is the
+    # min and the cold pass is recorded alongside (BASELINE.md
+    # §bench-protocol — committed artifacts must not encode page-cache
+    # luck in either direction)
     out = {}
+    cold = {}
     for name, fn in qset.items():
         t0 = time.perf_counter()
         fn()
-        out[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(time.perf_counter() - t0, 3)
+    for name, fn in qset.items():
+        t0 = time.perf_counter()
+        fn()
+        out[name] = min(round(time.perf_counter() - t0, 3), cold[name])
+    out["_cold"] = cold  # popped into top-level "queries_cold" by main()
     # warmup-cache (leaf-cache analog): persist the hot term's postings
     # and time the REPEATED query against the in-memory path (first
     # call after caching pays one-time plan/codegen — steady state is
@@ -310,10 +359,16 @@ def run_phrase_bench(idx_dir: str, cores: int) -> dict:
     }
     s.search(Phrase("text", "row scan"), k=10).collect()  # warmup
     out = {}
+    cold = {}
     for name, fn in qset.items():
         t0 = time.perf_counter()
         fn()
-        out[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(time.perf_counter() - t0, 3)
+    for name, fn in qset.items():
+        t0 = time.perf_counter()
+        fn()
+        out[name] = min(round(time.perf_counter() - t0, 3), cold[name])
+    out["_cold"] = cold
     return out
 
 
@@ -441,6 +496,75 @@ def run_dataset_bench(cores: int) -> dict:
     }
 
 
+def run_scaleup_bench(cores: int, base_queries: dict | None = None) -> dict:
+    """One committed stress point at ~10× the default bench corpus
+    (QWS_BENCH_SCALEUP_REPLICATE, default 400 ≈ 2 M docs / 600 MB of
+    text): the ~1.2 s/query floor at the default size is Spark job-
+    scheduling latency, not scan work, so only a larger corpus can
+    reveal an O(corpus) driver step or super-linear query cost. Reports
+    the headline queries (best-of-2 in-process) plus their ratio vs the
+    base-size run — with a 10× corpus a healthy top-k query grows far
+    sub-linearly (term-pruned scan + per-segment top-k), so
+    query_ratio_vs_base ≪ 10 is the pass shape."""
+    import datetime as dt
+
+    from quickwit_spark.query.ast import Bool, FullText, Range, Term, Wildcard
+    from quickwit_spark.search import aggs
+    from quickwit_spark.search.engine import IndexSearcher
+    from quickwit_spark.session import get_spark
+
+    replicate = int(os.environ.get("QWS_BENCH_SCALEUP_REPLICATE", "400"))
+    idx = run_index_bench(cores, replicate=replicate)
+    idx_dir = idx.pop("idx_dir")
+    spark = get_spark("qws_bench", cores=cores, shuffle_partitions=cores)
+    s = IndexSearcher(spark, idx_dir)
+    qset = {
+        "q_hot_term": lambda: s.search(Term("text", "table"), k=10).collect(),
+        "q_rare_term": lambda: s.search(Term("text", "vector"), k=10).collect(),
+        "q_and": lambda: s.search(
+            FullText("text", "table join", "and"), k=10
+        ).collect(),
+        "q_time_filter": lambda: s.search(
+            Bool(
+                must=[Term("text", "query")],
+                filter=[Range("warc_ts", lt=dt.datetime(2024, 1, 10))],
+            ),
+            k=10,
+        ).collect(),
+        "q_wildcard": lambda: s.search(Wildcard("text", "qu*"), k=10).collect(),
+        "q_count": lambda: s.count(Term("text", "table")),
+        "q_agg_terms": lambda: aggs.terms_agg(
+            aggs.matches(s, Term("text", "table"), columns=["lang"]), "lang"
+        ).collect(),
+    }
+    s.search(Term("text", "row"), k=10).collect()  # warmup
+    queries = {}
+    for _pass in range(2):
+        for name, fn in qset.items():
+            t0 = time.perf_counter()
+            fn()
+            secs = round(time.perf_counter() - t0, 3)
+            queries[name] = min(queries.get(name, secs), secs)
+    out = {
+        "replicate": replicate,
+        "docs": idx["docs"],
+        "mb": idx["mb"],
+        "build_secs": idx["secs"],
+        "build_mb_per_sec": idx["mb_per_sec"],
+        "queries": queries,
+    }
+    if base_queries:
+        ratios = {
+            name: round(queries[name] / base_queries[name], 2)
+            for name in queries
+            if base_queries.get(name)
+        }
+        out["query_ratio_vs_base"] = ratios
+        out["corpus_ratio_vs_base"] = round(replicate / REPLICATE, 1)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return out
+
+
 def main():
     if "--scaling" in sys.argv:
         print(json.dumps(scaling_report(), indent=2))
@@ -459,10 +583,17 @@ def main():
     idx_dir = idx.pop("idx_dir")
     merge = run_merge_bench(CPUS)
     queries = run_query_bench(idx_dir, CPUS)
+    queries_cold = queries.pop("_cold", {})
     idxp = run_index_bench(CPUS, record="position")
     idxp_dir = idxp.pop("idx_dir")
-    queries.update(run_phrase_bench(idxp_dir, CPUS))
+    phrase = run_phrase_bench(idxp_dir, CPUS)
+    queries_cold.update(phrase.pop("_cold", {}))
+    queries.update(phrase)
     shutil.rmtree(idxp_dir, ignore_errors=True)
+    # 10× stress point (skippable for quick local iteration loops)
+    scaleup = None
+    if os.environ.get("QWS_BENCH_SCALEUP", "1") == "1":
+        scaleup = run_scaleup_bench(CPUS, base_queries=queries)
     # NOTE on the north rule's two-cluster-size criterion: the default
     # run does NOT embed an N-vs-4N study — at this corpus size the
     # ratio is dominated by fixed job overhead and microVM steal-time
@@ -479,10 +610,12 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_cold": queries_cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "indexing": idx,
                 "indexing_positions": idxp,
                 "merge": merge,
+                **({"scaleup": scaleup} if scaleup else {}),
                 **load_info,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
