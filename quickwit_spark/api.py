@@ -41,6 +41,7 @@ import re
 import shutil
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 STATE_FILE = "_dynamic_state.json"
@@ -776,11 +777,29 @@ class QuickwitSpark:
     # its reserved metadata names at the top level
     _RESERVED_DOC_FIELDS = frozenset({"_qw_key", "_qw_raw", "_source_json"})
 
+    # batches at or above this size skip the driver-side per-doc
+    # json.loads loop and validate/parse JVM-side instead (the driver
+    # then only ships raw strings); below it the driver loop is cheaper
+    # than a Spark job and gives richer per-doc error messages
+    _DISTRIBUTED_INGEST_MIN = int(
+        os.environ.get("QWS_INGEST_DISTRIBUTED_MIN", "8192")
+    )
+
     def ingest(self, index_id: str, docs: list) -> dict:
         """One NDJSON batch → one committed split set. `docs` are dicts
         or JSON strings. Invalid docs are rejected PER-DOC (reference
         ingest semantics), never aborting the batch: the result carries
-        `rejected` + `errors` when any doc failed to parse."""
+        `rejected` + `errors` when any doc failed to parse.
+
+        Large batches (≥ QWS_INGEST_DISTRIBUTED_MIN, default 8192) go
+        through the distributed path: validation
+        (json_object_keys-based), JSON parsing, and doc wrapping all
+        run JVM-side — the driver never json.loads a document (the
+        reference's ingest v1 parses row-wise server-side, which is
+        fine for a REST endpoint but a hot loop for a driver fed a
+        million-doc list)."""
+        if len(docs) >= self._DISTRIBUTED_INGEST_MIN:
+            return self._ingest_distributed(index_id, docs)
         state = self._state(index_id)
         lines: list[str] = []
         errors: list[dict] = []
@@ -808,6 +827,59 @@ class QuickwitSpark:
             lines.append(line)
         n = self._build(index_id, state, lines)
         self._searchers.pop(index_id, None)  # config may have grown
+        out = {"index_id": index_id, "num_docs": n}
+        if errors:
+            out["rejected"] = len(errors)
+            out["errors"] = errors
+        return out
+
+    def _ingest_distributed(self, index_id: str, docs: list) -> dict:
+        """Large-batch ingest: driver work is one C-speed json.dumps
+        per dict doc (strings pass through untouched); everything else
+        — validity, object-ness and reserved-field checks via
+        `json_object_keys` (NULL for invalid JSON and non-objects),
+        schema inference, parsing, wrapping — runs JVM-side in
+        `_build`. Keys allocate by batch position, so rejected docs
+        leave key holes instead of paying a single-partition
+        row_number to compact them (keys only need uniqueness)."""
+        from pyspark.sql import functions as F
+
+        state = self._state(index_id)
+        lines = [d if isinstance(d, str) else json.dumps(d) for d in docs]
+        df = self.spark.createDataFrame(
+            list(enumerate(lines)), "idx long, line string"
+        )
+        reserved = F.array(
+            *[F.lit(x) for x in sorted(self._RESERVED_DOC_FIELDS)]
+        )
+        checked = df.select(
+            "idx",
+            "line",
+            F.when(
+                F.json_object_keys("line").isNull(),
+                F.lit("invalid JSON or not a JSON object"),
+            )
+            .when(
+                F.arrays_overlap(F.json_object_keys("line"), reserved),
+                F.lit("reserved field name(s)"),
+            )
+            .alias("_err"),
+        ).persist()
+        try:
+            errors = [
+                {"doc": r["idx"], "reason": r["_err"]}
+                for r in checked.filter(F.col("_err").isNotNull())
+                .select("idx", "_err")
+                .orderBy("idx")
+                .collect()
+            ]
+            good = checked.filter(F.col("_err").isNull()).select("idx", "line")
+            n = self._build(
+                index_id, state, None, lines_df=good, n_alloc=len(lines)
+            )
+        finally:
+            checked.unpersist()
+        self._searchers.pop(index_id, None)
         out = {"index_id": index_id, "num_docs": n}
         if errors:
             out["rejected"] = len(errors)
@@ -981,7 +1053,21 @@ class QuickwitSpark:
         with open(path) as f:
             return json.load(f)
 
-    def _build(self, index_id: str, state: dict, lines: list | None) -> int:
+    def _build(
+        self,
+        index_id: str,
+        state: dict,
+        lines: list | None,
+        lines_df=None,
+        n_alloc: int | None = None,
+    ) -> int:
+        """`lines` (small batches) is a Python list wrapped on the
+        driver; `lines_df` (distributed ingest path) is a DataFrame of
+        (idx long, line string) wrapped JVM-side — `n_alloc` is the key
+        span to advance `doc_count` by (original batch size incl.
+        rejected docs: keys allocate by position, so the distributed
+        path leaves holes where docs were rejected instead of paying a
+        single-partition row_number to compact them)."""
         from quickwit_spark.index.builder import build_index
         from quickwit_spark.search.engine import IndexSearcher
         from quickwit_spark.sources.dynamic import (
@@ -1009,29 +1095,70 @@ class QuickwitSpark:
         record = dyn.get("record", "freq")
 
         key0 = int(state["doc_count"])
-        wrapped = [
-            json.dumps({"_qw_key": key0 + i, "_qw_raw": l, "doc": json.loads(l)})
-            for i, l in enumerate(lines or [])
-        ]
+        wrap_tmp = None
+        if lines_df is not None:
+            # distributed wrap: the whole {"_qw_key":k,"_qw_raw":raw,
+            # "doc":doc} envelope is assembled by string concat in the
+            # JVM — the raw line is already valid JSON (pre-validated)
+            # so it splices in verbatim, and its _qw_raw copy is
+            # escaped once via to_json(named_struct(...)) (the result
+            # is {"r":<escaped>}; strip the 5-char prefix + closing
+            # brace). Doc JSON never touches per-row Python.
+            import tempfile as _tempfile
 
-        # cumulative schema: stored ∪ this batch (additive evolution)
-        if wrapped:
-            batch_schema = spark.read.json(
-                spark.sparkContext.parallelize(wrapped, 1)
-            ).schema
+            esc = (
+                "substring(to_json(named_struct('r', line)), 6, "
+                "length(to_json(named_struct('r', line))) - 6)"
+            )
+            wrapped_col = F.concat(
+                F.lit('{"_qw_key":'),
+                (F.col("idx") + F.lit(key0)).cast("string"),
+                F.lit(',"_qw_raw":'),
+                F.expr(esc),
+                F.lit(',"doc":'),
+                F.col("line"),
+                F.lit("}"),
+            )
+            wrap_tmp = _tempfile.mkdtemp(prefix="qws_ingest_wrap_")
+            lines_df.select(wrapped_col.alias("value")).write.mode(
+                "overwrite"
+            ).text(wrap_tmp)
+            n_wrapped = n_alloc if n_alloc is not None else 0
+            batch_schema = spark.read.json(wrap_tmp).schema
+            if not any(f.name == "doc" for f in batch_schema.fields):
+                # every doc in the batch was rejected → empty input
+                batch_schema = self._empty_schema(specs)
         else:
-            batch_schema = self._empty_schema(specs)
+            wrapped = [
+                json.dumps(
+                    {"_qw_key": key0 + i, "_qw_raw": l, "doc": json.loads(l)}
+                )
+                for i, l in enumerate(lines or [])
+            ]
+            n_wrapped = len(wrapped)
+
+            # cumulative schema: stored ∪ this batch (additive evolution)
+            if wrapped:
+                batch_schema = spark.read.json(
+                    spark.sparkContext.parallelize(wrapped, 1)
+                ).schema
+            else:
+                batch_schema = self._empty_schema(specs)
         if state.get("schema"):
             prev = T.StructType.fromJson(json.loads(state["schema"]))
             schema = merge_schemas(prev, batch_schema)
         else:
             schema = batch_schema
 
-        nested = spark.read.json(
-            spark.sparkContext.parallelize(wrapped or [], 1), schema=schema
-        ).select("_qw_key", "_qw_raw", "doc.*").withColumnRenamed(
-            "_qw_raw", SOURCE_COLUMN
-        )
+        if wrap_tmp is not None:
+            nested_src = spark.read.json(wrap_tmp, schema=schema)
+        else:
+            nested_src = spark.read.json(
+                spark.sparkContext.parallelize(wrapped or [], 1), schema=schema
+            )
+        nested = nested_src.select(
+            "_qw_key", "_qw_raw", "doc.*"
+        ).withColumnRenamed("_qw_raw", SOURCE_COLUMN)
 
         # pin previously-seen paths: typed kinds stay typed (later
         # misfits coerce to null), mixed stays mixed, text stays text
@@ -1089,11 +1216,15 @@ class QuickwitSpark:
         # count is what was actually INDEXED — the builder filters docs
         # whose timestamp field is missing/unparseable, and claiming
         # them as ingested hides silent data loss from the caller
-        state["doc_count"] = key0 + len(wrapped)
+        state["doc_count"] = key0 + n_wrapped
         state["batches"] = int(state["batches"]) + 1
         with open(os.path.join(d, STATE_FILE), "w") as f:
             json.dump(state, f)
-        return sum(r.num_docs for r in recs) if wrapped else 0
+        if wrap_tmp is not None:
+            import shutil as _shutil
+
+            _shutil.rmtree(wrap_tmp, ignore_errors=True)
+        return sum(r.num_docs for r in recs) if n_wrapped else 0
 
     def _empty_schema(self, specs) -> T.StructType:
         # specs.mapped holds LEAF paths only (objects recurse); nested
