@@ -1,0 +1,184 @@
+"""HTTP serving shim: the ES-compatible REST layer over a real socket.
+
+The reference mounts its elasticsearch-compatible API as warp routes
+(qw/quickwit-serve/src/elasticsearch_api/rest_handler.rs:96-294, under
+the `/api/v1/_elastic` prefix); this repo's `search/es_wire.py`
+already replays those wire *semantics* (all 26 reference
+es_compatibility scenario files pass against it), and this module
+makes them consumable by real HTTP clients — curl, elasticsearch-py,
+Kibana-style dashboards — with zero extra dependencies: a stdlib
+`ThreadingHTTPServer` dispatching every request to
+`EsWireHandler.request`.
+
+Route prefixing matches the reference: both bare ES paths
+(`/my-index/_search`) and the reference's mounted form
+(`/api/v1/_elastic/my-index/_search`) resolve to the same handler.
+NDJSON endpoints (`_bulk`, `_msearch`) get their body split into
+lines; everything else parses as a JSON body. `EsApiError` maps to
+its HTTP status with the ES error envelope, exactly like the
+reference's `ElasticsearchError` recovery filter.
+
+Threading: the wire handler is stateless per request apart from the
+scroll registry (which is designed for concurrent searchers — the
+bench drives 9 queries concurrently on one session), so a threading
+server is safe; ONE handler instance lives for the server lifetime so
+scroll contexts survive across requests, while the index map is
+refreshed from the facade per request (new/dropped indexes appear
+without a restart).
+
+This is a single-node convenience front end (the reference's searcher
+process analog). At cluster scale, N of these run behind a load
+balancer, each backed by the same shared index storage — the engine
+itself stays on Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from quickwit_spark.search.es_wire import EsApiError, EsWireHandler
+
+_ELASTIC_PREFIX = "/api/v1/_elastic"
+
+
+class EsHttpServer:
+    """Lifecycle wrapper: `start()` serves on a daemon thread,
+    `stop()` shuts the socket down. `port` is the bound port (pass 0
+    to let the OS pick — the pytest mode)."""
+
+    def __init__(
+        self,
+        handler: EsWireHandler | None = None,
+        facade=None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        if handler is None:
+            if facade is None:
+                raise ValueError("serve: need an EsWireHandler or a facade")
+            handler = facade.es()
+        self.wire = handler
+        self.facade = facade
+        server = self
+
+        class _Request(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *args):  # quiet: no stderr per request
+                pass
+
+            def _dispatch(self, method: str) -> None:
+                try:
+                    length = int(self.headers.get("Content-Length") or 0)
+                    raw = self.rfile.read(length) if length else b""
+                    result = server.handle(method, self.path, raw)
+                    payload = json.dumps(result).encode("utf-8")
+                    status = 200
+                except EsApiError as e:
+                    payload = json.dumps(e.response()).encode("utf-8")
+                    status = e.status
+                except Exception as e:  # noqa: BLE001 — server must answer
+                    payload = json.dumps(
+                        {"status": 500, "error": {"reason": str(e)}}
+                    ).encode("utf-8")
+                    status = 500
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):
+                self._dispatch("GET")
+
+            def do_POST(self):
+                self._dispatch("POST")
+
+            def do_PUT(self):
+                self._dispatch("PUT")
+
+            def do_DELETE(self):
+                self._dispatch("DELETE")
+
+        self._httpd = ThreadingHTTPServer((host, port), _Request)
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ wire
+
+    def handle(self, method: str, path: str, raw_body: bytes) -> dict:
+        """One HTTP request → wire handler call. Separated from the
+        socket layer so it is unit-testable without a port."""
+        if path.startswith(_ELASTIC_PREFIX):
+            path = path[len(_ELASTIC_PREFIX):] or "/"
+        endpoint = path.lstrip("/")
+        if self.facade is not None:
+            # live index view, persistent scroll registry
+            self.wire.indexes = {
+                n: self.facade.searcher(n)
+                for n in self.facade.list_indexes()
+            }
+        route = endpoint.partition("?")[0].rstrip("/").rsplit("/", 1)[-1]
+        body = None
+        ndjson = None
+        if route in ("_bulk", "_msearch"):
+            lines = [
+                ln
+                for ln in raw_body.decode("utf-8").splitlines()
+                if ln.strip()
+            ]
+            if route == "_msearch":
+                # the wire layer takes parsed header/body dicts here
+                # (but raw lines for _bulk, whose parser owns per-line
+                # error positions)
+                try:
+                    ndjson = [json.loads(ln) for ln in lines]
+                except json.JSONDecodeError as e:
+                    raise EsApiError(
+                        400, f"invalid NDJSON line: {e}"
+                    ) from e
+            else:
+                ndjson = lines
+        elif raw_body.strip():
+            try:
+                body = json.loads(raw_body)
+            except json.JSONDecodeError as e:
+                raise EsApiError(400, f"invalid JSON body: {e}") from e
+        return self.wire.request(method, endpoint, body=body, ndjson=ndjson)
+
+    # ------------------------------------------------------------ lifecycle
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "EsHttpServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    def __enter__(self) -> "EsHttpServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def serve(facade, host: str = "127.0.0.1", port: int = 0) -> EsHttpServer:
+    """Start serving a facade's indexes over HTTP; returns the running
+    server (stop() it when done)."""
+    return EsHttpServer(facade=facade, host=host, port=port).start()

@@ -1,0 +1,164 @@
+"""HTTP serving shim: real clients over a real socket against the ES
+wire layer (reference rest_handler.rs route surface)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from quickwit_spark.api import QuickwitSpark
+from quickwit_spark.serve import serve
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    qw = QuickwitSpark(spark, str(tmp_path_factory.mktemp("qw_http")))
+    qw.create_index(
+        {
+            "index_id": "logs",
+            "doc_mapping": {
+                "mode": "dynamic",
+                "dynamic_mapping": {"tokenizer": "default", "fast": True},
+            },
+        }
+    )
+    qw.ingest(
+        "logs",
+        [
+            {"msg": f"event {i} level {'error' if i % 5 == 0 else 'info'}",
+             "n": i}
+            for i in range(60)
+        ],
+    )
+    srv = serve(qw)
+    yield srv
+    srv.stop()
+
+
+def _call(server, method, path, data=None, ndjson=False):
+    body = None
+    headers = {}
+    if data is not None:
+        if ndjson:
+            body = data.encode("utf-8")
+            headers["Content-Type"] = "application/x-ndjson"
+        else:
+            body = json.dumps(data).encode("utf-8")
+            headers["Content-Type"] = "application/json"
+    req = urllib.request.Request(
+        server.url + path, data=body, method=method, headers=headers
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_cluster_banner_and_prefix_mount(server):
+    status, banner = _call(server, "GET", "/")
+    assert status == 200 and "cluster_name" in banner
+    status2, banner2 = _call(server, "GET", "/api/v1/_elastic/")
+    assert status2 == 200 and banner2["cluster_name"] == banner["cluster_name"]
+
+
+def test_search_over_http(server):
+    status, resp = _call(
+        server,
+        "POST",
+        "/logs/_search",
+        {"query": {"match": {"msg": "error"}}, "size": 5},
+    )
+    assert status == 200
+    assert resp["hits"]["total"]["value"] == 12
+    assert len(resp["hits"]["hits"]) == 5
+    # GET with query-string q= route
+    status, resp2 = _call(server, "GET", "/logs/_search?q=msg:error&size=3")
+    assert status == 200 and len(resp2["hits"]["hits"]) == 3
+
+
+def test_msearch_over_http(server):
+    lines = [
+        json.dumps({"index": "logs"}),
+        json.dumps({"query": {"match": {"msg": "error"}}, "size": 0}),
+        json.dumps({"index": "logs"}),
+        json.dumps({"query": {"match": {"msg": "info"}}, "size": 0}),
+    ]
+    status, resp = _call(
+        server, "POST", "/_msearch", "\n".join(lines) + "\n", ndjson=True
+    )
+    assert status == 200
+    totals = [r["hits"]["total"]["value"] for r in resp["responses"]]
+    assert totals == [12, 48]
+
+
+def test_bulk_over_http(server):
+    lines = [
+        json.dumps({"index": {"_index": "logs"}}),
+        json.dumps({"msg": "bulked via http", "n": 1000}),
+        json.dumps({"index": {"_index": "logs"}}),
+        json.dumps({"msg": "bulked via http too", "n": 1001}),
+    ]
+    status, resp = _call(
+        server, "POST", "/_bulk", "\n".join(lines) + "\n", ndjson=True
+    )
+    assert status == 200
+    assert resp["errors"] is False
+    assert len(resp["items"]) == 2
+    status, search = _call(
+        server, "POST", "/logs/_search",
+        {"query": {"match": {"msg": "bulked"}}},
+    )
+    assert search["hits"]["total"]["value"] == 2
+
+
+def test_scroll_over_http(server):
+    status, first = _call(
+        server,
+        "POST",
+        "/logs/_search?scroll=1m",
+        {"query": {"match": {"msg": "info"}}, "size": 20},
+    )
+    assert status == 200
+    sid = first["_scroll_id"]
+    seen = {h["_id"] for h in first["hits"]["hits"]}
+    while True:
+        status, page = _call(
+            server, "POST", "/_search/scroll",
+            {"scroll": "1m", "scroll_id": sid},
+        )
+        assert status == 200
+        hits = page["hits"]["hits"]
+        if not hits:
+            break
+        ids = {h["_id"] for h in hits}
+        assert not ids & seen  # scroll never repeats a doc
+        seen |= ids
+        sid = page["_scroll_id"]
+    assert len(seen) == 48
+
+
+def test_error_envelope_and_statuses(server):
+    status, resp = _call(server, "GET", "/nope/_search")
+    assert status == 404
+    assert "error" in resp
+    status, resp = _call(server, "DELETE", "/_msearch")
+    assert status in (400, 405)
+    status, resp = _call(
+        server, "POST", "/logs/_search", {"query": {"bogus_kind": {}}}
+    )
+    assert status == 400
+    # malformed JSON body → 400, not a 500
+    req = urllib.request.Request(
+        server.url + "/logs/_search",
+        data=b"{not json",
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            status = r.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
