@@ -2222,6 +2222,32 @@ def _q_otlp_traces_topk(spark, sf_dir):
     )
 
 
+def _q_vrl_transform(spark, sf_dir):
+    """A reference-style VRL transform script (vrl_processing.rs;
+    source-config.md:248-289 syntax) compiled to Column steps by
+    sources/vrl.py and run over the events table: derive (upcase,
+    arithmetic), parse_json + variant extraction, del. The oracle
+    recreates each derivation in SQL, so the tokenizer, expression
+    lowering, and variant path all value-hash."""
+    from quickwit_spark.sources.vrl import compile_vrl
+
+    t = compile_vrl(
+        """
+        .etype = upcase(string!(.event_type))
+        .k = to_int!(parse_json!(.props)["k"])
+        .value2 = .value * 2
+        del(.props)
+        """
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value", "props"
+    )
+    out = t(ev)
+    return out.select(
+        "event_id", "etype", "k", F.round("value2", 6).alias("value2")
+    )
+
+
 def _rep_web_text(docs):
     """Deterministically injects line/paragraph breaks into the
     single-line documents corpus (every ``' value '`` becomes a newline,
@@ -3823,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-checked — and rotated each round so every gate earns a
         # CORRECTNESS_rN row within 2-3 rounds (VERDICT r3 item 1).
         "otlp_logs_count": _q_otlp_logs_count,
+        "vrl_transform_pipeline": _q_vrl_transform,
         "otlp_traces_topk": _q_otlp_traces_topk,
         "agg_nested_two_levels": _q_agg_nested,
         "agg_nested_three_levels": _q_agg_nested3,
@@ -3945,6 +3972,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "vrl_transform_pipeline": """
+SELECT event_id,
+       upper(event_type) AS etype,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       ROUND(value * 2, 6) AS value2
+FROM events
+""",
         "otlp_logs_count": """
 SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
        CAST(CASE WHEN event_type = 'error' THEN 17 ELSE 9 END AS BIGINT)
