@@ -44,6 +44,33 @@ FROM documents
 """
 
 
+def read_corpus_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Input-table resolver for the engine's contract input (an
+    Iceberg table of web pages with columns url/warc_ts/html/text/
+    lang). Accepted forms:
+
+      "iceberg:db.table" / "catalog.db.table" / any dotted name with
+          no path separator → `spark.table(...)`: with the standard
+          Iceberg catalog confs (`spark.sql.catalog.<name>` +
+          `--packages org.apache.iceberg:iceberg-spark-runtime-...`)
+          this IS an Iceberg scan — snapshot isolation, hidden
+          partitioning, file pruning all come from the catalog, no
+          engine change needed. This runtime image carries no Iceberg
+          jar, so tests resolve through temp views instead.
+      "parquet:/path" or any path-like string → `spark.read.parquet`,
+          the sandbox stand-in with identical column semantics.
+
+    Every downstream operator takes the returned DataFrame, so the
+    Iceberg↔parquet choice stays entirely inside this function."""
+    if ref.startswith("iceberg:"):
+        return spark.table(ref[len("iceberg:"):])
+    if ref.startswith("parquet:"):
+        return spark.read.parquet(ref[len("parquet:"):])
+    if "/" not in ref and "\\" not in ref:
+        return spark.table(ref)
+    return spark.read.parquet(ref)
+
+
 def web_corpus(spark: SparkSession, sf_dir: str, with_html: bool = False) -> DataFrame:
     """documents.parquet → (doc_id, url, warc_ts, [html,] text, lang)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

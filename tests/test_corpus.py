@@ -85,3 +85,23 @@ def test_warc_gzip_and_foreign_records(spark, tmp_path):
     assert got == [("https://x.example/", "2024-01-01T00:00:00Z", 200,
                     b"<p>hi</p>")]
     assert list(_parse_warc(gzip.compress(blob))) == got
+
+
+def test_read_corpus_table_resolves_tables_and_paths(spark, sf_dir):
+    """The north-rule input is an Iceberg TABLE; the resolver must
+    accept catalog table names (spark.table — an Iceberg scan once the
+    catalog confs are set) and parquet paths interchangeably."""
+    from quickwit_spark.sources.corpus import read_corpus_table
+
+    path = f"{sf_dir}/documents.parquet"
+    by_path = read_corpus_table(spark, path)
+    by_scheme = read_corpus_table(spark, f"parquet:{path}")
+    assert by_path.count() == by_scheme.count() > 0
+
+    spark.read.parquet(path).createOrReplaceTempView("corpus_tbl")
+    try:
+        by_name = read_corpus_table(spark, "corpus_tbl")
+        assert by_name.count() == by_path.count()
+        assert set(by_name.columns) == set(by_path.columns)
+    finally:
+        spark.catalog.dropTempView("corpus_tbl")
