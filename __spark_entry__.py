@@ -2222,6 +2222,25 @@ def _q_otlp_traces_topk(spark, sf_dir):
     )
 
 
+def _q_find_trace_ids(spark, sf_dir):
+    """Jaeger FindTraceIDs analog (find_trace_ids_collector.rs): spans
+    derived from events (trace = user, span ts = event ts) filtered to
+    one span kind, then the 10 most recent traces each with its latest
+    matching span timestamp — groupBy-max + top-k, the collector's
+    "top k with duplicates" shape. Oracle recreates the dedup/order/
+    tie-break in SQL."""
+    from quickwit_spark.search.trace_queries import find_trace_ids
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.filter(F.col("event_type") == "click").select(
+        F.format_string("%032x", F.col("user_id")).alias("trace_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias(
+            "span_start_timestamp_nanos"
+        ),
+    )
+    return find_trace_ids(spans, 10)
+
+
 def _q_vrl_transform(spark, sf_dir):
     """A reference-style VRL transform script (vrl_processing.rs;
     source-config.md:248-289 syntax) compiled to Column steps by
@@ -3850,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_rN row within 2-3 rounds (VERDICT r3 item 1).
         "otlp_logs_count": _q_otlp_logs_count,
         "vrl_transform_pipeline": _q_vrl_transform,
+        "find_trace_ids_topk": _q_find_trace_ids,
         "otlp_traces_topk": _q_otlp_traces_topk,
         "agg_nested_two_levels": _q_agg_nested,
         "agg_nested_three_levels": _q_agg_nested3,
@@ -3978,6 +3998,15 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        ROUND(value * 2, 6) AS value2
 FROM events
+""",
+        "find_trace_ids_topk": """
+SELECT printf('%032x', user_id) AS trace_id,
+       MAX(epoch_us(ts) * 1000) AS span_timestamp
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+ORDER BY span_timestamp DESC, trace_id
+LIMIT 10
 """,
         "otlp_logs_count": """
 SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
