@@ -423,3 +423,40 @@ def test_web_pipeline_job_end_to_end(
     ds = spark.read.parquet(report["dataset_dir"])
     assert "token_ids" in ds.columns
     assert ds.count() == report["sequences"]
+
+
+def test_serve_job_answers_http(tmp_path_factory, monkeysession, spark):
+    """jobs/serve_job.py: the spark-submit HTTP entry point boots a
+    live server over a facade root and answers ES routes."""
+    import json as _json
+    import urllib.request
+
+    from quickwit_spark.api import QuickwitSpark
+
+    root = str(tmp_path_factory.mktemp("serve_root"))
+    qw = QuickwitSpark(spark, root)
+    qw.create_index(
+        {"index_id": "svc", "doc_mapping": {"mode": "dynamic",
+         "dynamic_mapping": {"tokenizer": "default", "fast": True}}}
+    )
+    qw.ingest("svc", [{"msg": "served doc"}])
+
+    import jobs.serve_job as sj
+
+    monkeysession.setattr(
+        sys, "argv",
+        ["serve_job.py", "--index-root", root, "--port", "0", "--cores", "4"],
+    )
+    server = sj.main(wait=False)
+    try:
+        with urllib.request.urlopen(server.url + "/", timeout=60) as r:
+            assert "cluster_name" in _json.loads(r.read())
+        body = _json.dumps({"query": {"match": {"msg": "served"}}}).encode()
+        req = urllib.request.Request(
+            server.url + "/svc/_search", data=body, method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert _json.loads(r.read())["hits"]["total"]["value"] == 1
+    finally:
+        server.stop()
