@@ -107,3 +107,47 @@ def test_segment_filter_scales_past_in_literal_cap(searcher):
     assert "LeftSemi" in big and "BroadcastHashJoin" in big
     # and no giant literal list survives in the plan text
     assert "seg001400" not in big
+
+
+def test_round4_surfaces_stay_vectorized(spark):
+    """The round-4 inputs keep the UDF discipline: OTLP parsing is
+    Arrow-batched (MapInArrow, never row-at-a-time BatchEvalPython);
+    the kafka record→doc projection and compiled VRL transforms are
+    pure Column plans (no Python at all, codegen applies); the
+    FindTraceIds collector is a partial-agg + top-k, not a window."""
+    import json as _json
+
+    from quickwit_spark.sources.kafka import kafka_records_to_docs
+    from quickwit_spark.sources.otlp import otlp_logs_docs
+    from quickwit_spark.sources.vrl import compile_vrl
+    from quickwit_spark.search.trace_queries import find_trace_ids
+
+    payloads = spark.createDataFrame(
+        [(_json.dumps({"resourceLogs": []}),)], ["payload"]
+    )
+    otlp_plan = _plan(otlp_logs_docs(payloads))
+    assert "MapInArrow" in otlp_plan
+    assert "BatchEvalPython" not in otlp_plan
+
+    records = spark.createDataFrame(
+        [(bytearray(b'{"a": 1}'), 0, 0)], "value binary, partition int, offset long"
+    )
+    kafka_plan = _plan(kafka_records_to_docs(records, "a long"))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "MapInPandas"):
+        assert node not in kafka_plan, node
+    assert "codegen" in kafka_plan  # from_json runs inside codegen
+
+    t = compile_vrl('.b = upcase(string!(.a))\ndel(.a)')
+    vrl_plan = _plan(t(spark.createDataFrame([("x",)], ["a"])))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "MapInPandas"):
+        assert node not in vrl_plan, node
+
+    spans = spark.createDataFrame(
+        [("t1", 5), ("t1", 9), ("t2", 7)],
+        "trace_id string, span_start_timestamp_nanos long",
+    )
+    trace_plan = _plan(find_trace_ids(spans, 2))
+    assert "HashAggregate" in trace_plan
+    assert "partial_max" in trace_plan  # map-side combine before shuffle
+    assert "TakeOrderedAndProject" in trace_plan
+    assert "Window" not in trace_plan
