@@ -590,6 +590,11 @@ def main():
     queries_cold.update(phrase.pop("_cold", {}))
     queries.update(phrase)
     shutil.rmtree(idxp_dir, ignore_errors=True)
+    # headline wall closes HERE: the scale-up stress point is a
+    # separate measurement, not part of the round-over-round
+    # "index_build_plus_query_wall_sec" series (folding it in would
+    # read as a huge regression vs earlier rounds' artifacts)
+    total = round(time.perf_counter() - t_all, 3)
     # 10× stress point (skippable for quick local iteration loops)
     scaleup = None
     if os.environ.get("QWS_BENCH_SCALEUP", "1") == "1":
@@ -601,7 +606,6 @@ def main():
     # minutes apart). The authoritative evidence is the 2.4 GB
     # best-of-2 study behind `--scaling`, recorded in BASELINE.md
     # §scaling together with the virtualized-fault-path analysis.
-    total = round(time.perf_counter() - t_all, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -855,7 +855,20 @@ class QuickwitSpark:
         checked = df.select(
             "idx",
             "line",
+            # NDJSON discipline: the distributed path splices each raw
+            # line into a one-line JSON envelope, so a doc spanning
+            # lines can't ride through it — reject loudly (the driver
+            # path tolerates multi-line JSON strings; callers feeding
+            # 10^4+ docs are feeding NDJSON anyway)
             F.when(
+                F.contains("line", F.lit("\n"))
+                | F.contains("line", F.lit("\r")),
+                F.lit(
+                    "embedded newline (distributed ingest requires "
+                    "one-line NDJSON docs)"
+                ),
+            )
+            .when(
                 F.json_object_keys("line").isNull(),
                 F.lit("invalid JSON or not a JSON object"),
             )
@@ -874,9 +887,23 @@ class QuickwitSpark:
                 .collect()
             ]
             good = checked.filter(F.col("_err").isNull()).select("idx", "line")
+            late_rejects: list = []
             n = self._build(
-                index_id, state, None, lines_df=good, n_alloc=len(lines)
+                index_id,
+                state,
+                None,
+                lines_df=good,
+                n_alloc=len(lines),
+                reject_sink=late_rejects,
             )
+            errors.extend(
+                {
+                    "doc": idx,
+                    "reason": "invalid JSON (whole-line parse failed)",
+                }
+                for idx in late_rejects
+            )
+            errors.sort(key=lambda e: e["doc"])
         finally:
             checked.unpersist()
         self._searchers.pop(index_id, None)
@@ -1060,6 +1087,7 @@ class QuickwitSpark:
         lines: list | None,
         lines_df=None,
         n_alloc: int | None = None,
+        reject_sink: list | None = None,
     ) -> int:
         """`lines` (small batches) is a Python list wrapped on the
         driver; `lines_df` (distributed ingest path) is a DataFrame of
@@ -1096,6 +1124,7 @@ class QuickwitSpark:
 
         key0 = int(state["doc_count"])
         wrap_tmp = None
+        cached_src = None
         if lines_df is not None:
             # distributed wrap: the whole {"_qw_key":k,"_qw_raw":raw,
             # "doc":doc} envelope is assembled by string concat in the
@@ -1125,6 +1154,21 @@ class QuickwitSpark:
             ).text(wrap_tmp)
             n_wrapped = n_alloc if n_alloc is not None else 0
             batch_schema = spark.read.json(wrap_tmp).schema
+            # a line whose spliced doc has trailing garbage (valid
+            # object + extra tokens passes json_object_keys but not a
+            # strict whole-line parse) makes the WHOLE envelope line
+            # corrupt: inference then surfaces a corrupt-record column,
+            # which must never leak into the persisted index schema
+            corrupt_col = spark.conf.get(
+                "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+            )
+            has_corrupt = any(
+                f.name == corrupt_col for f in batch_schema.fields
+            )
+            if has_corrupt:
+                batch_schema = T.StructType(
+                    [f for f in batch_schema.fields if f.name != corrupt_col]
+                )
             if not any(f.name == "doc" for f in batch_schema.fields):
                 # every doc in the batch was rejected → empty input
                 batch_schema = self._empty_schema(specs)
@@ -1151,7 +1195,40 @@ class QuickwitSpark:
             schema = batch_schema
 
         if wrap_tmp is not None:
-            nested_src = spark.read.json(wrap_tmp, schema=schema)
+            read_schema = schema
+            if has_corrupt:
+                read_schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(corrupt_col, T.StringType())]
+                )
+            nested_src = spark.read.json(wrap_tmp, schema=read_schema)
+            if has_corrupt:
+                # Spark documents that referencing the corrupt-record
+                # column in a filter over a raw JSON scan is undefined
+                # (the filter is pushed into the parse); the sanctioned
+                # pattern is to materialize the parsed result first
+                nested_src = nested_src.persist()
+                cached_src = nested_src
+                # truly-unparseable line: whole-record parse failed, so
+                # even the envelope's own _qw_key is null (a mere field
+                # TYPE conflict still parses the key and is kept with
+                # nulled fields, like the driver path's coercion)
+                dead = F.col(corrupt_col).isNotNull() & F.col(
+                    "_qw_key"
+                ).isNull()
+                if reject_sink is not None:
+                    for r in (
+                        nested_src.filter(dead)
+                        .select(
+                            F.regexp_extract(
+                                corrupt_col, r'"_qw_key":(\d+)', 1
+                            ).alias("k")
+                        )
+                        .collect()
+                    ):
+                        if r["k"]:
+                            reject_sink.append(int(r["k"]) - key0)
+                nested_src = nested_src.filter(~dead).drop(corrupt_col)
         else:
             nested_src = spark.read.json(
                 spark.sparkContext.parallelize(wrapped or [], 1), schema=schema
@@ -1220,6 +1297,8 @@ class QuickwitSpark:
         state["batches"] = int(state["batches"]) + 1
         with open(os.path.join(d, STATE_FILE), "w") as f:
             json.dump(state, f)
+        if cached_src is not None:
+            cached_src.unpersist()
         if wrap_tmp is not None:
             import shutil as _shutil
 

@@ -228,13 +228,18 @@ def write_rowbinary(
     ).collect()
 
     out: dict[str, int] = {}
-    by_value: dict[str, list] = {}
+    # group by FINAL FILENAME, not partition value: '' and the literal
+    # string 'all' both render to all.bin and must append (like the old
+    # shared-handle writer), not overwrite each other
+    by_name: dict[str, list] = {}
     for r in manifest:
-        by_value.setdefault(r["partition"], []).append(r)
+        by_name.setdefault(f"{r['partition'] or 'all'}.bin", []).append(r)
     try:
-        for pval in sorted(by_value):
-            fp = os.path.join(path, f"{pval or 'all'}.bin")
-            frags = sorted(by_value[pval], key=lambda r: r["file"])
+        for name, frags in sorted(by_name.items()):
+            fp = os.path.join(path, name)
+            # (partition value, part file) order = the previous
+            # single-writer's stable sort-by-value then task order
+            frags = sorted(frags, key=lambda r: (r["partition"], r["file"]))
             if len(frags) == 1:
                 os.replace(os.path.join(parts_dir, frags[0]["file"]), fp)
             else:

@@ -114,11 +114,14 @@ class EsHttpServer:
             path = path[len(_ELASTIC_PREFIX):] or "/"
         endpoint = path.lstrip("/")
         if self.facade is not None:
-            # live index view, persistent scroll registry
-            self.wire.indexes = {
-                n: self.facade.searcher(n)
-                for n in self.facade.list_indexes()
-            }
+            # live index view, persistent scroll registry — but only
+            # pay the per-index state reads when the index SET changed
+            # (one directory listing per request otherwise)
+            names = set(self.facade.list_indexes())
+            if names != set(self.wire.indexes):
+                self.wire.indexes = {
+                    n: self.facade.searcher(n) for n in names
+                }
         route = endpoint.partition("?")[0].rstrip("/").rsplit("/", 1)[-1]
         body = None
         ndjson = None

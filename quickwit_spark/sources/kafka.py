@@ -90,21 +90,21 @@ def kafka_records_to_docs(
     `lineage`, `_kafka_partition`/`_kafka_offset` columns ride along
     so split manifests can record the exact source span a segment
     covers (the SourceCheckpoint analog, queryable after the fact)."""
+    # "unparseable" must mean NOT A JSON OBJECT, never "a valid object
+    # whose fields happen to miss the schema" — the reference ingests
+    # `{}` / `{"unmapped": 1}` as (null-field) docs and only skips
+    # parse errors. from_json can't tell the two apart (both give an
+    # all-null struct under PERMISSIVE), so object-ness is checked
+    # with json_object_keys (NULL for malformed JSON and non-objects).
     parsed = records.filter(
-        F.col("value").isNotNull() & (F.length("value") > 0)
+        F.col("value").isNotNull()
+        & (F.length("value") > 0)
+        & F.json_object_keys(F.col("value").cast("string")).isNotNull()
     ).select(
         F.from_json(F.col("value").cast("string"), schema).alias("doc"),
         "partition",
         "offset",
     )
-    # malformed JSON yields an all-null struct under PERMISSIVE parsing
-    # (not a null struct), so "unparseable" means no schema field was
-    # populated at all — the doc processor's count-and-skip analog
-    doc_fields = parsed.schema["doc"].dataType.fieldNames()
-    any_field = F.lit(False)
-    for field in doc_fields:
-        any_field = any_field | F.col(f"doc.{field}").isNotNull()
-    parsed = parsed.filter(F.col("doc").isNotNull() & any_field)
     out = parsed.select(
         "doc.*",
         F.col("partition").alias("_kafka_partition"),

@@ -82,6 +82,10 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def _write_varint(n: int) -> bytes:
+    if n < 0:
+        # two's-complement handling happens at the field level (i64v);
+        # a negative here would arithmetic-shift forever
+        raise ValueError("varint: negative value reached the wire writer")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -123,7 +127,8 @@ def _len_field(fnum: int, payload: bytes) -> bytes:
 
 
 # Descriptors: {field_number: (name, kind)} with kind ∈
-# {"msg:<Desc>", "rep:<Desc>", "str", "bytes", "u64v" (varint),
+# {"msg:<Desc>", "rep:<Desc>", "str", "bytes", "u64v" (unsigned
+#  varint), "i64v" (int64 varint, two's-complement on the wire),
 #  "f64t" (fixed64 timestamp), "f32" (fixed32), "dbl", "bool"}.
 # Names are the protojson camelCase keys so both decode paths produce
 # the same dict shape.
@@ -133,7 +138,7 @@ _DESCRIPTORS: dict[str, dict[int, tuple[str, str]]] = {
     "AnyValue": {
         1: ("stringValue", "str"),
         2: ("boolValue", "bool"),
-        3: ("intValue", "u64v"),
+        3: ("intValue", "i64v"),
         4: ("doubleValue", "dbl"),
         5: ("arrayValue", "msg:ArrayValue"),
         6: ("kvlistValue", "msg:KeyValueList"),
@@ -237,6 +242,10 @@ def _decode_msg(desc_name: str, buf: bytes) -> dict:
             v = raw.hex()  # protojson for OTLP ids is hex
         elif kind == "u64v":
             v = raw if wt == 0 else int.from_bytes(raw, "little")
+        elif kind == "i64v":
+            v = raw if wt == 0 else int.from_bytes(raw, "little")
+            if v >= 1 << 63:  # int64 negatives arrive as 10-byte varints
+                v -= 1 << 64
         elif kind == "bool":
             v = bool(raw)
         elif kind == "dbl":
@@ -272,14 +281,17 @@ def _encode_msg(desc_name: str, obj: dict) -> bytes:
             out += _len_field(fnum, str(v).encode("utf-8"))
         elif kind == "bytes":
             out += _len_field(fnum, bytes.fromhex(v) if isinstance(v, str) else v)
-        elif kind == "u64v":
-            if isinstance(v, str) and not v.isdigit():
+        elif kind in ("u64v", "i64v"):
+            if isinstance(v, str) and not v.lstrip("-").isdigit():
                 # protojson allows enum *names*; resolve before encoding
                 if v.startswith("SEVERITY_NUMBER_"):
                     v = _severity_number(v)
                 else:
                     v = _SPAN_KINDS.get(v, _STATUS_CODES.get(v, 0))
-            out += _field(fnum, 0, _write_varint(int(v)))
+            v = int(v)
+            if v < 0:
+                v += 1 << 64  # int64 two's-complement wire form
+            out += _field(fnum, 0, _write_varint(v))
         elif kind == "bool":
             out += _field(fnum, 0, _write_varint(1 if v else 0))
         elif kind == "dbl":

@@ -237,7 +237,15 @@ class _Parser:
             self.expect(")")
             return v
         if kind == "string":
-            return _Val(F.lit(tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")))
+            import json as _json
+
+            try:
+                # VRL string escapes are JSON's (\n, \t, \", \\, \uXXXX)
+                return _Val(F.lit(_json.loads(tok)))
+            except ValueError as e:
+                raise VrlCompileError(
+                    f"vrl: bad string literal {tok}: {e}"
+                ) from e
         if kind == "number":
             return _Val(F.lit(float(tok) if "." in tok else int(tok)))
         if kind == "field":

@@ -77,15 +77,23 @@ def test_distributed_path_rejects_per_doc(qw, monkeypatch):
     batch[7] = "{broken json"
     batch[13] = "[1, 2, 3]"  # not an object
     batch[21] = json.dumps({"_qw_key": 1, "msg": "reserved"})
+    # valid object + trailing garbage: passes json_object_keys but NOT
+    # a strict whole-line parse — must be rejected, never silently
+    # corrupted into the envelope
+    batch[30] = '{"msg": "tail"} extra'
+    batch[35] = '{\n"msg": "multiline"}'  # NDJSON discipline
     res = qw.ingest("big", batch)
-    assert res["num_docs"] == 47
-    assert res["rejected"] == 3
-    assert sorted(e["doc"] for e in res["errors"]) == [7, 13, 21]
+    assert res["num_docs"] == 45
+    assert res["rejected"] == 5
+    assert sorted(e["doc"] for e in res["errors"]) == [7, 13, 21, 30, 35]
+    # and none of the rejects leaked into the index or its schema
+    got = qw.search("big", {"query": {"match": {"msg": "tail"}}})
+    assert got["hits"]["total"]["value"] == 0
     # a follow-up batch must keep keys unique despite the holes
     res2 = qw.ingest("big", [json.dumps(d) for d in _docs(20)])
     assert res2["num_docs"] == 20
     total = qw.search("big", {"query": {"match_all": {}}, "size": 0})
-    assert total["hits"]["total"]["value"] == 67
+    assert total["hits"]["total"]["value"] == 65
 
 
 def test_distributed_path_all_rejected(qw, monkeypatch):

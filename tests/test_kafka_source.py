@@ -64,11 +64,19 @@ def test_records_to_docs_skips_empty_and_malformed(spark):
         (None, 0, 100),  # null payload (tombstone)
         (bytearray(b""), 1, 101),  # empty payload: skipped per reference
         (bytearray(b"{not json"), 2, 102),  # parse error: counted+skipped
+        (bytearray(b"[1, 2]"), 0, 103),  # not an object: skipped
+        # valid objects with no schema fields are DOCS, not errors —
+        # the reference ingests them with null fields
+        (bytearray(b"{}"), 1, 104),
+        (bytearray(b'{"unmapped": 1}'), 2, 105),
     ]
     records = spark.createDataFrame(rows, WIRE_SCHEMA)
     docs = kafka_records_to_docs(records, DOC_SCHEMA)
     out = docs.collect()
-    assert len(out) == 10
+    assert len(out) == 12
+    empties = [r for r in out if r["doc_id"] is None]
+    assert {r["_kafka_offset"] for r in empties} == {104, 105}
+    out = [r for r in out if r["doc_id"] is not None]
     assert set(docs.columns) == {
         "doc_id", "text", "_kafka_partition", "_kafka_offset"
     }

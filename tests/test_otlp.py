@@ -274,3 +274,36 @@ def test_unknown_format_rejected(spark):
     df = spark.createDataFrame([("x",)], ["payload"])
     with pytest.raises(ValueError):
         otlp_logs_docs(df, fmt="yaml")
+
+
+def test_negative_int_attributes_protobuf_parity():
+    """int64 negatives are 10-byte two's-complement varints on the
+    wire; decode must sign-extend and encode must not hang."""
+    req = {
+        "resourceLogs": [
+            {
+                "scopeLogs": [
+                    {
+                        "logRecords": [
+                            {
+                                "timeUnixNano": "5",
+                                "attributes": [
+                                    {"key": "delta", "value": {"intValue": -7}},
+                                    {"key": "big", "value": {"intValue": 3}},
+                                ],
+                            }
+                        ]
+                    }
+                ]
+            }
+        ]
+    }
+    from quickwit_spark.sources.otlp import _decode_msg
+
+    wire = encode_logs_request(req)
+    docs_wire = flatten_logs_request(
+        _decode_msg("ExportLogsServiceRequest", wire), 42
+    )
+    docs_json = flatten_logs_request(req, 42)
+    assert docs_wire == docs_json
+    assert json.loads(docs_wire[0]["attributes"]) == {"delta": -7, "big": 3}

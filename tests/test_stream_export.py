@@ -175,3 +175,20 @@ def test_rowbinary_rejects_unsupported(spark):
     df = spark.createDataFrame([(1, True)], ["k", "flag"])
     with pytest.raises(NotImplementedError):
         rowbinary_chunks(df, ["k", "flag"])
+
+
+def test_rowbinary_colliding_filenames_append(spark):
+    """Partition values '' and the literal 'all' both render to
+    all.bin — they must append into one file (old shared-handle
+    semantics), not overwrite each other."""
+    from quickwit_spark.search.stream_export import write_rowbinary
+
+    rows = [(1, ""), (2, "all"), (3, ""), (4, "all")]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    out_dir = tempfile.mkdtemp(prefix="qws_rbc_")
+    counts = write_rowbinary(df, ["k"], out_dir, partition_by="grp")
+    (fp, n), = counts.items()
+    assert os.path.basename(fp) == "all.bin" and n == 4
+    with open(fp, "rb") as f:
+        ks = sorted(_decode_rowbinary(f.read(), ["i8"]))
+    assert ks == [(1,), (2,), (3,), (4,)]

@@ -103,3 +103,13 @@ def test_compile_errors_are_loud():
         compile_vrl("if .a { .b = 1 }")  # outside the subset
     with pytest.raises(VrlCompileError):
         compile_vrl(".x = .y @")  # tokenizer garbage
+
+
+def test_string_escapes_are_real_control_chars(spark):
+    t = compile_vrl('.second = split(.line, "\\t")[1]\n.nl = "\\n"')
+    df = spark.createDataFrame([("a\tb\tc",)], ["line"])
+    r = t(df).collect()[0]
+    assert r["second"] == "b"
+    assert r["nl"] == "\n"
+    with pytest.raises(VrlCompileError):
+        compile_vrl('.x = "\\q"')  # non-JSON escape: loud, not silent
