@@ -2241,6 +2241,58 @@ def _q_find_trace_ids(spark, sf_dir):
     return find_trace_ids(spans, 10)
 
 
+def _jaeger_spans(spark, sf_dir):
+    """events → span rows with reference-shaped fingerprints
+    (service\\x00kind\\x00name) for the Jaeger query gates."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kind = (
+        F.when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "click", 3)
+        .otherwise(1)
+    )
+    return ev.select(
+        F.concat(
+            F.lit("svc-"),
+            (F.col("user_id") % 5).cast("string"),
+        ).alias("service_name"),
+        F.concat(
+            F.lit("svc-"),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit("\x00"),
+            kind.cast("string"),
+            F.lit("\x00"),
+            F.col("event_type"),
+        ).alias("span_fingerprint"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias(
+            "span_start_timestamp_nanos"
+        ),
+    )
+
+
+def _q_jaeger_services(spark, sf_dir):
+    """Jaeger GetServices (qw/quickwit-jaeger/src/lib.rs:89-119):
+    sorted distinct services within a deterministic lookback window.
+    Oracle recreates the window arithmetic + distinct in SQL."""
+    from quickwit_spark.search.trace_queries import get_services
+
+    now_nanos = 1705363200 * 1_000_000_000  # 2024-01-16T00:00:00Z
+    return get_services(
+        _jaeger_spans(spark, sf_dir),
+        lookback_secs=5 * 86400,
+        now_nanos=now_nanos,
+    )
+
+
+def _q_jaeger_operations(spark, sf_dir):
+    """Jaeger GetOperations (lib.rs:122-161): span_fingerprint terms
+    prefix-filtered by service, decoded to (span name, jaeger kind
+    string) pairs — NUL-separator parsing, kind-number→string mapping,
+    distinct and sort all oracle-checked."""
+    from quickwit_spark.search.trace_queries import get_operations
+
+    return get_operations(_jaeger_spans(spark, sf_dir), service="svc-1")
+
+
 def _q_vrl_transform(spark, sf_dir):
     """A reference-style VRL transform script (vrl_processing.rs;
     source-config.md:248-289 syntax) compiled to Column steps by
@@ -3870,6 +3922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_logs_count": _q_otlp_logs_count,
         "vrl_transform_pipeline": _q_vrl_transform,
         "find_trace_ids_topk": _q_find_trace_ids,
+        "jaeger_services": _q_jaeger_services,
+        "jaeger_operations": _q_jaeger_operations,
         "otlp_traces_topk": _q_otlp_traces_topk,
         "agg_nested_two_levels": _q_agg_nested,
         "agg_nested_three_levels": _q_agg_nested3,
@@ -3998,6 +4052,25 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        ROUND(value * 2, 6) AS value2
 FROM events
+""",
+        "jaeger_services": """
+SELECT DISTINCT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS service
+FROM events
+WHERE epoch_us(ts) * 1000 >=
+      CAST(1705363200 AS BIGINT) * 1000000000
+      - CAST(5 * 86400 AS BIGINT) * 1000000000
+ORDER BY service
+LIMIT 1000
+""",
+        "jaeger_operations": """
+SELECT DISTINCT event_type AS name,
+       CASE WHEN event_type = 'error' THEN 'server'
+            WHEN event_type = 'click' THEN 'client'
+            ELSE 'internal' END AS span_kind
+FROM events
+WHERE user_id % 5 = 1
+ORDER BY name, span_kind
+LIMIT 1000
 """,
         "find_trace_ids_topk": """
 SELECT printf('%032x', user_id) AS trace_id,

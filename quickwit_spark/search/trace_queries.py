@@ -33,6 +33,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_JAEGER_KINDS = [
+    "unspecified", "internal", "server", "client", "producer", "consumer",
+]
+_KIND_ALIASES = {
+    **{str(i): i for i in range(6)},
+    **{name: i for i, name in enumerate(_JAEGER_KINDS)},
+    **{f"SPAN_KIND_{name.upper()}": i for i, name in enumerate(_JAEGER_KINDS)},
+}
+
+
+def get_services(
+    spans: DataFrame,
+    lookback_secs: int | None = None,
+    now_nanos: int | None = None,
+    max_hits: int = 1000,
+    service_col: str = "service_name",
+    timestamp_col: str = "span_start_timestamp_nanos",
+) -> DataFrame:
+    """Jaeger GetServices (qw/quickwit-jaeger/src/lib.rs:89-119): the
+    sorted distinct service names among spans in the lookback window,
+    capped at 1000 terms like the reference's ListTerms call. Pass
+    `now_nanos` explicitly for deterministic windows (the reference
+    stamps wall-clock now)."""
+    out = spans
+    if lookback_secs is not None:
+        if now_nanos is None:
+            raise ValueError("get_services: lookback needs now_nanos")
+        out = out.filter(
+            F.col(timestamp_col) >= now_nanos - lookback_secs * 1_000_000_000
+        )
+    return (
+        out.select(F.col(service_col).alias("service"))
+        .where(F.col("service").isNotNull())
+        .distinct()
+        .orderBy("service")
+        .limit(max_hits)
+    )
+
+
+def get_operations(
+    spans: DataFrame,
+    service: str | None = None,
+    span_kind: str | None = None,
+    lookback_secs: int | None = None,
+    now_nanos: int | None = None,
+    max_hits: int = 1000,
+    fingerprint_col: str = "span_fingerprint",
+    timestamp_col: str = "span_start_timestamp_nanos",
+) -> DataFrame:
+    """Jaeger GetOperations (lib.rs:122-161): operations =
+    (span name, jaeger span-kind string) pairs decoded from the
+    span_fingerprint terms (service\\x00kind\\x00name,
+    SpanFingerprint::start_key/end_key prefix range), optionally
+    filtered by service and kind, sorted, capped at 1000. The
+    fingerprint prefix filter IS the reference's term-dictionary
+    [start_key, end_key) range — here it prunes before the distinct's
+    shuffle."""
+    out = spans.select(F.col(fingerprint_col).alias("fp"), timestamp_col)
+    if lookback_secs is not None:
+        if now_nanos is None:
+            raise ValueError("get_operations: lookback needs now_nanos")
+        out = out.filter(
+            F.col(timestamp_col) >= now_nanos - lookback_secs * 1_000_000_000
+        )
+    if service:
+        prefix = service + "\x00"
+        if span_kind is not None and span_kind != "":
+            kind_num = _KIND_ALIASES.get(str(span_kind))
+            if kind_num is not None:
+                prefix += f"{kind_num}\x00"
+        out = out.filter(F.col("fp").startswith(prefix))
+    parts = F.split(F.col("fp"), "\x00")
+    decoded = out.select(
+        F.element_at(parts, 3).alias("name"),
+        F.element_at(parts, 2).cast("int").alias("_kind_num"),
+    ).where(F.col("name").isNotNull() & F.col("_kind_num").isNotNull())
+    kind_str = F.element_at(
+        F.array(*[F.lit(k) for k in _JAEGER_KINDS]),
+        F.col("_kind_num") + 1,
+    )
+    return (
+        decoded.select("name", kind_str.alias("span_kind"))
+        .distinct()
+        .orderBy("name", "span_kind")
+        .limit(max_hits)
+    )
+
+
 def find_trace_ids(
     spans: DataFrame,
     num_traces: int,
