@@ -2293,6 +2293,41 @@ def _q_jaeger_operations(spark, sf_dir):
     return get_operations(_jaeger_spans(spark, sf_dir), service="svc-1")
 
 
+def _q_find_traces(spark, sf_dir):
+    """Jaeger FindTraces two-phase fetch (lib.rs:184-214): tag+service
+    predicate → FindTraceIds winners → broadcast semi-join of ALL the
+    winning traces' spans within the ±max_trace_duration window. The
+    oracle recreates both phases as CTEs, so predicate JSON probing,
+    the winner top-k, the window arithmetic, and the semi-join all
+    value-hash."""
+    from quickwit_spark.search.trace_queries import find_traces
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.select(
+        F.format_string("%032x", F.col("user_id")).alias("trace_id"),
+        F.format_string("%016x", F.col("event_id") + 1).alias("span_id"),
+        F.col("event_type").alias("span_name"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string")).alias(
+            "service_name"
+        ),
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias(
+            "span_start_timestamp_nanos"
+        ),
+        (F.col("event_id") % 50 + 1).alias("span_duration_millis"),
+        F.col("props").alias("span_attributes"),
+        F.lit("{}").alias("resource_attributes"),
+        F.lit(None).cast("string").alias("events"),
+    )
+    out = find_traces(
+        spans, 5, service="svc-3", tags={"k": "42"},
+        max_trace_duration_secs=3600,
+    )
+    return out.select(
+        "trace_id", "span_id", "span_name",
+        "span_start_timestamp_nanos", "span_duration_millis",
+    )
+
+
 def _q_vrl_transform(spark, sf_dir):
     """A reference-style VRL transform script (vrl_processing.rs;
     source-config.md:248-289 syntax) compiled to Column steps by
@@ -3923,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrl_transform_pipeline": _q_vrl_transform,
         "find_trace_ids_topk": _q_find_trace_ids,
         "jaeger_services": _q_jaeger_services,
+        "find_traces_spans": _q_find_traces,
         "jaeger_operations": _q_jaeger_operations,
         "otlp_traces_topk": _q_otlp_traces_topk,
         "agg_nested_two_levels": _q_agg_nested,
@@ -4052,6 +4088,34 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        ROUND(value * 2, 6) AS value2
 FROM events
+""",
+        "find_traces_spans": """
+WITH spans AS (
+  SELECT printf('%032x', user_id) AS trace_id,
+         printf('%016x', event_id + 1) AS span_id,
+         event_type AS span_name,
+         'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+         epoch_us(ts) * 1000 AS ns,
+         CAST(event_id % 50 + 1 AS BIGINT) AS dur,
+         props
+  FROM events
+), matched AS (
+  SELECT * FROM spans
+  WHERE service_name = 'svc-3'
+    AND json_extract_string(props, '$.k') = '42'
+), winners AS (
+  SELECT trace_id, MAX(ns) AS span_timestamp FROM matched GROUP BY 1
+  ORDER BY span_timestamp DESC, trace_id LIMIT 5
+), bounds AS (
+  SELECT MIN(span_timestamp) AS lo, MAX(span_timestamp) AS hi FROM winners
+)
+SELECT s.trace_id, s.span_id, s.span_name,
+       s.ns AS span_start_timestamp_nanos,
+       s.dur AS span_duration_millis
+FROM spans s
+JOIN winners w ON s.trace_id = w.trace_id, bounds b
+WHERE s.ns >= b.lo - CAST(3600 AS BIGINT) * 1000000000
+  AND s.ns <= b.hi + CAST(3600 AS BIGINT) * 1000000000
 """,
         "jaeger_services": """
 SELECT DISTINCT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS service

@@ -33,6 +33,114 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def trace_query_predicate(
+    service: str | None = None,
+    span_kind=None,
+    span_name: str | None = None,
+    tags: dict | None = None,
+    min_start_nanos: int | None = None,
+    max_start_nanos: int | None = None,
+    min_duration_millis: int | None = None,
+    max_duration_millis: int | None = None,
+):
+    """Jaeger TraceQueryParameters → one Column predicate over the
+    flattened span docs (the build_search_query analog,
+    qw/quickwit-jaeger/src/lib.rs:592-700):
+
+      - service/kind/name → equality terms
+      - tag "error"="true"/"false" → span_status.code is/isn't "error"
+        (unset status counts as not-error, like the must_not term)
+      - tag "event" → event-name membership (event_names column)
+      - any other tag k=v → match in resource_attributes OR
+        span_attributes OR any event's event_attributes (the
+        reference's three-way should), values compared as strings via
+        JSON extraction
+      - start window on span_start_timestamp_nanos, duration window on
+        span_duration_millis
+
+    All JSON probing is get_json_object/from_json Column work — the
+    predicate pushes into the span scan."""
+    conds = []
+    if service:
+        conds.append(F.col("service_name") == service)
+    if span_kind is not None and span_kind != "":
+        kind_num = _KIND_ALIASES.get(str(span_kind))
+        if kind_num is not None:
+            conds.append(F.col("span_kind") == kind_num)
+    if span_name:
+        conds.append(F.col("span_name") == span_name)
+    for key, value in sorted((tags or {}).items()):
+        if key == "error" and value == "true":
+            conds.append(
+                F.get_json_object("span_status", "$.code") == "error"
+            )
+        elif key == "error" and value == "false":
+            code = F.get_json_object("span_status", "$.code")
+            conds.append(code.isNull() | (code != "error"))
+        elif key == "event":
+            conds.append(F.array_contains("event_names", value))
+        else:
+            path = f"$.{key}"
+            in_events = F.exists(
+                F.from_json(
+                    F.col("events"),
+                    "array<struct<event_attributes:map<string,string>>>",
+                ),
+                lambda e: e["event_attributes"].getItem(key) == value,
+            )
+            conds.append(
+                (F.get_json_object("resource_attributes", path) == value)
+                | (F.get_json_object("span_attributes", path) == value)
+                | F.coalesce(in_events, F.lit(False))
+            )
+    if min_start_nanos is not None:
+        conds.append(F.col("span_start_timestamp_nanos") >= min_start_nanos)
+    if max_start_nanos is not None:
+        conds.append(F.col("span_start_timestamp_nanos") <= max_start_nanos)
+    if min_duration_millis is not None:
+        conds.append(F.col("span_duration_millis") >= min_duration_millis)
+    if max_duration_millis is not None:
+        conds.append(F.col("span_duration_millis") <= max_duration_millis)
+    pred = F.lit(True)
+    for c in conds:
+        pred = pred & c
+    return pred
+
+
+def find_traces(
+    spans: DataFrame,
+    num_traces: int,
+    max_trace_duration_secs: int = 3600,
+    timestamp_col: str = "span_start_timestamp_nanos",
+    **query,
+) -> DataFrame:
+    """Jaeger FindTraces (lib.rs:184-214): two phases — (1) the
+    predicate + FindTraceIds collector select the `num_traces` most
+    recent matching traces, (2) ALL spans of those traces are fetched
+    within [min winner timestamp - max_trace_duration, max winner
+    timestamp + max_trace_duration] (reference default 3600 s, the
+    assumed max trace length, node_config default_max_trace_duration).
+
+    Spark shape: phase 1 is the groupBy-max top-k; phase 2 is a
+    broadcast LEFT SEMI join on the ≤ num_traces winner ids plus the
+    pushed-down time window — the docs' time column prunes segments
+    the same way the reference narrows its second search."""
+    matched = spans.filter(trace_query_predicate(**query))
+    winners = find_trace_ids(matched, num_traces, timestamp_col=timestamp_col)
+    bounds = winners.agg(
+        F.min("span_timestamp").alias("lo"), F.max("span_timestamp").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return spans.filter(F.lit(False))
+    pad = max_trace_duration_secs * 1_000_000_000
+    return spans.filter(
+        (F.col(timestamp_col) >= bounds["lo"] - pad)
+        & (F.col(timestamp_col) <= bounds["hi"] + pad)
+    ).join(
+        F.broadcast(winners.select("trace_id")), "trace_id", "left_semi"
+    )
+
+
 _JAEGER_KINDS = [
     "unspecified", "internal", "server", "client", "producer", "consumer",
 ]

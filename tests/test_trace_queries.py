@@ -81,3 +81,108 @@ def test_get_operations_decode_and_filters(spans):
         ]
     # a service that prefixes another must not match it
     assert get_operations(spans, service="car").collect() == []
+
+
+@pytest.fixture(scope="module")
+def otlp_span_docs(spark):
+    """Realistic flattened span docs via the OTLP flattener itself."""
+    from quickwit_spark.sources.otlp import (
+        TRACES_DOC_SCHEMA,
+        flatten_traces_request,
+    )
+
+    def span(tid, sid, name, start, dur_ms, attrs=None, status=None,
+             events=None):
+        s = {
+            "traceId": tid, "spanId": sid, "name": name,
+            "kind": 2,
+            "startTimeUnixNano": str(start),
+            "endTimeUnixNano": str(start + dur_ms * 1_000_000),
+        }
+        if attrs:
+            s["attributes"] = [
+                {"key": k, "value": {"stringValue": v}} for k, v in attrs.items()
+            ]
+        if status:
+            s["status"] = status
+        if events:
+            s["events"] = events
+        return s
+
+    t1, t2, t3 = "a1" * 16, "b2" * 16, "c3" * 16
+    base = 1_000_000_000_000
+    req = {
+        "resourceSpans": [
+            {
+                "resource": {"attributes": [
+                    {"key": "service.name", "value": {"stringValue": "cart"}},
+                    {"key": "region", "value": {"stringValue": "eu"}},
+                ]},
+                "scopeSpans": [{"spans": [
+                    span(t1, "01" * 8, "checkout", base, 30,
+                         attrs={"user": "u1"},
+                         status={"code": 2, "message": "boom"}),
+                    span(t1, "02" * 8, "db-call", base + 5_000_000, 5),
+                    # same trace, way outside the max-duration window
+                    span(t1, "03" * 8, "late-straggler",
+                         base + 10_000 * 1_000_000_000, 1),
+                    span(t2, "04" * 8, "checkout", base + 1_000_000, 20,
+                         events=[{"timeUnixNano": str(base), "name": "retry",
+                                  "attributes": [{"key": "cause",
+                                                  "value": {"stringValue": "timeout"}}]}]),
+                ]}],
+            },
+            {
+                "resource": {"attributes": [
+                    {"key": "service.name", "value": {"stringValue": "pay"}},
+                ]},
+                "scopeSpans": [{"spans": [
+                    span(t3, "05" * 8, "charge", base + 2_000_000, 10,
+                         attrs={"user": "u1"}),
+                ]}],
+            },
+        ]
+    }
+    docs = flatten_traces_request(req)
+    return spark.createDataFrame(docs, TRACES_DOC_SCHEMA)
+
+
+def test_find_traces_two_phase(otlp_span_docs):
+    from quickwit_spark.search.trace_queries import find_traces
+
+    # tag matches span 01 (trace a1) only; phase 2 must pull the OTHER
+    # spans of that trace inside the window and drop the straggler
+    out = find_traces(
+        otlp_span_docs, 10, service="cart", tags={"user": "u1"},
+        max_trace_duration_secs=3600,
+    ).collect()
+    names = sorted(r["span_name"] for r in out)
+    assert names == ["checkout", "db-call"]
+    assert {r["trace_id"] for r in out} == {"a1" * 16}
+
+
+def test_trace_query_tag_routing(otlp_span_docs):
+    from quickwit_spark.search.trace_queries import trace_query_predicate
+
+    df = otlp_span_docs
+
+    def names(**q):
+        return sorted(
+            r["span_name"]
+            for r in df.filter(trace_query_predicate(**q)).collect()
+        )
+
+    assert names(tags={"error": "true"}) == ["checkout"]
+    assert names(service="cart", tags={"error": "false"}) == [
+        "checkout", "db-call", "late-straggler",
+    ]
+    assert names(tags={"event": "retry"}) == ["checkout"]
+    # resource attr OR span attr OR event attr (three-way should)
+    assert names(tags={"region": "eu"}) == [
+        "checkout", "checkout", "db-call", "late-straggler",
+    ]
+    assert names(tags={"user": "u1"}) == ["charge", "checkout"]
+    assert names(tags={"cause": "timeout"}) == ["checkout"]
+    assert names(span_name="charge") == ["charge"]
+    assert names(span_kind="server", service="pay") == ["charge"]
+    assert names(min_duration_millis=20, max_duration_millis=25) == ["checkout"]
