@@ -33,6 +33,167 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _jaeger_tag(key: str, value) -> dict | None:
+    """One OTel attribute value → Jaeger KeyValue
+    (otlp_attributes_to_jaeger_tags, lib.rs:944-1026): arrays
+    JSON-stringify, bools/ints/floats keep their type, nulls drop."""
+    import json as _json
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return {"key": key, "v_type": "bool", "v_bool": value}
+    if isinstance(value, int):
+        return {"key": key, "v_type": "int64", "v_int64": value}
+    if isinstance(value, float):
+        return {"key": key, "v_type": "float64", "v_float64": value}
+    if isinstance(value, list):
+        return {
+            "key": key,
+            "v_type": "string",
+            "v_str": _json.dumps(value, separators=(",", ":")),
+        }
+    return {"key": key, "v_type": "string", "v_str": str(value)}
+
+
+def _attrs_to_tags(attrs: dict, parent_key: str | None = None) -> list[dict]:
+    """Nested objects flatten with dot-joined keys (lib.rs:959-966)."""
+    tags: list[dict] = []
+    for key, value in (attrs or {}).items():
+        full = f"{parent_key}.{key}" if parent_key else key
+        if isinstance(value, dict):
+            tags.extend(_attrs_to_tags(value, full))
+        else:
+            tag = _jaeger_tag(full, value)
+            if tag is not None:
+                tags.append(tag)
+    return tags
+
+
+def _ts(nanos: int) -> dict:
+    return {"seconds": nanos // 1_000_000_000, "nanos": nanos % 1_000_000_000}
+
+
+def to_jaeger_spans(rows, max_fetch_spans: int = 10_000) -> list[dict]:
+    """Flattened span-doc rows (find_traces output / otlp_traces_docs
+    shape) → Jaeger-model span dicts, reproducing
+    qw_span_to_jaeger_span (qw/quickwit-jaeger/src/lib.rs:759-1089):
+    typed tags with nested-object flattening, span.kind tag (INTERNAL
+    and UNSPECIFIED omitted per the OTel→Jaeger spec), status →
+    otel.status_code/_description + error:true, dropped-count tags,
+    events → logs with the name→`event` field precedence rule, parent
+    ChildOf reference before link FollowsFrom references.
+
+    This is the presentation step of the serving path — it runs on the
+    ≤ max_fetch_spans rows a query returns (reference
+    default_max_fetch_spans = 10k), never over the corpus; the
+    distributed phases live in find_traces."""
+    import json as _json
+
+    out: list[dict] = []
+    for row in rows:
+        if len(out) >= max_fetch_spans:
+            break
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        loads = lambda s: _json.loads(s) if s else {}  # noqa: E731
+        tags = _attrs_to_tags(loads(d.get("span_attributes")))
+        for count, key in [
+            (d.get("span_dropped_attributes_count"), "otel.dropped_attributes_count"),
+            (d.get("span_dropped_events_count"), "otel.dropped_events_count"),
+            (d.get("span_dropped_links_count"), "otel.dropped_links_count"),
+        ]:
+            if count:
+                tags.append({"key": key, "v_type": "int64", "v_int64": count})
+        kind = d.get("span_kind") or 0
+        if 2 <= kind <= 5:
+            tags.append(
+                {
+                    "key": "span.kind",
+                    "v_type": "string",
+                    "v_str": _JAEGER_KINDS[kind],
+                }
+            )
+        status = loads(d.get("span_status")) or None
+        if status:
+            code = status.get("code")
+            if code in ("ok", "error"):
+                tags.append(
+                    {
+                        "key": "otel.status_code",
+                        "v_type": "string",
+                        "v_str": code.upper(),
+                    }
+                )
+            if code == "error":
+                if status.get("message"):
+                    tags.append(
+                        {
+                            "key": "otel.status_description",
+                            "v_type": "string",
+                            "v_str": status["message"],
+                        }
+                    )
+                tags.append({"key": "error", "v_type": "bool", "v_bool": True})
+        logs = []
+        for event in _json.loads(d.get("events") or "[]"):
+            fields = _attrs_to_tags(event.get("event_attributes") or {})
+            name = event.get("event_name") or ""
+            if name and "event" not in (event.get("event_attributes") or {}):
+                fields.append({"key": "event", "v_type": "string", "v_str": name})
+            if event.get("event_dropped_attributes_count"):
+                fields.append(
+                    {
+                        "key": "otel.dropped_attributes_count",
+                        "v_type": "int64",
+                        "v_int64": event["event_dropped_attributes_count"],
+                    }
+                )
+            logs.append(
+                {
+                    "timestamp": _ts(event.get("event_timestamp_nanos") or 0),
+                    "fields": fields,
+                }
+            )
+        references = []
+        if d.get("parent_span_id"):
+            references.append(
+                {
+                    "trace_id": d["trace_id"],
+                    "span_id": d["parent_span_id"],
+                    "ref_type": "child_of",
+                }
+            )
+        for link in _json.loads(d.get("links") or "[]"):
+            references.append(
+                {
+                    "trace_id": link.get("link_trace_id"),
+                    "span_id": link.get("link_span_id"),
+                    "ref_type": "follows_from",
+                }
+            )
+        start = d.get("span_start_timestamp_nanos") or 0
+        end = d.get("span_end_timestamp_nanos") or start
+        out.append(
+            {
+                "trace_id": d.get("trace_id"),
+                "span_id": d.get("span_id"),
+                "operation_name": d.get("span_name"),
+                "references": references,
+                "flags": 0,
+                "start_time": _ts(start),
+                "duration": _ts(end - start),
+                "tags": tags,
+                "logs": logs,
+                "process": {
+                    "service_name": d.get("service_name"),
+                    "tags": _attrs_to_tags(loads(d.get("resource_attributes"))),
+                },
+                "warnings": [],
+            }
+        )
+    return out
+
+
 def trace_query_predicate(
     service: str | None = None,
     span_kind=None,

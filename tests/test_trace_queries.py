@@ -186,3 +186,72 @@ def test_trace_query_tag_routing(otlp_span_docs):
     assert names(span_name="charge") == ["charge"]
     assert names(span_kind="server", service="pay") == ["charge"]
     assert names(min_duration_millis=20, max_duration_millis=25) == ["checkout"]
+
+
+def test_to_jaeger_spans_conversion(otlp_span_docs):
+    """qw_span_to_jaeger_span parity (lib.rs:759-1089) on real
+    flattened docs: typed tags, kind/status/dropped injection, events
+    → logs with the name→event precedence, references ordering."""
+    from quickwit_spark.search.trace_queries import to_jaeger_spans
+
+    rows = otlp_span_docs.filter("span_name = 'checkout'").orderBy(
+        "trace_id"
+    ).collect()
+    spans = to_jaeger_spans(rows)
+    assert len(spans) == 2
+    s = spans[0]  # trace a1: error status + user attr
+    assert s["operation_name"] == "checkout"
+    assert s["process"]["service_name"] == "cart"
+    # service.name is stripped; region remains as a process tag
+    assert s["process"]["tags"] == [
+        {"key": "region", "v_type": "string", "v_str": "eu"}
+    ]
+    by_key = {t["key"]: t for t in s["tags"]}
+    assert by_key["user"]["v_str"] == "u1"
+    assert by_key["span.kind"]["v_str"] == "server"
+    assert by_key["otel.status_code"]["v_str"] == "ERROR"
+    assert by_key["otel.status_description"]["v_str"] == "boom"
+    assert by_key["error"]["v_bool"] is True
+    assert s["duration"] == {"seconds": 0, "nanos": 30_000_000}
+
+    s2 = spans[1]  # trace b2: retry event, no status
+    keys2 = {t["key"] for t in s2["tags"]}
+    assert "otel.status_code" not in keys2 and "error" not in keys2
+    (log,) = s2["logs"]
+    fields = {f["key"]: f for f in log["fields"]}
+    assert fields["cause"]["v_str"] == "timeout"
+    assert fields["event"]["v_str"] == "retry"  # name → `event` field
+
+
+def test_to_jaeger_spans_typed_and_nested_tags():
+    from quickwit_spark.search.trace_queries import to_jaeger_spans
+
+    rows = [
+        {
+            "trace_id": "t", "span_id": "s", "span_name": "op",
+            "service_name": "svc", "span_kind": 1,  # INTERNAL: no tag
+            "span_start_timestamp_nanos": 1_500_000_007,
+            "span_end_timestamp_nanos": 2_500_000_007,
+            "span_attributes": '{"n":7,"f":1.5,"b":true,"arr":[1,"x"],'
+                               '"nested":{"a":{"b":"deep"}},"nul":null}',
+            "parent_span_id": "p",
+            "links": '[{"link_trace_id":"lt","link_span_id":"ls"}]',
+            "span_dropped_events_count": 3,
+        }
+    ]
+    (s,) = to_jaeger_spans(rows)
+    by_key = {t["key"]: t for t in s["tags"]}
+    assert by_key["n"] == {"key": "n", "v_type": "int64", "v_int64": 7}
+    assert by_key["f"] == {"key": "f", "v_type": "float64", "v_float64": 1.5}
+    assert by_key["b"] == {"key": "b", "v_type": "bool", "v_bool": True}
+    assert by_key["arr"]["v_str"] == '[1,"x"]'
+    assert by_key["nested.a.b"]["v_str"] == "deep"
+    assert "nul" not in by_key
+    assert "span.kind" not in by_key  # INTERNAL omitted per spec
+    assert by_key["otel.dropped_events_count"]["v_int64"] == 3
+    assert s["start_time"] == {"seconds": 1, "nanos": 500_000_007}
+    assert s["duration"] == {"seconds": 1, "nanos": 0}
+    # parent ChildOf reference comes BEFORE link references
+    assert [r["ref_type"] for r in s["references"]] == [
+        "child_of", "follows_from",
+    ]
