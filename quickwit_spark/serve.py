@@ -73,7 +73,12 @@ class EsHttpServer:
                 try:
                     length = int(self.headers.get("Content-Length") or 0)
                     raw = self.rfile.read(length) if length else b""
-                    result = server.handle(method, self.path, raw)
+                    result = server.handle(
+                        method,
+                        self.path,
+                        raw,
+                        content_type=self.headers.get("Content-Type"),
+                    )
                     payload = json.dumps(result).encode("utf-8")
                     status = 200
                 except EsApiError as e:
@@ -107,9 +112,21 @@ class EsHttpServer:
 
     # ------------------------------------------------------------ wire
 
-    def handle(self, method: str, path: str, raw_body: bytes) -> dict:
+    def handle(
+        self,
+        method: str,
+        path: str,
+        raw_body: bytes,
+        content_type: str | None = None,
+    ) -> dict:
         """One HTTP request → wire handler call. Separated from the
         socket layer so it is unit-testable without a port."""
+        if path.startswith("/api/v1/"):
+            otlp = self._maybe_otlp(
+                method, path[len("/api/v1"):], raw_body, content_type
+            )
+            if otlp is not None:
+                return otlp
         if path.startswith(_ELASTIC_PREFIX):
             path = path[len(_ELASTIC_PREFIX):] or "/"
         endpoint = path.lstrip("/")
@@ -149,6 +166,99 @@ class EsHttpServer:
             except json.JSONDecodeError as e:
                 raise EsApiError(400, f"invalid JSON body: {e}") from e
         return self.wire.request(method, endpoint, body=body, ndjson=ndjson)
+
+    # ------------------------------------------------------------ otlp
+
+    # default index ids, reference OTEL_LOGS_INDEX_ID / OTEL_TRACES_INDEX_ID
+    OTEL_LOGS_INDEX = "otel-logs-v0_9"
+    OTEL_TRACES_INDEX = "otel-traces-v0_9"
+
+    def _maybe_otlp(
+        self,
+        method: str,
+        path: str,
+        raw_body: bytes,
+        content_type: str | None,
+    ) -> dict | None:
+        """OTLP/HTTP ingest routes (reference
+        qw/quickwit-serve/src/otlp_api/rest_handler.rs:46-170):
+        POST /api/v1[/{index}]/otlp/v1/{logs|traces}, body an
+        Export*ServiceRequest as protobuf (the reference's
+        content-type) or OTLP/JSON. Docs flatten through
+        sources/otlp and commit through the facade's ingest path into
+        the otel default indexes (auto-created dynamic)."""
+        import time
+
+        parts = [p for p in path.strip("/").split("/") if p]
+        if len(parts) < 3 or parts[-3] != "otlp" or parts[-2] != "v1":
+            return None
+        signal = parts[-1]
+        if signal not in ("logs", "traces") or len(parts) > 4:
+            return None
+        if method != "POST":
+            raise EsApiError(405, f"method {method} not allowed for otlp")
+        if self.facade is None:
+            raise EsApiError(
+                400, "otlp ingest needs a facade-backed server"
+            )
+        from quickwit_spark.sources.otlp import (
+            _decode_msg,
+            flatten_logs_request,
+            flatten_traces_request,
+        )
+
+        is_json = content_type is not None and "json" in content_type.lower()
+        root = (
+            "ExportLogsServiceRequest"
+            if signal == "logs"
+            else "ExportTraceServiceRequest"
+        )
+        try:
+            if is_json:
+                request = json.loads(raw_body)
+            else:
+                request = _decode_msg(root, raw_body)
+        except Exception as e:
+            raise EsApiError(400, f"invalid OTLP payload: {e}") from e
+        if signal == "logs":
+            docs = flatten_logs_request(
+                request, default_observed_nanos=int(time.time() * 1e9)
+            )
+            default_index = self.OTEL_LOGS_INDEX
+            rejected_key = "rejectedLogRecords"
+        else:
+            docs = flatten_traces_request(request)
+            default_index = self.OTEL_TRACES_INDEX
+            rejected_key = "rejectedSpans"
+        index_id = parts[0] if len(parts) == 4 else default_index
+        if index_id not in self.facade.list_indexes():
+            self.facade.create_index(
+                {
+                    "index_id": index_id,
+                    "doc_mapping": {
+                        "mode": "dynamic",
+                        "dynamic_mapping": {
+                            "tokenizer": "default",
+                            "fast": True,
+                        },
+                    },
+                },
+                exist_ok=True,
+            )
+        if docs:
+            result = self.facade.ingest(index_id, docs)
+            rejected = result.get("rejected", 0)
+        else:
+            rejected = 0
+        # full success = empty partialSuccess (reference semantics)
+        if rejected:
+            return {
+                "partialSuccess": {
+                    rejected_key: str(rejected),
+                    "errorMessage": "some records failed doc mapping",
+                }
+            }
+        return {"partialSuccess": {}}
 
     # ------------------------------------------------------------ lifecycle
 

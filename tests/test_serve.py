@@ -162,3 +162,96 @@ def test_error_envelope_and_statuses(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 400
+
+
+def test_otlp_http_ingest_logs_and_traces(server):
+    """OTLP/HTTP routes (reference otlp_api/rest_handler.rs:46-170):
+    protobuf and JSON payloads land in the otel default indexes and
+    become searchable through the ES routes."""
+    from quickwit_spark.sources.otlp import (
+        encode_logs_request,
+        encode_traces_request,
+    )
+
+    logs_req = {
+        "resourceLogs": [
+            {
+                "resource": {"attributes": [
+                    {"key": "service.name",
+                     "value": {"stringValue": "httpsvc"}}]},
+                "scopeLogs": [{"logRecords": [
+                    {"timeUnixNano": "1700000000000000001",
+                     "severityText": "ERROR",
+                     "body": {"stringValue": "otlp over http works"}},
+                ]}],
+            }
+        ]
+    }
+    wire = encode_logs_request(logs_req)
+    req = urllib.request.Request(
+        server.url + "/api/v1/otlp/v1/logs", data=wire, method="POST",
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert json.loads(r.read()) == {"partialSuccess": {}}
+
+    status, resp = _call(
+        server, "POST", "/otel-logs-v0_9/_search",
+        {"query": {"term": {"service_name": {"value": "httpsvc"}}}},
+    )
+    assert status == 200 and resp["hits"]["total"]["value"] == 1
+    src = resp["hits"]["hits"][0]["_source"]
+    assert json.loads(src["body"]) == {"message": "otlp over http works"}
+
+    traces_req = {
+        "resourceSpans": [
+            {
+                "resource": {"attributes": [
+                    {"key": "service.name",
+                     "value": {"stringValue": "httpsvc"}}]},
+                "scopeSpans": [{"spans": [
+                    {"traceId": "ab" * 16, "spanId": "cd" * 8,
+                     "name": "GET /t", "kind": 2,
+                     "startTimeUnixNano": "1000", "endTimeUnixNano": "2000"},
+                ]}],
+            }
+        ]
+    }
+    # JSON content-type path + custom index prefix
+    req = urllib.request.Request(
+        server.url + "/api/v1/my-traces/otlp/v1/traces",
+        data=json.dumps(traces_req).encode(), method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert json.loads(r.read()) == {"partialSuccess": {}}
+    status, resp = _call(
+        server, "POST", "/my-traces/_search",
+        {"query": {"term": {"trace_id": {"value": "ab" * 16}}}},
+    )
+    assert status == 200 and resp["hits"]["total"]["value"] == 1
+    assert resp["hits"]["hits"][0]["_source"]["span_name"] == "GET /t"
+
+    # protobuf traces into the default index via encode round trip
+    req = urllib.request.Request(
+        server.url + "/api/v1/otlp/v1/traces",
+        data=encode_traces_request(traces_req), method="POST",
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert json.loads(r.read()) == {"partialSuccess": {}}
+    status, resp = _call(
+        server, "GET", "/otel-traces-v0_9/_count")
+    assert status == 200 and resp["count"] == 1
+
+    # garbage payload → 400, not a 500
+    req = urllib.request.Request(
+        server.url + "/api/v1/otlp/v1/logs", data=b"\xff\xfe garbage",
+        method="POST", headers={"Content-Type": "application/x-protobuf"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
