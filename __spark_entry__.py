@@ -3998,13 +3998,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shard_packing": _q_token_shard_packing,
         "pack_sequences_spans": _q_pack_sequences,
         "span_dedup_stats": _q_span_dedup_stats,
-        "warc_round_trip": _q_warc_round_trip,
         "lm_perplexity": _q_lm_perplexity,
         "knn_sq8_topk": _q_sq8_topk,
         "bpe_word_histogram": _q_bpe_word_histogram,
         "bpe_top_pairs": _q_bpe_top_pairs,
         "web_url_dedup": _q_web_url_dedup,
         "web_domain_stats": _q_web_domain_stats,
+        "warc_round_trip": _q_warc_round_trip,
         "agg_stats_nchars": _q_agg_stats,
         "agg_cardinality_source": _q_agg_cardinality,
         "agg_percentiles_nchars": _q_agg_percentiles,
