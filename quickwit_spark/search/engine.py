@@ -1544,13 +1544,43 @@ class IndexSearcher:
             "segment_id", "doc_id", "doc_key",
             *[qcol(self._fcol(c)).alias(c) for c in raw_cols],
         )
-        # winners are ≤ k×segments (+ cutoff ties) rows — broadcast them
-        # into the docmap scan (never for an unbounded match set)
-        hits = docs.join(
-            F.broadcast(matches) if bounded else matches,
-            ["segment_id", "doc_id"],
-            "inner",
-        )
+        # winners are ≤ k×segments (+ cutoff ties) rows. A plain
+        # broadcast join would still SCAN the ENTIRE docmap to probe the
+        # hash table (at 20 M docs that scan alone costs more than the
+        # kernel), so for bounded match sets the winners are collected —
+        # the same materialization broadcast would do, one job earlier —
+        # and their segment/doc ids are pushed INTO the docmap parquet
+        # scan as In predicates (row-group pruning); the join against
+        # the re-created winner rows then restores exact (segment_id,
+        # doc_id) pairing + scores. Falls back to the broadcast join
+        # when the winner set is too large for literal pushdown (plan
+        # bloat) or unbounded (match-all).
+        win_rows = None
+        if bounded:
+            win_rows = matches.collect()
+        if win_rows is not None and 0 < len(win_rows) <= 4096:
+            win_df = self.spark.createDataFrame(win_rows, matches.schema)
+            seg_set = sorted({r["segment_id"] for r in win_rows})
+            id_set = sorted({r["doc_id"] for r in win_rows})
+            pruned = docs.filter(
+                F.col("segment_id").isin(seg_set)
+                & F.col("doc_id").isin(id_set)
+            )
+            hits = pruned.join(
+                F.broadcast(win_df), ["segment_id", "doc_id"], "inner"
+            )
+        elif win_rows is not None and not win_rows:
+            hits = docs.join(
+                F.broadcast(self.spark.createDataFrame([], matches.schema)),
+                ["segment_id", "doc_id"],
+                "inner",
+            )
+        else:
+            hits = docs.join(
+                F.broadcast(matches) if bounded else matches,
+                ["segment_id", "doc_id"],
+                "inner",
+            )
         if search_after is not None:
             if len(search_after) == 1:
                 # values-only ES cursor: strictly-after on score alone;
