@@ -1169,6 +1169,21 @@ class IndexSearcher:
 
             return run
 
+        # pin the kernel's shuffle width: groupBy.applyInPandas would
+        # inherit spark.sql.shuffle.partitions reducers, each paying a
+        # Python-worker dispatch even when its groups are empty — for a
+        # rare term that overhead IS the query (measured ~1.5 s of a
+        # 2.6 s top-k at 20 M docs). One reducer per segment, capped at
+        # one worker wave, keeps every dispatched worker busy; an
+        # explicit repartition by the group key satisfies the required
+        # distribution, so no second shuffle is added.
+        sc = self.spark.sparkContext
+        n_groups = len(seg_ids) if seg_ids is not None else len(
+            mf.live_segments(self.index_dir)
+        )
+        task_cpus = int(self.spark.conf.get("spark.task.cpus", "1") or 1)
+        wave = max(1, sc.defaultParallelism // task_cpus)
+        kparts = max(1, min(n_groups or 1, wave))
         if fast_filter is not None:
             allowed_df = (
                 self._seg_pred_filter(self.docs(), seg_ids)
@@ -1177,13 +1192,20 @@ class IndexSearcher:
             )
             fn = make_eval(True)
             return (
-                inv.groupBy("segment_id")
-                .cogroup(allowed_df.groupBy("segment_id"))
+                inv.repartition(kparts, "segment_id")
+                .groupBy("segment_id")
+                .cogroup(
+                    allowed_df.repartition(kparts, "segment_id").groupBy(
+                        "segment_id"
+                    )
+                )
                 .applyInPandas(lambda l, r: fn(l, r), MATCH_SCHEMA)
             )
         fn = make_eval(False)
-        return inv.groupBy("segment_id").applyInPandas(
-            lambda pdf: fn(pdf, None), MATCH_SCHEMA
+        return (
+            inv.repartition(kparts, "segment_id")
+            .groupBy("segment_id")
+            .applyInPandas(lambda pdf: fn(pdf, None), MATCH_SCHEMA)
         )
 
     def _ast_time_bounds(self, ast) -> tuple[int | None, int | None]:
