@@ -26,6 +26,7 @@ Two scoring modes:
 from __future__ import annotations
 
 import json
+import os
 import re as _re
 
 import numpy as np
@@ -524,6 +525,23 @@ class IndexSearcher:
 
     def docs(self) -> DataFrame:
         return self._docs
+
+    def _docmap_bytes(self) -> int:
+        """Total docmap file bytes (cached): the fetch-strategy input —
+        one directory walk at first use, not per query."""
+        cached = getattr(self, "_docmap_bytes_cache", None)
+        if cached is None:
+            total = 0
+            for root, _dirs, files in os.walk(
+                os.path.join(self.index_dir, "docs")
+            ):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            self._docmap_bytes_cache = cached = total
+        return cached
 
     def _tokenizer_for_field(self):
         fields = {f.name: f.tokenizer for f in self.config.fields}
@@ -1577,8 +1595,14 @@ class IndexSearcher:
         # doc_id) pairing + scores. Falls back to the broadcast join
         # when the winner set is too large for literal pushdown (plan
         # bloat) or unbounded (match-all).
+        # size-aware: the collect adds one extra Spark job per query
+        # (~0.3 s on this host), which only pays off once the docmap is
+        # big enough that the full-scan probe costs more — below the
+        # threshold the classic single-job broadcast join wins
         win_rows = None
-        if bounded:
+        if bounded and self._docmap_bytes() >= int(
+            os.environ.get("QWS_FETCH_PUSHDOWN_MIN_BYTES", str(128 << 20))
+        ):
             win_rows = matches.collect()
         if win_rows is not None and 0 < len(win_rows) <= 4096:
             win_df = self.spark.createDataFrame(win_rows, matches.schema)

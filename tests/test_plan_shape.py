@@ -151,3 +151,23 @@ def test_round4_surfaces_stay_vectorized(spark):
     assert "partial_max" in trace_plan  # map-side combine before shuffle
     assert "TakeOrderedAndProject" in trace_plan
     assert "Window" not in trace_plan
+
+
+def test_fetch_pushdown_path_equals_broadcast_path(searcher, monkeypatch):
+    """The size-gated winner-id pushdown fetch (used for big docmaps)
+    must return exactly what the single-job broadcast join returns."""
+    from quickwit_spark.query.ast import FullText
+
+    q = FullText("text", "spark join", "or")
+    base = [
+        (r["doc_key"], r["score"], r["rank"])
+        for r in searcher.search(q, k=7).collect()
+    ]
+    monkeypatch.setenv("QWS_FETCH_PUSHDOWN_MIN_BYTES", "0")
+    forced = [
+        (r["doc_key"], r["score"], r["rank"])
+        for r in searcher.search(q, k=7).collect()
+    ]
+    assert forced == base
+    # zero-hit query through the pushdown gate: clean empty result
+    assert searcher.search(FullText("text", "zzzznope", "or"), k=5).collect() == []
