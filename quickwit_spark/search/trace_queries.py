@@ -302,6 +302,27 @@ def find_traces(
     )
 
 
+def get_trace(
+    spans: DataFrame,
+    trace_id: str,
+    lookback_secs: int | None = None,
+    now_nanos: int | None = None,
+    timestamp_col: str = "span_start_timestamp_nanos",
+) -> DataFrame:
+    """Jaeger GetTrace (lib.rs:216-243): every span of one trace,
+    optionally bounded by the lookback window (the reference applies
+    `lookback_period` when the request carries no time bounds). A
+    single-trace equality predicate — pushed into the span scan."""
+    out = spans.filter(F.col("trace_id") == trace_id)
+    if lookback_secs is not None:
+        if now_nanos is None:
+            raise ValueError("get_trace: lookback needs now_nanos")
+        out = out.filter(
+            F.col(timestamp_col) >= now_nanos - lookback_secs * 1_000_000_000
+        )
+    return out
+
+
 _JAEGER_KINDS = [
     "unspecified", "internal", "server", "client", "producer", "consumer",
 ]

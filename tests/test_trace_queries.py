@@ -255,3 +255,20 @@ def test_to_jaeger_spans_typed_and_nested_tags():
     assert [r["ref_type"] for r in s["references"]] == [
         "child_of", "follows_from",
     ]
+
+
+def test_get_trace(otlp_span_docs):
+    from quickwit_spark.search.trace_queries import get_trace
+
+    rows = get_trace(otlp_span_docs, "a1" * 16).collect()
+    assert sorted(r["span_name"] for r in rows) == [
+        "checkout", "db-call", "late-straggler",
+    ]
+    # lookback bounds the PAST only: with now at the straggler's
+    # timestamp and a 100 s window, the two early spans fall out
+    windowed = get_trace(
+        otlp_span_docs, "a1" * 16, lookback_secs=100,
+        now_nanos=1_000_000_000_000 + 10_000 * 1_000_000_000,
+    ).collect()
+    assert [r["span_name"] for r in windowed] == ["late-straggler"]
+    assert get_trace(otlp_span_docs, "ff" * 16).collect() == []
