@@ -608,7 +608,7 @@ class QuickwitSpark:
     # Reserved source ids are protected exactly as there (403 analog).
 
     RESERVED_SOURCES = ("_ingest-api-source", "_ingest-cli-source")
-    SOURCE_TYPES = ("vec", "file", "void")
+    SOURCE_TYPES = ("vec", "file", "wal", "void")
 
     def create_source(self, index_id: str, config: dict) -> dict:
         """Register a source on an index. Supported Spark-native types:
@@ -631,6 +631,8 @@ class QuickwitSpark:
             raise ValueError("vec source params need a 'docs' list")
         if stype == "file" and not params.get("filepath"):
             raise ValueError("file source params need a 'filepath'")
+        if stype == "wal" and not (params.get("wal_root") and params.get("queue")):
+            raise ValueError("wal source params need 'wal_root' and 'queue'")
         sources = state.setdefault("sources", {})
         if sid in sources:
             raise ValueError(f"source {sid!r} already exists")
@@ -677,6 +679,8 @@ class QuickwitSpark:
             raise ValueError("vec source params need a 'docs' list")
         if stype == "file" and not params.get("filepath"):
             raise ValueError("file source params need a 'filepath'")
+        if stype == "wal" and not (params.get("wal_root") and params.get("queue")):
+            raise ValueError("wal source params need 'wal_root' and 'queue'")
         current["params"] = params
         self._save_state(index_id, state)
         return dict(current)
@@ -765,6 +769,44 @@ class QuickwitSpark:
                 src = state["sources"][source_id]
                 src["checkpoint"]["consumed"] = sorted(consumed)
                 self._save_state(index_id, state)
+        elif src["source_type"] == "wal":
+            # the mrecordlog-WAL drain (reference ingest v1/v2 durability
+            # model, docs/internals/ingest-v2.md): replay strictly after
+            # the committed position, commit splits, advance the
+            # checkpoint, then truncate the log — a crash between ingest
+            # and checkpoint save replays the batch, and the idempotent
+            # per-batch manifest commit absorbs the replay, so consumed
+            # records index exactly once
+            from quickwit_spark.sources.recordlog import RecordLog
+
+            log = RecordLog(src["params"]["wal_root"])
+            queue = src["params"]["queue"]
+            batch = int(src["params"].get("batch_num_docs") or 1000)
+            position = src["checkpoint"].get("position")
+            while True:
+                chunk = []
+                last = position
+                for pos, payload in log.read_after(queue, position):
+                    chunk.append(payload.decode("utf-8"))
+                    last = pos
+                    if len(chunk) >= batch:
+                        break
+                if not chunk:
+                    break
+
+                def advance(st, last=last):
+                    st["sources"][source_id]["checkpoint"]["position"] = last
+
+                # the cursor advances inside the ingest's own atomic
+                # state write (see ingest._state_mutator): a crash
+                # leaves either both the splits-committed batch AND the
+                # cursor, or neither — replays re-run under the same
+                # job_id and are absorbed by the manifest
+                ingested += self.ingest(
+                    index_id, chunk, _state_mutator=advance
+                )["num_docs"]
+                position = last
+                log.truncate(queue, position)
         # void: nothing to do
         return {"source_id": source_id, "num_docs": ingested}
 
@@ -785,7 +827,7 @@ class QuickwitSpark:
         os.environ.get("QWS_INGEST_DISTRIBUTED_MIN", "8192")
     )
 
-    def ingest(self, index_id: str, docs: list) -> dict:
+    def ingest(self, index_id: str, docs: list, _state_mutator=None) -> dict:
         """One NDJSON batch → one committed split set. `docs` are dicts
         or JSON strings. Invalid docs are rejected PER-DOC (reference
         ingest semantics), never aborting the batch: the result carries
@@ -799,8 +841,15 @@ class QuickwitSpark:
         fine for a REST endpoint but a hot loop for a driver fed a
         million-doc list)."""
         if len(docs) >= self._DISTRIBUTED_INGEST_MIN:
-            return self._ingest_distributed(index_id, docs)
+            return self._ingest_distributed(
+                index_id, docs, _state_mutator=_state_mutator
+            )
         state = self._state(index_id)
+        if _state_mutator is not None:
+            # rides into _build's single atomic state write, so e.g. a
+            # WAL cursor advances in the same durability unit as the
+            # batch's doc_count/batches — the exactly-once hinge
+            _state_mutator(state)
         lines: list[str] = []
         errors: list[dict] = []
         for i, d in enumerate(docs):
@@ -833,7 +882,9 @@ class QuickwitSpark:
             out["errors"] = errors
         return out
 
-    def _ingest_distributed(self, index_id: str, docs: list) -> dict:
+    def _ingest_distributed(
+        self, index_id: str, docs: list, _state_mutator=None
+    ) -> dict:
         """Large-batch ingest: driver work is one C-speed json.dumps
         per dict doc (strings pass through untouched); everything else
         — validity, object-ness and reserved-field checks via
@@ -845,6 +896,8 @@ class QuickwitSpark:
         from pyspark.sql import functions as F
 
         state = self._state(index_id)
+        if _state_mutator is not None:
+            _state_mutator(state)
         lines = [d if isinstance(d, str) else json.dumps(d) for d in docs]
         df = self.spark.createDataFrame(
             list(enumerate(lines)), "idx long, line string"

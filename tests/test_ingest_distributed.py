@@ -38,9 +38,9 @@ def test_distributed_path_taken_and_results_match(qw, monkeypatch):
     taken = {"dist": 0}
     orig = QuickwitSpark._ingest_distributed
 
-    def spy(self, index_id, docs):
+    def spy(self, index_id, docs, **kw):
         taken["dist"] += 1
-        return orig(self, index_id, docs)
+        return orig(self, index_id, docs, **kw)
 
     monkeypatch.setattr(QuickwitSpark, "_ingest_distributed", spy)
 
