@@ -124,6 +124,15 @@ class QuickwitSpark:
         os.makedirs(root, exist_ok=True)
         ship_package(spark)
         self._searchers: dict[str, object] = {}
+        # bumped on every searcher-cache invalidation (ingest, create,
+        # delete, mapping update, ...) — long-lived consumers like the
+        # HTTP server compare it to decide when their index->searcher
+        # view is stale, without re-reading per-index state per request
+        self.mutation_count = 0
+
+    def _invalidate(self, index_id: str) -> None:
+        self._searchers.pop(index_id, None)
+        self.mutation_count += 1
 
     # ----------------------------------------------------------- admin
 
@@ -209,7 +218,7 @@ class QuickwitSpark:
             # never leave a half-created index behind: a state file
             # with no manifest would poison es()/search() for EVERY
             # index in the root (searcher construction raises)
-            self._searchers.pop(index_id, None)
+            self._invalidate(index_id)
             shutil.rmtree(self.index_dir(index_id), ignore_errors=True)
             raise
         return {"index_id": index_id, "created": True}
@@ -218,7 +227,7 @@ class QuickwitSpark:
         d = self.index_dir(index_id)
         if not os.path.exists(os.path.join(d, STATE_FILE)):
             raise ValueError(f"index {index_id!r} not found")
-        self._searchers.pop(index_id, None)
+        self._invalidate(index_id)
         shutil.rmtree(d)
 
     def update_index(self, index_id: str, config: dict) -> dict:
@@ -288,7 +297,7 @@ class QuickwitSpark:
         else:
             state.pop("retention", None)
         self._save_state(index_id, state)
-        self._searchers.pop(index_id, None)
+        self._invalidate(index_id)
         if bumped:
             # zero-doc publish under the new generation: persists its
             # config snapshot so searches reflect the update before any
@@ -316,7 +325,7 @@ class QuickwitSpark:
         # already-consumed data and leave the cleared index empty
         for src in (state.get("sources") or {}).values():
             src["checkpoint"] = {}
-        self._searchers.pop(index_id, None)
+        self._invalidate(index_id)
         self._build(index_id, state, lines=None)  # re-publish empty
         return {"index_id": index_id, "cleared": True}
 
@@ -335,7 +344,7 @@ class QuickwitSpark:
         retired = apply_retention(
             self.index_dir(index_id), now_micros - period_secs * 1_000_000
         )
-        self._searchers.pop(index_id, None)
+        self._invalidate(index_id)
         return retired
 
     def create_delete_task(self, index_id: str, delete_query: dict) -> dict:
@@ -355,7 +364,7 @@ class QuickwitSpark:
                 int(hi) * 1_000_000 if hi is not None else None,
             )
         opstamp = delete_by_query(searcher, delete_query["query"], time_range=tr)
-        self._searchers.pop(index_id, None)
+        self._invalidate(index_id)
         return {
             "index_id": index_id,
             "opstamp": opstamp,
@@ -501,7 +510,7 @@ class QuickwitSpark:
         d = self.index_dir(index_id)
         merged = run_merges(self.spark, d, policy=policy, max_rounds=max_rounds)
         if merged:
-            self._searchers.pop(index_id, None)
+            self._invalidate(index_id)
         return {
             "index_id": index_id,
             "num_merges": len(merged),
@@ -518,7 +527,7 @@ class QuickwitSpark:
         self._state(index_id)
         marked = mf.mark_for_deletion(self.index_dir(index_id), list(split_ids))
         if marked:
-            self._searchers.pop(index_id, None)
+            self._invalidate(index_id)
         return {"index_id": index_id, "marked": marked}
 
     def _save_state(self, index_id: str, state: dict) -> None:
@@ -783,30 +792,46 @@ class QuickwitSpark:
             queue = src["params"]["queue"]
             batch = int(src["params"].get("batch_num_docs") or 1000)
             position = src["checkpoint"].get("position")
-            while True:
-                chunk = []
-                last = position
-                for pos, payload in log.read_after(queue, position):
-                    chunk.append(payload.decode("utf-8"))
-                    last = pos
-                    if len(chunk) >= batch:
-                        break
-                if not chunk:
-                    break
+            rejected = 0
+            errors: list = []
 
-                def advance(st, last=last):
-                    st["sources"][source_id]["checkpoint"]["position"] = last
-
+            def commit(chunk: list, last: int) -> None:
                 # the cursor advances inside the ingest's own atomic
                 # state write (see ingest._state_mutator): a crash
                 # leaves either both the splits-committed batch AND the
                 # cursor, or neither — replays re-run under the same
                 # job_id and are absorbed by the manifest
-                ingested += self.ingest(
-                    index_id, chunk, _state_mutator=advance
-                )["num_docs"]
-                position = last
-                log.truncate(queue, position)
+                nonlocal ingested, rejected
+                def advance(st):
+                    st["sources"][source_id]["checkpoint"]["position"] = last
+                res = self.ingest(index_id, chunk, _state_mutator=advance)
+                ingested += res["num_docs"]
+                # truncation destroys the records: keep the audit trail
+                # of anything ingest rejected per-doc
+                rejected += res.get("rejected", 0)
+                errors.extend(res.get("errors", [])[:10])
+                log.truncate(queue, last)
+
+            # ONE replay pass: read_after re-scans every retained
+            # segment from its start, so restarting it per batch would
+            # make a big drain O(segments^2) in bytes read. Truncation
+            # mid-iteration is safe — only segments wholly behind the
+            # consumed position (already scanned) are unlinked.
+            chunk: list = []
+            last = position if position is not None else -1
+            for pos, payload in log.read_after(queue, position):
+                chunk.append(payload.decode("utf-8"))
+                last = pos
+                if len(chunk) >= batch:
+                    commit(chunk, last)
+                    chunk = []
+            if chunk:
+                commit(chunk, last)
+            out = {"source_id": source_id, "num_docs": ingested}
+            if rejected:
+                out["rejected"] = rejected
+                out["errors"] = errors
+            return out
         # void: nothing to do
         return {"source_id": source_id, "num_docs": ingested}
 
@@ -875,7 +900,7 @@ class QuickwitSpark:
                 continue
             lines.append(line)
         n = self._build(index_id, state, lines)
-        self._searchers.pop(index_id, None)  # config may have grown
+        self._invalidate(index_id)  # config may have grown
         out = {"index_id": index_id, "num_docs": n}
         if errors:
             out["rejected"] = len(errors)
@@ -959,7 +984,7 @@ class QuickwitSpark:
             errors.sort(key=lambda e: e["doc"])
         finally:
             checked.unpersist()
-        self._searchers.pop(index_id, None)
+        self._invalidate(index_id)
         out = {"index_id": index_id, "num_docs": n}
         if errors:
             out["rejected"] = len(errors)

@@ -532,14 +532,19 @@ class IndexSearcher:
         cached = getattr(self, "_docmap_bytes_cache", None)
         if cached is None:
             total = 0
-            for root, _dirs, files in os.walk(
-                os.path.join(self.index_dir, "docs")
-            ):
-                for f in files:
-                    try:
-                        total += os.path.getsize(os.path.join(root, f))
-                    except OSError:
-                        pass
+            # every docmap generation counts: mapping updates write
+            # later generations to docs_uid{g} (builder.docs_path)
+            for entry in os.listdir(self.index_dir):
+                if entry != "docs" and not entry.startswith("docs_uid"):
+                    continue
+                for root, _dirs, files in os.walk(
+                    os.path.join(self.index_dir, entry)
+                ):
+                    for f in files:
+                        try:
+                            total += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            pass
             self._docmap_bytes_cache = cached = total
         return cached
 
@@ -1196,8 +1201,8 @@ class IndexSearcher:
         # explicit repartition by the group key satisfies the required
         # distribution, so no second shuffle is added.
         sc = self.spark.sparkContext
-        n_groups = len(seg_ids) if seg_ids is not None else len(
-            mf.live_segments(self.index_dir)
+        n_groups = (
+            len(seg_ids) if seg_ids is not None else len(self.segments)
         )
         task_cpus = int(self.spark.conf.get("spark.task.cpus", "1") or 1)
         wave = max(1, sc.defaultParallelism // task_cpus)
@@ -1604,22 +1609,22 @@ class IndexSearcher:
             os.environ.get("QWS_FETCH_PUSHDOWN_MIN_BYTES", str(128 << 20))
         ):
             win_rows = matches.collect()
-        if win_rows is not None and 0 < len(win_rows) <= 4096:
+        if win_rows is not None:
+            # kernel already ran during the collect — NEVER join against
+            # `matches` here, that would re-execute it; the collected
+            # rows are the winner set in every branch
             win_df = self.spark.createDataFrame(win_rows, matches.schema)
-            seg_set = sorted({r["segment_id"] for r in win_rows})
-            id_set = sorted({r["doc_id"] for r in win_rows})
-            pruned = docs.filter(
-                F.col("segment_id").isin(seg_set)
-                & F.col("doc_id").isin(id_set)
-            )
-            hits = pruned.join(
-                F.broadcast(win_df), ["segment_id", "doc_id"], "inner"
-            )
-        elif win_rows is not None and not win_rows:
+            if 0 < len(win_rows) <= 4096:
+                seg_set = sorted({r["segment_id"] for r in win_rows})
+                id_set = sorted({r["doc_id"] for r in win_rows})
+                docs = docs.filter(
+                    F.col("segment_id").isin(seg_set)
+                    & F.col("doc_id").isin(id_set)
+                )
+            # oversized winner sets skip the In pushdown (plan bloat)
+            # but still broadcast the materialized rows
             hits = docs.join(
-                F.broadcast(self.spark.createDataFrame([], matches.schema)),
-                ["segment_id", "doc_id"],
-                "inner",
+                F.broadcast(win_df), ["segment_id", "doc_id"], "inner"
             )
         else:
             hits = docs.join(

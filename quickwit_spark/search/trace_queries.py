@@ -241,7 +241,10 @@ def trace_query_predicate(
         elif key == "event":
             conds.append(F.array_contains("event_names", value))
         else:
-            path = f"$.{key}"
+            # bracket form: OTel attribute keys are FLAT dotted strings
+            # (http.method, service.version) — `$.http.method` would
+            # probe a nested object and never match
+            path = "$['" + key.replace("'", "\\'") + "']"
             in_events = F.exists(
                 F.from_json(
                     F.col("events"),

@@ -131,14 +131,18 @@ class EsHttpServer:
             path = path[len(_ELASTIC_PREFIX):] or "/"
         endpoint = path.lstrip("/")
         if self.facade is not None:
-            # live index view, persistent scroll registry — but only
-            # pay the per-index state reads when the index SET changed
-            # (one directory listing per request otherwise)
-            names = set(self.facade.list_indexes())
-            if names != set(self.wire.indexes):
+            # live index view, persistent scroll registry — refreshed
+            # whenever the facade invalidated ANY searcher (ingest,
+            # create, delete, mapping update bump mutation_count), so
+            # new docs are visible immediately without paying per-index
+            # state reads on every request
+            gen = getattr(self.facade, "mutation_count", None)
+            if gen is None or gen != getattr(self, "_seen_mutation", -1):
                 self.wire.indexes = {
-                    n: self.facade.searcher(n) for n in names
+                    n: self.facade.searcher(n)
+                    for n in self.facade.list_indexes()
                 }
+                self._seen_mutation = gen
         route = endpoint.partition("?")[0].rstrip("/").rsplit("/", 1)[-1]
         body = None
         ndjson = None
@@ -189,6 +193,7 @@ class EsHttpServer:
         the otel default indexes (auto-created dynamic)."""
         import time
 
+        path = path.partition("?")[0]  # strip query BEFORE routing
         parts = [p for p in path.strip("/").split("/") if p]
         if len(parts) < 3 or parts[-3] != "otlp" or parts[-2] != "v1":
             return None

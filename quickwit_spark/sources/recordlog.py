@@ -40,6 +40,20 @@ import os
 import struct
 import zlib
 
+
+def _fsync_dir(path: str) -> None:
+    """Durably persist a directory entry (newly created file/dir):
+    fsync on the file alone does not make its NAME durable across
+    power loss — the WAL contract needs both."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:  # pragma: no cover - platform without dir-open
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
 _MAGIC = b"QW"
 _HEADER = struct.Struct("<2sII")  # magic, len, crc32
 _SEGMENT_MAX_BYTES = 64 << 20
@@ -121,6 +135,8 @@ class RecordLog:
                 if size != last_good_end:
                     with open(path, "r+b") as f:
                         f.truncate(last_good_end)
+                        f.flush()
+                        os.fsync(f.fileno())
         return next_pos
 
     # ------------------------------------------------------------ api
@@ -142,13 +158,18 @@ class RecordLog:
         if not payloads:
             return []
         qdir = self._qdir(queue)
+        new_qdir = not os.path.isdir(qdir)
         os.makedirs(qdir, exist_ok=True)
+        if new_qdir:
+            _fsync_dir(self.root)
         next_pos = self._state.get(queue, 0)
         segments = self._segments(qdir)
+        new_segment = False
         if segments and os.path.getsize(segments[-1][1]) < self.segment_max_bytes:
             path = segments[-1][1]
         else:
             path = os.path.join(qdir, f"wal-{next_pos:020d}.log")
+            new_segment = True
         positions = []
         with open(path, "ab") as f:
             for payload in payloads:
@@ -164,6 +185,10 @@ class RecordLog:
                 next_pos += 1
             f.flush()
             os.fsync(f.fileno())
+        if new_segment:
+            # a new segment's NAME must be durable too, or an acked
+            # batch can vanish wholesale on power loss
+            _fsync_dir(qdir)
         self._state[queue] = next_pos
         return positions
 
@@ -205,6 +230,7 @@ class RecordLog:
             open(
                 os.path.join(qdir, f"wal-{self._state[queue]:020d}.log"), "ab"
             ).close()
+            _fsync_dir(qdir)
         return removed
 
     def reader_floor(self, queue: str) -> int | None:

@@ -255,3 +255,43 @@ def test_otlp_http_ingest_logs_and_traces(server):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 400
+
+
+def test_repeat_otlp_ingest_is_searchable_and_query_params_ok(server):
+    """Regression: a second OTLP POST into the SAME index must be
+    visible to searches (the searcher view refreshes on facade
+    mutations, not only when the index set changes), and OTLP routes
+    must tolerate query parameters."""
+    from quickwit_spark.sources.otlp import encode_logs_request
+
+    def post(n):
+        req_body = {
+            "resourceLogs": [{
+                "scopeLogs": [{"logRecords": [
+                    {"timeUnixNano": str(1700000000000000100 + n),
+                     "body": {"stringValue": f"repeat batch {n}"}},
+                ]}],
+            }]
+        }
+        r = urllib.request.Request(
+            server.url + "/api/v1/otlp/v1/logs?timeout=5s",
+            data=encode_logs_request(req_body), method="POST",
+            headers={"Content-Type": "application/x-protobuf"},
+        )
+        with urllib.request.urlopen(r, timeout=120) as resp:
+            assert json.loads(resp.read()) == {"partialSuccess": {}}
+
+    post(1)
+    status, r1 = _call(
+        server, "POST", "/otel-logs-v0_9/_search",
+        {"query": {"match": {"body": "repeat"}}, "size": 0},
+    )
+    assert status == 200
+    first = r1["hits"]["total"]["value"]
+    assert first >= 1
+    post(2)
+    status, r2 = _call(
+        server, "POST", "/otel-logs-v0_9/_search",
+        {"query": {"match": {"body": "repeat"}}, "size": 0},
+    )
+    assert r2["hits"]["total"]["value"] == first + 1

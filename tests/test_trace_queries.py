@@ -272,3 +272,24 @@ def test_get_trace(otlp_span_docs):
     ).collect()
     assert [r["span_name"] for r in windowed] == ["late-straggler"]
     assert get_trace(otlp_span_docs, "ff" * 16).collect() == []
+
+
+def test_dotted_tag_keys_match_flat_attributes(spark):
+    """OTel attribute keys are flat dotted strings; the tag predicate
+    must probe $['http.method'], not a nested $.http.method path."""
+    from quickwit_spark.search.trace_queries import trace_query_predicate
+
+    df = spark.createDataFrame(
+        [("t1", '{"http.method":"GET","service.version":"1.2"}', "{}", None),
+         ("t2", '{"http.method":"POST"}', "{}", None)],
+        "trace_id string, span_attributes string, resource_attributes string, "
+        "events string",
+    )
+    got = df.filter(
+        trace_query_predicate(tags={"http.method": "GET"})
+    ).collect()
+    assert [r["trace_id"] for r in got] == ["t1"]
+    got2 = df.filter(
+        trace_query_predicate(tags={"service.version": "1.2"})
+    ).collect()
+    assert [r["trace_id"] for r in got2] == ["t1"]
