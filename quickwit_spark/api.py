@@ -35,10 +35,12 @@ one flatten projection + the single-shuffle segment build.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
 import shutil
+import threading
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -113,6 +115,21 @@ def merge_schemas(a: T.DataType, b: T.DataType) -> T.DataType:
     return T.StringType()
 
 
+def _locked(fn):
+    """Serialize a facade method under the target index's mutation
+    lock. Applies to every method whose first argument is `index_id`
+    and that read-modify-writes that index's state file (ingest,
+    sources, delete tasks, merges, ...); `create_index` pulls the id
+    out of its config and locks inline instead."""
+
+    @functools.wraps(fn)
+    def wrapper(self, index_id, *args, **kwargs):
+        with self._index_lock(index_id):
+            return fn(self, index_id, *args, **kwargs)
+
+    return wrapper
+
+
 class QuickwitSpark:
     """Index lifecycle over one root directory."""
 
@@ -129,10 +146,28 @@ class QuickwitSpark:
         # HTTP server compare it to decide when their index->searcher
         # view is stale, without re-reading per-index state per request
         self.mutation_count = 0
+        # per-index mutation locks: the HTTP layer dispatches requests
+        # concurrently, but index state is a read-modify-write of one
+        # JSON file (batches counter → job_id/segment ids/_qw_key
+        # ranges all derive from it), so two concurrent ingests into
+        # the SAME index must serialize — reference ingest likewise
+        # orders a shard's batches through a single queue per shard
+        # (qw/quickwit-ingest/src/ingest_v2/router.rs). RLock because
+        # run_source()'s WAL drain calls ingest() re-entrantly.
+        self._index_locks: dict[str, threading.RLock] = {}
+        self._locks_guard = threading.Lock()
+
+    def _index_lock(self, index_id: str) -> threading.RLock:
+        with self._locks_guard:
+            lock = self._index_locks.get(index_id)
+            if lock is None:
+                lock = self._index_locks[index_id] = threading.RLock()
+            return lock
 
     def _invalidate(self, index_id: str) -> None:
         self._searchers.pop(index_id, None)
-        self.mutation_count += 1
+        with self._locks_guard:  # += is a read-modify-write too
+            self.mutation_count += 1
 
     # ----------------------------------------------------------- admin
 
@@ -193,6 +228,17 @@ class QuickwitSpark:
         validate_search_settings(dm, config.get("search_settings"))
         d = self.index_dir(index_id)
         state_path = os.path.join(d, STATE_FILE)
+        with self._index_lock(index_id):
+            return self._create_index_locked(
+                config, exist_ok, index_id, dm, d, state_path
+            )
+
+    def _create_index_locked(
+        self, config, exist_ok, index_id, dm, d, state_path
+    ) -> dict:
+        # under the index mutation lock: two concurrent create requests
+        # (e.g. two OTLP ingests racing to auto-create the otel index)
+        # must not both pass the exists check and double-publish
         if os.path.exists(state_path):
             if exist_ok:
                 return {"index_id": index_id, "created": False}
@@ -223,6 +269,7 @@ class QuickwitSpark:
             raise
         return {"index_id": index_id, "created": True}
 
+    @_locked
     def delete_index(self, index_id: str) -> None:
         d = self.index_dir(index_id)
         if not os.path.exists(os.path.join(d, STATE_FILE)):
@@ -230,6 +277,7 @@ class QuickwitSpark:
         self._invalidate(index_id)
         shutil.rmtree(d)
 
+    @_locked
     def update_index(self, index_id: str, config: dict) -> dict:
         """`PUT /indexes/{id}` (`index_resource.rs:287-352`,
         `index_config/serialize.rs:73-141`): full-replace semantics —
@@ -305,6 +353,7 @@ class QuickwitSpark:
             self._build(index_id, state, lines=None)
         return {"index_id": index_id, "updated": True}
 
+    @_locked
     def clear_index(self, index_id: str) -> dict:
         """`PUT /indexes/{id}/clear` (`index_resource.rs:355-390`):
         drop every split and reset the ingest state, keep the index
@@ -329,6 +378,7 @@ class QuickwitSpark:
         self._build(index_id, state, lines=None)  # re-publish empty
         return {"index_id": index_id, "cleared": True}
 
+    @_locked
     def apply_retention(self, index_id: str, now_micros: int) -> list[str]:
         """Run the index's retention policy (reference janitor
         `retention_policy_execution.rs`): retire every split whose time
@@ -347,6 +397,7 @@ class QuickwitSpark:
         self._invalidate(index_id)
         return retired
 
+    @_locked
     def create_delete_task(self, index_id: str, delete_query: dict) -> dict:
         """`POST /{index}/delete-tasks` (rest-api.md §Delete API): record
         a delete-by-query; docs stay searchable until a rewrite applies
@@ -492,6 +543,7 @@ class QuickwitSpark:
         merge_policy_from_config(settings.get("merge_policy"))  # validate
         return settings
 
+    @_locked
     def run_merges(self, index_id: str, max_rounds: int = 10) -> dict:
         """Run merge rounds under the index's configured
         `indexing_settings.merge_policy` (default stable_log, like the
@@ -517,6 +569,7 @@ class QuickwitSpark:
             "num_splits": len(mf.live_segments(d)),
         }
 
+    @_locked
     def mark_splits_for_deletion(self, index_id: str, split_ids: list) -> dict:
         """`PUT /indexes/{id}/splits/mark-for-deletion` analog
         (`split_resource.rs:152-205`): unknown and already-dead split
@@ -619,6 +672,7 @@ class QuickwitSpark:
     RESERVED_SOURCES = ("_ingest-api-source", "_ingest-cli-source")
     SOURCE_TYPES = ("vec", "file", "wal", "void")
 
+    @_locked
     def create_source(self, index_id: str, config: dict) -> dict:
         """Register a source on an index. Supported Spark-native types:
         `vec` (inline docs, params {docs, batch_num_docs}), `file`
@@ -655,6 +709,7 @@ class QuickwitSpark:
         self._save_state(index_id, state)
         return dict(sources[sid])
 
+    @_locked
     def update_source(self, index_id: str, source_id: str, config: dict) -> dict:
         """`PUT /indexes/{index_id}/sources/{source_id}` analog
         (`source_resource.rs:98-158` → `load_source_config_update`,
@@ -706,6 +761,7 @@ class QuickwitSpark:
             raise ValueError(f"source {source_id!r} not found")
         return dict(src)
 
+    @_locked
     def delete_source(self, index_id: str, source_id: str) -> None:
         if source_id in self.RESERVED_SOURCES:
             raise PermissionError(f"source {source_id!r} is managed internally")
@@ -715,6 +771,7 @@ class QuickwitSpark:
         del state["sources"][source_id]
         self._save_state(index_id, state)
 
+    @_locked
     def toggle_source(self, index_id: str, source_id: str, enable: bool) -> dict:
         if source_id in self.RESERVED_SOURCES:
             raise PermissionError(f"source {source_id!r} is managed internally")
@@ -726,6 +783,7 @@ class QuickwitSpark:
         self._save_state(index_id, state)
         return dict(src)
 
+    @_locked
     def reset_source_checkpoint(self, index_id: str, source_id: str) -> None:
         """Forget the source's consumed offsets — the next `run_source`
         re-ingests from the beginning (reference reset-checkpoint)."""
@@ -736,6 +794,7 @@ class QuickwitSpark:
         src["checkpoint"] = {}
         self._save_state(index_id, state)
 
+    @_locked
     def run_source(self, index_id: str, source_id: str) -> dict:
         """One ingestion pass (the analog of attaching the reference's
         indexing pipeline to the source): consumes whatever the source
@@ -791,6 +850,20 @@ class QuickwitSpark:
             log = RecordLog(src["params"]["wal_root"])
             queue = src["params"]["queue"]
             batch = int(src["params"].get("batch_num_docs") or 1000)
+            # replay-safety pin: job ids derive from the batches
+            # counter, so a crash-replay is only absorbed correctly if
+            # the replayed chunks cover the SAME record ranges. If
+            # batch_num_docs changed between crash and retry, a bigger
+            # replayed chunk would be skipped as already-done while the
+            # cursor advanced past its never-indexed tail — so the
+            # batch size in effect when a drain starts is pinned in the
+            # checkpoint and only released when the drain completes.
+            pinned = src["checkpoint"].get("drain_batch")
+            if pinned is not None:
+                batch = int(pinned)
+            else:
+                src["checkpoint"]["drain_batch"] = batch
+                self._save_state(index_id, state)
             position = src["checkpoint"].get("position")
             rejected = 0
             errors: list = []
@@ -827,6 +900,12 @@ class QuickwitSpark:
                     chunk = []
             if chunk:
                 commit(chunk, last)
+            # drain complete: release the pinned batch size so the
+            # NEXT drain picks up any param change
+            state = self._state(index_id)
+            if "drain_batch" in state["sources"][source_id]["checkpoint"]:
+                state["sources"][source_id]["checkpoint"].pop("drain_batch")
+                self._save_state(index_id, state)
             out = {"source_id": source_id, "num_docs": ingested}
             if rejected:
                 out["rejected"] = rejected
@@ -852,6 +931,7 @@ class QuickwitSpark:
         os.environ.get("QWS_INGEST_DISTRIBUTED_MIN", "8192")
     )
 
+    @_locked
     def ingest(self, index_id: str, docs: list, _state_mutator=None) -> dict:
         """One NDJSON batch → one committed split set. `docs` are dicts
         or JSON strings. Invalid docs are rejected PER-DOC (reference

@@ -158,6 +158,7 @@ def write_rowbinary(
     columns: list[str],
     path: str,
     partition_by: str | None = None,
+    keep_parts: bool = False,
 ) -> dict[str, int]:
     """Assemble RowBinary file(s) under `path`: one `<value>.bin` per
     partition value (or `all.bin`). → {file: rows written}.
@@ -171,7 +172,23 @@ def write_rowbinary(
     (partition-id, chunk) order, which byte-matches the previous
     single-writer output. `path` must be storage every executor can
     reach (same contract as any Spark writer — local FS under
-    local[*], shared FS/object store on a cluster)."""
+    local[*], shared FS/object store on a cluster).
+
+    Part files carry the TASK ATTEMPT id in their name, so a
+    speculative or zombie duplicate attempt of the same partition
+    writes its own files; only the attempt whose manifest row the
+    collect() returned (the winning attempt — Spark commits exactly
+    one result per partition) contributes to the final output, and
+    orphaned loser-attempt files are swept with `_parts/`.
+
+    `keep_parts=True` is the 100×-scale escape hatch: the driver-side
+    concatenation into one file per partition value is inherently a
+    single-filesystem funnel, so for exports too large for single-file
+    assembly this mode skips it — `_parts/` is left in place along
+    with `_manifest.json` (ordered [part file, partition value, rows]
+    rows; concatenating each value's parts in manifest order yields
+    byte-identical output), and the returned dict maps partition
+    values to row counts instead of final files."""
     import os
     import shutil
 
@@ -187,6 +204,7 @@ def write_rowbinary(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        att = ctx.taskAttemptId() if ctx is not None else 0
         handles: dict[str, object] = {}
         rows: dict[str, int] = {}
         fname: dict[str, str] = {}
@@ -199,9 +217,12 @@ def write_rowbinary(
                 for i, pval in enumerate(pvals):
                     if pval not in handles:
                         # partition values may not be filename-safe:
-                        # name parts by (task, seq) and carry the value
-                        # in the manifest instead
-                        name = f"part-{pid:05d}-{seq:05d}.bin"
+                        # name parts by (task, attempt, seq) and carry
+                        # the value in the manifest. The attempt id
+                        # keeps a concurrent duplicate attempt of this
+                        # partition from opening (and corrupting) the
+                        # same file.
+                        name = f"part-{pid:05d}-a{att:08d}-{seq:05d}.bin"
                         seq += 1
                         handles[pval] = open(  # noqa: SIM115
                             _os.path.join(parts_dir, name), "wb"
@@ -227,7 +248,35 @@ def write_rowbinary(
         write_parts, "file string, partition string, num_rows long"
     ).collect()
 
-    out: dict[str, int] = {}
+    if keep_parts:
+        import json
+
+        # prune loser-attempt orphans so _parts/ holds exactly the
+        # manifest's files, then persist the assembly recipe
+        keep = {r["file"] for r in manifest}
+        for f in os.listdir(parts_dir):
+            if f not in keep:
+                os.unlink(os.path.join(parts_dir, f))
+        ordered = sorted(manifest, key=lambda r: (r["partition"], r["file"]))
+        with open(os.path.join(path, "_manifest.json"), "w") as mf:
+            json.dump(
+                [
+                    {
+                        "file": r["file"],
+                        "partition": r["partition"],
+                        "num_rows": r["num_rows"],
+                    }
+                    for r in ordered
+                ],
+                mf,
+            )
+        out: dict[str, int] = {}
+        for r in manifest:
+            key = r["partition"] or "all"
+            out[key] = out.get(key, 0) + r["num_rows"]
+        return out
+
+    out = {}
     # group by FINAL FILENAME, not partition value: '' and the literal
     # string 'all' both render to all.bin and must append (like the old
     # shared-handle writer), not overwrite each other

@@ -225,9 +225,7 @@ def trace_query_predicate(
     if service:
         conds.append(F.col("service_name") == service)
     if span_kind is not None and span_kind != "":
-        kind_num = _KIND_ALIASES.get(str(span_kind))
-        if kind_num is not None:
-            conds.append(F.col("span_kind") == kind_num)
+        conds.append(F.col("span_kind") == _kind_num(span_kind))
     if span_name:
         conds.append(F.col("span_name") == span_name)
     for key, value in sorted((tags or {}).items()):
@@ -336,6 +334,20 @@ _KIND_ALIASES = {
 }
 
 
+def _kind_num(span_kind) -> int:
+    """Resolve a span-kind alias to its OTLP number, erroring on
+    unknown values: a typo'd kind must not silently widen the query to
+    every kind (the reference matches a term that doesn't exist and
+    returns nothing — failing loudly is the honest analog)."""
+    num = _KIND_ALIASES.get(str(span_kind))
+    if num is None:
+        raise ValueError(
+            f"unknown span_kind {span_kind!r}: expected one of "
+            f"{sorted(_KIND_ALIASES)}"
+        )
+    return num
+
+
 def get_services(
     spans: DataFrame,
     lookback_secs: int | None = None,
@@ -393,9 +405,7 @@ def get_operations(
     if service:
         prefix = service + "\x00"
         if span_kind is not None and span_kind != "":
-            kind_num = _KIND_ALIASES.get(str(span_kind))
-            if kind_num is not None:
-                prefix += f"{kind_num}\x00"
+            prefix += f"{_kind_num(span_kind)}\x00"
         out = out.filter(F.col("fp").startswith(prefix))
     parts = F.split(F.col("fp"), "\x00")
     decoded = out.select(

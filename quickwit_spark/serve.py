@@ -61,6 +61,7 @@ class EsHttpServer:
             handler = facade.es()
         self.wire = handler
         self.facade = facade
+        self._refresh_lock = threading.Lock()
         server = self
 
         class _Request(BaseHTTPRequestHandler):
@@ -135,14 +136,23 @@ class EsHttpServer:
             # whenever the facade invalidated ANY searcher (ingest,
             # create, delete, mapping update bump mutation_count), so
             # new docs are visible immediately without paying per-index
-            # state reads on every request
+            # state reads on every request. The refresh is serialized
+            # and `gen` is read BEFORE the view is built: a mutation
+            # landing mid-build leaves `_seen_mutation` at the pre-read
+            # value, so the next request refreshes again — a stale view
+            # can never be recorded under a newer generation.
             gen = getattr(self.facade, "mutation_count", None)
             if gen is None or gen != getattr(self, "_seen_mutation", -1):
-                self.wire.indexes = {
-                    n: self.facade.searcher(n)
-                    for n in self.facade.list_indexes()
-                }
-                self._seen_mutation = gen
+                with self._refresh_lock:
+                    gen = getattr(self.facade, "mutation_count", None)
+                    if gen is None or gen != getattr(
+                        self, "_seen_mutation", -1
+                    ):
+                        self.wire.indexes = {
+                            n: self.facade.searcher(n)
+                            for n in self.facade.list_indexes()
+                        }
+                        self._seen_mutation = gen
         route = endpoint.partition("?")[0].rstrip("/").rsplit("/", 1)[-1]
         body = None
         ndjson = None
