@@ -226,6 +226,66 @@ def native_search(searcher, params: dict) -> dict:
     return out
 
 
+def native_search_plan(searcher, params: dict) -> dict:
+    """`{index}/search-plan` (reference `rest_handler.rs:341-366` +
+    SearchPlanResponseRest, `search_response_rest.rs:117-131`): how the
+    request WOULD execute, without running it. Accepts the same
+    SearchRequestQueryString surface as `/search` (deny-unknown-fields
+    included) and returns the reference's response keys — `quickwit_ast`
+    (parsed query AST), `tantivy_ast` (the engine-resolved filter form),
+    `searched_splits`, `storage_requests` (per-kind scan counts) — plus
+    this engine's own plan evidence (`warmup_terms`, `num_docs_searched`,
+    `spark_plan`, the physical plan Catalyst picked)."""
+    unknown = sorted(set(params) - _KNOWN_PARAMS)
+    if unknown:
+        raise ValueError(f"unknown search parameter(s): {', '.join(unknown)}")
+    query = params.get("query") or "*"
+    search_fields = _as_field_list(params.get("search_field"))
+    time_range = _time_range(params)
+    if isinstance(query, str) and search_fields:
+        from quickwit_spark.query.parser import parse_query
+
+        query = parse_query(
+            query,
+            search_fields,
+            position_fields={
+                f.name for f in searcher.config.fields if f.record == "position"
+            },
+        )
+    max_hits = _uint_param(params, "max_hits", 20)
+    plan = searcher.search_plan(
+        query, time_range=time_range, k=max(max_hits, 1)
+    )
+    searched = plan["segments_searched"]
+    # per-split request counts, reference StorageRequestCount semantics
+    # mapped onto this engine's artifacts: one manifest read ("footer"),
+    # one postings scan per warm term ("sstable"), one docmap/fast-field
+    # scan ("fastfield"), norms ride with postings ("fieldnorm")
+    n = len(searched)
+    return {
+        "quickwit_ast": plan["query_ast"],
+        "tantivy_ast": " AND ".join(
+            x
+            for x in (plan.get("fast_filter"), plan.get("tag_filter"))
+            if x
+        )
+        or plan["query_ast"],
+        "searched_splits": searched,
+        "storage_requests": {
+            "footer": n,
+            "fastfield": n,
+            "fieldnorm": n,
+            "sstable": n * max(len(plan.get("warmup_terms") or []), 1),
+            "posting": n * max(len(plan.get("warmup_terms") or []), 1),
+            "position": 0,
+        },
+        "segments_pruned": plan["segments_pruned"],
+        "num_docs_searched": plan["num_docs_searched"],
+        "warmup_terms": plan["warmup_terms"],
+        "spark_plan": plan["spark_plan"],
+    }
+
+
 def _attach_native_snippets(searcher, df, query, time_range, snippet_fields):
     """Snippets for field-sorted hits: the score path highlights inside
     `searcher.search`; the sort path fetches raw field values here and

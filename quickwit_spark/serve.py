@@ -128,6 +128,11 @@ class EsHttpServer:
             )
             if otlp is not None:
                 return otlp
+            native = self._maybe_native(
+                method, path[len("/api/v1"):], raw_body
+            )
+            if native is not None:
+                return native
         if path.startswith(_ELASTIC_PREFIX):
             path = path[len(_ELASTIC_PREFIX):] or "/"
         endpoint = path.lstrip("/")
@@ -180,6 +185,124 @@ class EsHttpServer:
             except json.JSONDecodeError as e:
                 raise EsApiError(400, f"invalid JSON body: {e}") from e
         return self.wire.request(method, endpoint, body=body, ndjson=ndjson)
+
+    # ---------------------------------------------------------- native
+
+    # Jaeger services/operations lookback window (reference
+    # lookback_period from node config; None = all retained spans, the
+    # deterministic default for a library-backed server)
+    jaeger_lookback_secs: int | None = None
+
+    def _maybe_native(self, method: str, path: str, raw_body: bytes):
+        """The reference's native (non-ES) REST routes
+        (qw/quickwit-serve/src/search_api/rest_handler.rs:175-241 and
+        jaeger_api/rest_handler.rs:56-165):
+
+            GET/POST /api/v1/{index}/search        SearchRequestQueryString
+            GET/POST /api/v1/{index}/search-plan   execution plan
+            GET      /api/v1/{index}/jaeger/api/services
+            GET      /api/v1/{index}/jaeger/api/services/{svc}/operations
+            GET      /api/v1/{index}/jaeger/api/traces?...
+            GET      /api/v1/{index}/jaeger/api/traces/{trace-id}
+
+        Returns None when the path is none of these (falls through to
+        the ES-compatible router). GET params come from the query
+        string; POST bodies are the same params as JSON."""
+        import json as _json
+        from urllib.parse import parse_qs
+
+        route, _, qs = path.partition("?")
+        parts = [p for p in route.strip("/").split("/") if p]
+        is_search = len(parts) == 2 and parts[1] in ("search", "search-plan")
+        is_jaeger = len(parts) >= 3 and parts[1] == "jaeger" and parts[2] == "api"
+        if not (is_search or is_jaeger) or self.facade is None:
+            return None
+        params = {k: v[-1] for k, v in parse_qs(qs).items()}
+        if is_search:
+            if method not in ("GET", "POST"):
+                raise EsApiError(405, f"method {method} not allowed")
+            if method == "POST" and raw_body.strip():
+                try:
+                    body = _json.loads(raw_body)
+                except _json.JSONDecodeError as e:
+                    raise EsApiError(400, f"invalid JSON body: {e}") from e
+                if not isinstance(body, dict):
+                    raise EsApiError(400, "body must be a JSON object")
+                params.update(body)
+            searcher = self._one_searcher(parts[0])
+            from quickwit_spark.search.native_api import (
+                native_search,
+                native_search_plan,
+            )
+
+            fn = native_search if parts[1] == "search" else native_search_plan
+            try:
+                return fn(searcher, params)
+            except ValueError as e:
+                raise EsApiError(400, str(e)) from e
+        if method != "GET":
+            raise EsApiError(405, f"method {method} not allowed for jaeger")
+        from quickwit_spark.search.jaeger_http import handle_jaeger, spans_frame
+
+        import time as _time
+
+        frames = [
+            spans_frame(self.facade.searcher(ix))
+            for ix in self._match_indexes(parts[0])
+        ]
+        spans = frames[0]
+        for f in frames[1:]:
+            spans = spans.unionByName(f, allowMissingColumns=True)
+        try:
+            return handle_jaeger(
+                spans,
+                parts[3:],
+                params,
+                lookback_secs=self.jaeger_lookback_secs,
+                now_nanos=(
+                    int(_time.time() * 1e9)
+                    if self.jaeger_lookback_secs is not None
+                    else None
+                ),
+            )
+        except ValueError as e:
+            raise EsApiError(400, str(e)) from e
+        except LookupError as e:
+            raise EsApiError(404, str(e)) from e
+
+    def _match_indexes(self, pattern: str) -> list[str]:
+        """Comma-separated index-id patterns with `*` globs (reference
+        extract_index_id_patterns) → matching index ids; 404 when
+        nothing matches."""
+        import fnmatch
+
+        from quickwit_spark.api import QuickwitSpark
+
+        live = self.facade.list_indexes()
+        out: list[str] = []
+        for pat in str(pattern).split(","):
+            pat = pat.strip()
+            if not pat:
+                continue
+            try:
+                QuickwitSpark.validate_index_id_pattern(pat)
+            except ValueError as e:
+                raise EsApiError(400, str(e)) from e
+            out.extend(n for n in live if fnmatch.fnmatchcase(n, pat))
+        matched = sorted(set(out))
+        if not matched:
+            raise EsApiError(404, f"no index matches {pattern!r}")
+        return matched
+
+    def _one_searcher(self, pattern: str):
+        matched = self._match_indexes(pattern)
+        if len(matched) > 1:
+            raise EsApiError(
+                400,
+                "native /search serves a single index per request here; "
+                f"pattern {pattern!r} matched {matched}",
+            )
+        return self.facade.searcher(matched[0])
 
     # ------------------------------------------------------------ otlp
 

@@ -295,3 +295,174 @@ def test_repeat_otlp_ingest_is_searchable_and_query_params_ok(server):
         {"query": {"match": {"body": "repeat"}}, "size": 0},
     )
     assert r2["hits"]["total"]["value"] == first + 1
+
+
+# ---------------------------------------------------------------------------
+# native REST + Jaeger HTTP routes (reference search_api/rest_handler.rs
+# and jaeger_api/rest_handler.rs, mounted under /api/v1)
+# ---------------------------------------------------------------------------
+
+
+def test_native_search_get_and_post(server):
+    """GET/POST /api/v1/{index}/search speaks SearchRequestQueryString
+    (rest_handler.rs:175-241): query-string params on GET, the same
+    object as a JSON body on POST; deny-unknown-fields 400s."""
+    status, resp = _call(
+        server, "GET", "/api/v1/logs/search?query=msg:error&max_hits=3"
+    )
+    assert status == 200
+    assert resp["num_hits"] == 12
+    assert len(resp["hits"]) == 3
+    assert resp["errors"] == []
+    assert "elapsed_time_micros" in resp
+
+    status, resp = _call(
+        server, "POST", "/api/v1/logs/search",
+        {"query": "msg:error", "max_hits": 2, "sort_by": "+n"},
+    )
+    assert status == 200
+    assert [h["n"] for h in resp["hits"]] == [0, 5]
+
+    status, resp = _call(server, "GET", "/api/v1/logs/search?nope=1")
+    assert status == 400
+    status, resp = _call(server, "GET", "/api/v1/zzz/search?query=a")
+    assert status == 404
+    # glob patterns resolve like extract_index_id_patterns
+    status, resp = _call(server, "GET", "/api/v1/log*/search?query=msg:error")
+    assert status == 200 and resp["num_hits"] == 12
+
+
+def test_native_search_plan_route(server):
+    """GET/POST /api/v1/{index}/search-plan returns the reference's
+    SearchPlanResponseRest keys (search_response_rest.rs:117-131) plus
+    this engine's plan evidence."""
+    status, resp = _call(
+        server, "GET", "/api/v1/logs/search-plan?query=msg:error"
+    )
+    assert status == 200
+    for key in ("quickwit_ast", "tantivy_ast", "searched_splits",
+                "storage_requests", "warmup_terms", "spark_plan"):
+        assert key in resp
+    assert resp["searched_splits"]
+    assert resp["storage_requests"]["footer"] == len(resp["searched_splits"])
+    status, resp = _call(
+        server, "POST", "/api/v1/logs/search-plan", {"query": "msg:error"}
+    )
+    assert status == 200 and resp["warmup_terms"] == ["error"]
+    status, resp = _call(server, "GET", "/api/v1/logs/search-plan?bad=1")
+    assert status == 400
+
+
+def test_otlp_to_jaeger_http_round_trip(server):
+    """End-to-end over live sockets: OTLP/JSON trace ingest →
+    /jaeger/api services, operations, traces search (with tag +
+    duration filters), and trace-by-id — the Jaeger UI JSON model
+    (jaeger_api/model.rs: camelCase, µs times, typed tags, p1/p2
+    process map)."""
+    traces_req = {
+        "resourceSpans": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "jui-svc"}},
+                {"key": "host", "value": {"stringValue": "h1"}}]},
+            "scopeSpans": [{"spans": [
+                {"traceId": "1a" * 16, "spanId": "2b" * 8,
+                 "name": "GET /root", "kind": 2,
+                 "startTimeUnixNano": "1000000000",
+                 "endTimeUnixNano": "2500000000",
+                 "attributes": [{"key": "http.status_code",
+                                 "value": {"intValue": "500"}}],
+                 "status": {"code": 2, "message": "boom"}},
+                {"traceId": "1a" * 16, "spanId": "3c" * 8,
+                 "name": "child-op", "kind": 3,
+                 "parentSpanId": "2b" * 8,
+                 "startTimeUnixNano": "1200000000",
+                 "endTimeUnixNano": "1300000000"},
+                {"traceId": "9f" * 16, "spanId": "4d" * 8,
+                 "name": "other-op", "kind": 1,
+                 "startTimeUnixNano": "9000000000",
+                 "endTimeUnixNano": "9050000000"},
+            ]}],
+        }]
+    }
+    req = urllib.request.Request(
+        server.url + "/api/v1/jui-traces/otlp/v1/traces",
+        data=json.dumps(traces_req).encode(), method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert json.loads(r.read()) == {"partialSuccess": {}}
+
+    status, resp = _call(server, "GET", "/api/v1/jui-traces/jaeger/api/services")
+    assert status == 200 and resp == {"data": ["jui-svc"]}
+
+    status, resp = _call(
+        server, "GET",
+        "/api/v1/jui-traces/jaeger/api/services/jui-svc/operations")
+    assert status == 200
+    assert resp == {"data": ["GET /root", "child-op", "other-op"]}
+
+    # traces search: most-recent trace first; UI model shape
+    status, resp = _call(
+        server, "GET",
+        "/api/v1/jui-traces/jaeger/api/traces?service=jui-svc&limit=5")
+    assert status == 200
+    assert [t["traceID"] for t in resp["data"]] == ["9f" * 16, "1a" * 16]
+    t = resp["data"][1]
+    assert [s["operationName"] for s in t["spans"]] == ["GET /root", "child-op"]
+    root = t["spans"][0]
+    assert root["startTime"] == 1_000_000 and root["duration"] == 1_500_000
+    assert root["processID"] == "p1"
+    assert t["processes"]["p1"]["serviceName"] == "jui-svc"
+    assert {"key": "host", "type": "string", "value": "h1"} in (
+        t["processes"]["p1"]["tags"])
+    assert {"key": "http.status_code", "type": "int64", "value": 500} in (
+        root["tags"])
+    assert {"key": "error", "type": "bool", "value": True} in root["tags"]
+    child = t["spans"][1]
+    assert child["references"] == [
+        {"traceID": "1a" * 16, "spanID": "2b" * 8, "refType": "CHILD_OF"}]
+
+    # tag + duration filters narrow the winner set
+    status, resp = _call(
+        server, "GET",
+        "/api/v1/jui-traces/jaeger/api/traces?service=jui-svc"
+        "&tags=%7B%22error%22%3A%22true%22%7D")
+    assert status == 200
+    assert [t["traceID"] for t in resp["data"]] == ["1a" * 16]
+    status, resp = _call(
+        server, "GET",
+        "/api/v1/jui-traces/jaeger/api/traces?minDuration=1.2s")
+    assert status == 200
+    assert [t["traceID"] for t in resp["data"]] == ["1a" * 16]
+    status, resp = _call(
+        server, "GET",
+        "/api/v1/jui-traces/jaeger/api/traces?maxDuration=200ms")
+    assert status == 200
+    assert [t["traceID"] for t in resp["data"]] == ["9f" * 16, "1a" * 16]
+
+    # start/end are µs, truncated to whole seconds like the reference
+    status, resp = _call(
+        server, "GET",
+        "/api/v1/jui-traces/jaeger/api/traces?start=3000000&end=10000000")
+    assert status == 200
+    assert [t["traceID"] for t in resp["data"]] == ["9f" * 16]
+
+    # trace by id
+    status, resp = _call(
+        server, "GET", "/api/v1/jui-traces/jaeger/api/traces/" + "1a" * 16)
+    assert status == 200
+    assert len(resp["data"]) == 1 and len(resp["data"][0]["spans"]) == 2
+
+    # error paths: unknown param, bad trace id, bad route, wrong method
+    status, _ = _call(
+        server, "GET", "/api/v1/jui-traces/jaeger/api/traces?bogus=1")
+    assert status == 400
+    status, _ = _call(
+        server, "GET", "/api/v1/jui-traces/jaeger/api/traces/nothex")
+    assert status == 400
+    status, _ = _call(
+        server, "GET", "/api/v1/jui-traces/jaeger/api/nosuch")
+    assert status == 404
+    status, _ = _call(
+        server, "POST", "/api/v1/jui-traces/jaeger/api/services", {})
+    assert status == 405
