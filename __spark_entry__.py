@@ -3856,6 +3856,89 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= {threshold}
 """
 
 
+def _q_multimodal_features(spark, sf_dir):
+    """Real image decode in the multimodal path (VERDICT r4 item 6):
+    per-document deterministic gradient images are ENCODED to real PPM
+    (even ids) / BMP (odd ids) payloads, decoded back by the
+    pure-numpy codecs (`datapipe/multimodal.py`), and reduced to exact
+    per-channel integer pixel sums — all Arrow-batched mapInPandas.
+    The oracle recreates the gradient's closed form
+    (value(j) = (7*id + j) % 256, RGB-interleaved) with a constant
+    range cross-join, so any codec bug (BMP row padding, BGR order,
+    bottom-up rows, PPM header parse) breaks the value hash."""
+    from quickwit_spark.datapipe.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        gradient_image,
+        image_channel_sums,
+    )
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            (F.col("doc_id") % 13 + 4).cast("int").alias("width"),
+            (F.col("doc_id") % 7 + 4).cast("int").alias("height"),
+        )
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                (encode_ppm if int(m) % 2 == 0 else encode_bmp)(
+                    gradient_image(int(m), int(w), int(h))
+                )
+                for m, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                }
+            )
+
+    media = base.mapInPandas(
+        enc, "media_id long, kind string, payload binary"
+    )
+    return image_channel_sums(media)
+
+
+def _q_kafka_records_project(spark, sf_dir):
+    """Kafka record→doc projection (`sources/kafka.py:78`,
+    kafka_source.rs:734-746 semantics) over a static records frame of
+    the connector's wire shape (value binary, partition int, offset
+    long): tombstones (null/empty value) and non-JSON payloads are
+    skipped, valid docs parse against the declared schema, and
+    partition/offset lineage rides along. The oracle rebuilds the
+    same value bytes and filter rules in SQL."""
+    from quickwit_spark.sources.kafka import kafka_records_to_docs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    records = ev.select(
+        F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("binary"))
+        .when(F.col("event_id") % 89 == 0, F.lit("not json").cast("binary"))
+        .otherwise(
+            F.to_json(
+                F.struct("event_id", "event_type", "user_id")
+            ).cast("binary")
+        )
+        .alias("value"),
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    docs = kafka_records_to_docs(
+        records, "event_id long, event_type string, user_id long"
+    )
+    return docs.select(
+        "event_id", "event_type", "user_id",
+        "_kafka_partition", "_kafka_offset",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 disjunction over the sf0.001 corpus with
     hit materialization (url/lang fetched from the docmap)."""
@@ -3951,9 +4034,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ORDER MATTERS: the driver correctness harness checks only the
         # first 50 entries per round, so gates are ordered by driver-
-        # evidence age — new/never-driver-checked first, then oldest
-        # round-checked — and rotated each round so every gate earns a
-        # CORRECTNESS_rN row within 2-3 rounds (VERDICT r3 item 1).
+        # evidence age — new/never-driver-checked first, then the
+        # oldest round-checked cohort (r03 as of round 5) — and rotated
+        # each round so every gate earns a CORRECTNESS_rN row within
+        # 2-3 rounds (VERDICT r3 item 1 / r4 item 2).
+        "multimodal_features": _q_multimodal_features,
+        "kafka_records_project": _q_kafka_records_project,
+        "search_term_topk": _q_term_topk,
+        "search_or_topk": _q_or_topk,
+        "search_and_topk": _q_and_topk,
+        "search_bool_mixed": _q_bool_mixed,
+        "search_boost": _q_boost,
+        "search_filter_time": _q_filter_time,
+        "search_filter_lang": _q_filter_lang,
+        "search_wildcard": _q_wildcard,
+        "search_regex": _q_regex,
+        "search_exists_filter": _q_exists_filter,
+        "es_dsl_bool": _q_es_dsl_bool,
+        "scroll_page3": _q_scroll_page3,
+        "search_query_string": _q_query_string,
+        "search_qs_time_range": _q_qs_time_range,
+        "search_tag_pruned": _q_tag_pruned,
+        "search_snippet": _q_snippet,
+        "search_concat_count": _q_concat_count,
+        "events_error_by_day": _q_events_error_by_day,
+        "events_top_value": _q_events_top_value,
+        "events_two_key_sort": _q_events_two_key_sort,
+        "events_user_cardinality": _q_events_user_cardinality,
+        "match_stream_term": _q_match_stream,
+        "count_term": _q_count_term,
+        "search_input_routed": _q_input_routed_count,
+        "search_streamed_topk": _q_streamed_topk,
+        "search_file_source_count": _q_file_source_count,
+        "list_fields_caps": _q_list_fields,
+        "search_qs_compare_range": _q_qs_compare_range,
+        "multi_index_count": _q_multi_index_count,
+        "multi_index_terms_agg": _q_multi_index_terms_agg,
+        "multi_index_topk": _q_multi_index_topk,
+        "count_all": _q_count_all,
+        "bulk_ingest_count": _q_bulk_count,
+        "source_render_fields": _q_source_render,
+        "mapping_update_fetch": _q_mapping_update,
+        "search_merged_topk": _q_merged_topk,
+        "search_stem_count": _q_stem_count,
+        "search_code_count": _q_code_count,
+        "search_cjk_count": _q_cjk_count,
+        "search_multilang_count": _q_multilang_count,
+        "search_deleted_topk": _q_deleted_topk,
+        "search_deleted_count": _q_deleted_count,
+        "retention_count": _q_retention_count,
+        "retention_topk": _q_retention_topk,
+        "transform_pipeline": _q_transform_pipeline,
+        "list_terms_range": _q_list_terms,
+        "agg_terms_lang": _q_agg_terms_lang,
+        "agg_date_histogram": _q_agg_date_histogram,
+        "agg_histogram_nchars": _q_agg_histogram,
+        "agg_range_nchars": _q_agg_range,
         "otlp_logs_count": _q_otlp_logs_count,
         "vrl_transform_pipeline": _q_vrl_transform,
         "find_trace_ids_topk": _q_find_trace_ids,
@@ -4027,61 +4163,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "text_bpe_token_count": _q_bpe_token_count,
-        "search_term_topk": _q_term_topk,
-        "search_or_topk": _q_or_topk,
-        "search_and_topk": _q_and_topk,
-        "search_bool_mixed": _q_bool_mixed,
-        "search_boost": _q_boost,
-        "search_filter_time": _q_filter_time,
-        "search_filter_lang": _q_filter_lang,
-        "search_wildcard": _q_wildcard,
-        "search_regex": _q_regex,
-        "search_exists_filter": _q_exists_filter,
-        "es_dsl_bool": _q_es_dsl_bool,
-        "scroll_page3": _q_scroll_page3,
-        "search_query_string": _q_query_string,
-        "search_qs_time_range": _q_qs_time_range,
-        "search_tag_pruned": _q_tag_pruned,
-        "search_snippet": _q_snippet,
-        "search_concat_count": _q_concat_count,
-        "events_error_by_day": _q_events_error_by_day,
-        "events_top_value": _q_events_top_value,
-        "events_two_key_sort": _q_events_two_key_sort,
-        "events_user_cardinality": _q_events_user_cardinality,
-        "match_stream_term": _q_match_stream,
-        "count_term": _q_count_term,
-        "search_input_routed": _q_input_routed_count,
-        "search_streamed_topk": _q_streamed_topk,
-        "search_file_source_count": _q_file_source_count,
-        "list_fields_caps": _q_list_fields,
-        "search_qs_compare_range": _q_qs_compare_range,
-        "multi_index_count": _q_multi_index_count,
-        "multi_index_terms_agg": _q_multi_index_terms_agg,
-        "multi_index_topk": _q_multi_index_topk,
-        "count_all": _q_count_all,
-        "bulk_ingest_count": _q_bulk_count,
-        "source_render_fields": _q_source_render,
-        "mapping_update_fetch": _q_mapping_update,
-        "search_merged_topk": _q_merged_topk,
-        "search_stem_count": _q_stem_count,
-        "search_code_count": _q_code_count,
-        "search_cjk_count": _q_cjk_count,
-        "search_multilang_count": _q_multilang_count,
-        "search_deleted_topk": _q_deleted_topk,
-        "search_deleted_count": _q_deleted_count,
-        "retention_count": _q_retention_count,
-        "retention_topk": _q_retention_topk,
-        "transform_pipeline": _q_transform_pipeline,
-        "list_terms_range": _q_list_terms,
-        "agg_terms_lang": _q_agg_terms_lang,
-        "agg_date_histogram": _q_agg_date_histogram,
-        "agg_histogram_nchars": _q_agg_histogram,
-        "agg_range_nchars": _q_agg_range,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the gradient image's closed form: RGB-interleaved flat index
+        # j holds (7*id + j) % 256, so per-channel sums are a constant
+        # range cross-join (480 = max w*h*3 for w ≤ 16, h ≤ 10)
+        "multimodal_features": """
+SELECT d.doc_id AS media_id,
+       CAST((d.doc_id % 13 + 4) * (d.doc_id % 7 + 4) AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN t.j % 3 = 0
+                     THEN (d.doc_id * 7 + t.j) % 256 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN t.j % 3 = 1
+                     THEN (d.doc_id * 7 + t.j) % 256 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN t.j % 3 = 2
+                     THEN (d.doc_id * 7 + t.j) % 256 END) AS BIGINT) AS sum_b
+FROM documents d
+CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 480)) t
+WHERE t.j < (d.doc_id % 13 + 4) * (d.doc_id % 7 + 4) * 3
+GROUP BY d.doc_id
+""",
+        "kafka_records_project": """
+SELECT event_id, event_type, user_id,
+       CAST(event_id % 8 AS INTEGER) AS _kafka_partition,
+       event_id AS _kafka_offset
+FROM events
+WHERE event_id % 97 <> 0 AND event_id % 89 <> 0
+""",
         "vrl_transform_pipeline": """
 SELECT event_id,
        upper(event_type) AS etype,

@@ -2,15 +2,22 @@
 
 Images/audio/video ride through the pipeline as `binary` columns with a
 metadata struct; decode/feature steps are Arrow-batched `mapInPandas`
-UDFs. The decode kernels themselves are STUBS in this sandbox (no
-image/audio libs in the container): `decode_stub=True` produces a
-deterministic fake (shape + checksum-seeded pixels) so the Spark-side
-plumbing — schema, batch shape, partitioning, UDF signature — is real
-and testable; swapping in PIL/ffmpeg is a one-function change.
+UDFs over those payloads, so executor memory is bounded by the Arrow
+batch size, not the partition size — the shape a 100 TB media corpus
+needs.
+
+The image path is REAL: pure-numpy decoders for the public NetPBM
+(P2/P3/P5/P6) and Windows BMP (24/32-bit uncompressed) formats, plus
+matching encoders, so decode(encode(img)) round-trips bit-exactly with
+no third-party codec. Audio/video decoding still has no codec in this
+container, so those payloads stay deterministic fakes and the
+video-frame sampler emits the sampling PLAN (timestamps) rather than
+pixels; swapping in ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,9 +47,159 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# image codecs (pure numpy, public formats)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_ppm expects an (h, w, 3) array")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, 4-byte row padding)."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_bmp expects an (h, w, 3) array")
+    h, w = img.shape[:2]
+    row_size = (w * 3 + 3) // 4 * 4
+    data_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    bgr = np.ascontiguousarray(img[..., ::-1], dtype=np.uint8)
+    padded = np.zeros((h, row_size), dtype=np.uint8)
+    padded[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + dib + padded[::-1].tobytes()  # bottom-up
+
+
+def _pnm_tokens(buf: bytes, count: int, start: int) -> tuple[list[int], int]:
+    """Read `count` whitespace-separated integer tokens from a NetPBM
+    header/ASCII raster, honoring `#` comments. → (tokens, next pos)."""
+    toks: list[int] = []
+    i = start
+    n = len(buf)
+    while len(toks) < count:
+        while i < n:
+            c = buf[i : i + 1]
+            if c == b"#":
+                while i < n and buf[i : i + 1] not in (b"\n", b"\r"):
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                break
+        j = i
+        while j < n and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated NetPBM header/raster")
+        toks.append(int(buf[i:j]))
+        i = j
+    return toks, i
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    magic = payload[:2]
+    nchan = 3 if magic in (b"P3", b"P6") else 1
+    (w, h, maxval), i = _pnm_tokens(payload, 3, 2)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNM dimensions {w}x{h}")
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PNM maxval {maxval} (8-bit only)")
+    if magic in (b"P5", b"P6"):
+        # exactly ONE whitespace byte separates maxval from the raster
+        i += 1
+        need = w * h * nchan
+        if len(payload) - i < need:
+            raise ValueError("truncated PNM raster")
+        img = np.frombuffer(payload, np.uint8, count=need, offset=i).reshape(
+            h, w, nchan
+        )
+    else:  # ASCII rasters
+        vals, _ = _pnm_tokens(payload, w * h * nchan, i)
+        img = np.asarray(vals, dtype=np.uint8).reshape(h, w, nchan)
+    if nchan == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError("unsupported BMP (pre-BITMAPINFOHEADER core header)")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP ({bpp}-bit, compression {compression}): "
+            "only 24/32-bit uncompressed"
+        )
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h_signed}")
+    h, top_down = abs(h_signed), h_signed < 0
+    nb = bpp // 8
+    row_size = (w * nb + 3) // 4 * 4
+    if len(payload) - data_offset < row_size * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(
+        payload, np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)
+    pix = rows[:, : w * nb].reshape(h, w, nb)
+    if not top_down:
+        pix = pix[::-1]
+    return np.ascontiguousarray(pix[..., [2, 1, 0]])  # BGR(A) → RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Binary image payload → (h, w, 3) uint8 RGB. Sniffs the format
+    from magic bytes; P2/P3/P5/P6 NetPBM and 24/32-bit uncompressed
+    BMP decode for real (pure numpy); anything else raises."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    magic = bytes(payload[:2])
+    if magic in (b"P2", b"P3", b"P5", b"P6"):
+        return _decode_pnm(bytes(payload))
+    if magic == b"BM":
+        return _decode_bmp(bytes(payload))
+    raise ValueError(
+        f"unsupported image format (magic {magic!r}): "
+        "NetPBM (P2/P3/P5/P6) and uncompressed BMP are built in"
+    )
+
+
+# ---------------------------------------------------------------------------
+# synthetic media (deterministic, real image encodings)
+# ---------------------------------------------------------------------------
+
+
+def gradient_image(media_id: int, width: int, height: int) -> np.ndarray:
+    """Deterministic test image: flat RGB-interleaved index j gets
+    value (media_id*7 + j) % 256 — closed-form per-pixel, so channel
+    sums/histograms are independently computable (the oracle-SQL
+    hook)."""
+    j = np.arange(width * height * 3, dtype=np.int64)
+    return ((media_id * 7 + j) % 256).astype(np.uint8).reshape(
+        height, width, 3
+    )
+
+
 def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
-    df = spark.range(n).select(
+    """Deterministic fake media table. Image rows carry REAL encoded
+    payloads (PPM for even ids, BMP for odd — both decoders exercised);
+    audio/video payloads stay seeded bytes (no codec in sandbox)."""
+    base = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -55,24 +212,38 @@ def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
         (F.col("id") % 48 + 16).cast("int").alias("height"),
         (F.col("id") * 37 % 10000).cast("int").alias("duration_ms"),
     )
-    return df
+
+    def encode_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, kind, payload, w, h in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["width"], pdf["height"],
+            ):
+                if kind == "image":
+                    img = gradient_image(int(mid), int(w), int(h))
+                    enc = encode_ppm if mid % 2 == 0 else encode_bmp
+                    payloads.append(enc(img))
+                else:
+                    payloads.append(payload)
+            pdf = pdf.assign(payload=payloads)
+            yield pdf
+
+    return base.mapInPandas(encode_images, MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode: deterministic pixels from the payload checksum.
-    Real implementation: PIL.Image.open(io.BytesIO(payload))."""
-    if payload is None:
-        raise NotImplementedError("real image decode requires PIL — not in sandbox")
-    rng = np.random.default_rng(np.frombuffer(payload[:8], dtype=np.uint64))
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+# ---------------------------------------------------------------------------
+# feature extraction (Arrow-batched over real decode)
+# ---------------------------------------------------------------------------
 
 
 def extract_image_features(df: DataFrame, bins: int = 8) -> DataFrame:
-    """Decode (stub) + per-channel histogram features, Arrow-batched.
+    """Decode + per-channel histogram features, Arrow-batched.
 
-    → (media_id, feat: array<float> of 3*bins). The partitioning
-    contract: payloads stream through mapInPandas in Arrow batches, so
-    executor memory is bounded by batch size, not partition size."""
+    → (media_id, feat: array<float> of 3*bins), normalized by the
+    DECODED pixel count. Payloads stream through mapInPandas in Arrow
+    batches; each image decodes, histograms, and is dropped — peak
+    memory is one batch of payloads plus one decoded frame."""
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -83,28 +254,67 @@ def extract_image_features(df: DataFrame, bins: int = 8) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                img = _decode_image_stub(payload, int(w), int(h))
+            for payload in pdf["payload"]:
+                img = decode_image(payload)
+                npx = img.shape[0] * img.shape[1]
                 hist = [
                     np.histogram(img[..., c], bins=bins, range=(0, 256))[0]
                     for c in range(3)
                 ]
-                feats.append(
-                    (np.concatenate(hist) / (int(w) * int(h))).astype(np.float32)
-                )
+                feats.append((np.concatenate(hist) / npx).astype(np.float32))
             yield pd.DataFrame({"media_id": pdf["media_id"], "feat": feats})
 
     return (
         df.filter(F.col("kind") == "image")
-        .select("media_id", "payload", "width", "height")
+        .select("media_id", "payload")
+        .mapInPandas(run, out_schema)
+    )
+
+
+def image_channel_sums(df: DataFrame) -> DataFrame:
+    """Decode + exact per-channel integer pixel sums (the
+    oracle-checkable feature): → (media_id, n_px, sum_r, sum_g,
+    sum_b). Same Arrow-batched streaming shape as
+    extract_image_features; integer outputs hash stably."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_px", LongType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(payload).astype(np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        img.shape[0] * img.shape[1],
+                        int(img[..., 0].sum()),
+                        int(img[..., 1].sum()),
+                        int(img[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_px", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
         .mapInPandas(run, out_schema)
     )
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
-    timestamp (decode stubbed; the explode/partition shape is real).
-    → (media_id, frame_ts_ms)."""
+    timestamp (frame decode needs a video codec — the explode/partition
+    shape is real). → (media_id, frame_ts_ms)."""
     return (
         df.filter(F.col("kind") == "video")
         .select(

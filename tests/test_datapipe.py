@@ -810,3 +810,69 @@ def test_pack_sequences_rejects_bad_len(spark):
     df = spark.createDataFrame([(1, 5)], ["doc_id", "tokens"])
     with _pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "tokens", seq_len=0)
+
+
+def test_image_codecs_roundtrip_and_goldens():
+    """Pure-numpy image codecs: PPM/BMP round-trips are bit-exact
+    (incl. BMP row padding when width % 4 != 0), grayscale P5 and the
+    ASCII forms decode, hand-written golden bytes parse, and malformed
+    payloads error instead of fabricating pixels."""
+    import numpy as np
+    import pytest as _pytest
+
+    from quickwit_spark.datapipe.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        gradient_image,
+    )
+
+    for w, h in [(1, 1), (5, 3), (7, 2), (16, 10)]:  # 5,7: padded BMP rows
+        img = gradient_image(9, w, h)
+        assert (decode_image(encode_ppm(img)) == img).all()
+        assert (decode_image(encode_bmp(img)) == img).all()
+
+    # golden ASCII P2 (grayscale, comment line) and P3
+    p2 = b"P2\n# a comment\n2 2\n255\n0 64\n128 255\n"
+    g = decode_image(p2)
+    assert g.shape == (2, 2, 3)
+    assert (g[..., 0] == [[0, 64], [128, 255]]).all()
+    assert (g[..., 0] == g[..., 1]).all() and (g[..., 0] == g[..., 2]).all()
+    p3 = b"P3 2 1 255 1 2 3 4 5 6"
+    assert decode_image(p3).tolist() == [[[1, 2, 3], [4, 5, 6]]]
+    # binary P5 grayscale replicates to 3 channels
+    p5 = b"P5\n2 1\n255\n" + bytes([10, 200])
+    assert decode_image(p5).tolist() == [[[10, 10, 10], [200, 200, 200]]]
+
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF89a....")
+    with _pytest.raises(ValueError):
+        decode_image(b"P6\n4 4\n255\n\x00\x01")  # truncated raster
+    with _pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)  # 16-bit maxval
+    with _pytest.raises(ValueError):
+        decode_image(encode_bmp(gradient_image(1, 2, 2))[:30])  # cut header
+
+
+def test_image_channel_sums_match_closed_form(spark):
+    """image_channel_sums over real encoded payloads equals the
+    gradient's closed form: sum_ch = Σ_{j≡ch (3)} (7*id + j) % 256."""
+    from quickwit_spark.datapipe import multimodal
+
+    media = multimodal.synthesize_media(spark, 12)
+    out = (
+        multimodal.image_channel_sums(media)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    import numpy as np
+
+    for mid in out.index:
+        w, h = mid % 64 + 16, mid % 48 + 16
+        j = np.arange(w * h * 3, dtype=np.int64)
+        v = (mid * 7 + j) % 256
+        assert out.loc[mid, "n_px"] == w * h
+        assert out.loc[mid, "sum_r"] == v[j % 3 == 0].sum()
+        assert out.loc[mid, "sum_g"] == v[j % 3 == 1].sum()
+        assert out.loc[mid, "sum_b"] == v[j % 3 == 2].sum()
