@@ -25,9 +25,11 @@ Two scoring modes:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re as _re
+import threading
 
 import numpy as np
 import pandas as pd
@@ -287,10 +289,39 @@ def _has_phrase(node: QueryAst) -> bool:
     return False
 
 
+def _concurrent_span(fn):
+    """Count queries in flight on this searcher (re-entrant per
+    thread): a searcher-fleet workload firing N queries at once should
+    split the worker wave N ways instead of having every query claim
+    it whole — the kernel width computation in `_matches` divides by
+    this count. Solo queries see 1 and keep the full wave."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        tl = self._aq_tl
+        first = getattr(tl, "depth", 0) == 0
+        tl.depth = getattr(tl, "depth", 0) + 1
+        if first:
+            with self._aq_lock:
+                self._active_queries += 1
+        try:
+            return fn(self, *args, **kwargs)
+        finally:
+            tl.depth -= 1
+            if first:
+                with self._aq_lock:
+                    self._active_queries -= 1
+
+    return wrapper
+
+
 class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        self._aq_lock = threading.Lock()
+        self._aq_tl = threading.local()
+        self._active_queries = 0
         # per-generation config snapshots (builder.config_path): a
         # non-additive mapping update starts a new generation; queries
         # always validate against the NEWEST mapping
@@ -1206,7 +1237,17 @@ class IndexSearcher:
         )
         task_cpus = int(self.spark.conf.get("spark.task.cpus", "1") or 1)
         wave = max(1, sc.defaultParallelism // task_cpus)
-        kparts = max(1, min(n_groups or 1, wave))
+        # concurrency-aware width: when several queries run at once on
+        # one session (the searcher-fleet pattern — bench drives 9
+        # concurrently), giving EACH query a full worker wave makes
+        # them contend for slots instead of pipelining; divide the wave
+        # by the number of queries currently being planned/executed on
+        # this searcher. QWS_KERNEL_WAVE_FRACTION (0 < f ≤ 1) scales
+        # the solo width for deployments that know their concurrency.
+        frac = float(os.environ.get("QWS_KERNEL_WAVE_FRACTION", "1") or 1)
+        wave = max(1, int(wave * min(max(frac, 0.01), 1.0)))
+        active = max(1, int(getattr(self, "_active_queries", 0)))
+        kparts = max(1, min(n_groups or 1, max(1, wave // active)))
         if fast_filter is not None:
             allowed_df = (
                 self._seg_pred_filter(self.docs(), seg_ids)
@@ -1314,6 +1355,7 @@ class IndexSearcher:
         self._reject_residual_ranges(ast)
         return ast, fast_filter, seg_ids
 
+    @_concurrent_span
     def match_docs(
         self, query, time_range=None, mode: str = "parity", _resolved=None
     ) -> DataFrame:
@@ -1323,6 +1365,7 @@ class IndexSearcher:
         )
         return self._matches(ast, seg_ids, None, mode, fast_filter)
 
+    @_concurrent_span
     def count(self, query, time_range=None, segments=None, _resolved=None) -> int:
         """Hit count. Fast paths (reference `leaf.rs:466-468` metadata
         counts): match-all answers from the manifest; a bare Term
@@ -1352,6 +1395,7 @@ class IndexSearcher:
                 )
         return self._matches(ast, seg_ids, None, "parity", fast_filter).count()
 
+    @_concurrent_span
     def count_up_to(
         self, query, n: int, time_range=None, _resolved=None
     ) -> tuple[int, bool]:
@@ -1380,6 +1424,7 @@ class IndexSearcher:
                 return total, False
         return total, True
 
+    @_concurrent_span
     def sort_by_field(
         self,
         query,
@@ -1505,6 +1550,7 @@ class IndexSearcher:
             *(["segment_id"] if self._multi_gen else []),
         )
 
+    @_concurrent_span
     def search(
         self,
         query,
@@ -1802,6 +1848,7 @@ class IndexSearcher:
             bounds[sid] = b
         return bounds
 
+    @_concurrent_span
     def search_early(
         self,
         query,
