@@ -277,8 +277,8 @@ def run_query_bench(idx_dir: str, cores: int) -> dict:
         ).collect(),
         "q_wildcard": lambda: s.search(Wildcard("text", "qu*"), k=10).collect(),
         "q_count": lambda: s.count(Term("text", "table")),
-        "q_agg_terms": lambda: aggs.terms_agg(
-            aggs.matches(s, Term("text", "table"), columns=["lang"]), "lang"
+        "q_agg_terms": lambda: aggs.terms_agg_for_query(
+            s, Term("text", "table"), "lang"
         ).collect(),
     }
     # untimed warmup: spins up python workers + page cache so the first
@@ -533,8 +533,8 @@ def run_scaleup_bench(cores: int, base_queries: dict | None = None) -> dict:
         ).collect(),
         "q_wildcard": lambda: s.search(Wildcard("text", "qu*"), k=10).collect(),
         "q_count": lambda: s.count(Term("text", "table")),
-        "q_agg_terms": lambda: aggs.terms_agg(
-            aggs.matches(s, Term("text", "table"), columns=["lang"]), "lang"
+        "q_agg_terms": lambda: aggs.terms_agg_for_query(
+            s, Term("text", "table"), "lang"
         ).collect(),
     }
     s.search(Term("text", "row"), k=10).collect()  # warmup

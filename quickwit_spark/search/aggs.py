@@ -35,6 +35,113 @@ def matches(searcher, query, time_range=None, columns: list[str] | None = None) 
     return docs.join(m.select("segment_id", "doc_id"), ["segment_id", "doc_id"], "inner")
 
 
+def terms_agg_for_query(
+    searcher, query, field: str, size: int = 10, time_range=None
+) -> DataFrame:
+    """Terms agg over a query's matches with a tiered physical plan —
+    the scale path for the `matches → terms_agg` composition, which
+    shuffles the full match set AND the docmap into a join before
+    grouping (3.4× at 10× corpus in the r4 scale study):
+
+      1. match-all, no filter → straight docmap scan + 2-phase groupBy
+         (zero joins; the reference's per-split agg over every doc),
+      2. match-all + fast-field filter → the filter pushes into the
+         docmap scan, then groupBy (no kernel, no join),
+      3. text query → per-segment Arrow cogroup: the kernel's match
+         list meets the docmap's agg column inside one zero-copy numpy
+         kernel per segment (bitmap membership + value_counts), so
+         only per-segment PARTIAL counts shuffle to the final
+         aggregation — the two full-frame join exchanges and their
+         sorts disappear (measured 2.4 s → 1.4 s at 2 M docs).
+
+    Same result contract as `terms_agg`: top `size` (key, doc_count),
+    count desc then key asc."""
+    import numpy as np
+    import pyarrow as pa
+
+    ast, fast_filter, seg_ids = searcher._resolve(query, time_range)
+    col = searcher._fcol(field) if hasattr(searcher, "_fcol") else field
+    from quickwit_spark.query.ast import MatchAll
+
+    if isinstance(ast, MatchAll):
+        docs = searcher._seg_pred_filter(searcher.docs(), seg_ids)
+        if fast_filter is not None:
+            docs = docs.filter(fast_filter)
+        return terms_agg(docs.select(F.col(col).alias(field)), field, size)
+
+    # the cogroup kernel saves its two full-frame exchanges only once
+    # the frames are big; below the threshold the plain join is faster
+    # (one fewer Python-worker stage) — same gating pattern as the
+    # winner-fetch pushdown (engine.py QWS_FETCH_PUSHDOWN_MIN_BYTES)
+    import os as _os
+
+    min_docs = int(_os.environ.get("QWS_AGG_COGROUP_MIN_DOCS", "1000000"))
+    searched = set(seg_ids) if seg_ids is not None else None
+    n_docs = sum(
+        s.num_docs
+        for s in searcher.segments
+        if searched is None or s.segment_id in searched
+    )
+    if n_docs < min_docs:
+        m = searcher.match_docs(
+            query, time_range=time_range, _resolved=(ast, fast_filter, seg_ids)
+        ).select("segment_id", "doc_id")
+        joined = (
+            searcher._seg_pred_filter(searcher.docs(), seg_ids)
+            .select("segment_id", "doc_id", F.col(col).alias(field))
+            .join(m, ["segment_id", "doc_id"], "inner")
+        )
+        return terms_agg(joined, field, size)
+
+    m = searcher.match_docs(
+        query, time_range=time_range, _resolved=(ast, fast_filter, seg_ids)
+    ).select("segment_id", "doc_id")
+    docs = searcher._seg_pred_filter(searcher.docs(), seg_ids).select(
+        "segment_id", "doc_id", F.col(col).cast("string").alias("key")
+    )
+
+    def partial_counts(left: pa.Table, right: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(left.column("doc_id"))
+        empty = pa.table(
+            {
+                "key": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(ids) == 0 or right.num_rows == 0:
+            return empty
+        hi = int(ids.max()) + 1
+        member = np.zeros(hi, dtype=bool)
+        member[ids] = True
+        rids = np.asarray(right.column("doc_id"))
+        in_range = rids < hi
+        hit_idx = np.flatnonzero(in_range)[member[rids[in_range]]]
+        if len(hit_idx) == 0:
+            return empty
+        keys = pc.take(right.column("key"), pa.array(hit_idx))
+        vc = pc.value_counts(keys.combine_chunks())
+        return pa.table(
+            {
+                "key": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partial = (
+        m.groupBy("segment_id")
+        .cogroup(docs.groupBy("segment_id"))
+        .applyInArrow(partial_counts, "key string, cnt long")
+    )
+    return (
+        partial.groupBy("key")
+        .agg(F.sum("cnt").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
 def terms_agg(df: DataFrame, field: str, size: int = 10) -> DataFrame:
     """ES `terms` bucket agg: top `size` values by doc_count.
 

@@ -426,3 +426,48 @@ def test_resume_with_different_num_batches_rejected(
         build_index(spark, df, d, cfg, job_id="n", num_batches=4)
     build_index(spark, df, d, cfg, job_id="n", num_batches=2)
     assert sum(s.num_docs for s in mf.live_segments(d)) == 500
+
+
+def test_terms_agg_for_query_tiers_match_join_path(spark, searcher):
+    """`terms_agg_for_query`'s three physical tiers (straight groupBy,
+    filter-pushdown groupBy, per-segment Arrow-cogroup partial agg)
+    all return exactly what the generic matches→join→terms_agg
+    composition returns."""
+    import datetime as dt
+
+    from quickwit_spark.query.ast import MatchAll
+    from quickwit_spark.search import aggs as A
+
+    cases = [
+        MatchAll(),  # tier 1: no join at all
+        Bool(  # tier 2: fast filter pushed into the docmap scan
+            must=[MatchAll()],
+            filter=[Range("warc_ts", lt=dt.datetime(2024, 1, 10))],
+        ),
+        Term("text", "spark"),  # tier 3: cogrouped partial agg
+        Bool(  # tier 3 with a fast filter riding along
+            must=[Term("text", "spark")],
+            filter=[Range("warc_ts", lt=dt.datetime(2024, 1, 10))],
+        ),
+        Term("text", "zzznothing"),  # empty match set
+    ]
+    import os
+
+    for q in cases:
+        ref = A.terms_agg(
+            A.matches(searcher, q, columns=["lang"]), "lang", size=10
+        ).collect()
+        # both sides of the size gate: the small-corpus join tier and
+        # the big-corpus Arrow-cogroup tier must agree with the
+        # generic composition
+        for min_docs in ("1000000", "0"):
+            os.environ["QWS_AGG_COGROUP_MIN_DOCS"] = min_docs
+            try:
+                fast = A.terms_agg_for_query(
+                    searcher, q, "lang", size=10
+                ).collect()
+            finally:
+                os.environ.pop("QWS_AGG_COGROUP_MIN_DOCS", None)
+            assert [(r["key"], r["doc_count"]) for r in fast] == [
+                (r["key"], r["doc_count"]) for r in ref
+            ], f"mismatch for {q!r} at min_docs={min_docs}"
