@@ -28,7 +28,12 @@ Env knobs:
   QWS_BENCH_SCALEUP=0  skip the 10× stress point (on by default;
       QWS_BENCH_SCALEUP_REPLICATE sets its corpus factor, default 400
       ≈ 2 M docs — catches O(corpus) driver steps the ~1.2 s
-      scheduling floor hides at the default size).
+      scheduling floor hides at the default size). The scaleup phase
+      also stresses merge at 4× corpus (throughput_ratio_vs_base ≈ 1
+      is the linear pass shape) and the bucketed datapipe ops
+      (minhash-LSH anchor edges, IVF-PQ ANN) at N vs 4N inputs
+      (secs_ratio ≈ 4 linear, ≪ 16 = the quadratic failure shape;
+      QWS_BENCH_DEDUP_REPLICATE / QWS_BENCH_KNN_REPLICATE size them).
 
 `python bench.py --scaling` additionally re-runs the indexing job in
 subprocesses at cores=8 and cores=32 on identical input and reports
@@ -175,7 +180,94 @@ def run_index_bench(
     return res
 
 
-def run_merge_bench(cores: int, slices: int = 12, repeats: int = 2) -> dict:
+def run_datapipe_scaleup(cores: int) -> dict:
+    """Scale evidence for the bucketed datapipe paths (VERDICT r4 item
+    5): run the same op at N and 4N inputs and report the time ratio.
+    A pairwise (quadratic) plan would show ~16× at 4× input; the
+    banded-LSH dedup and PQ-coded ANN paths are designed to stay
+    near-linear (Σ|bucket| edges / m-byte code scans), so
+    `secs_ratio` ≈ 4 is the pass shape.
+
+      - dedup: minhash signatures + anchor-edge extraction
+        (shingle→64-perm minhash→banded buckets→star edges)
+      - knn: IVF-PQ end to end (driver-sampled codebooks, ADC
+        shortlist, exact re-rank) for 64 queries over a jittered
+        replication of the embeddings table
+    """
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.datapipe import dedup, similarity
+    from quickwit_spark.session import get_spark
+
+    spark = get_spark("qws_bench", cores=cores, shuffle_partitions=cores)
+    out: dict = {}
+
+    def best_of(fn, reps=2):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn()
+            secs = time.perf_counter() - t0
+            best = secs if best is None else min(best, secs)
+        return round(best, 3), r
+
+    base_rep = int(os.environ.get("QWS_BENCH_DEDUP_REPLICATE", "16"))
+
+    def run_dedup(rep):
+        gen, ndocs = bench_corpus(spark, SF_DIR, rep)
+        docs = gen.select("doc_id", "text")
+        sigs = dedup.minhash_signatures(docs, "doc_id", num_perm=64)
+        return ndocs, dedup.minhash_lsh_edges(
+            sigs, "doc_id", bands=16, rows=4
+        ).count()
+
+    run_dedup(1)  # untimed: python-worker/JVM warmup
+    dd = {}
+    for label, rep in (("base", base_rep), ("x4", base_rep * 4)):
+        secs, (ndocs, n_edges) = best_of(lambda: run_dedup(rep))
+        dd[label] = {"docs": ndocs, "secs": secs, "edges": n_edges}
+    dd["secs_ratio"] = round(dd["x4"]["secs"] / max(dd["base"]["secs"], 1e-9), 2)
+    dd["input_ratio"] = 4.0
+    out["dedup_minhash_edges"] = dd
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base_rep = int(os.environ.get("QWS_BENCH_KNN_REPLICATE", "16"))
+    queries = emb.filter(F.col("vec_id") < 64).select("vec_id", "embedding")
+
+    def run_knn(rep):
+        # deterministic replication: shifted ids, slightly scaled
+        # vectors (ANN cost is size-driven, not value-driven)
+        big = (
+            emb.crossJoin(spark.range(rep).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: x * (1.0 + F.col("rep") * 0.001),
+                ).alias("embedding"),
+            )
+        )
+        return similarity.ivfpq_topk(
+            big, queries, k=10, nlist=32, nprobe=4, m=8, ksub=16
+        ).count()
+
+    run_knn(1)  # untimed warmup
+    kn = {}
+    for label, rep in (("base", base_rep), ("x4", base_rep * 4)):
+        secs, n_rows = best_of(lambda: run_knn(rep))
+        kn[label] = {"vectors": 2000 * rep, "secs": secs, "rows": n_rows}
+    kn["secs_ratio"] = round(kn["x4"]["secs"] / max(kn["base"]["secs"], 1e-9), 2)
+    kn["input_ratio"] = 4.0
+    out["knn_ivfpq"] = kn
+    return out
+
+
+def run_merge_bench(
+    cores: int,
+    slices: int = 12,
+    repeats: int = 2,
+    replicate: int | None = None,
+) -> dict:
     """Hierarchical merge throughput: `slices` sequential ingest batches
     produce `slices` segments per routing partition (merges only group
     within a partition, like the reference), then StableLog merges them
@@ -196,7 +288,7 @@ def run_merge_bench(cores: int, slices: int = 12, repeats: int = 2) -> dict:
     from quickwit_spark.session import get_spark
 
     spark = get_spark("qws_bench", cores=cores, shuffle_partitions=cores)
-    gen, ndocs = bench_corpus(spark, SF_DIR, REPLICATE)
+    gen, ndocs = bench_corpus(spark, SF_DIR, replicate or REPLICATE)
     corpus_dir = tempfile.mkdtemp(prefix=f"qws_merge_corpus_{cores}_")
     gen.write.mode("overwrite").parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
@@ -599,6 +691,19 @@ def main():
     scaleup = None
     if os.environ.get("QWS_BENCH_SCALEUP", "1") == "1":
         scaleup = run_scaleup_bench(CPUS, base_queries=queries)
+        # merge at 4× corpus: throughput (docs/sec) should hold ≈flat
+        # if the merge path is linear in merged bytes
+        merge4 = run_merge_bench(
+            CPUS, replicate=REPLICATE * 4, repeats=2
+        )
+        scaleup["merge"] = {
+            **merge4,
+            "corpus_ratio_vs_base": 4.0,
+            "throughput_ratio_vs_base": round(
+                merge4["docs_per_sec"] / max(merge["docs_per_sec"], 1e-9), 2
+            ),
+        }
+        scaleup["datapipe"] = run_datapipe_scaleup(CPUS)
     # NOTE on the north rule's two-cluster-size criterion: the default
     # run does NOT embed an N-vs-4N study — at this corpus size the
     # ratio is dominated by fixed job overhead and microVM steal-time
