@@ -670,7 +670,7 @@ class QuickwitSpark:
     # Reserved source ids are protected exactly as there (403 analog).
 
     RESERVED_SOURCES = ("_ingest-api-source", "_ingest-cli-source")
-    SOURCE_TYPES = ("vec", "file", "wal", "void")
+    SOURCE_TYPES = ("vec", "file", "wal", "queue", "void")
 
     @_locked
     def create_source(self, index_id: str, config: dict) -> dict:
@@ -696,6 +696,11 @@ class QuickwitSpark:
             raise ValueError("file source params need a 'filepath'")
         if stype == "wal" and not (params.get("wal_root") and params.get("queue")):
             raise ValueError("wal source params need 'wal_root' and 'queue'")
+        if stype == "queue" and not params.get("queue_dir"):
+            raise ValueError(
+                "queue source params need 'queue_dir' (a FileQueue root; "
+                "SQS/PubSub bindings swap the Queue implementation)"
+            )
         sources = state.setdefault("sources", {})
         if sid in sources:
             raise ValueError(f"source {sid!r} already exists")
@@ -745,6 +750,11 @@ class QuickwitSpark:
             raise ValueError("file source params need a 'filepath'")
         if stype == "wal" and not (params.get("wal_root") and params.get("queue")):
             raise ValueError("wal source params need 'wal_root' and 'queue'")
+        if stype == "queue" and not params.get("queue_dir"):
+            raise ValueError(
+                "queue source params need 'queue_dir' (a FileQueue root; "
+                "SQS/PubSub bindings swap the Queue implementation)"
+            )
         current["params"] = params
         self._save_state(index_id, state)
         return dict(current)
@@ -911,6 +921,28 @@ class QuickwitSpark:
                 out["rejected"] = rejected
                 out["errors"] = errors
             return out
+        elif src["source_type"] == "queue":
+            # SQS/PubSub-style queue drain (sources/queue.py — the
+            # reference's queue_sources/ design): at-least-once queue
+            # deliveries, exactly-once commits via the shard table
+            # whose EOF marks ride ingest's atomic state write
+            from quickwit_spark.sources.queue import FileQueue, QueueCoordinator
+
+            params = src["params"]
+            coordinator = QueueCoordinator(
+                facade=self,
+                index_id=index_id,
+                source_id=source_id,
+                queue=FileQueue(params["queue_dir"]),
+                visibility_secs=float(params.get("visibility_secs", 120)),
+                commit_timeout_secs=float(
+                    params.get("commit_timeout_secs", 60)
+                ),
+                dedup_window_secs=float(
+                    params.get("deduplication_window_secs", 7 * 86400)
+                ),
+            )
+            return coordinator.run()
         # void: nothing to do
         return {"source_id": source_id, "num_docs": ingested}
 
