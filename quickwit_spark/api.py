@@ -672,6 +672,22 @@ class QuickwitSpark:
     RESERVED_SOURCES = ("_ingest-api-source", "_ingest-cli-source")
     SOURCE_TYPES = ("vec", "file", "wal", "queue", "void")
 
+    @staticmethod
+    def _validate_source_params(stype: str, params: dict) -> None:
+        """Per-type source param rules, shared by create_source and
+        update_source so the two surfaces can never drift apart."""
+        if stype == "vec" and not isinstance(params.get("docs"), list):
+            raise ValueError("vec source params need a 'docs' list")
+        if stype == "file" and not params.get("filepath"):
+            raise ValueError("file source params need a 'filepath'")
+        if stype == "wal" and not (params.get("wal_root") and params.get("queue")):
+            raise ValueError("wal source params need 'wal_root' and 'queue'")
+        if stype == "queue" and not params.get("queue_dir"):
+            raise ValueError(
+                "queue source params need 'queue_dir' (a FileQueue root; "
+                "SQS/PubSub bindings swap the Queue implementation)"
+            )
+
     @_locked
     def create_source(self, index_id: str, config: dict) -> dict:
         """Register a source on an index. Supported Spark-native types:
@@ -690,17 +706,7 @@ class QuickwitSpark:
                 "— use Structured Streaming readers directly)"
             )
         params = config.get("params") or {}
-        if stype == "vec" and not isinstance(params.get("docs"), list):
-            raise ValueError("vec source params need a 'docs' list")
-        if stype == "file" and not params.get("filepath"):
-            raise ValueError("file source params need a 'filepath'")
-        if stype == "wal" and not (params.get("wal_root") and params.get("queue")):
-            raise ValueError("wal source params need 'wal_root' and 'queue'")
-        if stype == "queue" and not params.get("queue_dir"):
-            raise ValueError(
-                "queue source params need 'queue_dir' (a FileQueue root; "
-                "SQS/PubSub bindings swap the Queue implementation)"
-            )
+        self._validate_source_params(stype, params)
         sources = state.setdefault("sources", {})
         if sid in sources:
             raise ValueError(f"source {sid!r} already exists")
@@ -744,17 +750,7 @@ class QuickwitSpark:
                 f"{current['source_type']}"
             )
         params = config.get("params") or {}
-        if stype == "vec" and not isinstance(params.get("docs"), list):
-            raise ValueError("vec source params need a 'docs' list")
-        if stype == "file" and not params.get("filepath"):
-            raise ValueError("file source params need a 'filepath'")
-        if stype == "wal" and not (params.get("wal_root") and params.get("queue")):
-            raise ValueError("wal source params need 'wal_root' and 'queue'")
-        if stype == "queue" and not params.get("queue_dir"):
-            raise ValueError(
-                "queue source params need 'queue_dir' (a FileQueue root; "
-                "SQS/PubSub bindings swap the Queue implementation)"
-            )
+        self._validate_source_params(stype, params)
         current["params"] = params
         self._save_state(index_id, state)
         return dict(current)

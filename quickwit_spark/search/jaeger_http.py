@@ -284,15 +284,23 @@ def handle_jaeger(
                 raise ValueError(
                     f"failed to deserialize tags {params['tags']!r}: {e}"
                 ) from e
-            if not isinstance(tags, dict):
-                raise ValueError("tags must be a JSON object")
+            if not isinstance(tags, dict) or not all(
+                isinstance(v, str) for v in tags.values()
+            ):
+                # the reference deserializes tags as HashMap<String,
+                # String> — a bool/number/null value is a 400, never a
+                # silent never-matches coercion (str(True) == "True")
+                raise ValueError(
+                    f"failed to deserialize tags {params['tags']!r}: "
+                    "expected a JSON object with string values"
+                )
         query: dict = {}
         if params.get("service"):
             query["service"] = params["service"]
         if params.get("operation"):
             query["span_name"] = params["operation"]
         if tags:
-            query["tags"] = {str(k): str(v) for k, v in tags.items()}
+            query["tags"] = dict(tags)
         # start/end are µs; the reference truncates to whole seconds
         for name, kw in (("start", "min_start_nanos"), ("end", "max_start_nanos")):
             if params.get(name) is not None:

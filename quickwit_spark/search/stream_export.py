@@ -270,9 +270,12 @@ def write_rowbinary(
                 ],
                 mf,
             )
+        # keyed by the RAW partition value ('' included): the ''→'all'
+        # merge is a filename-assembly concern, and keep_parts skips
+        # assembly — counts here must reconcile 1:1 with the manifest
         out: dict[str, int] = {}
         for r in manifest:
-            key = r["partition"] or "all"
+            key = r["partition"]
             out[key] = out.get(key, 0) + r["num_rows"]
         return out
 

@@ -213,6 +213,10 @@ class EsHttpServer:
 
         route, _, qs = path.partition("?")
         parts = [p for p in route.strip("/").split("/") if p]
+        # the ES-compatible mount owns everything under /_elastic —
+        # an ES index literally named "search" must not be hijacked
+        if parts and parts[0] == "_elastic":
+            return None
         is_search = len(parts) == 2 and parts[1] in ("search", "search-plan")
         is_jaeger = len(parts) >= 3 and parts[1] == "jaeger" and parts[2] == "api"
         if not (is_search or is_jaeger) or self.facade is None:
@@ -246,14 +250,14 @@ class EsHttpServer:
 
         import time as _time
 
-        frames = [
-            spans_frame(self.facade.searcher(ix))
-            for ix in self._match_indexes(parts[0])
-        ]
-        spans = frames[0]
-        for f in frames[1:]:
-            spans = spans.unionByName(f, allowMissingColumns=True)
         try:
+            frames = [
+                spans_frame(self.facade.searcher(ix))
+                for ix in self._match_indexes(parts[0])
+            ]
+            spans = frames[0]
+            for f in frames[1:]:
+                spans = spans.unionByName(f, allowMissingColumns=True)
             return handle_jaeger(
                 spans,
                 parts[3:],

@@ -149,6 +149,11 @@ class FileQueue(Queue):
         self.leases = os.path.join(root, "leases")
         os.makedirs(self.msgs, exist_ok=True)
         os.makedirs(self.leases, exist_ok=True)
+        # deliveries this instance made: ack_id → message name, so
+        # extend/ack are O(1) lease reads instead of a full-directory
+        # scan per call (a drain would otherwise be O(messages²));
+        # unknown ack_ids (another consumer's) fall back to the scan
+        self._ack_names: dict[str, str] = {}
 
     def send(self, name: str, payload: bytes) -> None:
         if "/" in name or name.startswith("."):
@@ -200,6 +205,7 @@ class FileQueue(Queue):
             except FileNotFoundError:
                 os.unlink(lease_path)
                 continue  # acked by another consumer mid-claim
+            self._ack_names[ack_id] = name
             out.append(QueueMessage(ack_id, name, payload, deadline))
         return out
 
@@ -210,32 +216,43 @@ class FileQueue(Queue):
         except (FileNotFoundError, json.JSONDecodeError, OSError):
             return False
 
+    def _names_for(self, ack_ids) -> list[str]:
+        """Message names for delivery ids: O(1) via this instance's
+        delivery map, directory scan only for foreign ack_ids."""
+        ids = set(ack_ids)
+        named = [
+            (ack, self._ack_names[ack]) for ack in ids if ack in self._ack_names
+        ]
+        unknown = ids - {ack for ack, _ in named}
+        if unknown:
+            for lease in os.listdir(self.leases):
+                name = lease[: -len(".lease")]
+                try:
+                    with open(self._lease_path(name)) as f:
+                        ack = json.load(f).get("ack_id")
+                except (FileNotFoundError, json.JSONDecodeError, OSError):
+                    continue
+                if ack in unknown:
+                    named.append((ack, name))
+        # a lease may have been broken and re-claimed since delivery —
+        # only act on names this ack_id still owns
+        return [name for ack, name in named if self._owns(name, ack)]
+
     def extend_visibility(self, ack_id, visibility_secs):
-        for name in os.listdir(self.leases):
-            name = name[: -len(".lease")]
-            if self._owns(name, ack_id):
-                tmp = self._lease_path(name) + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(
-                        {
-                            "ack_id": ack_id,
-                            "deadline": self.now() + visibility_secs,
-                        },
-                        f,
-                    )
-                os.replace(tmp, self._lease_path(name))
-                return
+        for name in self._names_for([ack_id]):
+            tmp = self._lease_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "ack_id": ack_id,
+                        "deadline": self.now() + visibility_secs,
+                    },
+                    f,
+                )
+            os.replace(tmp, self._lease_path(name))
 
     def acknowledge(self, ack_ids):
-        ids = set(ack_ids)
-        for lease in os.listdir(self.leases):
-            name = lease[: -len(".lease")]
-            try:
-                with open(self._lease_path(name)) as f:
-                    if json.load(f).get("ack_id") not in ids:
-                        continue
-            except (FileNotFoundError, json.JSONDecodeError, OSError):
-                continue
+        for name in self._names_for(ack_ids):
             # delete the message first: a crash between the two leaves
             # a dangling lease (harmless — receive skips missing msgs)
             try:
@@ -246,6 +263,8 @@ class FileQueue(Queue):
                 os.unlink(self._lease_path(name))
             except FileNotFoundError:
                 pass
+        for ack in ack_ids:
+            self._ack_names.pop(ack, None)
 
 
 # ---------------------------------------------------------------------------
@@ -350,7 +369,8 @@ class QueueCoordinator:
         """Drain until empty. → {num_docs, messages_indexed,
         messages_deduped, messages_dropped, shards_pruned}."""
         ingested = 0
-        indexed = deduped = dropped = 0
+        indexed = deduped = dropped = rejected = 0
+        errors: list[dict] = []
         while True:
             messages = self.queue.receive(
                 self.max_messages_per_poll, self.visibility_secs
@@ -405,6 +425,15 @@ class QueueCoordinator:
                         self.index_id, lines, _state_mutator=mark_eof
                     )
                     ingested += res["num_docs"]
+                    # acking destroys the message: keep the audit
+                    # trail of per-doc rejections (same contract as
+                    # the WAL drain)
+                    if res.get("rejected"):
+                        rejected += res["rejected"]
+                        errors.extend(
+                            {**e, "partition_id": pid}
+                            for e in res.get("errors", [])[:10]
+                        )
                 else:
                     # empty message: EOF the shard without a build
                     with self.facade._index_lock(self.index_id):
@@ -423,7 +452,7 @@ class QueueCoordinator:
             )
             if pruned:
                 self.facade._save_state(self.index_id, state)
-        return {
+        out = {
             "source_id": self.source_id,
             "num_docs": ingested,
             "messages_indexed": indexed,
@@ -431,3 +460,7 @@ class QueueCoordinator:
             "messages_dropped": dropped,
             "shards_pruned": pruned,
         }
+        if rejected:
+            out["rejected"] = rejected
+            out["errors"] = errors
+        return out

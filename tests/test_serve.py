@@ -466,3 +466,21 @@ def test_otlp_to_jaeger_http_round_trip(server):
     status, _ = _call(
         server, "POST", "/api/v1/jui-traces/jaeger/api/services", {})
     assert status == 405
+
+
+def test_native_route_error_contracts(server):
+    """Review-pass regressions: jaeger routes on a non-traces index
+    are a 400 (not a 500); non-string JSON tag values 400; the
+    /_elastic mount is never hijacked by the native router."""
+    status, resp = _call(server, "GET", "/api/v1/logs/jaeger/api/services")
+    assert status == 400
+    assert "traces index" in resp["error"]["reason"]
+    status, resp = _call(
+        server, "GET",
+        "/api/v1/jui-traces/jaeger/api/traces?tags=%7B%22error%22%3Atrue%7D")
+    assert status == 400 and "tags" in resp["error"]["reason"]
+    # ES route under /_elastic with an index literally named "search"
+    # must reach the ES router (404 index_not_found, NOT a native 400
+    # pattern-validation error)
+    status, resp = _call(server, "POST", "/api/v1/_elastic/search/_search", {})
+    assert status == 404

@@ -192,3 +192,44 @@ def test_rowbinary_colliding_filenames_append(spark):
     with open(fp, "rb") as f:
         ks = sorted(_decode_rowbinary(f.read(), ["i8"]))
     assert ks == [(1,), (2,), (3,), (4,)]
+
+
+def test_rowbinary_keep_parts_mode(spark):
+    """keep_parts=True: no concatenation — _parts/ survives with an
+    ordered _manifest.json whose recipe (concatenate each partition
+    value's parts in manifest order) reproduces the assembled bytes
+    byte-for-byte; the returned dict keys are RAW partition values
+    ('' and 'all' stay distinct) reconciling 1:1 with the manifest."""
+    import json as _json
+
+    from quickwit_spark.search.stream_export import write_rowbinary
+
+    rows = [(i, ["", "all", "de"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, grp string").repartition(5)
+
+    ref_dir = tempfile.mkdtemp(prefix="qws_rbk_ref_")
+    ref_counts = write_rowbinary(df, ["k"], ref_dir, partition_by="grp")
+
+    out_dir = tempfile.mkdtemp(prefix="qws_rbk_")
+    counts = write_rowbinary(
+        df, ["k"], out_dir, partition_by="grp", keep_parts=True
+    )
+    # raw-valued keys, one per partition value
+    assert counts == {"": 100, "all": 100, "de": 100}
+    parts_dir = os.path.join(out_dir, "_parts")
+    assert os.path.isdir(parts_dir)
+    with open(os.path.join(out_dir, "_manifest.json")) as f:
+        manifest = _json.load(f)
+    assert sum(m["num_rows"] for m in manifest) == 300
+    # manifest lists exactly the surviving part files
+    assert sorted(m["file"] for m in manifest) == sorted(os.listdir(parts_dir))
+    # assembling per the manifest reproduces the normal-mode output
+    # ('' and 'all' merge into all.bin only at assembly time)
+    assembled: dict[str, bytes] = {}
+    for m in manifest:  # already (partition, file)-ordered
+        name = f"{m['partition'] or 'all'}.bin"
+        with open(os.path.join(parts_dir, m["file"]), "rb") as f:
+            assembled[name] = assembled.get(name, b"") + f.read()
+    for fp, _n in ref_counts.items():
+        with open(fp, "rb") as f:
+            assert f.read() == assembled[os.path.basename(fp)], fp
