@@ -115,6 +115,49 @@ def merge_schemas(a: T.DataType, b: T.DataType) -> T.DataType:
     return T.StringType()
 
 
+class _IndexLock:
+    """Re-entrant per-index mutation lock that serializes across BOTH
+    threads (RLock) and OS processes (fcntl.flock on a sidecar file).
+    Two pipelines sharing an index root — e.g. two queue-source
+    consumers on different hosts with a shared filesystem, or two
+    local processes — must not interleave the read-modify-write of
+    the index state file (batches counter, shard table, checkpoints):
+    the reference serializes these through the metastore; here the
+    advisory file lock is the metastore's transaction boundary."""
+
+    def __init__(self, path: str):
+        self._rlock = threading.RLock()
+        self._path = path
+        self._depth = 0
+        self._fd: int | None = None
+
+    def __enter__(self) -> "_IndexLock":
+        self._rlock.acquire()
+        if self._depth == 0:
+            try:
+                import fcntl
+
+                fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                self._fd = fd
+            except (ImportError, OSError):
+                self._fd = None  # non-POSIX FS: thread-level only
+        self._depth += 1
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._depth -= 1
+        if self._depth == 0 and self._fd is not None:
+            try:
+                import fcntl
+
+                fcntl.flock(self._fd, fcntl.LOCK_UN)
+            finally:
+                os.close(self._fd)
+                self._fd = None
+        self._rlock.release()
+
+
 def _locked(fn):
     """Serialize a facade method under the target index's mutation
     lock. Applies to every method whose first argument is `index_id`
@@ -152,16 +195,20 @@ class QuickwitSpark:
         # ranges all derive from it), so two concurrent ingests into
         # the SAME index must serialize — reference ingest likewise
         # orders a shard's batches through a single queue per shard
-        # (qw/quickwit-ingest/src/ingest_v2/router.rs). RLock because
-        # run_source()'s WAL drain calls ingest() re-entrantly.
-        self._index_locks: dict[str, threading.RLock] = {}
+        # (qw/quickwit-ingest/src/ingest_v2/router.rs). Re-entrant
+        # (run_source()'s drains call ingest() re-entrantly) and
+        # cross-PROCESS via flock (two pipelines sharing an index
+        # root — see _IndexLock).
+        self._index_locks: dict[str, _IndexLock] = {}
         self._locks_guard = threading.Lock()
 
-    def _index_lock(self, index_id: str) -> threading.RLock:
+    def _index_lock(self, index_id: str) -> _IndexLock:
         with self._locks_guard:
             lock = self._index_locks.get(index_id)
             if lock is None:
-                lock = self._index_locks[index_id] = threading.RLock()
+                lock = self._index_locks[index_id] = _IndexLock(
+                    os.path.join(self.root, f".{index_id}.lock")
+                )
             return lock
 
     def _invalidate(self, index_id: str) -> None:
@@ -256,8 +303,9 @@ class QuickwitSpark:
         if config.get("retention") is not None:
             _parse_period_secs(config["retention"]["period"])  # validate
             state["retention"] = config["retention"]
-        with open(state_path, "w") as f:
+        with open(state_path + ".tmp", "w") as f:
             json.dump(state, f)
+        os.replace(state_path + ".tmp", state_path)
         try:
             self._build(index_id, state, lines=None)  # empty publish
         except Exception:
@@ -584,9 +632,13 @@ class QuickwitSpark:
         return {"index_id": index_id, "marked": marked}
 
     def _save_state(self, index_id: str, state: dict) -> None:
+        # atomic replace: a reader (or a crash) must never observe a
+        # truncated half-written state file
         path = os.path.join(self.index_dir(index_id), STATE_FILE)
-        with open(path, "w") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(state, f)
+        os.replace(tmp, path)
 
     # -------------------------------------------------------- templates
     # reference index templates (`quickwit-config/src/index_template/
@@ -925,18 +977,23 @@ class QuickwitSpark:
             from quickwit_spark.sources.queue import FileQueue, QueueCoordinator
 
             params = src["params"]
+            # only user-supplied params override — the dataclass owns
+            # the defaults (single source of truth)
+            overrides = {
+                kwarg: float(params[key])
+                for key, kwarg in (
+                    ("visibility_secs", "visibility_secs"),
+                    ("commit_timeout_secs", "commit_timeout_secs"),
+                    ("deduplication_window_secs", "dedup_window_secs"),
+                )
+                if params.get(key) is not None
+            }
             coordinator = QueueCoordinator(
                 facade=self,
                 index_id=index_id,
                 source_id=source_id,
                 queue=FileQueue(params["queue_dir"]),
-                visibility_secs=float(params.get("visibility_secs", 120)),
-                commit_timeout_secs=float(
-                    params.get("commit_timeout_secs", 60)
-                ),
-                dedup_window_secs=float(
-                    params.get("deduplication_window_secs", 7 * 86400)
-                ),
+                **overrides,
             )
             return coordinator.run()
         # void: nothing to do
@@ -1481,8 +1538,10 @@ class QuickwitSpark:
         # them as ingested hides silent data loss from the caller
         state["doc_count"] = key0 + n_wrapped
         state["batches"] = int(state["batches"]) + 1
-        with open(os.path.join(d, STATE_FILE), "w") as f:
+        state_path = os.path.join(d, STATE_FILE)
+        with open(state_path + ".tmp", "w") as f:
             json.dump(state, f)
+        os.replace(state_path + ".tmp", state_path)
         if cached_src is not None:
             cached_src.unpersist()
         if wrap_tmp is not None:

@@ -92,6 +92,11 @@ class MemoryQueue(Queue):
         self._messages: dict[str, tuple[str, bytes]] = {}  # msg key → (pid, payload)
         self._invisible_until: dict[str, float] = {}
         self._ack_to_key: dict[str, str] = {}
+        # newest delivery per message: a redelivery supersedes the old
+        # ack_id, so a stale consumer's extend/ack is a no-op instead
+        # of hiding or deleting a message another consumer now owns
+        # (FileQueue gets the same guarantee from its _owns check)
+        self._current_ack: dict[str, str] = {}
         self._order: list[str] = []
 
     def send(self, partition_id: str, payload: bytes) -> None:
@@ -113,21 +118,27 @@ class MemoryQueue(Queue):
             self._invisible_until[key] = deadline
             ack_id = uuid.uuid4().hex
             self._ack_to_key[ack_id] = key
+            self._current_ack[key] = ack_id
             pid, payload = self._messages[key]
             out.append(QueueMessage(ack_id, pid, payload, deadline))
         return out
 
     def extend_visibility(self, ack_id, visibility_secs):
         key = self._ack_to_key.get(ack_id)
-        if key is not None and key in self._messages:
+        if (
+            key is not None
+            and key in self._messages
+            and self._current_ack.get(key) == ack_id
+        ):
             self._invisible_until[key] = self.now() + visibility_secs
 
     def acknowledge(self, ack_ids):
         for ack_id in ack_ids:
             key = self._ack_to_key.pop(ack_id, None)
-            if key is not None:
+            if key is not None and self._current_ack.get(key) == ack_id:
                 self._messages.pop(key, None)
                 self._invisible_until.pop(key, None)
+                self._current_ack.pop(key, None)
 
 
 class FileQueue(Queue):
@@ -180,15 +191,22 @@ class FileQueue(Queue):
                     lease = json.load(f)
                 if lease.get("deadline", 0) > now:
                     continue  # live lease: hidden from this consumer
-                os.unlink(lease_path)  # expired: break it
+                expired = True
             except FileNotFoundError:
-                pass
+                expired = False
             except (json.JSONDecodeError, OSError):
-                # torn lease write: treat as expired
+                expired = True  # torn lease write: treat as expired
+            if expired:
+                # break the expired lease by RENAME, not unlink: the
+                # rename succeeds for exactly one racing consumer
+                # (the loser gets ENOENT), so a racer can never
+                # unlink the winner's just-created fresh lease
+                doomed = lease_path + f".break-{uuid.uuid4().hex}"
                 try:
-                    os.unlink(lease_path)
-                except OSError:
-                    continue
+                    os.rename(lease_path, doomed)
+                except (FileNotFoundError, OSError):
+                    continue  # another consumer broke (and claimed) it
+                os.unlink(doomed)
             ack_id = uuid.uuid4().hex
             deadline = now + visibility_secs
             try:
@@ -305,6 +323,10 @@ def acquire_shards(
         position = shard.get("position", "")
         owned = shard.get("token") == publish_token
         if position == EOF_POSITION or (owned and position == ""):
+            if owned and position == "":
+                # refresh the heartbeat: still working on it — keeps a
+                # long commit from looking stale to other pipelines
+                shard["update_ts"] = now
             out.append((pid, position))
         elif not owned and now - shard.get("update_ts", 0) > reacquire_grace_secs:
             shard["token"] = publish_token
@@ -333,6 +355,14 @@ def prune_shards(shards: dict, now: float, max_age_secs: float) -> int:
 # ---------------------------------------------------------------------------
 # coordinator
 # ---------------------------------------------------------------------------
+
+
+class ShardOwnershipLost(RuntimeError):
+    """Raised by the EOF mutator when the shard's token no longer
+    matches at commit time: a stale-grace re-acquisition moved
+    ownership to another pipeline while this one was still processing
+    the message. The batch aborts BEFORE publish — the reference's
+    commit-time publish-token check at the metastore."""
 
 
 @dataclass
@@ -364,6 +394,25 @@ class QueueCoordinator:
     def _shards(self, state: dict) -> dict:
         src = state["sources"][self.source_id]
         return src.setdefault("shards", {})
+
+    def _mark_eof(self, state: dict, pid: str) -> None:
+        """The EOF mutator: rides ingest's atomic state write. Re-checks
+        ownership at commit time — if another pipeline re-acquired the
+        shard (or already EOF'd it) while this one was processing, the
+        commit must abort rather than double-publish or stomp the new
+        owner's token."""
+        table = self._shards(state)
+        shard = table.get(pid)
+        if shard is not None and shard.get("token") != self.publish_token:
+            raise ShardOwnershipLost(
+                f"shard {pid!r} is owned by {shard.get('token')!r} at "
+                f"commit time (we are {self.publish_token!r})"
+            )
+        table[pid] = {
+            "token": self.publish_token,
+            "position": EOF_POSITION,
+            "update_ts": float(self.now_fn()),
+        }
 
     def run(self) -> dict:
         """Drain until empty. → {num_docs, messages_indexed,
@@ -400,46 +449,57 @@ class QueueCoordinator:
                     self.queue.acknowledge([msg.ack_id])
                     deduped += 1
                     continue
-                lines = [
-                    ln
-                    for ln in msg.payload.decode("utf-8").splitlines()
-                    if ln.strip()
-                ]
+                try:
+                    text = msg.payload.decode("utf-8")
+                except UnicodeDecodeError as e:
+                    # a permanently undecodable payload must not wedge
+                    # the source (it would crash every drain forever):
+                    # reject-and-audit like a malformed doc — EOF the
+                    # shard so redeliveries dedupe, ack, record why
+                    rejected += 1
+                    errors.append(
+                        {"partition_id": pid, "reason": f"not UTF-8: {e}"}
+                    )
+                    with self.facade._index_lock(self.index_id):
+                        st = self.facade._state(self.index_id)
+                        self._mark_eof(st, pid)
+                        self.facade._save_state(self.index_id, st)
+                    self.queue.acknowledge([msg.ack_id])
+                    continue
+                lines = [ln for ln in text.splitlines() if ln.strip()]
                 # pre-commit visibility extension: the Spark commit
                 # may outlast the receive deadline
                 self.queue.extend_visibility(
                     msg.ack_id, 2 * self.commit_timeout_secs
                 )
-
-                def mark_eof(st, pid=pid):
-                    src = st["sources"][self.source_id]
-                    table = src.setdefault("shards", {})
-                    table[pid] = {
-                        "token": self.publish_token,
-                        "position": EOF_POSITION,
-                        "update_ts": float(self.now_fn()),
-                    }
-
-                if lines:
-                    res = self.facade.ingest(
-                        self.index_id, lines, _state_mutator=mark_eof
-                    )
-                    ingested += res["num_docs"]
-                    # acking destroys the message: keep the audit
-                    # trail of per-doc rejections (same contract as
-                    # the WAL drain)
-                    if res.get("rejected"):
-                        rejected += res["rejected"]
-                        errors.extend(
-                            {**e, "partition_id": pid}
-                            for e in res.get("errors", [])[:10]
+                mark_eof = lambda st, pid=pid: self._mark_eof(st, pid)  # noqa: E731
+                try:
+                    if lines:
+                        res = self.facade.ingest(
+                            self.index_id, lines, _state_mutator=mark_eof
                         )
-                else:
-                    # empty message: EOF the shard without a build
-                    with self.facade._index_lock(self.index_id):
-                        st = self.facade._state(self.index_id)
-                        mark_eof(st)
-                        self.facade._save_state(self.index_id, st)
+                        ingested += res["num_docs"]
+                        # acking destroys the message: keep the audit
+                        # trail of per-doc rejections (same contract
+                        # as the WAL drain)
+                        if res.get("rejected"):
+                            rejected += res["rejected"]
+                            errors.extend(
+                                {**e, "partition_id": pid}
+                                for e in res.get("errors", [])[:10]
+                            )
+                    else:
+                        # empty message: EOF the shard without a build
+                        with self.facade._index_lock(self.index_id):
+                            st = self.facade._state(self.index_id)
+                            mark_eof(st)
+                            self.facade._save_state(self.index_id, st)
+                except ShardOwnershipLost:
+                    # another pipeline re-acquired this shard while we
+                    # held the message (our grace expired): abort OUR
+                    # commit, leave the message for the owner
+                    dropped += 1
+                    continue
                 self.queue.acknowledge([msg.ack_id])
                 indexed += 1
         # deduplication-window GC (the coordinator owns it, debounced

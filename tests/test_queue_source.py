@@ -267,3 +267,86 @@ def test_run_source_queue_integration(facade, tmp_path):
         facade.create_source(
             "qidx", {"source_id": "badq", "source_type": "queue", "params": {}}
         )
+
+
+def test_memory_queue_stale_ack_is_noop():
+    """A superseded delivery's ack_id can neither re-hide nor delete a
+    message another consumer now owns (same guarantee FileQueue gets
+    from its lease-ownership check)."""
+    clock = Clock()
+    q = MemoryQueue(now_fn=clock)
+    q.send("m", b"{}")
+    (old,) = q.receive(1, 30)
+    clock.t += 31  # expiry → redelivery
+    (new,) = q.receive(1, 30)
+    q.extend_visibility(old.ack_id, 500)  # stale: must be a no-op
+    clock.t += 31
+    (again,) = q.receive(1, 30)  # still redeliverable after NEW lease
+    q.acknowledge([old.ack_id])  # stale ack: no-op
+    clock.t += 31
+    assert len(q.receive(1, 30)) == 1  # message survived the stale ack
+    assert new.partition_id == again.partition_id == "m"
+
+
+def test_coordinator_poison_message_rejected_not_wedged(facade):
+    """A non-UTF-8 payload is rejected-with-audit (EOF + ack), never a
+    drain-crashing poison message."""
+    clock = Clock()
+    q = MemoryQueue(now_fn=clock)
+    q.send("bad.bin", b"\xff\xfe\x00garbage")
+    q.send("good.ndjson", _payload(0, 2))
+    facade.create_source(
+        "qidx",
+        {"source_id": "qsrc", "source_type": "queue",
+         "params": {"queue_dir": "unused"}},
+    )
+    coord = QueueCoordinator(
+        facade=facade, index_id="qidx", source_id="qsrc", queue=q,
+        now_fn=clock,
+    )
+    res = coord.run()
+    assert res["num_docs"] == 2 and res["messages_indexed"] == 1
+    assert res["rejected"] == 1
+    assert "not UTF-8" in res["errors"][0]["reason"]
+    # the poison message is gone and its shard EOF'd: nothing replays
+    clock.t += 1000
+    res = coord.run()
+    assert res["messages_indexed"] == 0 and res.get("rejected") is None
+
+
+def test_coordinator_commit_aborts_on_lost_ownership(facade):
+    """If another pipeline re-acquires a shard mid-processing, the
+    first pipeline's commit aborts (ShardOwnershipLost) instead of
+    double-indexing or stomping the new owner's token."""
+    clock = Clock()
+    q = MemoryQueue(now_fn=clock)
+    q.send("contested", _payload(0, 3))
+    facade.create_source(
+        "qidx",
+        {"source_id": "qsrc", "source_type": "queue",
+         "params": {"queue_dir": "unused"}},
+    )
+    coord = QueueCoordinator(
+        facade=facade, index_id="qidx", source_id="qsrc", queue=q,
+        now_fn=clock,
+    )
+    # sabotage: after acquisition, flip the shard's token to simulate
+    # a concurrent re-acquisition by pipeline B
+    real_ingest = facade.ingest
+
+    def hijack_then_ingest(index_id, docs, _state_mutator=None):
+        st = facade._state(index_id)
+        st["sources"]["qsrc"]["shards"]["contested"]["token"] = "pipelineB"
+        facade._save_state(index_id, st)
+        return real_ingest(index_id, docs, _state_mutator=_state_mutator)
+
+    facade.ingest = hijack_then_ingest
+    try:
+        res = coord.run()
+    finally:
+        facade.ingest = real_ingest
+    assert res["messages_dropped"] == 1 and res["num_docs"] == 0
+    # the message was NOT acked — B (or a later drain) can still get it
+    clock.t += 1000
+    assert len(q.receive(10, 30)) == 1
+    assert facade.es().request("GET", "qidx/_count")["count"] == 0

@@ -471,13 +471,24 @@ def test_otlp_to_jaeger_http_round_trip(server):
 def test_native_route_error_contracts(server):
     """Review-pass regressions: jaeger routes on a non-traces index
     are a 400 (not a 500); non-string JSON tag values 400; the
-    /_elastic mount is never hijacked by the native router."""
+    /_elastic mount is never hijacked by the native router. Creates
+    its own traces index — must pass in isolation."""
     status, resp = _call(server, "GET", "/api/v1/logs/jaeger/api/services")
     assert status == 400
     assert "traces index" in resp["error"]["reason"]
+    # own traces index (no dependency on other tests' side effects)
+    req = urllib.request.Request(
+        server.url + "/api/v1/errc-traces/otlp/v1/traces",
+        data=json.dumps({"resourceSpans": [{"scopeSpans": [{"spans": [
+            {"traceId": "0a" * 16, "spanId": "0b" * 8, "name": "x",
+             "startTimeUnixNano": "1", "endTimeUnixNano": "2"}]}]}]}).encode(),
+        method="POST", headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert json.loads(r.read()) == {"partialSuccess": {}}
     status, resp = _call(
         server, "GET",
-        "/api/v1/jui-traces/jaeger/api/traces?tags=%7B%22error%22%3Atrue%7D")
+        "/api/v1/errc-traces/jaeger/api/traces?tags=%7B%22error%22%3Atrue%7D")
     assert status == 400 and "tags" in resp["error"]["reason"]
     # ES route under /_elastic with an index literally named "search"
     # must reach the ES router (404 index_not_found, NOT a native 400
