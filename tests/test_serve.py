@@ -495,3 +495,40 @@ def test_native_route_error_contracts(server):
     # pattern-validation error)
     status, resp = _call(server, "POST", "/api/v1/_elastic/search/_search", {})
     assert status == 404
+
+
+def test_native_search_aggs_and_snippets_over_http(server):
+    """The native route's full SearchRequestQueryString surface over a
+    live socket: `aggs` (tantivy aggregation JSON) and
+    `snippet_fields` both ride the same GET/POST params as the
+    reference handler."""
+    status, resp = _call(
+        server, "POST", "/api/v1/logs/search",
+        {
+            "query": "msg:error",
+            "max_hits": 2,
+            "snippet_fields": "msg",
+            "aggs": {"by_n": {"histogram": {"field": "n", "interval": 20}}},
+        },
+    )
+    assert status == 200 and resp["num_hits"] == 12
+    # snippets: reference shape — one object per hit, field → fragments
+    assert len(resp["snippets"]) == 2
+    for snip in resp["snippets"]:
+        assert any("<b>error</b>" in frag for frag in snip["msg"])
+    # aggregation shaped like the reference envelope
+    buckets = resp["aggregations"]["by_n"]["buckets"]
+    assert sum(b["doc_count"] for b in buckets) == 12
+    assert [b["key"] for b in buckets] == [0.0, 20.0, 40.0]
+    # GET variant with aggs as a JSON query param
+    status, resp = _call(
+        server, "GET",
+        "/api/v1/logs/search?query=msg:error&max_hits=0&aggs="
+        "%7B%22langs%22%3A%7B%22terms%22%3A%7B%22field%22%3A%22msg%22%7D%7D%7D",
+    )
+    assert status == 200 and resp["hits"] == []
+    assert "langs" in resp["aggregations"]
+    # bad aggs body → 400
+    status, _ = _call(
+        server, "GET", "/api/v1/logs/search?aggs=notjson")
+    assert status == 400
