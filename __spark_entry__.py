@@ -3907,6 +3907,47 @@ def _q_multimodal_features(spark, sf_dir):
     return image_channel_sums(media)
 
 
+def _q_audio_features(spark, sf_dir):
+    """Real audio decode in the multimodal path: per-document gradient
+    signals are ENCODED to real RIFF/WAVE PCM-16 payloads, decoded
+    back by the pure-numpy WAV codec (`datapipe/multimodal.py`), and
+    reduced to exact integer signal stats — Arrow-batched mapInPandas
+    end to end. The oracle recreates the signal's closed form
+    (sample j = (13·id + 7j) % 4001 − 2000) with a constant range
+    cross-join, so any codec bug (chunk walk, sample width,
+    little-endian layout) breaks the value hash."""
+    from quickwit_spark.datapipe.multimodal import (
+        audio_stats,
+        encode_wav,
+        gradient_audio,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        (F.col("doc_id") % 180 + 20).cast("int").alias("n_samp"),
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_wav(gradient_audio(int(m), int(n)), 8000)
+                for m, n in zip(pdf["media_id"], pdf["n_samp"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                }
+            )
+
+    media = base.mapInPandas(enc, "media_id long, kind string, payload binary")
+    return audio_stats(media)
+
+
 def _q_kafka_records_project(spark, sf_dir):
     """Kafka record→doc projection (`sources/kafka.py:78`,
     kafka_source.rs:734-746 semantics) over a static records frame of
@@ -4038,6 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest round-checked cohort (r03 as of round 5) — and rotated
         # each round so every gate earns a CORRECTNESS_rN row within
         # 2-3 rounds (VERDICT r3 item 1 / r4 item 2).
+        "audio_features": _q_audio_features,
         "multimodal_features": _q_multimodal_features,
         "kafka_records_project": _q_kafka_records_project,
         "search_term_topk": _q_term_topk,
@@ -4171,6 +4213,23 @@ def oracle_sql() -> dict[str, str]:
         # the gradient image's closed form: RGB-interleaved flat index
         # j holds (7*id + j) % 256, so per-channel sums are a constant
         # range cross-join (480 = max w*h*3 for w ≤ 16, h ≤ 10)
+        # WAV gradient signal closed form: sample j holds
+        # (13*id + 7*j) % 4001 - 2000; stats are a constant range
+        # cross-join (max n_samp = 199 for doc_id % 180 + 20)
+        "audio_features": """
+SELECT d.doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(d.doc_id % 180 + 20 AS BIGINT) AS n_samples,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(SUM(ABS((d.doc_id * 13 + t.j * 7) % 4001 - 2000)) AS BIGINT)
+         AS sum_abs,
+       CAST(MAX(ABS((d.doc_id * 13 + t.j * 7) % 4001 - 2000)) AS BIGINT)
+         AS max_abs
+FROM documents d
+CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 200)) t
+WHERE t.j < d.doc_id % 180 + 20
+GROUP BY d.doc_id
+""",
         "multimodal_features": """
 SELECT d.doc_id AS media_id,
        CAST((d.doc_id % 13 + 4) * (d.doc_id % 7 + 4) AS BIGINT) AS n_px,

@@ -162,6 +162,74 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(pix[..., [2, 1, 0]])  # BGR(A) → RGB
 
 
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """int16 PCM samples (1-D mono or (n, channels)) → RIFF/WAVE bytes
+    (the canonical public WAV container: fmt chunk with PCM format tag
+    1, then a data chunk of little-endian interleaved samples)."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    data = arr.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes → ((n, channels) int16 array, sample rate).
+    Walks the chunk list (LIST/fact/cue chunks are skipped, odd-sized
+    chunks honor the RIFF pad byte); PCM 16-bit and 8-bit (unsigned,
+    rescaled to int16) decode; anything else raises."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated WAV fmt chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", fmt
+    )
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"unsupported WAV (format {audio_format}, {bits}-bit): "
+            "PCM 8/16-bit only"
+        )
+    if bits == 16:
+        n = len(data) // (2 * channels)
+        arr = np.frombuffer(data, "<i2", count=n * channels)
+    else:  # 8-bit WAV is unsigned; center and widen to int16
+        n = len(data) // channels
+        arr = (
+            np.frombuffer(data, np.uint8, count=n * channels).astype(np.int16)
+            - 128
+        ) * 256
+    return np.ascontiguousarray(arr.reshape(n, channels)), sample_rate
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Binary image payload → (h, w, 3) uint8 RGB. Sniffs the format
     from magic bytes; P2/P3/P5/P6 NetPBM and 24/32-bit uncompressed
@@ -195,10 +263,21 @@ def gradient_image(media_id: int, width: int, height: int) -> np.ndarray:
     )
 
 
+def gradient_audio(media_id: int, n_samples: int) -> np.ndarray:
+    """Deterministic test signal: sample j holds
+    ((13*id + 7*j) % 4001) − 2000 — int16-ranged, closed-form per
+    sample, so absolute sums are independently computable (the
+    oracle-SQL hook, like `gradient_image`)."""
+    j = np.arange(n_samples, dtype=np.int64)
+    return ((media_id * 13 + j * 7) % 4001 - 2000).astype(np.int16)
+
+
 def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake media table. Image rows carry REAL encoded
-    payloads (PPM for even ids, BMP for odd — both decoders exercised);
-    audio/video payloads stay seeded bytes (no codec in sandbox)."""
+    payloads (PPM for even ids, BMP for odd) and audio rows REAL WAV
+    (PCM 16-bit mono of the gradient signal) — all four codecs
+    exercised; video payloads stay seeded bytes (no container codec in
+    sandbox — frame sampling stays a plan)."""
     base = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
@@ -224,6 +303,13 @@ def synthesize_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                     img = gradient_image(int(mid), int(w), int(h))
                     enc = encode_ppm if mid % 2 == 0 else encode_bmp
                     payloads.append(enc(img))
+                elif kind == "audio":
+                    # duration_ms at 8 kHz mono, capped to keep the
+                    # synthetic table small
+                    n_samp = max(int(mid) % 500 + 50, 1)
+                    payloads.append(
+                        encode_wav(gradient_audio(int(mid), n_samp), 8000)
+                    )
                 else:
                     payloads.append(payload)
             pdf = pdf.assign(payload=payloads)
@@ -306,6 +392,54 @@ def image_channel_sums(df: DataFrame) -> DataFrame:
 
     return (
         df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, out_schema)
+    )
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads + exact integer signal stats (the
+    oracle-checkable audio feature): → (media_id, sample_rate,
+    n_samples, n_channels, sum_abs, max_abs). Arrow-batched
+    mapInPandas with the same bounded-memory streaming shape as the
+    image paths."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("n_channels", LongType()),
+            StructField("sum_abs", LongType()),
+            StructField("max_abs", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(payload)
+                mags = np.abs(samples.astype(np.int64))
+                rows.append(
+                    (
+                        int(mid),
+                        rate,
+                        samples.shape[0],
+                        samples.shape[1],
+                        int(mags.sum()),
+                        int(mags.max(initial=0)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "n_channels",
+                    "sum_abs", "max_abs",
+                ],
+            )
+
+    return (
+        df.filter(F.col("kind") == "audio")
         .select("media_id", "payload")
         .mapInPandas(run, out_schema)
     )

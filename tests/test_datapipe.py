@@ -876,3 +876,84 @@ def test_image_channel_sums_match_closed_form(spark):
         assert out.loc[mid, "sum_r"] == v[j % 3 == 0].sum()
         assert out.loc[mid, "sum_g"] == v[j % 3 == 1].sum()
         assert out.loc[mid, "sum_b"] == v[j % 3 == 2].sum()
+
+
+def test_wav_codec_roundtrip_and_goldens():
+    """RIFF/WAVE codec: bit-exact round-trips (mono/stereo, odd
+    lengths), chunk-walking past LIST chunks with RIFF pad bytes,
+    8-bit rescale, and loud errors on malformed payloads."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from quickwit_spark.datapipe.multimodal import (
+        decode_wav,
+        encode_wav,
+        gradient_audio,
+    )
+
+    for n in (1, 7, 256):
+        mono = gradient_audio(5, n)
+        got, rate = decode_wav(encode_wav(mono, 8000))
+        assert rate == 8000 and (got[:, 0] == mono).all()
+    stereo = np.stack([gradient_audio(1, 33), gradient_audio(2, 33)], axis=1)
+    got, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and got.shape == (33, 2) and (got == stereo).all()
+
+    # hand-built WAV with a LIST chunk (odd size → pad byte) before data
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = np.array([100, -100, 32767], "<i2").tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+           + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    got, rate = decode_wav(wav)
+    assert got[:, 0].tolist() == [100, -100, 32767]
+
+    # 8-bit unsigned rescales to centered int16
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+            + b"data" + struct.pack("<I", 3) + bytes([0, 128, 255]))
+    got, _ = decode_wav(wav8)
+    assert got[:, 0].tolist() == [-32768, 0, 32512]
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + b"\x00" * 40)  # wrong magic
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks
+    # float WAV (format 3) unsupported → loud error
+    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wavf = (b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmtf)) + fmtf
+            + b"data" + struct.pack("<I", 0) + b"")
+    with _pytest.raises(ValueError):
+        decode_wav(wavf)
+
+
+def test_audio_stats_match_closed_form(spark):
+    """audio_stats over real WAV payloads equals the gradient signal's
+    closed form: sum_abs = Σ|((13·id + 7j) % 4001) − 2000|."""
+    import numpy as np
+
+    from quickwit_spark.datapipe import multimodal
+
+    media = multimodal.synthesize_media(spark, 12)
+    out = (
+        multimodal.audio_stats(media)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert len(out) == 4  # ids 1, 4, 7, 10 are audio (id % 3 == 1)
+    for mid in out.index:
+        n = mid % 500 + 50
+        sig = np.abs(
+            ((mid * 13 + np.arange(n, dtype=np.int64) * 7) % 4001 - 2000)
+        )
+        assert out.loc[mid, "n_samples"] == n
+        assert out.loc[mid, "sample_rate"] == 8000
+        assert out.loc[mid, "n_channels"] == 1
+        assert out.loc[mid, "sum_abs"] == sig.sum()
+        assert out.loc[mid, "max_abs"] == sig.max()
