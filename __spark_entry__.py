@@ -3907,6 +3907,52 @@ def _q_multimodal_features(spark, sf_dir):
     return image_channel_sums(media)
 
 
+def _q_agg_terms_query(spark, sf_dir):
+    """Tiered terms agg (`aggs.terms_agg_for_query`, the r5 scale
+    path) — join tier at this corpus size: top langs among docs
+    matching a text term, deterministic count-desc/key-asc order.
+    Oracle recreates the match set (tokenized membership) + groupBy."""
+    from quickwit_spark.search.aggs import terms_agg_for_query
+
+    return terms_agg_for_query(
+        _searcher(spark, sf_dir), Term("text", "spark"), "lang", size=10
+    )
+
+
+def _q_agg_terms_query_cogroup(spark, sf_dir):
+    """Same agg, FORCED onto the per-segment Arrow-cogroup partial-agg
+    tier (QWS_AGG_COGROUP_MIN_DOCS=0 during plan build): the numpy
+    bitmap-membership + value_counts kernel must value-hash exactly
+    like the JVM join plan. Gives the cogroup code path its own
+    driver-checked oracle row."""
+    import os as _os
+
+    from quickwit_spark.search.aggs import terms_agg_for_query
+
+    _os.environ["QWS_AGG_COGROUP_MIN_DOCS"] = "0"
+    try:
+        return terms_agg_for_query(
+            _searcher(spark, sf_dir), Term("text", "spark"), "lang", size=10
+        )
+    finally:
+        _os.environ.pop("QWS_AGG_COGROUP_MIN_DOCS", None)
+
+
+_AGG_TERMS_QUERY_SQL = """
+WITH matches AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term = 'spark'
+)
+SELECT CAST(d.lang AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents d JOIN matches USING (doc_id)
+GROUP BY d.lang
+ORDER BY doc_count DESC, key ASC
+LIMIT 10
+"""
+
+
 def _q_audio_features(spark, sf_dir):
     """Real audio decode in the multimodal path: per-document gradient
     signals are ENCODED to real RIFF/WAVE PCM-16 payloads, decoded
@@ -4079,6 +4125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest round-checked cohort (r03 as of round 5) — and rotated
         # each round so every gate earns a CORRECTNESS_rN row within
         # 2-3 rounds (VERDICT r3 item 1 / r4 item 2).
+        "agg_terms_query": _q_agg_terms_query,
+        "agg_terms_query_cogroup": _q_agg_terms_query_cogroup,
         "audio_features": _q_audio_features,
         "multimodal_features": _q_multimodal_features,
         "kafka_records_project": _q_kafka_records_project,
@@ -4213,6 +4261,8 @@ def oracle_sql() -> dict[str, str]:
         # the gradient image's closed form: RGB-interleaved flat index
         # j holds (7*id + j) % 256, so per-channel sums are a constant
         # range cross-join (480 = max w*h*3 for w ≤ 16, h ≤ 10)
+        "agg_terms_query": _AGG_TERMS_QUERY_SQL,
+        "agg_terms_query_cogroup": _AGG_TERMS_QUERY_SQL,
         # WAV gradient signal closed form: sample j holds
         # (13*id + 7*j) % 4001 - 2000; stats are a constant range
         # cross-join (max n_samp = 199 for doc_id % 180 + 20)
